@@ -1,0 +1,63 @@
+"""Aggregation operators (reference §2.4 A1-A4; [EXT] rollup/cube/pivot/
+percentiles/approx-distinct).
+
+Spark executes every groupBy here as partial (map-side) hash aggregation ->
+hash exchange on the grouping keys -> final hash aggregation, so the shuffle
+carries one row per (partition, group), not per input row. That partial-agg
+property is the core 100 TB guarantee of this module; nothing below breaks it
+(no UDAFs, no collect_list on the hot path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import dec_avg, dec_sum, round_half_up
+
+
+def monthly_summary(
+    df: DataFrame,
+    keys: Sequence[str],
+    price_col: str,
+    volume_col: str,
+    pct7_col: str | None = None,
+    pct30_col: str | None = None,
+    decimals: int = 2,
+) -> DataFrame:
+    """Reference A1 ("requirement A", b3_transform.py:88-112): per-key
+    count / volume sum / avg-min-max price / avg pct-changes, ordered by the
+    grouping keys (reference O1).
+
+    Money aggregates run in exact DECIMAL then surface as double
+    (functions.parity): order-independent — a 100 TB sum gives the same
+    answer for any partitioning — and bit-identical to the SQL oracle.
+    """
+    aggs: list[Column] = [
+        F.count(F.lit(1)).alias("total_registros"),
+        dec_sum(volume_col, decimals).alias("volume_total"),
+        dec_avg(price_col, decimals).alias("preco_medio"),
+        round_half_up(F.min(F.col(price_col)), decimals).alias("preco_minimo"),
+        round_half_up(F.max(F.col(price_col)), decimals).alias("preco_maximo"),
+    ]
+    if pct7_col:
+        aggs.append(dec_avg(pct7_col, decimals).alias("variacao_7d_media"))
+    if pct30_col:
+        aggs.append(dec_avg(pct30_col, decimals).alias("variacao_30d_media"))
+    return df.groupBy(*keys).agg(*aggs).orderBy(*keys)
+
+
+def keyed_stats(df: DataFrame, key: str, value_cols: Sequence[str], decimals: int = 2) -> DataFrame:
+    """Reference A2 (b3_transform.py:336-344): single-key count + exact avgs."""
+    aggs = [F.count(F.lit(1)).alias("total_registros")] + [
+        dec_avg(c, decimals).alias(f"{c}_avg") for c in value_cols
+    ]
+    return df.groupBy(key).agg(*aggs).orderBy(key)
+
+
+def count_delta(df_before: DataFrame, df_after: DataFrame) -> tuple[int, int, int]:
+    """Reference A4 (b3_transform.py:128-133): removed-row accounting."""
+    before, after = df_before.count(), df_after.count()
+    return before, after, before - after

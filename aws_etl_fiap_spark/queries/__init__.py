@@ -1,0 +1,13 @@
+"""Query registry backing ``__spark_entry__.py``.
+
+Each module registers (name -> Spark callable [+ DuckDB oracle SQL]) pairs via
+``registry.query``. Importing this package populates the registry.
+"""
+
+from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects)
+    core,
+    tpch,
+)
+from aws_etl_fiap_spark.queries.registry import REGISTRY, oracle_sql, queries
+
+__all__ = ["REGISTRY", "queries", "oracle_sql"]

@@ -1,0 +1,177 @@
+"""TPC-H-style headline queries over the star schema ([EXT] joins, §2.3).
+
+The reference has no joins, but its Athena surface (requirement 8,
+reference README.md:17) implies arbitrary SQL over catalog tables; these four
+classics exercise multi-way equi-joins, broadcast of small dims, selective
+filters that must push down, and partial aggregation — the plans that dominate
+a 100 TB workload. Adapted to the driver's column subset (no o_shippriority,
+no l_supplycost).
+
+Money aggregates use exact DECIMAL sums (functions.parity): order-independent
+(any partitioning gives the same bits) and hash-identical to the DuckDB
+oracle. Scales: prices carry 2 decimal digits, price*(1-disc) 4, charge 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def _disc_price() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dec_sum('l_quantity', 2)} AS sum_qty,
+       {sql_dec_sum('l_extendedprice', 2)} AS sum_base_price,
+       {sql_dec_sum(_DISC_PRICE, 4)} AS sum_disc_price,
+       {sql_dec_sum(_DISC_PRICE + ' * (1 + l_tax)', 6)} AS sum_charge,
+       {sql_dec_avg('l_quantity', 2)} AS avg_qty,
+       {sql_dec_avg('l_extendedprice', 2)} AS avg_price,
+       {sql_dec_avg('l_discount', 2)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy multi-aggregate; one shuffle carrying 4-6 groups.
+    The filter and 7-column projection must reach the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", 2).alias("sum_qty"),
+            dec_sum("l_extendedprice", 2).alias("sum_base_price"),
+            dec_sum(_disc_price(), 4).alias("sum_disc_price"),
+            dec_sum(_disc_price() * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            dec_avg("l_quantity", 2).alias("avg_qty"),
+            dec_avg("l_extendedprice", 2).alias("avg_price"),
+            dec_avg("l_discount", 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {sql_dec_sum(_DISC_PRICE, 4)} AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: selective 3-way join + top-N. customer (filtered, tiny) is
+    explicitly broadcast; lineitem⋈orders is the only real shuffle."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(dec_sum(_disc_price(), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       {sql_dec_sum(_DISC_PRICE, 4)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 6-way star join. All dims (supplier/nation/region, and
+    customer at this scale) broadcast; only fact⋈fact shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(_disc_price(), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {sql_dec_sum('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan + selective predicate + global agg — the canonical
+    pushdown test (explain must show PushedFilters on all four predicates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+    )

@@ -1,0 +1,73 @@
+"""SparkSession factory with scale-ready defaults.
+
+The reference configures nothing (Glue defaults, SURVEY.md §4); we set the
+knobs that matter at 100 TB explicitly so every entry point — tests, bench,
+driver — runs the same engine profile:
+
+- AQE on (runtime coalesce / skew-join split / join-strategy switch).
+- Arrow on (pandas<->Spark and Pandas-UDF transfer is columnar, not pickled).
+- snappy parquet to match the reference's at-rest format
+  (reference: src/glue/b3_collector.py:221 ``'parquet.compression': 'SNAPPY'``).
+- dynamic partition overwrite: a daily run replaces only the partitions it
+  produced, instead of wiping the whole table like the reference's
+  ``mode("overwrite")`` does (src/glue/b3_collector.py:179).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Partition sizing rationale (100 TB design; see also bench.py):
+# - local runs: shuffle partitions ~ cores, so a 60k-row groupBy doesn't pay
+#   200 empty-task launches.
+# - cluster runs: AQE coalesces from an intentionally-high initial number, so
+#   the static setting is a floor, not a cap. Callers on a real cluster should
+#   pass shuffle_partitions ~ 2-3x total executor cores.
+DEFAULT_LOCAL_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "aws_etl_fiap_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local-mode defaults come from ``SPARK_GRAFT_CPUS``; on a cluster, pass
+    ``master=None`` with the environment's master and a larger
+    ``shuffle_partitions``.
+    """
+    master = master or f"local[{DEFAULT_LOCAL_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_LOCAL_CPUS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: coalesce small shuffle partitions, split skewed ones, and switch
+        # sort-merge -> broadcast at runtime when a side turns out small.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for pandas interchange and Pandas UDFs (vectorized batches).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # At-rest format parity with the reference (snappy parquet).
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # Daily-run overwrite should replace only touched partitions.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Deterministic timestamp semantics (match DuckDB's naive timestamps).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Quiet, headless runs.
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

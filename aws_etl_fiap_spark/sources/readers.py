@@ -1,0 +1,47 @@
+"""Parquet scan layer (reference S5: ``spark.read.parquet``, b3_transform.py:241).
+
+At 100 TB the scan is where most time goes, so the rules here are:
+- never infer schemas row-by-row — parquet footers carry the schema;
+- keep reads lazy and column-pruned (callers ``select`` before any action, and
+  Catalyst pushes the projection into the parquet reader);
+- partition-column filters must prune directories, so partitioned tables are
+  read from their root, not per-file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-provided synthetic tables (TESTDATA.md): TPC-H-ish star schema plus
+# events / documents / embeddings extension tables.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table from a scale-factor directory (lazy parquet scan)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Read several tables at once; returns name -> lazy DataFrame."""
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Expose the tables as temp views so ``spark.sql`` queries (the Athena-
+    style EP3 surface, SURVEY.md §3) can reference them by name."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

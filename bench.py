@@ -1,0 +1,66 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "rows": {name: n, ...}}
+
+Each query is forced with a count() (full plan execution, no driver-side
+result transfer cost). A warmup run of the flagship amortizes JVM/codegen
+startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from aws_etl_fiap_spark.queries import REGISTRY
+from aws_etl_fiap_spark.session import get_spark
+
+# Headline set: the flagship pipeline + scan/agg/join classics + the widest
+# extension ops. Keep this list stable across rounds so BENCH_r{N}.json is
+# comparable round-over-round.
+HEADLINE = [
+    "flagship_refined_summary",
+    "refined_detail_lag",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="aws_etl_fiap_spark-bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    names += [n for n in sorted(REGISTRY) if n not in names]
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    REGISTRY["flagship_refined_summary"].spark(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in names:
+        start = time.perf_counter()
+        rows[name] = REGISTRY[name].spark(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings[n] for n in names if n in HEADLINE), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": rows,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
