@@ -6,6 +6,8 @@ Each module registers (name -> Spark callable [+ DuckDB oracle SQL]) pairs via
 
 from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects)
     core,
+    events_q,
+    joins_q,
     tpch,
 )
 from aws_etl_fiap_spark.queries.registry import REGISTRY, oracle_sql, queries

@@ -1,0 +1,187 @@
+"""Join-family queries ([EXT] §2.3): outer/semi/anti/full, as-of, and range
+joins over the star schema, all DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from aws_etl_fiap_spark.operators.joins import asof_join, range_join
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+
+@query(
+    "join_left_customer_orders",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       {sql_dec_sum('o_totalprice', 2)} AS total_spent
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+)
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + aggregate: customers keep a row (n_orders=0,
+    total_spent NULL) even with no orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dec_sum("o_totalprice", 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_semi_urgent_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+""",
+)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): no right-side columns, no row duplication —
+    at scale this is a broadcast of the distinct filtered keys."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_anti_orderless_customers",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_full_nation_activity",
+    oracle="""
+WITH s AS (
+    SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey
+),
+c AS (
+    SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey
+)
+SELECT COALESCE(s.nk, c.nk) AS nationkey, n_suppliers, n_customers
+FROM s FULL JOIN c ON s.nk = c.nk
+""",
+)
+def join_full_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: nations with suppliers but no customers (and vice
+    versa) survive with NULLs on the missing side."""
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk2"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return supp.join(cust, supp.nk == cust.nk2, "full").select(
+        F.coalesce(F.col("nk"), F.col("nk2")).alias("nationkey"),
+        "n_suppliers",
+        "n_customers",
+    )
+
+
+@query(
+    "join_asof_prev_low_order",
+    oracle="""
+SELECT a.o_orderkey, a.o_custkey,
+       CAST(a.o_orderdate AS DATE) AS order_date,
+       b.asof_o_orderkey, b.asof_o_totalprice
+FROM orders a
+LEFT JOIN LATERAL (
+    SELECT b.o_orderkey AS asof_o_orderkey, b.o_totalprice AS asof_o_totalprice
+    FROM orders b
+    WHERE b.o_custkey = a.o_custkey
+      AND b.o_orderpriority = '5-LOW'
+      AND b.o_orderdate <= a.o_orderdate
+    ORDER BY b.o_orderdate DESC, b.o_orderkey DESC
+    LIMIT 1
+) b ON TRUE
+WHERE a.o_orderpriority = '1-URGENT'
+""",
+)
+def join_asof_prev_low_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for every urgent order, the customer's latest low-priority
+    order at-or-before it. Union-merge implementation (operators.joins):
+    one shuffle on custkey + one sort — no range cross-product."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW")
+    out = asof_join(
+        urgent,
+        low,
+        on=["o_custkey"],
+        left_time="o_orderdate",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        right_tiebreak=["o_orderkey"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        "asof_o_orderkey",
+        "asof_o_totalprice",
+    )
+
+
+@query(
+    "join_range_price_bands",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (
+    VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0), ('premium', 1200.0, 1000000000.0)
+)
+SELECT band,
+       COUNT(*) AS n_parts,
+       {sql_dec_avg('p_retailprice', 2)} AS avg_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+ORDER BY band
+""",
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: parts assigned to price bands; the bands table
+    broadcasts, the part table never shuffles for the join."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_join(part, bands, "p_retailprice")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dec_avg("p_retailprice", 2).alias("avg_price"),
+        )
+        .orderBy("band")
+    )

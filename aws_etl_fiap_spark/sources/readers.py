@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Driver-provided synthetic tables (TESTDATA.md): TPC-H-ish star schema plus
 # events / documents / embeddings extension tables.
@@ -31,8 +32,21 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table from a scale-factor directory (lazy parquet scan)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one table from a scale-factor directory (lazy parquet scan).
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses outright:
+    read it as a raw long (legacy conf) and truncate to microseconds —
+    ``ts div 1000`` is exact integer division (a double divide would lose
+    precision above 2^53 ns and ROUND, diverging from DuckDB's truncating
+    TIMESTAMP_NS -> TIMESTAMP cast).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
