@@ -1,0 +1,217 @@
+"""Deduplication operators for LLM-training-data pipelines ([EXT] north star):
+exact, hash-keyed, n-gram Jaccard, MinHash-LSH, SimHash.
+
+All signatures are computed with deterministic built-in expressions
+(xxhash64-seeded), so results are reproducible across runs, partitionings and
+cluster sizes — a hard requirement when a dedup decision at 100 TB must be
+re-derivable.
+
+Scale ladder (cheapest first):
+1. exact_dedup            — one hash aggregate on the key. Use first, always.
+2. ngram_jaccard_pairs    — inverted-index join on shingles; exact Jaccard,
+                            cost ~ sum over shingles of (docs-per-shingle)^2.
+3. minhash_lsh_pairs      — constant-size signature per doc, band-bucket
+                            join; only candidates sharing a band collide.
+                            This is the 100 TB fuzzy-dedup path.
+4. simhash_signatures     — 32-bit SRP over token hashes; hamming-adjacent
+                            buckets for near-dup blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the row with the smallest ``id_col`` per duplicate group —
+    deterministic, unlike ``dropDuplicates`` (which keeps an arbitrary row).
+    One hash aggregate; at scale this is a single shuffle on the key."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def content_hash(text_col: str) -> Column:
+    """SHA-256 content key (hex) — dedup on this, not on the full text, so
+    the shuffle carries 32 bytes per row instead of whole documents."""
+    return F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
+
+
+def token_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+
+    Inverted-index shape: explode distinct shingles, self-join on the
+    shingle (docs never pair unless they share one), count shared, then
+    |A∪B| = |A|+|B|-shared. Output: id_a < id_b, shared, jaccard."""
+    shingled = df.select(
+        F.col(id_col).alias("doc"), F.explode(token_shingles(text_col, n)).alias("shingle")
+    )
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingled.withColumnsRenamed({"doc": "id_a"})
+    b = shingled.withColumnsRenamed({"doc": "id_b"})
+    pairs = (
+        a.join(b, (a.shingle == b.shingle) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.withColumnsRenamed({"doc": "id_a", "n_shingles": "na"})
+    sb = sizes.withColumnsRenamed({"doc": "id_b", "n_shingles": "nb"})
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "jaccard")
+    )
+
+
+N_MINHASH = 32
+LSH_BANDS = 8  # 8 bands x 4 rows: catches jaccard >~ 0.5 with high prob.
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_MINHASH) -> list[Column]:
+    """n deterministic min-hashes: h_i(S) = min over shingles of
+    xxhash64(i, shingle). Expression-only, one pass over the array."""
+    return [
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = N_MINHASH,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding.
+
+    Signature: n_hashes minhashes over word n-gram shingles. Banding: split
+    into ``bands`` groups of r = n_hashes/bands values; docs collide if ANY
+    band matches exactly. The band join is an equi-join on (band_id, band
+    hash): at 100 TB each doc contributes ``bands`` short rows, and only
+    bucket collisions are ever compared — no quadratic stage anywhere.
+    Output: distinct candidate (id_a < id_b) pairs with the matching band
+    count (callers verify candidates with exact jaccard on the pair subset).
+    """
+    r = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"), token_shingles(text_col, n).alias("__sh")
+    ).select("doc", *minhash_signature(F.col("__sh"), n_hashes))
+    banded = sig.select(
+        "doc",
+        *[
+            F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
+            for b in range(bands)
+        ],
+    )
+    stacked = banded.selectExpr(
+        "doc",
+        "stack({}, {}) as (band_id, band_hash)".format(
+            bands, ", ".join(f"{b}, band_{b}" for b in range(bands))
+        ),
+    )
+    a = stacked.withColumnsRenamed({"doc": "id_a"})
+    b = stacked.withColumnsRenamed({"doc": "id_b"})
+    return (
+        a.join(
+            b,
+            (a.band_id == b.band_id) & (a.band_hash == b.band_hash) & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matching_bands"))
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over whitespace tokens: bit b of the signature is the sign of
+    sum over tokens of (bit b of xxhash64(token) ? +1 : -1). Near-duplicate
+    documents land at small hamming distance. 32 bits keeps random collisions
+    rare at corpus scale (16 bits drowns in birthday collisions)."""
+    toks = F.split(F.col(text_col), " ")
+
+    def bit_vote(bit: int) -> Column:
+        # Closure per bit: PySpark HOF lambdas must take exactly the declared
+        # arity, so the bit index can't ride in as a defaulted third arg.
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(
+                F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    sig = F.lit(0).cast("long")
+    for bit in range(bits):
+        sig = sig + F.when(bit_vote(bit) >= 0, F.lit(2**bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("doc"), simhash(text_col).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Blocking: split the 32-bit signature into 4 bands of 8 bits and equi-join
+    per band. Pigeonhole: a pair differing in <= 3 bits has at least one of
+    the 4 bands identical, so no pair within the threshold is missed; pairs
+    colliding on some band but differing by more are filtered by the exact
+    popcount. This is the same band-join shape as MinHash-LSH — linear build,
+    collisions-only compare."""
+    n_bands, band_bits = 4, SIMHASH_BITS // 4
+    mask = (1 << band_bits) - 1
+    sigs = simhash_signatures(df, id_col, text_col)
+    stacked = sigs.select(
+        "doc",
+        "simhash",
+        F.stack(
+            F.lit(n_bands),
+            *[
+                x
+                for b in range(n_bands)
+                for x in (
+                    F.lit(b),
+                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask)),
+                )
+            ],
+        ).alias("band_id", "band_val"),
+    )
+    a = stacked.select(
+        F.col("doc").alias("id_a"), F.col("simhash").alias("sig_a"), "band_id", "band_val"
+    )
+    b = stacked.select(
+        F.col("doc").alias("id_b"), F.col("simhash").alias("sig_b"), "band_id", "band_val"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

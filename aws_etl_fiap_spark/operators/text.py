@@ -1,0 +1,112 @@
+"""Text-analysis operators for LLM-training-data pipelines ([EXT] north star):
+tokenization, token/char stats, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+Everything is built-in Catalyst expressions (split / transform / filter /
+aggregate higher-order functions) — no Python in the row path, so these run
+JVM-side at full codegen speed over 100 TB of documents. The expressions are
+pure integer/IEEE arithmetic, so a SQL oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword LID heuristic.
+# Order matters: it is the deterministic tie-break priority.
+LID_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "for", "with", "on"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不", "人", "这"),
+}
+
+
+def tokenize(df: DataFrame, text_col: str, out: str = "tokens") -> DataFrame:
+    """Whitespace tokenization (documents.text is space-separated)."""
+    return df.withColumn(out, F.split(F.col(text_col), " "))
+
+
+def token_count(text_col: str) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def word_token_count(text_col: str) -> Column:
+    """BPE-ish token count: alnum runs only (drops punctuation/whitespace).
+
+    ``split`` on the non-alnum class can produce empty edge strings; filter
+    them out so the count is runs, not separators+1.
+    """
+    parts = F.split(F.col(text_col), "[^a-z0-9A-Z]+")
+    return F.size(F.filter(parts, lambda x: x != F.lit("")))
+
+
+def stopword_hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    """How many tokens appear in ``words`` (with multiplicity)."""
+    return F.size(F.filter(tokens, lambda x: x.isin(*words)))
+
+
+def quality_score(df: DataFrame, text_col: str, out: str = "quality") -> DataFrame:
+    """Heuristic document quality in [0, 1]: length saturation, stopword
+    ratio, average token length band — the standard cheap pre-filters before
+    expensive LLM-data curation stages.
+
+    score = 0.4 * min(n_tokens/100, 1)
+          + 0.4 * min(stopword_ratio * 5, 1)
+          + 0.2 * (3 <= avg_token_len <= 12)
+    Pure IEEE arithmetic — oracle-reproducible exactly.
+    """
+    tokens = F.split(F.col(text_col), " ")
+    n_tokens = F.size(tokens).cast("double")
+    stop_ratio = (
+        stopword_hits(tokens, LID_STOPWORDS["en"]).cast("double") / n_tokens
+    )
+    avg_len = (
+        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double") / n_tokens
+    )
+    score = (
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.4
+        + F.when((avg_len >= 3.0) & (avg_len <= 12.0), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_tokens", F.size(tokens))
+        .withColumn("avg_token_len", avg_len)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn(out, score)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, out: str = "lang_pred") -> DataFrame:
+    """Stopword-vote language ID: per-language hit counts, argmax with the
+    LID_STOPWORDS key order as deterministic tie-break."""
+    tokens = F.split(F.col(text_col), " ")
+    langs = list(LID_STOPWORDS)
+    for lang in langs:
+        df = df.withColumn(f"__hits_{lang}", stopword_hits(tokens, LID_STOPWORDS[lang]))
+    # First language (in priority order) whose score equals the max wins.
+    best = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"__hits_{lang}") == best, F.lit(lang)).otherwise(pred)
+    df = df.withColumn(out, pred)
+    return df.drop(*[f"__hits_{lang}" for lang in langs])
+
+
+def fingerprint(text_col: str) -> Column:
+    """Position-weighted character fingerprint: sum_i (i+1) * codepoint(c_i).
+
+    A cheap order-sensitive document signature (anagram-proof, unlike a bag
+    of chars); exact integer arithmetic, identical in any engine. For
+    locality-sensitive near-dup detection use dedup.py's MinHash instead.
+    """
+    chars = F.split(F.col(text_col), "")
+    weighted = F.zip_with(
+        chars,
+        F.sequence(F.lit(1), F.length(F.col(text_col))),
+        lambda c, i: i.cast("long") * F.ascii(c).cast("long"),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)

@@ -6,8 +6,11 @@ Each module registers (name -> Spark callable [+ DuckDB oracle SQL]) pairs via
 
 from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects)
     core,
+    dedup_q,
     events_q,
     joins_q,
+    similarity_q,
+    text_q,
     tpch,
 )
 from aws_etl_fiap_spark.queries.registry import REGISTRY, oracle_sql, queries

@@ -1,0 +1,95 @@
+"""Dedup queries over ``documents`` ([EXT] north star).
+
+The testdata plants genuine near-duplicates (max 3-gram Jaccard ≈ 0.99), so
+the fuzzy variants return real pairs. Exact and n-gram Jaccard are
+DuckDB-oracled; MinHash-LSH and SimHash use xxhash64 (no DuckDB equivalent)
+and get the rows-only check — their pair sets are validated in unit tests
+against the exact-Jaccard ground truth instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.operators.dedup import (
+    content_hash,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id, lang, source, sha256(text) AS content_hash
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical (min doc_id) row per distinct text, keyed by
+    SHA-256 so the shuffle carries 32-byte keys, not documents."""
+    df = load_table(spark, sf_dir, "documents").withColumn("content_hash", content_hash("text"))
+    out = exact_dedup(df, ["content_hash"], "doc_id")
+    return out.select("doc_id", "lang", "source", "content_hash")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+           generate_subscripts(string_split(text,' '),1) AS i
+    FROM documents
+),
+sh AS (
+    SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+pairs AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
+    FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared,
+       CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.5) via the
+    inverted-index join — the ground truth the LSH variants approximate."""
+    df = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(df, "doc_id", "text", JACCARD_THRESHOLD, n=3)
+
+
+@query("dedup_minhash_lsh")  # xxhash64 signatures: no SQL oracle, rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands x 4) candidate pairs — the 100 TB fuzzy-dedup
+    path: constant-size signatures, equi-join on band buckets, no quadratic
+    stage. Recall vs exact Jaccard checked in tests/test_dedup.py."""
+    df = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(df, "doc_id", "text")
+
+
+@query("dedup_simhash")  # xxhash64 signatures: no SQL oracle, rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs within hamming distance 3, blocked on
+    4 bands of 8 bits (pigeonhole: <=3 differing bits leave at least one
+    band identical, so no in-threshold pair is missed)."""
+    df = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(df, "doc_id", "text", max_hamming=3)

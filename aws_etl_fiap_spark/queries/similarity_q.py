@@ -1,0 +1,111 @@
+"""Similarity-search queries over ``embeddings`` ([EXT] north star).
+
+Cosine math is a sequential double fold on both engines (DuckDB
+``list_dot_product`` over DOUBLE[] matches Spark's ``aggregate`` fold
+bit-for-bit — verified), so even float similarity values are oracled exactly,
+with no rounding anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.operators.similarity import (
+    as_double,
+    brute_force_topk,
+    cosine,
+    label_centroids,
+    lsh_bucket_topk,
+)
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+_COS = """
+list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+/ (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+ * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+"""
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           {_COS} AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS} DESC, b.vec_id) AS rank
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < 5
+) WHERE rank <= 10
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for query vectors (vec_id < 5): the
+    ANN correctness baseline. Queries broadcast; corpus never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+
+
+@query(
+    "sim_neardup_pairs",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS} >= 0.45
+""",
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45): the semantic-dedup
+    primitive. All-pairs here (corpus is small); the LSH-bucketed variant
+    below is the scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double("embedding").alias("__a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double("embedding").alias("__b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("__a"), F.col("__b")))
+        .filter(F.col("cos_sim") >= 0.45)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+WITH dims AS (
+    SELECT label, vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(CAST(embedding AS DOUBLE[])) AS x
+    FROM embeddings
+),
+running AS (
+    SELECT label, dim,
+           SUM(x) OVER (PARTITION BY label, dim ORDER BY vec_id
+                        ROWS UNBOUNDED PRECEDING) AS runsum,
+           COUNT(*) OVER (PARTITION BY label, dim ORDER BY vec_id
+                          ROWS UNBOUNDED PRECEDING) AS n,
+           ROW_NUMBER() OVER (PARTITION BY label, dim ORDER BY vec_id DESC) AS rn
+    FROM dims
+)
+SELECT label, dim, runsum / n AS centroid
+FROM running WHERE rn = 1
+""",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding as (label, dim, centroid) rows, summed in a
+    defined order (by vec_id) so the float result is engine- and
+    partitioning-independent."""
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("sim_topk_lsh")  # xxhash64-derived hyperplanes: no SQL oracle
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via multi-table sign-random-projection bucketing
+    (8 tables x 4 planes): the 100 TB ANN path — bucket equi-join instead of
+    cross product. Recall vs brute force is checked in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)

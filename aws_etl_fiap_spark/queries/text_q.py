@@ -1,0 +1,184 @@
+"""Text-analysis queries over ``documents`` ([EXT] north star): token stats,
+quality scoring, language ID, fingerprinting, term rollups — all
+expression-only and DuckDB-oracled bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.operators.text import (
+    LID_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_token_count,
+)
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+
+@query(
+    "text_stats",
+    oracle="""
+SELECT doc_id, lang, source, n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_filter(regexp_split_to_array(text, '[^a-z0-9A-Z]+'), x -> x <> '')) AS n_word_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish alnum-run) and char stats."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        token_count("text").alias("n_tokens"),
+        word_token_count("text").alias("n_word_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(F.split(F.col("text"), " "))
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id,
+           unnest(string_split(text, '')) AS c,
+           generate_subscripts(string_split(text, ''), 1) AS i
+    FROM documents
+)
+SELECT doc_id, SUM(CAST(i AS BIGINT) * ascii(c)) AS fp
+FROM chars
+GROUP BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling character fingerprint (exact integer
+    arithmetic; order-sensitive, so reordered text changes the signature)."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.select("doc_id", fingerprint("text").alias("fp"))
+
+
+_QUALITY_SQL = """
+WITH t AS (
+    SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        CAST(len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','of','and','to','in','is','that','for','with','on'))) AS DOUBLE) AS stop_hits,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_nonspace
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS INT) AS n_tokens,
+       n_nonspace / n_tok AS avg_token_len,
+       stop_hits / n_tok AS stopword_ratio,
+       least(n_tok / 100.0, 1.0) * 0.4
+         + least(stop_hits / n_tok * 5.0, 1.0) * 0.4
+         + CASE WHEN n_nonspace / n_tok >= 3.0 AND n_nonspace / n_tok <= 12.0
+                THEN 0.2 ELSE 0.0 END AS quality
+FROM t
+"""
+
+
+@query("text_quality", oracle=_QUALITY_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length saturation + stopword ratio + token
+    length band) — the cheap pre-filter stage of a curation pipeline."""
+    df = quality_score(load_table(spark, sf_dir, "documents"), "text")
+    return df.select("doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "quality")
+
+
+def _lid_oracle() -> str:
+    hit_cols = ",\n        ".join(
+        "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in words), lang
+        )
+        for lang, words in LID_STOPWORDS.items()
+    )
+    langs = list(LID_STOPWORDS)
+    best = "greatest({})".format(", ".join(f"hits_{lang}" for lang in langs))
+    case = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+        {hit_cols}
+    FROM documents
+)
+SELECT doc_id, lang, {case} AS lang_pred
+FROM scored
+"""
+
+
+@query("text_lang_id", oracle=_lid_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-break (the synthetic
+    word-soup text mostly votes 'en'; the point is the operator plumbing)."""
+    df = lang_id(load_table(spark, sf_dir, "documents"), "text")
+    return df.select("doc_id", "lang", "lang_pred")
+
+
+@query(
+    "text_top_terms_per_lang",
+    oracle="""
+WITH toks AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+    SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY lang, token
+)
+SELECT lang, token, n, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rnk
+    FROM counts
+) WHERE rnk <= 5
+""",
+)
+def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize -> explode -> count -> top-5 terms per language (the
+    vocabulary-profile rollup; exchange on (lang, token) then (lang))."""
+    df = load_table(spark, sf_dir, "documents")
+    counts = (
+        df.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "token", "n", "rnk")
+    )
+
+
+@query(
+    "text_source_rollup",
+    oracle="""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+       SUM(len(string_split(text, ' '))) AS total_tokens
+FROM documents
+GROUP BY lang, source
+""",
+)
+def text_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, source): doc/char/token totals — integer
+    sums, exact on any engine."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
+        F.sum(token_count("text").cast("long")).alias("total_tokens"),
+    )

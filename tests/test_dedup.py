@@ -1,0 +1,58 @@
+"""Fuzzy-dedup validation: the non-oracled (xxhash64-based) candidate
+generators must find the ground-truth near-dup pairs that exact n-gram
+Jaccard identifies."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from aws_etl_fiap_spark.sources.readers import load_table
+
+
+def _truth_pairs(spark, sf_dir, threshold=0.6):
+    df = load_table(spark, sf_dir, "documents")
+    return {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", threshold, n=3).collect()
+    }
+
+
+def test_minhash_lsh_recall(spark, sf_correctness):
+    """MinHash banding (8x4) should recover essentially all pairs with
+    jaccard >= 0.6 (collision prob per band = j^4; 1-(1-j^4)^8 ≈ 0.71 at
+    j=0.6, ≈ 0.999 at j=0.9 — planted dups are ~0.99)."""
+    truth = _truth_pairs(spark, sf_correctness, threshold=0.9)
+    assert truth, "testdata should contain planted near-duplicates"
+    df = load_table(spark, sf_correctness, "documents")
+    candidates = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    missed = truth - candidates
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_finds_planted_dups(spark, sf_correctness):
+    truth = _truth_pairs(spark, sf_correctness, threshold=0.95)
+    df = load_table(spark, sf_correctness, "documents")
+    found = {(r.id_a, r.id_b) for r in simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+    missed = truth - found
+    # SimHash at 16 bits is a blocker, not an exact method; it must still
+    # catch the ~identical pairs.
+    assert len(missed) <= max(1, len(truth) // 5), f"simhash missed too many: {missed}"
+
+
+def test_exact_dedup_deterministic_canonical(spark, sf_correctness):
+    df = load_table(spark, sf_correctness, "documents")
+    # Duplicate every row under a shifted id: canonical pick must be the
+    # original (smaller) id for every text.
+    shifted = df.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    union = df.unionByName(shifted)
+    out = exact_dedup(union, ["text"], "doc_id")
+    assert out.count() == df.count()
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0

@@ -1,0 +1,58 @@
+"""Similarity-search validation: LSH-bucketed ANN recall against the exact
+brute-force baseline, and centroid shape/determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.operators.similarity import (
+    brute_force_topk,
+    label_centroids,
+    lsh_bucket_topk,
+)
+from aws_etl_fiap_spark.sources.readers import load_table
+
+
+def test_lsh_topk_recall(spark, sf_correctness):
+    """Bucketed ANN with 8 planes: each query's top-10 should overlap the
+    exact top-10 substantially better than chance (10/500 = 2%)."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(queries, emb, k=10).collect()
+    approx = lsh_bucket_topk(queries, emb, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.2, f"LSH recall {mean_recall:.2f} not better than chance"
+
+
+def test_lsh_results_are_true_cosines(spark, sf_correctness):
+    """Approximate search must return TRUE similarities for the candidates it
+    scores — approximation affects which pairs are scored, not the scores."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in brute_force_topk(queries, emb, k=499).collect()
+    }
+    for r in lsh_bucket_topk(queries, emb, k=10).collect():
+        assert exact[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_centroids_shape_and_partitioning_invariance(spark, sf_correctness):
+    emb = load_table(spark, sf_correctness, "embeddings")
+    c1 = label_centroids(emb)
+    n_labels = emb.select("label").distinct().count()
+    assert c1.count() == n_labels * 64
+    # Same result bit-for-bit under a different partitioning.
+    c2 = label_centroids(emb.repartition(17, "vec_id"))
+    v1 = {(r.label, r.dim): r.centroid for r in c1.collect()}
+    v2 = {(r.label, r.dim): r.centroid for r in c2.collect()}
+    assert v1 == v2
