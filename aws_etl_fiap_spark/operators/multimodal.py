@@ -1,0 +1,102 @@
+"""Multimodal column plumbing ([EXT] north star): images/audio/video as
+opaque ``binary`` columns with typed metadata, decoded/feature-extracted via
+Arrow-batched Pandas functions.
+
+Design for 100 TB of media:
+- the payload column is ``binary`` and ONLY the Python stages that truly
+  need bytes touch it — projections/filters/joins run on the (tiny)
+  metadata struct, so Catalyst prunes the heavy column out of every scan
+  that doesn't decode;
+- decode/resize/frame-sample run in ``mapInPandas``: Arrow ships each
+  partition's payloads to Python in batches (no per-row pickling), and the
+  UDF yields small fixed-width feature frames, never re-emitting the bytes;
+- actual codec work (Pillow/ffmpeg/librosa) is NOT available in this
+  environment, so the codec boundary is stubbed: ``decode_stub`` raises
+  NotImplementedError for real formats and produces a deterministic fake
+  feature vector for the synthetic ``fake/*`` mime types, keeping every
+  Spark-side seam (schema, batching, partitioning, null handling) real and
+  tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, mime string, width int, height int, n_bytes bigint, payload binary"
+)
+
+FEATURE_DIM = 8
+FEATURE_SCHEMA = f"media_id bigint, mime string, ok boolean, feature array<double>"
+
+
+def attach_payload_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata columns computed JVM-side (no Python, no decode):
+    size + content digest — enough for dedup/routing without touching codecs."""
+    return df.withColumn("n_bytes", F.octet_length(F.col(payload_col)).cast("bigint")).withColumn(
+        "digest", F.sha2(F.col(payload_col), 256)
+    )
+
+
+def decode_stub(mime: str, payload: bytes) -> list[float]:
+    """Codec boundary. Real decoders are not installed in this container.
+
+    ``fake/*`` payloads produce a deterministic 8-dim feature from the
+    sha256 digest (so tests have stable expected values); real mime types
+    fail loudly rather than pretending.
+    """
+    if mime.startswith("fake/"):
+        digest = hashlib.sha256(payload).digest()
+        return [b / 255.0 for b in digest[:FEATURE_DIM]]
+    raise NotImplementedError(
+        f"decoder for {mime!r} requires codec libraries (Pillow/ffmpeg) "
+        "not present in this environment"
+    )
+
+
+def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow batches, vectorized I/O).
+
+    Per-row failures degrade to ok=false + NULL feature instead of killing
+    the 100 TB job; ``batch_limit`` bounds peak Python memory per batch when
+    payloads are large.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                feats, oks = [], []
+                for mime, payload in zip(chunk["mime"], chunk["payload"]):
+                    try:
+                        feats.append(decode_stub(mime, bytes(payload)))
+                        oks.append(True)
+                    except NotImplementedError:
+                        feats.append(None)
+                        oks.append(False)
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "mime": chunk["mime"].values,
+                        "ok": oks,
+                        "feature": feats,
+                    }
+                )
+
+    return df.select("media_id", "mime", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapter for the testdata: treat each document's UTF-8 bytes as an
+    opaque ``fake/text`` payload — realistic plumbing (binary column, mime
+    routing, metadata) without needing media files in the fixture set."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("fake/text").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )

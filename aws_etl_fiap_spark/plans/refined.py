@@ -53,11 +53,12 @@ LINEITEM_SPEC = SeriesSpec(
 )
 
 
-def refined_detail(df: DataFrame, spec: SeriesSpec) -> DataFrame:
+def refined_detail(df: DataFrame, spec: SeriesSpec, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Stages 1-4 of EP2: the row-level "refined" table with pct-change cols.
 
     Output columns: key, date, year, month, preco_fechamento,
-    volume_negociado, <price>_{7,30}_back, variacao_{7,30}d (+ tiebreakers).
+    volume_negociado, <price>_{7,30}_back, variacao_{7,30}d (+ tiebreakers
+    and any ``extra_cols`` passed through, e.g. a partition column).
     """
     df = filter_nulls(df, [spec.key, spec.time, spec.price, spec.volume])
     df = cast_to_date(df, spec.time, out="date")
@@ -84,6 +85,7 @@ def refined_detail(df: DataFrame, spec: SeriesSpec) -> DataFrame:
         "variacao_7d",
         "variacao_30d",
         *spec.tiebreakers,
+        *extra_cols,
     )
 
 

@@ -9,6 +9,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     dedup_q,
     events_q,
     joins_q,
+    multimodal_q,
     similarity_q,
     text_q,
     tpch,

@@ -59,6 +59,9 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # Daily-run overwrite should replace only touched partitions.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Partition values stay strings (the reference's dataproc=yyyyMMdd is
+        # a string partition key; inference would read it back as int).
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         # Deterministic timestamp semantics (match DuckDB's naive timestamps).
         .config("spark.sql.session.timeZone", "UTC")
         # Quiet, headless runs.

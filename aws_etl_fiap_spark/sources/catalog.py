@@ -1,0 +1,81 @@
+"""Catalog layer (reference S7/S8): external partitioned tables + partition
+discovery, on Spark's built-in catalog instead of boto3+Glue.
+
+The reference hand-writes a Glue ``table_input`` dict with Hive Parquet SerDe
+and EXTERNAL_TABLE type (b3_collector.py:191-237, b3_transform.py:146-199)
+then runs ``MSCK REPAIR TABLE`` (b3_collector.py:241-250). In Spark the same
+contract is one DDL statement + the identical MSCK statement; the Glue
+Catalog's role is played by spark_catalog (backed by the local warehouse dir;
+on a cluster, by the Hive metastore / Glue catalog integration — same code).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_database(spark: SparkSession, database: str) -> None:
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
+
+def create_external_table(
+    spark: SparkSession,
+    database: str,
+    table: str,
+    location: str,
+    schema_ddl: str,
+    partition_cols: dict[str, str] | None = None,
+) -> None:
+    """CREATE TABLE ... USING PARQUET PARTITIONED BY ... LOCATION ...
+
+    ``schema_ddl``: non-partition columns as "name type, ..." (hyphenated
+    names must be backtick-quoted by the caller — the reference's
+    ``stock-splits`` case). Partition columns are declared separately,
+    matching the Glue table_input split (b3_collector.py:215-217).
+    """
+    ensure_database(spark, database)
+    parts = ""
+    cols = schema_ddl
+    if partition_cols:
+        part_ddl = ", ".join(f"`{c}` {t}" for c, t in partition_cols.items())
+        cols = f"{schema_ddl}, {part_ddl}"
+        parts = f"PARTITIONED BY ({', '.join(f'`{c}`' for c in partition_cols)})"
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {database}.{table} ({cols}) "
+        f"USING PARQUET {parts} LOCATION '{location}'"
+    )
+
+
+def repair_partitions(spark: SparkSession, database: str, table: str) -> None:
+    """Reference S8 verbatim: MSCK REPAIR TABLE discovers directory-layout
+    partitions into the catalog (errors tolerated like the reference's
+    try/except around it, b3_collector.py:248-250)."""
+    try:
+        spark.sql(f"MSCK REPAIR TABLE {database}.{table}")
+    except Exception:
+        # Table may be unpartitioned or location empty — match the
+        # reference's tolerance: discovery failure is not a pipeline failure.
+        pass
+
+
+def register_table(
+    spark: SparkSession,
+    df: DataFrame,
+    database: str,
+    table: str,
+    location: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Write + declare + repair in one step: the engine's replacement for the
+    reference's write->create_glue_table->MSCK sequence."""
+    partition_cols = partition_cols or []
+    data_cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name not in partition_cols
+    )
+    part_types = {
+        f.name: f.dataType.simpleString() for f in df.schema.fields if f.name in partition_cols
+    }
+    create_external_table(spark, database, table, location, data_cols, part_types or None)
+    repair_partitions(spark, database, table)

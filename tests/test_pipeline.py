@@ -1,0 +1,72 @@
+"""End-to-end pipeline test: the reference's EP1->EP2->EP3 chain (collect ->
+raw layer -> refined layer -> catalog -> SQL) against the deterministic
+fixture source, including the hyphenated ``stock-splits`` identifier
+round-trip and the dynamic-partition-overwrite semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.plans.pipeline import run_pipeline
+
+KEYS = ["PETR4", "VALE3", "ITUB4", "BBDC4", "ABEV3"]
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("warehouse"))
+    return run_pipeline(spark, warehouse, KEYS)
+
+
+def test_raw_layer(result, spark):
+    assert result.raw_count == len(KEYS) * 22
+    raw = spark.read.parquet(result.raw_path)
+    # Normalization produced the reference's hyphenated column (S2/P6).
+    assert "stock-splits" in raw.columns
+    assert "dataproc" in raw.columns  # partition col recovered from layout
+
+
+def test_refined_layer(result, spark):
+    refined = spark.read.parquet(result.refined_path)
+    assert result.refined_count == result.raw_count
+    # lag(7): first 7 rows per ticker have NULL variacao_7d.
+    nulls = refined.filter(F.col("variacao_7d").isNull()).groupBy("ticker").count().collect()
+    assert all(r["count"] == 7 for r in nulls)
+
+
+def test_catalog_sql_surface(result, spark):
+    """EP3: the canonical Athena query works against the registered tables."""
+    out = spark.sql(
+        """
+        SELECT ticker, COUNT(*) AS n, ROUND(AVG(preco_fechamento), 2) AS avg_price
+        FROM b3_data.stocks_refined
+        GROUP BY ticker ORDER BY ticker
+        """
+    ).collect()
+    assert len(out) == len(KEYS)
+    assert all(r.n == 22 for r in out)
+    # Hyphenated identifier through SQL needs backticks (reference quirk).
+    raw_cols = spark.sql("SELECT `stock-splits` FROM b3_data.stocks LIMIT 1").columns
+    assert raw_cols == ["stock-splits"]
+
+
+def test_summary_matches_detail(result):
+    summary = result.summary.collect()
+    assert len(summary) == len(KEYS)  # one month per ticker in the fixture
+    assert all(r.total_registros == 22 for r in summary)
+
+
+def test_dynamic_partition_overwrite(result, spark):
+    """Re-writing one dataproc partition must not clobber the others."""
+    refined = spark.read.parquet(result.refined_path)
+    parts_before = {r.dataproc for r in refined.select("dataproc").distinct().collect()}
+    one_ticker = refined.filter(F.col("ticker") == KEYS[0]).withColumn(
+        "dataproc", F.lit("19990101")
+    )
+    one_ticker.write.mode("overwrite").partitionBy("dataproc", "ticker").parquet(
+        result.refined_path
+    )
+    after = spark.read.parquet(result.refined_path)
+    parts_after = {r.dataproc for r in after.select("dataproc").distinct().collect()}
+    assert parts_after == parts_before | {"19990101"}
