@@ -1,0 +1,288 @@
+"""[EXT] analytic-SQL surface (SURVEY.md §2.4/2.5/2.7 extensions): ranking
+and rolling windows, ROLLUP/CUBE/GROUPING SETS, distinct + exact-percentile
+aggregates, set operations.
+
+The reference's Athena surface (requirement 8, reference README.md:17) means
+end users can issue arbitrary SQL over the catalog tables; these queries pin
+down the analytic corners of that surface with DuckDB oracles. All exact:
+- ranking functions are value-deterministic (rank/dense_rank) or run over a
+  total order (row_number with unique tiebreakers);
+- rolling money aggregates use bounded frames over exact DECIMAL sums
+  (functions.parity), so partitioning cannot change the bits;
+- exact percentile interpolation ((1-f)*lo + f*hi) is the same IEEE-754
+  arithmetic in Spark `percentile` and DuckDB `quantile_cont` (verified
+  bit-identical on the testdata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import dec_sum, sql_dec_sum
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+
+@query(
+    "window_rank_top3_orders",
+    oracle="""
+WITH ranked AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
+FROM ranked WHERE rn <= 3
+""",
+)
+def window_rank_top3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.5] row_number / rank / dense_rank: top-3 orders per customer.
+    One hash exchange on o_custkey + one in-partition sort serves all three
+    ranking columns (shared window spec); no global sort, no driver collect —
+    the shape that survives a 100 TB orders table."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_total = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_value = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_total).alias("rn"),
+            F.rank().over(w_value).alias("rnk"),
+            F.dense_rank().over(w_value).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_rolling_7row_avg",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) OVER w AS DOUBLE)
+           / COUNT(l_extendedprice) OVER w AS rolling_avg_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) OVER w AS DOUBLE) AS rolling_sum_qty
+FROM lineitem
+WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+  AND l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+WINDOW w AS (
+    PARTITION BY l_suppkey
+    ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber
+    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def window_rolling_7row_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.5] trailing 7-row moving mean/sum per supplier series — the
+    natural extension of the reference's lag-7 (W1) to a bounded frame.
+    Exact DECIMAL arithmetic inside the frame keeps the oracle bit-identical;
+    the bounded frame (vs an unbounded growing one) keeps per-row state O(1)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull()
+        & F.col("l_shipdate").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.to_date("l_shipdate"), "l_orderkey", "l_linenumber")
+        .rowsBetween(-6, 0)
+    )
+    dec_price = F.col("l_extendedprice").cast("decimal(38,2)")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.sum(dec_price).over(w).cast("double") / F.count("l_extendedprice").over(w)).alias(
+            "rolling_avg_price"
+        ),
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).over(w).cast("double").alias(
+            "rolling_sum_qty"
+        ),
+    )
+
+
+@query(
+    "agg_rollup_status_priority",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 2)} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.4] ROLLUP subtotals (status, priority) -> (status) -> grand
+    total in ONE pass: Spark expands grouping sets before the partial agg, so
+    the shuffle still carries one row per (partition, group-set, group).
+    GROUPING() flags disambiguate subtotal rows from real NULL keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "agg_cube_flag_status",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n_items,
+       {sql_dec_sum('l_quantity', 2)} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.4] CUBE: all 2^2 grouping sets in one shuffle (group count is
+    tiny, so the expansion cost is per-group, not per-row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum("l_quantity", 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets_sql",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 2)} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def agg_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.4 + EP3] explicit GROUPING SETS issued through the SQL surface
+    (spark.sql over a registered view) — the Athena-style entry point the
+    reference exposes to end users (reference README.md:17)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_distinct_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       quantile_cont(l_extendedprice, 0.25) AS p25_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.4] distinct-count + exact percentiles per group. Two distinct
+    aggs force Spark's expand+two-phase distinct plan; `percentile` is the
+    exact interpolated quantile, bit-identical to DuckDB quantile_cont.
+    (At 100 TB swap in approx_count_distinct/percentile_approx — see
+    agg_approx_profile — this exact form is the correctness anchor.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+    )
+
+
+@query("agg_approx_profile")  # sketch-based: engines' HLL/KLL bits differ, rows-only
+def agg_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.4] the 100 TB profile pass: approx_count_distinct (HLL++) and
+    percentile_approx (KLL-style) — single shuffle, constant-size sketch state
+    per group regardless of input size. No SQL oracle: sketch estimates are
+    implementation-defined; agg_distinct_percentiles anchors exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_p50_qty"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_iqr_price"),
+    )
+
+
+@query(
+    "set_nations_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_nations_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.7] INTERSECT (distinct semantics): nations having both
+    customers and suppliers. Plans as an aggregate + left-semi hash join —
+    no row explosion."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@query(
+    "set_nations_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.7] EXCEPT (distinct semantics): customer nations with no
+    supplier presence. Plans as aggregate + left-anti hash join."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp)
