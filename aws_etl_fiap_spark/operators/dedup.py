@@ -55,14 +55,28 @@ def ngram_jaccard_pairs(
     Inverted-index shape: explode distinct shingles, self-join on the
     shingle (docs never pair unless they share one), count shared, then
     |A∪B| = |A|+|B|-shared. Output: id_a < id_b, shared, jaccard."""
-    shingled = df.select(
-        F.col(id_col).alias("doc"), F.explode(token_shingles(text_col, n)).alias("shingle")
+    # Join on the 8-byte xxhash64 of the shingle, not the string: the
+    # inverted-index shuffle carries longs instead of n-gram text (the
+    # dominant byte volume at scale). A count-corrupting collision needs two
+    # distinct shingles with equal hash64 inside one joined doc pair
+    # (~2^-64 * pairs — negligible).
+    # Persisted: this frame feeds three consumers (sizes + both self-join
+    # sides); without it the shingling HOF recomputes per consumer — at any
+    # scale that's 3x the dominant cost. MEMORY_AND_DISK spills gracefully
+    # when the shingle set outgrows executor memory.
+    shingled = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(token_shingles(text_col, n)).alias("shingle"),
+        )
+        .select("doc", F.xxhash64("shingle").alias("sh"))
+        .persist()
     )
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.withColumnsRenamed({"doc": "id_a"})
     b = shingled.withColumnsRenamed({"doc": "id_b"})
     pairs = (
-        a.join(b, (a.shingle == b.shingle) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, (a.sh == b.sh) & (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -112,9 +126,23 @@ def minhash_lsh_pairs(
     count (callers verify candidates with exact jaccard on the pair subset).
     """
     r = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"), token_shingles(text_col, n).alias("__sh")
-    ).select("doc", *minhash_signature(F.col("__sh"), n_hashes))
+    # Explode + hash-aggregate, not n_hashes interpreted passes over the
+    # shingle array: MIN is commutative so the grouped min over exploded
+    # shingles is value-identical to array_min over the transform, but runs
+    # in whole-stage codegen with map-side partial aggregation — one shuffle
+    # keyed by doc, the shape that survives 100 TB.
+    sig = (
+        df.select(
+            F.col(id_col).alias("doc"), F.explode(token_shingles(text_col, n)).alias("__s")
+        )
+        .groupBy("doc")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"mh_{i}")
+                for i in range(n_hashes)
+            ]
+        )
+    )
     banded = sig.select(
         "doc",
         *[
@@ -127,7 +155,7 @@ def minhash_lsh_pairs(
         "stack({}, {}) as (band_id, band_hash)".format(
             bands, ", ".join(f"{b}, band_{b}" for b in range(bands))
         ),
-    )
+    ).persist()  # both self-join sides: signature pipeline runs once, not twice
     a = stacked.withColumnsRenamed({"doc": "id_a"})
     b = stacked.withColumnsRenamed({"doc": "id_b"})
     return (
@@ -170,8 +198,31 @@ def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
     return sig
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(F.col(id_col).alias("doc"), simhash(text_col).alias("simhash"))
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Explode tokens + one grouped aggregate computing all ``bits`` votes:
+    integer SUM is commutative, so the result is value-identical to the
+    per-row sequential fold in :func:`simhash`, but runs as a codegen hash
+    aggregate with map-side combine (one doc-keyed shuffle) instead of
+    ``bits`` interpreted passes over every token array."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("__t")
+    ).select("doc", F.xxhash64("__t").alias("__h"))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(F.col(f"__v{b}") >= 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc", sig.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
@@ -185,7 +236,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     collisions-only compare."""
     n_bands, band_bits = 4, SIMHASH_BITS // 4
     mask = (1 << band_bits) - 1
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col).persist()  # feeds both join sides
     stacked = sigs.select(
         "doc",
         "simhash",

@@ -24,19 +24,51 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Embedding dimensionality of the driver's `embeddings` table (TESTDATA.md).
+EMBED_DIM = 64
+
 
 def as_double(vec: Column | str) -> Column:
     vec = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (matches DuckDB list_dot_product exactly)."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_dot_product exactly).
+
+    With a static ``dim`` the fold is unrolled into a flat 2*dim-term
+    arithmetic expression — identical float operations in the identical
+    left-to-right order (so bit-equal results), but compiled by whole-stage
+    codegen instead of interpreted per-element like higher-order functions.
+    ~10x cheaper per pair; use it on every hot all-pairs path.
+    """
+    if dim is not None:
+        # NOTE: unrolling blows up janino codegen beyond ~a few hundred terms
+        # (and 8 tables x 4 planes x 64 dims OOMs the compiler outright) —
+        # callers should only pass a static dim for a SINGLE dot in the plan.
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + a.getItem(i) * b.getItem(i)
+        return acc
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+def norm(vec: Column, dim: int | None = None) -> Column:
+    """L2 norm. Precompute this per ROW before any pairwise join — computing
+    sqrt(dot(v,v)) per PAIR does 3x the work for the same bits."""
+    return F.sqrt(dot(vec, vec, dim))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column,
+                     dim: int | None = None) -> Column:
+    """Cosine with per-row precomputed norms: dot/(na*nb) — the same float
+    expression shape as :func:`cosine` (and the DuckDB oracle), just with the
+    norm subexpressions hoisted out of the pairwise loop."""
+    return dot(a, b, dim) / (norm_a * norm_b)
 
 
 def brute_force_topk(
@@ -46,23 +78,28 @@ def brute_force_topk(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (self excluded).
 
     Output: query_id, neighbor_id, cos_sim, rank. The query side is
     broadcast — the corpus never shuffles for the join; the only exchange is
     the per-query top-k window, whose input is already reduced to
-    |Q| * |corpus| scored pairs filtered per partition.
+    |Q| * |corpus| scored pairs filtered per partition. Norms are computed
+    once per row (linear), never per pair (quadratic).
     """
     q = queries.select(
         F.col(query_id).alias("query_id"), as_double(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv"), dim))
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), as_double(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", norm(F.col("__cv"), dim))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cos_sim",
+            cosine_prenormed(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"), dim),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -70,6 +107,67 @@ def brute_force_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def _seq_sq_norms(mat):  # numpy (n, dim) -> (n,) sequential-fold L2 norms
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0])
+    for i in range(mat.shape[1]):
+        acc += mat[:, i] * mat[:, i]
+    return np.sqrt(acc)
+
+
+def allpairs_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold as (id_a < id_b, cos_sim) — the exact
+    near-duplicate primitive, Arrow-vectorized.
+
+    Shape: a manual broadcast join. The corpus (the small side by
+    construction — all-pairs is only ever run on a corpus that fits one
+    executor; at 100 TB you block with LSH first and run THIS within
+    buckets) is collected once and broadcast; ``mapInPandas`` streams the
+    other side through numpy, so the quadratic pair set is never
+    materialized as Spark rows and nothing but hits crosses Arrow.
+
+    Bit-exactness: the dot is accumulated dimension-by-dimension
+    (``acc += a_i * b_i`` over a numpy block) — the same left-to-right
+    IEEE-754 double adds as the expression fold and DuckDB's
+    ``list_dot_product``, so cos_sim values hash-match the SQL oracle
+    exactly, not just approximately.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    src = df.select(F.col(id_col).cast("long").alias("id"), as_double(vec_col).alias("v"))
+    corpus = src.collect()
+    b_ids = np.array([r["id"] for r in corpus], dtype=np.int64)
+    b_mat = np.array([r["v"] for r in corpus], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, _seq_sq_norms(b_mat)))
+
+    def gen(batches):
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_a = pdf["id"].to_numpy(dtype=np.int64)
+            mat_a = np.array(pdf["v"].tolist(), dtype=np.float64)
+            # Sequential-fold dot: one rank-1 update per dimension, in order.
+            s = np.zeros((len(ids_a), len(ids_b)))
+            for i in range(mat_a.shape[1]):
+                s += np.outer(mat_a[:, i], mat_b[:, i])
+            cos = s / np.outer(_seq_sq_norms(mat_a), norm_b)
+            hit_a, hit_b = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+            yield pd.DataFrame(
+                {"id_a": ids_a[hit_a], "id_b": ids_b[hit_b], "cos_sim": cos[hit_a, hit_b]}
+            )
+
+    return src.mapInPandas(gen, "id_a long, id_b long, cos_sim double")
 
 
 def label_centroids(
@@ -117,11 +215,20 @@ def _plane_sign(dim_idx: Column, table: int, plane: int) -> Column:
     ).otherwise(F.lit(-1.0))
 
 
-def srp_signature(vec: Column, table: int, n_planes: int = N_PLANES) -> Column:
+def srp_signature(
+    vec: Column, table: int, n_planes: int = N_PLANES, dim: int | None = None
+) -> Column:
     """Sign-random-projection bucket for one hash table: bit p =
     sign(v . plane_{table,p}), packed into a long. Expression-only (no UDF),
-    O(dim * n_planes) per row."""
+    O(dim * n_planes) per row. With static ``dim`` the projection unrolls so
+    the plane signs xxhash64(t, p, i) are all-literal and constant-folded by
+    Catalyst — the per-row work is just dim multiply-adds in codegen."""
     def projection(plane: int) -> Column:
+        if dim is not None:
+            acc = F.lit(0.0)
+            for i in range(dim):
+                acc = acc + vec.getItem(i) * _plane_sign(F.lit(i), table, plane)
+            return acc
         # Closure per plane: PySpark HOF lambdas must take exactly the
         # declared arity (no defaulted capture args).
         return F.aggregate(
@@ -140,6 +247,78 @@ def srp_signature(vec: Column, table: int, n_planes: int = N_PLANES) -> Column:
             F.lit(0).cast("long")
         )
     return sig
+
+
+def srp_planes_matrix(spark, n_tables: int, n_planes: int, dim: int):
+    """The ±1 hyperplane tensor (n_tables, n_planes, dim), materialized once
+    driver-side FROM SPARK'S OWN xxhash64 (one constant-folded projection on
+    ``spark.range(1)``) so numpy-side bucketing and any expression-side
+    bucketing agree bit-for-bit on the plane entries."""
+    import numpy as np
+
+    # One expression over (tables*planes*dim) ROWS, not that many columns —
+    # a 2048-column projection costs ~14s of analyzer/codegen time; this is
+    # instant. Casts to int match _plane_sign's F.lit(int) IntegerType
+    # hashing so both bucketing paths see identical plane entries.
+    n = n_tables * n_planes * dim
+    rows = (
+        spark.range(0, n, 1, 1)
+        .select(
+            "id",
+            F.pmod(
+                F.xxhash64(
+                    (F.col("id") / (n_planes * dim)).cast("int"),
+                    F.pmod(F.floor(F.col("id") / dim), F.lit(n_planes)).cast("int"),
+                    F.pmod(F.col("id"), F.lit(dim)).cast("int"),
+                ),
+                F.lit(2),
+            ).alias("bit"),
+        )
+        .collect()
+    )
+    bits = np.empty(n, dtype=np.float64)
+    for r in rows:
+        bits[r["id"]] = r["bit"]
+    return 1.0 - 2.0 * bits.reshape(n_tables, n_planes, dim)  # 0 -> +1, 1 -> -1
+
+
+def _np_buckets(df: DataFrame, id_name: str, vec_name: str, planes, keep_vec: bool) -> DataFrame:
+    """(id, vec) -> one row per (id, table_id, bucket) via numpy projection.
+
+    The 32 projections per vector run as one (batch x dim) @ (dim x planes)
+    matmul per table inside Arrow batches — versus interpreted per-element
+    HOF folds, this is the difference between microseconds and milliseconds
+    per row. Both join sides MUST be bucketed by this same function (sign
+    ties on the numpy side resolve identically for both)."""
+    import numpy as np
+    import pandas as pd
+
+    n_tables, n_planes, _ = planes.shape
+    weights = 2.0 ** np.arange(n_planes)
+    out_schema = f"{id_name} long, table_id int, bucket long" + (
+        f", {vec_name} array<double>" if keep_vec else ""
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vec_name].tolist(), dtype=np.float64)
+            frames = []
+            for t in range(n_tables):
+                proj = mat @ planes[t].T  # (batch, n_planes)
+                buckets = ((proj >= 0) @ weights).astype(np.int64)
+                f = pd.DataFrame(
+                    {id_name: pdf[id_name].to_numpy(), "table_id": t, "bucket": buckets}
+                )
+                if keep_vec:
+                    f[vec_name] = pdf[vec_name].to_numpy()
+                frames.append(f)
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(
+        F.col(id_name).cast("long").alias(id_name), F.col(vec_name)
+    ).mapInPandas(gen, out_schema)
 
 
 def _with_buckets(df: DataFrame, vec: str, n_tables: int, n_planes: int) -> DataFrame:
@@ -162,6 +341,7 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     n_tables: int = N_TABLES,
     n_planes: int = N_PLANES,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only vectors sharing an SRP bucket with the
     query in at least one of ``n_tables`` hash tables (classic multi-table
@@ -170,27 +350,24 @@ def lsh_bucket_topk(
     At 100 TB the bucket join replaces the cross product: the corpus is
     hashed once (linear scan), the equi-join on (table, bucket) shuffles by
     bucket, and scoring happens within collisions only. ``distinct`` on the
-    candidate pair set keeps a vector found in several tables scored once."""
-    q = _with_buckets(
-        queries.select(F.col(query_id).alias("query_id"), as_double(vec_col).alias("__qv")),
-        "__qv",
-        n_tables,
-        n_planes,
-    )
-    c = _with_buckets(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), as_double(vec_col).alias("__cv")),
-        "__cv",
-        n_tables,
-        n_planes,
-    )
+    candidate pair set keeps a vector found in several tables scored once.
+    Bucketing runs numpy-side (srp_planes_matrix + matmul per Arrow batch);
+    candidate scoring stays expression-side so returned cos_sim values are
+    bit-identical to :func:`brute_force_topk` for the same pair."""
+    spark = queries.sparkSession
+    planes = srp_planes_matrix(spark, n_tables, n_planes, dim or EMBED_DIM)
+    q_src = queries.select(F.col(query_id).alias("query_id"), as_double(vec_col).alias("__qv"))
+    c_src = corpus.select(F.col(corpus_id).alias("neighbor_id"), as_double(vec_col).alias("__cv"))
+    q = _np_buckets(q_src, "query_id", "__qv", planes, keep_vec=False)
+    c = _np_buckets(c_src, "neighbor_id", "__cv", planes, keep_vec=True)
     candidates = (
-        c.join(F.broadcast(q.select("query_id", "table_id", "bucket")), ["table_id", "bucket"])
+        c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "__cv")
         .distinct()
     )
     scored = candidates.join(
-        F.broadcast(q.select("query_id", "__qv").distinct()), "query_id"
+        F.broadcast(q_src.withColumn("query_id", F.col("query_id").cast("long"))), "query_id"
     ).withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

@@ -12,9 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.operators.similarity import (
-    as_double,
+    allpairs_cosine_pairs,
     brute_force_topk,
-    cosine,
     label_centroids,
     lsh_bucket_topk,
 )
@@ -59,17 +58,14 @@ WHERE {_COS} >= 0.45
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.45): the semantic-dedup
-    primitive. All-pairs here (corpus is small); the LSH-bucketed variant
-    below is the scale path."""
+    primitive. Arrow-vectorized blockwise scorer: the corpus broadcasts, each
+    partition scores its block against it in numpy with a dimension-ordered
+    accumulate — bit-identical floats to the SQL oracle's sequential
+    list_dot_product, at numpy speed instead of per-pair interpreted
+    expression cost. LSH (below) is the blocking path when the corpus
+    outgrows one executor."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), as_double("embedding").alias("__a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), as_double("embedding").alias("__b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("__a"), F.col("__b")))
-        .filter(F.col("cos_sim") >= 0.45)
-        .select("id_a", "id_b", "cos_sim")
-    )
+    return allpairs_cosine_pairs(emb, threshold=0.45)
 
 
 @query(
