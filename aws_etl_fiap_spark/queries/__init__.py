@@ -14,6 +14,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     similarity_q,
     text_q,
     tpch,
+    tpch2,
 )
 from aws_etl_fiap_spark.queries.registry import REGISTRY, oracle_sql, queries
 

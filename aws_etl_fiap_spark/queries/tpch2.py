@@ -1,0 +1,470 @@
+"""TPC-H queries 4, 7, 8, 9, 12, 13, 15, 17, 19, 22 — adapted to the driver's
+column subset ([EXT] joins/subqueries, SURVEY.md §2.3).
+
+The testdata omits partsupp and several columns (l_commitdate, l_receiptdate,
+l_shipmode, p_container, c_phone, o_comment), so queries that reference them
+are adapted: the JOIN/subquery/aggregation SHAPE is preserved (that is what
+exercises the engine — semi/anti joins, correlated scalar subqueries,
+disjunctive pushdown, self-referencing aggregates) while predicates move to
+columns that exist. Each docstring notes the adaptation.
+
+Float parity with the DuckDB oracle follows functions.parity: money sums in
+exact DECIMAL, and Q22's scalar-subquery threshold/total use FLOOR-derived
+fixed-point values (c_acctbal is a free double, so raw SUM/AVG would be
+summation-order-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import dec_avg, dec_sum, sql_dec_avg, sql_dec_sum
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def _disc_price():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey
+        AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: no l_commitdate/l_receiptdate, so "late" means a
+    lineitem shipped >90 days after the order date): EXISTS expressed as a
+    LEFT SEMI join with a mixed equi + range condition — the probe side
+    (orders) keeps one row per match, lineitem never expands the output."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l_shipdate) AS l_year,
+       {sql_dec_sum(_DISC_PRICE, 4)} AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume by year. The nation dimension joins
+    TWICE under different roles (supplier vs customer side) — both broadcast;
+    the disjunctive nation-pair predicate lands after both joins, exactly as
+    the spec writes it."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dec_sum(_disc_price(), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+SELECT o_year,
+       {sql_dec_sum("CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END", 4)}
+       / {sql_dec_sum("volume", 4)} AS mkt_share
+FROM (
+    SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           l_extendedprice * (1 - l_discount) AS volume,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (p_type adapted to this dataset's single-word types): one
+    nation's share of regional revenue per year — conditional sum over total
+    sum, both exact decimal so the double division is bit-identical. nation
+    joins twice (customer-region role, supplier-nation role)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    volume = _disc_price().alias("volume")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"), volume, "nation")
+    )
+    national = F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy("o_year")
+        .agg((dec_sum(national, 4) / dec_sum("volume", 4)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+SELECT nation, o_year, {sql_dec_sum(_DISC_PRICE, 4)} AS sum_profit
+FROM (
+    SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+           l_extendedprice, l_discount
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp, so profit = discounted revenue without
+    the supplycost term; '%red%' replaces '%green%' for this dataset's
+    names): per supplier-nation, per order-year revenue on one part family.
+    The LIKE filter prunes part before its broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(dec_sum(_disc_price(), 4).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q12_shipping_priority_class",
+    oracle="""
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def tpch_q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: no l_shipmode/l_receiptdate — groups by
+    l_returnflag over a shipdate year instead): priority-class line counts
+    via conditional integer sums, which aggregate map-side; the exchange
+    carries 3 groups x 2 longs."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (adapted: the o_comment NOT LIKE filter becomes an
+    o_orderpriority filter): order-count-per-customer histogram. The LEFT
+    join keeps order-less customers (their COUNT(o_orderkey) = 0 bucket is
+    the point of the query); double aggregation, both map-side combinable."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no, {sql_dec_sum(_DISC_PRICE, 4)} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by quarterly revenue. The scalar MAX subquery
+    is an unpartitioned window max over the aggregated (tiny) per-supplier
+    frame — no second scan of lineitem, no driver round-trip. Exact-decimal
+    revenue makes the equality comparison well-defined."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(_disc_price(), 4).alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    top = revenue.withColumn("__mx", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("__mx")
+    )
+    return (
+        F.broadcast(top)
+        .join(supp, top.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+SELECT {sql_dec_sum('l_extendedprice', 2)} / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND p_size < 15
+  AND l_quantity < 0.2 * (
+      SELECT {sql_dec_avg('l2.l_quantity', 2)}
+      FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (p_container adapted to p_size): revenue lost to
+    small-quantity orders. The correlated per-part AVG decorrelates into one
+    aggregate over lineitem + an equi-join — Spark never executes a per-row
+    subquery. Exact-decimal avg (quantities are integral) keeps the 0.2*avg
+    threshold bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 15)
+    )
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        dec_avg("l_quantity", 2).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part_avg, li.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dec_sum("l_extendedprice", 2) / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle=f"""
+SELECT {sql_dec_sum(_DISC_PRICE, 4)} AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+       AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+)
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted: p_container/l_shipmode clauses become
+    p_size/l_quantity ranges): three disjunctive branch predicates spanning
+    both join sides. The join stays a plain equi-join on partkey with the
+    disjunction as a post-join filter; per-branch single-side conjuncts
+    (quantity ranges, brand/size) are still pushable by Catalyst."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branches = (
+        ((b == "Brand#1") & s.between(1, 10) & (q >= 1) & (q <= 20))
+        | ((b == "Brand#2") & s.between(5, 20) & (q >= 10) & (q <= 30))
+        | ((b == "Brand#3") & s.between(20, 40) & (q >= 20) & (q <= 40))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(branches)
+        .agg(dec_sum(_disc_price(), 4).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+WITH threshold AS (
+    SELECT CAST(SUM(CAST(FLOOR(c_acctbal) AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*) AS avg_bal
+    FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0
+           AS totacctbal
+FROM customer, threshold
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: no c_phone, so grouping is by c_nationkey):
+    rich customers with no urgent orders (plain "no orders" is empty at every
+    SF of this dense testdata, so the anti-join filters on the urgent
+    subset). NOT EXISTS = LEFT ANTI join; the scalar
+    avg-balance subquery broadcasts as a 1-row cross join. Parity: c_acctbal
+    is a free double, so the threshold averages FLOOR(c_acctbal) (exact
+    integers) and the output total sums cent-truncated balances — identical
+    bits on both engines regardless of summation order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.floor("c_acctbal").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    cents = F.floor(F.col("c_acctbal") * 100).cast("decimal(38,0)")
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents).cast("double") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
