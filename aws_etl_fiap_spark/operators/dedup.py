@@ -47,6 +47,34 @@ def token_shingles(text_col: str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded distinct word n-gram shingles as (doc, shingle) rows.
+
+    Arrow-vectorized generator instead of the :func:`token_shingles` HOF +
+    explode: building ~50 grams per document through interpreted
+    transform/concat_ws expressions costs ~10x what a Python loop over Arrow
+    batches does, and shingling dominates every fuzzy-dedup pipeline. The
+    emitted STRINGS are identical to the expression version for any document
+    with >= n tokens (`" ".join` of `split(" ")` slices), so downstream
+    hashes — and the DuckDB oracle comparison — are unaffected. Documents
+    with < n tokens emit nothing, the same full-grams-only semantics as the
+    SQL oracle's positional self-join."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            docs, grams = [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                toks = text.split(" ")
+                seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                docs.extend([doc] * len(seen))
+                grams.extend(seen)
+            yield pd.DataFrame({"doc": docs, "shingle": grams})
+
+    src = df.select(F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text"))
+    return src.mapInPandas(gen, "doc long, shingle string")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3
 ) -> DataFrame:
@@ -65,10 +93,7 @@ def ngram_jaccard_pairs(
     # scale that's 3x the dominant cost. MEMORY_AND_DISK spills gracefully
     # when the shingle set outgrows executor memory.
     shingled = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(token_shingles(text_col, n)).alias("shingle"),
-        )
+        shingle_rows(df, id_col, text_col, n)
         .select("doc", F.xxhash64("shingle").alias("sh"))
         .persist()
     )
@@ -132,9 +157,8 @@ def minhash_lsh_pairs(
     # in whole-stage codegen with map-side partial aggregation — one shuffle
     # keyed by doc, the shape that survives 100 TB.
     sig = (
-        df.select(
-            F.col(id_col).alias("doc"), F.explode(token_shingles(text_col, n)).alias("__s")
-        )
+        shingle_rows(df, id_col, text_col, n)
+        .withColumnRenamed("shingle", "__s")
         .groupBy("doc")
         .agg(
             *[
