@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from aws_etl_fiap_spark.operators.similarity import (
     allpairs_cosine_pairs,
     brute_force_topk,
+    ivf_topk,
     label_centroids,
     lsh_bucket_topk,
 )
@@ -95,6 +96,16 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     defined order (by vec_id) so the float result is engine- and
     partitioning-independent."""
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@query("sim_topk_ivf")  # k-means cells: no SQL oracle, rows-only check
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via IVF coarse quantization (16 spherical-kmeans
+    cells, 4 probed per query): queries score only ~25% of the corpus through
+    a broadcast cell-id join — the inverted-file ANN tier between brute force
+    and LSH. Recall vs brute force is checked in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
 
 
 @query("sim_topk_lsh")  # xxhash64-derived hyperplanes: no SQL oracle

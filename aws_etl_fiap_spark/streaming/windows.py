@@ -55,3 +55,60 @@ def streaming_dedup(
     inside ``watermark`` of the first occurrence are dropped; state for keys
     older than the horizon is evicted (bounded memory)."""
     return with_watermark(df, ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
+
+
+def stateful_running_totals(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-key
+    cumulative ``(n, total)`` maintained across micro-batches — the arbitrary-
+    state primitive for anything the built-in window aggregates can't express
+    (running counters, per-entity models, cross-batch sequences).
+
+    Each micro-batch emits the updated running totals for the keys it
+    touched (update semantics). State is bounded: the event-time timeout is
+    pinned one watermark-delay past the newest event seen for the key, so
+    idle keys are evicted once the stream's watermark passes them — the same
+    eviction horizon the built-in stateful ops use.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    unit_ms = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}
+    amount, unit = watermark.split()
+    delay_ms = int(amount) * unit_ms[unit.rstrip("s")]
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n long, total double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+            batch_max = pdf[ts_col].max()
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((n, total))
+        if last_ts is not None:
+            # Evict once the watermark passes the newest event for this key
+            # (setTimeoutTimestamp takes an absolute epoch-ms deadline).
+            deadline = int(pd.Timestamp(last_ts).value // 1_000_000) + delay_ms
+            state.setTimeoutTimestamp(deadline)
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+    return (
+        with_watermark(df, ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
+        )
+    )

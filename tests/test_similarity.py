@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     label_centroids,
     lsh_bucket_topk,
 )
@@ -44,6 +45,31 @@ def test_lsh_results_are_true_cosines(spark, sf_correctness):
     }
     for r in lsh_bucket_topk(queries, emb, k=10).collect():
         assert exact[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_ivf_topk_recall_and_true_cosines(spark, sf_correctness):
+    """IVF probing 4/16 cells must beat chance by a wide margin, and the
+    similarities it reports must be the TRUE cosines (same bits as brute
+    force) — approximation selects candidates, never alters scores."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact_rows = brute_force_topk(queries, emb, k=499).collect()
+    exact_sims = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact_rows}
+    exact_top10 = {}
+    for r in exact_rows:
+        if r.rank <= 10:
+            exact_top10.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = ivf_topk(queries, emb, k=10).collect()
+    approx_sets = {}
+    for r in approx:
+        assert exact_sims[(r.query_id, r.neighbor_id)] == r.cos_sim
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_top10[q] & approx_sets.get(q, set())) / len(exact_top10[q])
+        for q in exact_top10
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.2, f"IVF recall {mean_recall:.2f} not better than chance"
 
 
 def test_centroids_shape_and_partitioning_invariance(spark, sf_correctness):

@@ -11,7 +11,11 @@ from aws_etl_fiap_spark.streaming.file_trigger import (
     process_available_files,
     stream_from_directory,
 )
-from aws_etl_fiap_spark.streaming.windows import streaming_dedup, streaming_tumbling_counts
+from aws_etl_fiap_spark.streaming.windows import (
+    stateful_running_totals,
+    streaming_dedup,
+    streaming_tumbling_counts,
+)
 
 
 def _write_batch(spark, path, ids):
@@ -70,6 +74,48 @@ def test_streaming_tumbling_window(spark, tmp_path):
     q.awaitTermination()
     rows = {r.window_start.minute: r.n for r in spark.sql("SELECT * FROM tumbling_test").collect()}
     assert rows == {0: 10, 10: 10, 20: 5}
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-key state across micro-batches:
+    with maxFilesPerTrigger=1 the two files land in separate batches, and the
+    second batch's emission must include the first batch's totals."""
+    raw = str(tmp_path / "raw")
+    pdf1 = pd.DataFrame(
+        {
+            "user": [1, 1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:00:01"] * 3),
+            "value": [10.0, 20.0, 5.0],
+        }
+    )
+    pdf2 = pd.DataFrame(
+        {
+            "user": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01 00:10:00"] * 2),
+            "value": [30.0, 7.0],
+        }
+    )
+    spark.createDataFrame(pdf1).write.mode("append").parquet(raw)
+    spark.createDataFrame(pdf2).write.mode("append").parquet(raw)
+    schema = spark.read.parquet(raw).schema
+    stream = stream_from_directory(spark, raw, schema, max_files_per_trigger=1)
+    totals = stateful_running_totals(stream, "user", "value", "ts")
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM stateful_test").collect()
+    # Last emission per user is the cumulative total over both batches.
+    final = {}
+    for r in rows:
+        final[r.user] = (r.n, r.total)
+    assert final[1] == (3, 60.0)
+    assert final[2] == (2, 12.0)
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
