@@ -91,6 +91,86 @@ def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
     return df.select("media_id", "mime", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_BYTES = 16
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_digest string"
+RESIZE_SCHEMA = "media_id bigint, mime string, width int, height int, ok boolean, payload binary"
+
+
+def frame_sample(df: DataFrame, every_n: int = 4, batch_limit: int = 1024) -> DataFrame:
+    """Sample every ``every_n``-th frame from video-like payloads — the
+    one-to-MANY media shape (a row fans out to a row per kept frame).
+
+    ``fake/*`` payloads model a video as consecutive FRAME_BYTES-sized
+    frames; real codecs would seek keyframes instead (same dataflow, stubbed
+    codec). Emitted rows carry a per-frame digest, never the frame bytes:
+    downstream dedup/indexing works on fixed-width rows while the heavy
+    payload column dies at this operator's input, which is what keeps the
+    shuffle volume sane at 100 TB of video.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                ids, idxs, digests = [], [], []
+                for media_id, mime, payload in zip(
+                    chunk["media_id"], chunk["mime"], chunk["payload"]
+                ):
+                    if not mime.startswith("fake/"):
+                        continue  # real codecs unavailable; route, don't crash
+                    raw = bytes(payload)
+                    n_frames = len(raw) // FRAME_BYTES
+                    for i in range(0, n_frames, every_n):
+                        frame = raw[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                        ids.append(media_id)
+                        idxs.append(i)
+                        digests.append(hashlib.sha256(frame).hexdigest())
+                yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame_digest": digests})
+
+    return df.select("media_id", "mime", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_media(df: DataFrame, width: int, height: int, batch_limit: int = 1024) -> DataFrame:
+    """Resize payloads to ``width x height`` — the payload-in/payload-out
+    shape (output stays binary for the next pipeline stage).
+
+    ``fake/*`` resize is deterministic: the output payload is the sha256
+    digest stream of (payload, width, height) truncated/cycled to
+    width*height bytes, so tests can assert exact output sizes and content
+    stability. Real mimes degrade to ok=false + NULL payload per row (a
+    poison image must not kill a 100 TB job)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start : start + batch_limit]
+                payloads, oks = [], []
+                for mime, payload in zip(chunk["mime"], chunk["payload"]):
+                    if mime.startswith("fake/"):
+                        seed = hashlib.sha256(
+                            bytes(payload) + f"|{width}x{height}".encode()
+                        ).digest()
+                        need = width * height
+                        out = (seed * (need // len(seed) + 1))[:need]
+                        payloads.append(out)
+                        oks.append(True)
+                    else:
+                        payloads.append(None)
+                        oks.append(False)
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "mime": chunk["mime"].values,
+                        "width": width,
+                        "height": height,
+                        "ok": oks,
+                        "payload": payloads,
+                    }
+                )
+
+    return df.select("media_id", "mime", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter for the testdata: treat each document's UTF-8 bytes as an
     opaque ``fake/text`` payload — realistic plumbing (binary column, mime

@@ -12,6 +12,8 @@ from aws_etl_fiap_spark.operators.multimodal import (
     attach_payload_metadata,
     documents_as_media,
     extract_features,
+    frame_sample,
+    resize_media,
 )
 from aws_etl_fiap_spark.queries.registry import query
 from aws_etl_fiap_spark.sources.readers import load_table
@@ -59,6 +61,41 @@ def media_dedup_by_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_payload_metadata(documents_as_media(load_table(spark, sf_dir, "documents")))
     return media.groupBy("digest").agg(
         F.count(F.lit(1)).alias("n_copies"), F.min("media_id").alias("canonical_id")
+    )
+
+
+@query(
+    "media_frame_sample",
+    oracle="""
+WITH f AS (
+    SELECT doc_id, text,
+           unnest(range(0, CAST(length(text) // 16 AS INT), 4)) AS frame_idx
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       sha256(substring(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)) AS frame_digest
+FROM f
+""",
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling over video-like payloads (16-byte fake
+    frames): the one-to-many media fan-out, emitting per-frame digests so the
+    payload never travels past the sampler. Oracle-exact because the
+    documents' payload bytes are ASCII (VARCHAR slicing == byte slicing)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media, every_n=4)
+
+
+@query("media_resize")  # payload-out stub: no SQL oracle, rows-only
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize to 8x8 thumbnails via the stubbed codec: payload-in/payload-out
+    mapInPandas (output stays binary for the next stage); per-row failures
+    degrade to ok=false instead of failing the job. Exact output bytes are
+    asserted in tests/test_multimodal.py."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return resize_media(media, width=8, height=8).select(
+        "media_id", "mime", "width", "height", "ok", F.sha2("payload", 256).alias("payload_digest")
     )
 
 

@@ -9,10 +9,13 @@ from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.operators.multimodal import (
     FEATURE_DIM,
+    FRAME_BYTES,
     attach_payload_metadata,
     decode_stub,
     documents_as_media,
     extract_features,
+    frame_sample,
+    resize_media,
 )
 from aws_etl_fiap_spark.sources.readers import load_table
 
@@ -39,6 +42,39 @@ def test_feature_extraction_deterministic(spark, sf_smoke):
     # Re-run under a different partitioning: identical features.
     feats2 = {r.media_id: r.feature for r in extract_features(media.repartition(13)).collect()}
     assert feats2 == {m: r.feature for m, r in rows.items()}
+
+
+def test_frame_sample_matches_python(spark):
+    payload = bytes(range(100))  # 6 full 16-byte frames + remainder
+    df = spark.createDataFrame(
+        [(1, "fake/video", payload), (2, "video/mp4", b"\x00" * 64)],
+        "media_id bigint, mime string, payload binary",
+    )
+    rows = sorted((r.media_id, r.frame_idx, r.frame_digest) for r in frame_sample(df, 4).collect())
+    expect = [
+        (1, i, hashlib.sha256(payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]).hexdigest())
+        for i in range(0, len(payload) // FRAME_BYTES, 4)
+    ]
+    # Real mime (media_id 2) is routed away, not crashed on.
+    assert rows == expect
+    assert [i for _, i, _ in rows] == [0, 4]
+
+
+def test_resize_deterministic_and_degrading(spark):
+    df = spark.createDataFrame(
+        [(1, "fake/image", b"pixels"), (2, "image/png", b"\x89PNG")],
+        "media_id bigint, mime string, payload binary",
+    )
+    rows = {r.media_id: r for r in resize_media(df, 8, 8).collect()}
+    assert rows[1].ok and len(bytes(rows[1].payload)) == 64
+    assert not rows[2].ok and rows[2].payload is None
+    # Deterministic: same input, same bytes.
+    again = {r.media_id: r for r in resize_media(df, 8, 8).collect()}
+    assert bytes(again[1].payload) == bytes(rows[1].payload)
+    # Different target size, different bytes (size is part of the seed).
+    other = {r.media_id: r for r in resize_media(df, 4, 4).collect()}
+    assert len(bytes(other[1].payload)) == 16
+    assert bytes(other[1].payload) != bytes(rows[1].payload)[:16]
 
 
 def test_undecodable_media_degrades_not_fails(spark):
