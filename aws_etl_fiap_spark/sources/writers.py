@@ -42,3 +42,30 @@ def read_back(spark: SparkSession, path: str) -> DataFrame:
     """Round-trip scan (reference S5); partition columns come back from the
     directory layout."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (+ optionally sorted) parquet table into the catalog.
+
+    Bucketing is THE co-located-join tool at 100 TB: two tables bucketed by
+    the same key into the same bucket count join with ZERO exchange — each
+    task reads bucket i from both sides. Sorting within buckets additionally
+    removes the sort before a sort-merge join. The price is paid once at
+    write time; every subsequent join/aggregation on the bucket key rides
+    free. (Bucketed tables must go through the catalog — ``saveAsTable`` —
+    because bucket metadata lives there, not in the directory layout.)
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)

@@ -1,0 +1,83 @@
+"""Scale-mechanics tests: salting must be value-identical to the straight
+plan, and bucketing must actually remove the join exchange from the physical
+plan (the property is asserted on the plan, not assumed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.operators.skew import salted_agg, salted_join
+from aws_etl_fiap_spark.sources.readers import load_table
+from aws_etl_fiap_spark.sources.writers import write_bucketed
+
+
+def test_salted_agg_equals_plain(spark, sf_correctness):
+    li = load_table(spark, sf_correctness, "lineitem")
+    salted = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        sum_cols=["l_quantity", "l_extendedprice"],
+        salt_source=["l_orderkey", "l_linenumber"],
+        n_salts=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).cast("double").alias("sum_l_quantity"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sum_l_extendedprice"),
+    )
+    got = {r.l_returnflag: (r.n_rows, r.sum_l_quantity, r.sum_l_extendedprice)
+           for r in salted.collect()}
+    want = {r.l_returnflag: (r.n_rows, r.sum_l_quantity, r.sum_l_extendedprice)
+            for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_join_equals_plain(spark, sf_correctness):
+    orders = load_table(spark, sf_correctness, "orders")
+    cust = load_table(spark, sf_correctness, "customer").select("c_custkey", "c_mktsegment")
+    salted = salted_join(
+        orders, cust, "o_custkey", "c_custkey", salt_source=["o_orderkey"], n_salts=8
+    ).select("o_orderkey", "c_mktsegment")
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_correctness, tmp_path):
+    """Two tables bucketed on the join key by the same bucket count must
+    sort-merge join with zero Exchange operators — co-location is the whole
+    point of paying the bucketed write."""
+    orders = load_table(spark, sf_correctness, "orders")
+    cust = load_table(spark, sf_correctness, "customer")
+    write_bucketed(
+        orders, "b_orders", ["o_custkey"], 8,
+        path=str(tmp_path / "b_orders"), sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        cust, "b_customer", ["c_custkey"], 8,
+        path=str(tmp_path / "b_customer"), sort_cols=["c_custkey"],
+    )
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_orders").join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # And it still computes the right thing.
+            n_joined = joined.count()
+            n_expected = (
+                orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+            )
+            assert n_joined == n_expected
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
