@@ -1,0 +1,183 @@
+"""Analytic-SQL surface, part 2 ([EXT]): pivot/unpivot reshaping, the
+remaining window-function family (lead / first_value / last_value / ntile),
+and gaps-and-islands sessionization expressed Spark-side (the lag + running-
+sum island composition, complementing events_q's F.session_window form).
+
+All DuckDB-oracled. events.ts casts to µs TIMESTAMP on the oracle side
+(parquet timestamp[ns] — see events_q module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import dec_sum, sql_dec_sum
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+ORDER_STATUSES = ("F", "O", "P")
+
+
+@query(
+    "pivot_priority_by_status",
+    oracle=f"""
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P,
+       {sql_dec_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", 2)}
+           AS F_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts per priority with one column per
+    status. The status values are ENUMERATED (not discovered) — at 100 TB an
+    unvalued pivot runs an extra distinct-scan job just to learn the columns.
+    Counts coalesce to 0 so absent combinations match the SQL conditional-sum
+    form."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(ORDER_STATUSES))
+        .agg(F.count(F.lit(1)))
+    )
+    f_total = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            dec_sum(
+                F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0), 2
+            ).alias("F_total")
+        )
+    )
+    return (
+        wide.join(f_total, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in ORDER_STATUSES],
+            "F_total",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+)
+""",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): three measure columns become (measure,
+    value) rows — one pass over the input (Spark's Expand node), vs the
+    oracle's 3x UNION ALL re-scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+@query(
+    "window_lead_first_last_ntile",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       LEAD(o_totalprice) OVER w AS next_price,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS last_order,
+       NTILE(4) OVER w AS quartile
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_lead_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window family in one pass: lead (forward
+    offset), first/last value (frame endpoints — last_value needs the full
+    frame, the classic default-frame trap), ntile bucketing. One hash
+    exchange on o_custkey serves all four functions; (o_orderdate,
+    o_orderkey) is a total order so every output is deterministic."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "events_islands_sessionize",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+marked AS (
+    SELECT *,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value', 2)} AS total_value
+FROM islands
+GROUP BY user_id, session_id
+""",
+)
+def events_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization built from primitives — lag gap flag,
+    running-sum island id, grouped rollup — the composition F.session_window
+    hides, spelled out (and the form that generalizes to non-time islands:
+    status runs, sequence breaks). Two window passes + one aggregate over a
+    single user_id exchange."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Compare gaps in MICROSECONDS: ts carries µs, and a cast to long would
+    # truncate to seconds — a 1800.5s gap must break the session on both
+    # engines identically.
+    micros = F.unix_micros(F.col("ts"))
+    gap = micros - F.lag(micros).over(w)
+    marked = e.withColumn(
+        "brk", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    )
+    islands = marked.withColumn(
+        "session_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return islands.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", 2).alias("total_value"),
+    )
