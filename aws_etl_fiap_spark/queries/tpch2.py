@@ -345,6 +345,87 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: no partsupp — lineitem is the part↔supplier
+    relation; the excluded-supplier subquery filters on s_acctbal instead of
+    the missing s_comment): distinct suppliers per part segment. NOT IN over
+    a non-nullable key = LEFT ANTI join; COUNT(DISTINCT) runs as Spark's
+    two-shuffle expand-aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "tpch_q20_promotable_suppliers",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(38,2))) > 400
+)
+ORDER BY s_suppkey
+""",
+)
+def tpch_q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: no partsupp availqty — the threshold is a fixed
+    quantity over the year's shipments of the part family): nested
+    IN-subquery chain as aggregate → HAVING → LEFT SEMI join. The heavy side
+    reduces to one row per supplier BEFORE touching the supplier table;
+    decimal sum makes the >400 threshold exact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    qualified = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("q"))
+        .filter(F.col("q") > 400)
+    )
+    return (
+        supp.join(qualified, supp.s_suppkey == qualified.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "tpch_q17_small_quantity_revenue",
     oracle=f"""
 SELECT {sql_dec_sum('l_extendedprice', 2)} / 7.0 AS avg_yearly

@@ -1,0 +1,113 @@
+"""Property-based checks (hypothesis) for the engine-agnostic numeric rules
+in functions/parity.py: the cross-engine float discipline must hold for
+ARBITRARY inputs, not just the fixture values the oracle queries happen to
+hit. Each property drives the actual Spark expression against a DuckDB
+evaluation of the sql_* twin on the same values.
+
+hypothesis is invoked INSIDE plain pytest functions (inner @given) — this
+environment's pytest plugin stack mis-handles module-level @given tests, and
+the inner form is also what keeps the session-scoped Spark fixture out of
+hypothesis's per-example lifecycle.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import (
+    round_half_up,
+    sql_dec_sum,
+    sql_round_half_up,
+)
+from aws_etl_fiap_spark.operators.skew import salted_agg
+
+# Money-like doubles: fixed-point with 2 decimals, the domain dec_sum(…, 2)
+# is specified for.
+money = st.integers(min_value=-(10**12), max_value=10**12).map(lambda c: c / 100.0)
+free_doubles = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+def test_dec_sum_engine_parity_and_order_independence(spark):
+    """DECIMAL(38,2) sum of 2-dp doubles: Spark == DuckDB == exact cents sum,
+    in any order."""
+    duck = duckdb.connect()
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(money, min_size=1, max_size=50))
+    def prop(values):
+        df = spark.createDataFrame([(v,) for v in values], "x double")
+        got = df.agg(F.sum(F.col("x").cast("decimal(38,2)")).cast("double")).first()[0]
+        rev = (
+            spark.createDataFrame([(v,) for v in reversed(values)], "x double")
+            .agg(F.sum(F.col("x").cast("decimal(38,2)")).cast("double"))
+            .first()[0]
+        )
+        placeholders = ", ".join(f"({v!r})" for v in values)
+        want = duck.sql(
+            f"SELECT {sql_dec_sum('x', 2)} FROM (VALUES {placeholders}) t(x)"
+        ).fetchone()[0]
+        exact = float(sum(round(v * 100) for v in values)) / 100.0
+        assert got == rev == want == exact
+
+    prop()
+
+
+def test_round_half_up_engine_parity(spark):
+    """FLOOR(x*100 + 0.5)/100 gives identical doubles on both engines for
+    arbitrary (not just fixed-point) inputs — the property engine ROUND
+    lacks. Batched: one Spark job checks all examples."""
+    duck = duckdb.connect()
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(free_doubles, min_size=1, max_size=40))
+    def prop(xs):
+        df = spark.createDataFrame([(x,) for x in xs], "x double")
+        got = sorted(r[0] for r in df.select(round_half_up("x", 2)).collect())
+        placeholders = ", ".join(f"({x!r})" for x in xs)
+        want = sorted(
+            r[0]
+            for r in duck.sql(
+                f"SELECT {sql_round_half_up('x', 2)} FROM (VALUES {placeholders}) t(x)"
+            ).fetchall()
+        )
+        assert got == want
+
+    prop()
+
+
+def test_salted_agg_property(spark):
+    """salted_agg == plain groupBy for arbitrary key/value multisets."""
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(min_value=0, max_value=3), money),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def prop(rows):
+        df = spark.createDataFrame(
+            [(k, float(v), i) for i, (k, v) in enumerate(rows)], "k int, v double, rid long"
+        )
+        got = {
+            r.k: (r.n_rows, r.sum_v)
+            for r in salted_agg(df, ["k"], ["v"], salt_source=["rid"], n_salts=4).collect()
+        }
+        want = {
+            r.k: (r.n, r.s)
+            for r in df.groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(38,2)")).cast("double").alias("s"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    prop()

@@ -46,6 +46,23 @@ def test_salted_join_equals_plain(spark, sf_correctness):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_partition_pruning_in_plan(spark, sf_correctness, tmp_path):
+    """A filter on the partition column must become a PartitionFilters entry
+    (directory pruning — scans only matching partitions), not a post-scan
+    predicate over the full table."""
+    li = load_table(spark, sf_correctness, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "li_by_year")
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("ship_year") == 1996)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ship_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    expected = li.filter(F.col("ship_year") == 1996).count()
+    assert scan.count() == expected
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_correctness, tmp_path):
     """Two tables bucketed on the join key by the same bucket count must
     sort-merge join with zero Exchange operators — co-location is the whole
