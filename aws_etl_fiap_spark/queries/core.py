@@ -22,7 +22,7 @@ from aws_etl_fiap_spark.operators.cleaning import filter_nulls
 from aws_etl_fiap_spark.operators.columns import add_date_parts, cast_to_date
 from aws_etl_fiap_spark.plans.refined import LINEITEM_SPEC, refined_detail, refined_summary
 from aws_etl_fiap_spark.queries.registry import query
-from aws_etl_fiap_spark.sources.readers import load_table
+from aws_etl_fiap_spark.sources.readers import load_table, register_views
 
 # Shared WINDOW clause for the oracle: the same total order the Spark plan
 # uses (date, then unique (orderkey, linenumber) tiebreak).
@@ -302,3 +302,32 @@ def global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(orders.agg(F.count(F.lit(1)).alias("orders_rows"))).select(
         "lineitem_rows", "orders_rows", "null_quantity_rows"
     )
+
+
+_ATHENA_SQL = """
+SELECT l_suppkey AS ticker,
+       COUNT(*) AS total_registros,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS volume_total,
+       FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+             / COUNT(l_extendedprice) * 1e2 + 5e-1) / 1e2 AS preco_medio
+FROM lineitem
+WHERE l_suppkey < 50
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+LIMIT 25
+"""
+
+
+@query("sql_athena_canonical", oracle=_ATHENA_SQL)
+def sql_athena_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3, the Athena-replacement surface: the reference's canonical
+    catalog query (reference b3_transform.py:367-380 — GROUP BY with
+    COUNT/SUM/ROUND(AVG), ORDER BY, LIMIT) as a raw SQL STRING through
+    ``spark.sql`` over registered views — parser -> analyzer -> same Catalyst
+    plan as the DataFrame form. The SQL text itself is the oracle: one
+    string, two engines, identical results (decimal sums + FLOOR rounding
+    per functions/parity; numeric literals are written 1e2-style because a
+    bare 100.0 parses as DECIMAL in Spark SQL but DOUBLE in the DataFrame
+    API, and decimal arithmetic would change the output type)."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_ATHENA_SQL)
