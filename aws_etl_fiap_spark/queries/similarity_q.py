@@ -13,10 +13,12 @@ from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.operators.similarity import (
     allpairs_cosine_pairs,
+    as_double,
     brute_force_topk,
     ivf_topk,
     label_centroids,
     lsh_bucket_topk,
+    norm,
 )
 from aws_etl_fiap_spark.queries.registry import query
 from aws_etl_fiap_spark.sources.readers import load_table
@@ -96,6 +98,37 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     defined order (by vec_id) so the float result is engine- and
     partitioning-independent."""
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "array_functions_profile",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       list_min(CAST(embedding AS DOUBLE[])) AS min_dim,
+       list_max(CAST(embedding AS DOUBLE[])) AS max_dim,
+       sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+           AS l2_norm,
+       len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.0)) AS n_positive
+FROM embeddings
+""",
+)
+def array_functions_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order function surface (SURVEY §2.8 [EXT]): size /
+    array_min / array_max / filter / aggregate-fold over the embedding
+    column, all JVM-side expressions — the building blocks every
+    vector/text operator here composes. Oracled against DuckDB's list
+    functions (the fold norm matches list_dot_product bit-for-bit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = as_double("embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.array_min(vec).alias("min_dim"),
+        F.array_max(vec).alias("max_dim"),
+        norm(vec).alias("l2_norm"),
+        F.size(F.filter(vec, lambda x: x > 0.0)).alias("n_positive"),
+    )
 
 
 @query("sim_topk_ivf")  # k-means cells: no SQL oracle, rows-only check

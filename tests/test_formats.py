@@ -1,0 +1,69 @@
+"""CSV / JSON-lines edge-format tests: value-preserving round-trips under
+explicit schemas, and the malformed-row policy tri-state."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.sources.formats import (
+    CORRUPT_COL,
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+from aws_etl_fiap_spark.sources.readers import load_table
+
+SCHEMA = "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double"
+
+
+def _sample(spark, sf_smoke):
+    return (
+        load_table(spark, sf_smoke, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") < 500)
+    )
+
+
+def test_csv_roundtrip_value_exact(spark, sf_smoke, tmp_path):
+    src = _sample(spark, sf_smoke)
+    path = str(tmp_path / "orders_csv")
+    write_csv(src, path)
+    back = read_csv(spark, path, SCHEMA)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    assert back.schema == src.schema
+
+
+def test_jsonl_roundtrip_value_exact(spark, sf_smoke, tmp_path):
+    src = _sample(spark, sf_smoke)
+    path = str(tmp_path / "orders_json")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, SCHEMA).drop(CORRUPT_COL)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_jsonl_malformed_row_policy(spark, tmp_path):
+    path = str(tmp_path / "dirty")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        f.write('{"o_orderkey": 1, "o_custkey": 10, "o_orderstatus": "O", "o_totalprice": 5.5}\n')
+        f.write("THIS IS NOT JSON\n")
+        f.write('{"o_orderkey": 2, "o_custkey": 20, "o_orderstatus": "F", "o_totalprice": 7.25}\n')
+
+    # Spark disallows queries that touch ONLY the corrupt-record column on
+    # the raw file scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache first.
+    permissive = read_jsonl(spark, path, SCHEMA).cache()
+    good = permissive.filter(F.col(CORRUPT_COL).isNull())
+    bad = permissive.filter(F.col(CORRUPT_COL).isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert bad.first()[CORRUPT_COL] == "THIS IS NOT JSON"
+
+    dropped = read_jsonl(spark, path, SCHEMA, mode="DROPMALFORMED")
+    assert dropped.count() == 2
+
+    with pytest.raises(Exception):
+        read_jsonl(spark, path, SCHEMA, mode="FAILFAST").collect()
