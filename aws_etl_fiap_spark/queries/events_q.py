@@ -42,6 +42,33 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_json_typed_parse",
+    oracle=r"""
+SELECT event_id,
+       CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k,
+       CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) = '' THEN 0 ELSE 1 END AS parsed_ok
+FROM events
+WHERE event_type = 'click'
+""",
+)
+def events_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] schema-enforced JSON parse: from_json into a typed struct (the
+    JacksonParser path — one parse yields EVERY field, vs one JsonPath walk
+    per get_json_object call; the right shape when props carries many keys).
+    A null struct flags unparseable rows instead of failing."""
+    parsed = F.from_json(F.col("props"), "k int")
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            parsed.getField("k").alias("k"),
+            F.when(parsed.getField("k").isNotNull(), 1).otherwise(0).alias("parsed_ok"),
+        )
+    )
+
+
+@query(
     "events_json_agg",
     oracle=r"""
 SELECT event_type,
