@@ -16,6 +16,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     text_q,
     tpch,
     tpch2,
+    tpch3,
 )
 from aws_etl_fiap_spark.queries.registry import REGISTRY, oracle_sql, queries
 
