@@ -1,0 +1,79 @@
+"""Plan-quality regression tests: the physical plans behind the headline
+queries must keep the properties the 100 TB design depends on (README "Scale
+design"). Asserted on the plan string, not assumed:
+
+- filters and column pruning reach the parquet scan (PushedFilters/ReadSchema);
+- dimensions broadcast — star joins have ZERO shuffle joins;
+- the fact table shuffles at most once per query (group/window key);
+- a pure filter+project query has no shuffle at all.
+
+If an edit regresses one of these (e.g. drops an F.broadcast hint, breaks
+pushdown by wrapping a filter column in an expression), these fail before the
+bench does.
+"""
+
+from __future__ import annotations
+
+import re
+
+from aws_etl_fiap_spark.queries import REGISTRY
+
+
+def physical_plan(spark, sf_dir: str, name: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def shuffle_count(plan: str) -> int:
+    """Count data shuffles (hash/range/single-partition exchanges).
+    BroadcastExchange is not a shuffle — it is the point of broadcasting."""
+    return len(re.findall(r"Exchange (?:hash|range)partitioning|Exchange SinglePartition", plan))
+
+
+def scan_lines(plan: str) -> list[str]:
+    return [l for l in plan.splitlines() if "FileScan parquet" in l]
+
+
+def test_q1_scan_is_pruned_and_filter_pushed(spark, sf_correctness):
+    plan = physical_plan(spark, sf_correctness, "tpch_q1_pricing_summary")
+    (scan,) = scan_lines(plan)
+    # Only the 7 needed columns are read (no l_orderkey/l_partkey/l_suppkey).
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    # The shipdate predicate reaches the reader as a pushed filter.
+    assert "PushedFilters" in scan
+    pushed = scan.split("PushedFilters")[1]
+    assert "l_shipdate" in pushed.split("]")[0]
+    # Partial+final agg plus the output sort: exactly 2 shuffles.
+    assert shuffle_count(plan) == 2, plan
+
+
+def test_filter_project_has_no_shuffle(spark, sf_correctness):
+    plan = physical_plan(spark, sf_correctness, "null_filter_project")
+    assert shuffle_count(plan) == 0, plan
+    (scan,) = scan_lines(plan)
+    pushed = scan.split("PushedFilters")[1].split("]")[0]
+    assert "l_returnflag" in pushed and "l_quantity" in pushed
+
+
+def test_window_query_shuffles_once(spark, sf_correctness):
+    plan = physical_plan(spark, sf_correctness, "refined_detail_lag")
+    # One hash exchange on the window partition key and nothing else.
+    assert shuffle_count(plan) == 1, plan
+
+
+def test_q5_star_join_is_all_broadcast(spark, sf_correctness):
+    plan = physical_plan(spark, sf_correctness, "tpch_q5_local_supplier_volume")
+    # Every join in the 6-table star is a broadcast hash join...
+    assert plan.count("BroadcastHashJoin") == 5, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # ...so the fact table shuffles only for the final agg + output sort.
+    assert shuffle_count(plan) == 2, plan
+
+
+def test_q21_fact_shuffles_are_bounded(spark, sf_correctness):
+    """The EXISTS/NOT-EXISTS decorrelation must not reintroduce extra passes:
+    lineitem is shuffled for the per-order aggregate and the join-back, the
+    supplier/nation side broadcasts."""
+    plan = physical_plan(spark, sf_correctness, "tpch_q21_suppliers_kept_waiting")
+    assert "BroadcastHashJoin" in plan
+    assert shuffle_count(plan) <= 5, plan
