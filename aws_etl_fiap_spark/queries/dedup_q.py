@@ -77,6 +77,70 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(df, "doc_id", "text", JACCARD_THRESHOLD, n=3)
 
 
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+           generate_subscripts(string_split(text,' '),1) AS i
+    FROM documents
+),
+sh AS (
+    SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+pairs AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
+    FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+good AS (
+    SELECT id_a, id_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM good
+    UNION
+    SELECT id_b, id_a FROM good
+),
+reach(id, r) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT id AS doc_id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id)
+SELECT doc_id, canonical,
+       COUNT(*) OVER (PARTITION BY canonical) AS cluster_size
+FROM comp
+""",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: 3-gram Jaccard pairs become edges,
+    iterative min-label propagation (operators/graph.py) finds connected
+    components, each doc gets its component's canonical (min) doc_id plus the
+    cluster size. The oracle closes the same pair set with a recursive CTE —
+    this is the engine's iterative-algorithm surface, still value-checked."""
+    from pyspark.sql import Window
+
+    from aws_etl_fiap_spark.operators.graph import connected_components
+
+    df = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", JACCARD_THRESHOLD, n=3)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("canonical"),
+        F.count(F.lit(1)).over(Window.partitionBy("comp")).alias("cluster_size"),
+    )
+
+
 @query("dedup_minhash_lsh")  # xxhash64 signatures: no SQL oracle, rows-only
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands x 4) candidate pairs — the 100 TB fuzzy-dedup

@@ -56,3 +56,30 @@ def test_exact_dedup_deterministic_canonical(spark, sf_correctness):
     out = exact_dedup(union, ["text"], "doc_id")
     assert out.count() == df.count()
     assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    from aws_etl_fiap_spark.operators.graph import connected_components
+
+    # Chain 1-2-3-4 (diameter 3), pair {10,11}, edge given in both
+    # directions {20,21} — labels must be the component minimum everywhere.
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    got = {(r.id, r.comp) for r in connected_components(edges, "src", "dst").collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    import pytest
+
+    from aws_etl_fiap_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "src", "dst", max_iter=2)

@@ -68,7 +68,10 @@ def test_round_half_up_engine_parity(spark):
     def prop(xs):
         df = spark.createDataFrame([(x,) for x in xs], "x double")
         got = sorted(r[0] for r in df.select(round_half_up("x", 2)).collect())
-        placeholders = ", ".join(f"({x!r})" for x in xs)
+        # CAST each literal: DuckDB types bare decimal literals as DECIMAL
+        # and overflows FLOOR(x*100+0.5) in decimal arithmetic; real oracles
+        # always read DOUBLE parquet columns, which is what this must model.
+        placeholders = ", ".join(f"(CAST({x!r} AS DOUBLE))" for x in xs)
         want = sorted(
             r[0]
             for r in duck.sql(
