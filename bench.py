@@ -31,6 +31,28 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
 ]
 
+# One representative per operator family beyond the headline; timed and
+# reported, but not part of the headline total. The full 80+ registry runs
+# with SPARK_GRAFT_BENCH_ALL=1 (kept out of the default run to bound the
+# per-round bench wall-clock).
+REPRESENTATIVE = [
+    "tpch_q9_product_profit",        # widest star join
+    "tpch_q18_large_orders",         # agg-then-semi-join
+    "tpch_q21_suppliers_kept_waiting",  # exists/not-exists decorrelation
+    "window_rolling_7row_avg",       # window frames
+    "agg_rollup_status_priority",    # grouping sets family
+    "pivot_priority_by_status",      # pivot
+    "events_session_30min",          # session windows
+    "events_json_agg",               # JSON extraction
+    "text_top_terms_per_lang",       # text analysis
+    "dedup_ngram_jaccard",           # inverted-index dedup
+    "dedup_minhash_lsh",             # signature dedup (scale path)
+    "dedup_cluster_canonical",       # iterative connected components
+    "sim_topk_bruteforce",           # exact ANN baseline
+    "sim_topk_ivf",                  # ANN scale path
+    "media_frame_sample",            # multimodal mapInPandas
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,7 +60,10 @@ def main() -> None:
     spark = get_spark(app_name="aws_etl_fiap_spark-bench")
 
     names = [n for n in HEADLINE if n in REGISTRY]
-    names += [n for n in sorted(REGISTRY) if n not in names]
+    if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
+        names += [n for n in sorted(REGISTRY) if n not in names]
+    else:
+        names += [n for n in REPRESENTATIVE if n in REGISTRY and n not in names]
 
     # Warmup: JVM + codegen + parquet footer caches.
     REGISTRY["flagship_refined_summary"].spark(spark, sf_dir).count()
