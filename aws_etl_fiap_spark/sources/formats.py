@@ -68,3 +68,22 @@ def read_jsonl(
     else:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """ORC sink (native vectorized writer, snappy by default). Same columnar
+    properties as parquet — predicate pushdown, column pruning, splittable
+    stripes — for pipelines whose downstream (Hive/Trino deployments) is
+    ORC-standardized."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; schema from file footers, partition columns recovered from
+    the directory layout — symmetric with ``spark.read.parquet``."""
+    return spark.read.orc(path)

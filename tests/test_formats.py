@@ -67,3 +67,24 @@ def test_jsonl_malformed_row_policy(spark, tmp_path):
 
     with pytest.raises(Exception):
         read_jsonl(spark, path, SCHEMA, mode="FAILFAST").collect()
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_smoke, tmp_path):
+    from aws_etl_fiap_spark.sources.formats import read_orc, write_orc
+
+    src = load_table(spark, sf_smoke, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path, partition_by=["o_orderstatus"])
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+    # Value-exact roundtrip (ORC preserves doubles/timestamps bit-for-bit).
+    a = sorted(map(tuple, src.select("o_orderkey", "o_totalprice").collect()))
+    b = sorted(map(tuple, back.select("o_orderkey", "o_totalprice").collect()))
+    assert a == b
+    # Partition pruning reaches the ORC scan.
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
