@@ -182,3 +182,39 @@ def text_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_chars").cast("double") / F.count("n_chars")).alias("avg_chars"),
         F.sum(token_count("text").cast("long")).alias("total_tokens"),
     )
+
+
+@query(
+    "text_ols_chars_per_token",
+    oracle="""
+WITH feats AS (
+    SELECT lang, len(string_split(text, ' ')) AS x, n_chars AS y
+    FROM documents
+),
+sums AS (
+    SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM feats GROUP BY lang
+)
+SELECT lang, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+           AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept
+FROM sums
+""",
+)
+def text_ols_chars_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.10] Per-language OLS fit n_chars ~ a + b*n_tokens through the
+    grouped-map Arrow path (operators/grouped.ols_fit_per_group): the
+    per-group-model-scoring pattern, still VALUE-verified — integer features
+    keep the normal-equation sums exact, so the pandas-side fit matches the
+    SQL oracle bit-for-bit."""
+    from aws_etl_fiap_spark.operators.grouped import ols_fit_per_group
+
+    df = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    return ols_fit_per_group(df, ["lang"], "n_tokens", "n_chars")
