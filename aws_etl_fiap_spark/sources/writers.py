@@ -69,3 +69,73 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: Sequence[str],
+    target_rows_per_file: int = 1_000_000,
+) -> dict[str, int]:
+    """Rewrite a partitioned parquet table so each Hive partition holds
+    ~``target_rows_per_file`` rows per file — the maintenance pass every
+    long-lived 100 TB table needs once streaming/daily sinks have littered it
+    with slivers (scan cost is dominated by per-file open/schedule overhead
+    once files shrink below tens of MB).
+
+    Strategy: one rewrite job for the whole table, not one per partition —
+    count rows per partition, derive a file budget each, tag every row with a
+    file slot, and repartition on (partition key, slot) so one task writes one
+    ~target-size file into one partition. The rewrite lands in a staging
+    directory first and is swapped in with a filesystem rename: NEVER
+    overwrite a path while a lazy plan is still reading it (self-overwrite
+    either fails or corrupts mid-job; staging + swap is also what keeps
+    readers consistent on object stores). Returns {files_before, files_after,
+    partitions} for observability.
+    """
+    from pyspark.sql import functions as F
+
+    pcols = list(partition_by)
+    before = spark.read.parquet(path)
+    files_before = before.select(F.input_file_name()).distinct().count()
+
+    counts = before.groupBy(*pcols).agg(F.count(F.lit(1)).alias("_n"))
+    n_files = counts.withColumn(
+        "_files",
+        F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(target_rows_per_file))).cast("int"),
+    ).drop("_n")
+    tagged = before.join(F.broadcast(n_files), pcols).withColumn(
+        "_slot", (F.monotonically_increasing_id() % F.col("_files")).cast("int")
+    )
+    # Materialize every stat that reads the OLD generation before the swap —
+    # after it, their lazy plans would resolve deleted files.
+    total_files = int(n_files.agg(F.sum("_files")).first()[0])
+    n_partitions = int(counts.count())
+
+    staging = path.rstrip("/") + "__compact_staging"
+    (
+        tagged.repartition(total_files, *pcols, F.col("_slot"))
+        .drop("_files", "_slot")
+        .write.mode("overwrite")
+        .partitionBy(*pcols)
+        .parquet(staging)
+    )
+    # Atomic-ish swap via the Hadoop FileSystem API (works for file://, HDFS,
+    # and rename-capable object-store committers alike).
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(staging).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(path), True)
+    if not fs.rename(hpath(staging), hpath(path)):
+        raise IOError(f"rename {staging} -> {path} failed; table left in staging")
+    # Drop the session's cached file listing for the old generation — without
+    # this the next scan resolves deleted pre-compaction files.
+    spark.catalog.refreshByPath(path)
+
+    after = spark.read.parquet(path)
+    files_after = after.select(F.input_file_name()).distinct().count()
+    return {
+        "files_before": int(files_before),
+        "files_after": int(files_after),
+        "partitions": n_partitions,
+    }

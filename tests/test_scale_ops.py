@@ -98,3 +98,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_correctness, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_compact_partitions_shrinks_files_preserves_values(spark, sf_correctness, tmp_path):
+    from aws_etl_fiap_spark.sources.writers import compact_partitions
+
+    path = str(tmp_path / "littered")
+    src = load_table(spark, sf_correctness, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    # Simulate a sliver-littered sink: every task writes into every partition.
+    src.repartition(24).write.partitionBy("o_year").parquet(path)
+    want = sorted(map(tuple, spark.read.parquet(path).select("o_orderkey", "o_totalprice").collect()))
+
+    stats = compact_partitions(spark, path, ["o_year"], target_rows_per_file=1_000_000)
+
+    assert stats["files_after"] <= stats["partitions"], stats
+    assert stats["files_after"] < stats["files_before"] // 4, stats
+    got = sorted(map(tuple, spark.read.parquet(path).select("o_orderkey", "o_totalprice").collect()))
+    assert got == want
+    # Staging directory must be gone after the swap.
+    import os
+    assert not os.path.exists(path + "__compact_staging")
