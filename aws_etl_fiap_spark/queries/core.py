@@ -331,3 +331,25 @@ def sql_athena_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     API, and decimal arithmetic would change the output type)."""
     register_views(spark, sf_dir, ("lineitem",))
     return spark.sql(_ATHENA_SQL)
+
+
+_HINTED_SQL = """
+SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+"""
+
+
+@query(
+    "sql_hint_broadcast_join",
+    oracle=_HINTED_SQL,
+)
+def sql_hint_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 [EXT]: join-strategy HINTS through the SQL surface — the same
+    query text as the oracle plus ``/*+ BROADCAST(customer) */``. Hints are
+    how an Athena-style SQL user forces the physical strategy without
+    touching code; tests/test_plan_quality.py proves the hint overrides even
+    a disabled auto-broadcast threshold. Values are hint-invariant, so the
+    un-hinted oracle must match exactly."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(_HINTED_SQL.replace("SELECT", "SELECT /*+ BROADCAST(customer) */", 1))

@@ -77,3 +77,15 @@ def test_q21_fact_shuffles_are_bounded(spark, sf_correctness):
     plan = physical_plan(spark, sf_correctness, "tpch_q21_suppliers_kept_waiting")
     assert "BroadcastHashJoin" in plan
     assert shuffle_count(plan) <= 5, plan
+
+
+def test_sql_broadcast_hint_overrides_threshold(spark, sf_correctness):
+    """The /*+ BROADCAST */ hint must force a broadcast join even when the
+    auto-broadcast threshold is disabled — that is the point of a hint."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(spark, sf_correctness, "sql_hint_broadcast_join")
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
