@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Cost-based optimizer: consumes ANALYZE TABLE stats (catalog.
+        # analyze_table) for join reordering and build-side choice; inert
+        # (size-based fallback) on tables without stats.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         # Arrow for pandas interchange and Pandas UDFs (vectorized batches).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # At-rest format parity with the reference (snappy parquet).

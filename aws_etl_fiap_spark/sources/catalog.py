@@ -79,3 +79,30 @@ def register_table(
     }
     create_external_table(spark, database, table, location, data_cols, part_types or None)
     repair_partitions(spark, database, table)
+
+
+def analyze_table(
+    spark: SparkSession,
+    database: str,
+    table: str,
+    columns: list[str] | None = None,
+) -> dict[str, str]:
+    """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...] — the stats
+    feed Catalyst's cost-based optimizer (join reordering, build-side choice,
+    broadcast decisions from real sizes instead of file-size guesses). At
+    100 TB, stale or missing stats are why a planner broadcasts the wrong
+    side; a daily pipeline should re-analyze what it rewrote, scoped to the
+    columns that appear in join keys and filters (full-column stats on a wide
+    table are their own scan).
+
+    Returns the table-level stats Spark recorded (sizeInBytes/rowCount) for
+    observability.
+    """
+    fqn = f"{database}.{table}"
+    spark.sql(f"ANALYZE TABLE {fqn} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(f"`{c}`" for c in columns)
+        spark.sql(f"ANALYZE TABLE {fqn} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    rows = spark.sql(f"DESCRIBE EXTENDED {fqn}").collect()
+    stats = {r.col_name: r.data_type for r in rows if r.col_name == "Statistics"}
+    return stats

@@ -70,3 +70,28 @@ def test_dynamic_partition_overwrite(result, spark):
     after = spark.read.parquet(result.refined_path)
     parts_after = {r.dataproc for r in after.select("dataproc").distinct().collect()}
     assert parts_after == parts_before | {"19990101"}
+
+
+def test_analyze_table_feeds_cbo(spark, sf_correctness, tmp_path):
+    """ANALYZE must record table stats the optimizer can see: the logical
+    plan's sizeInBytes for the analyzed table should equal the catalog stat
+    rather than a default guess, and rowCount should be exact."""
+    from aws_etl_fiap_spark.sources.catalog import analyze_table, register_table
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    src = load_table(spark, sf_correctness, "nation")
+    loc = str(tmp_path / "nation_tbl")
+    src.write.mode("overwrite").parquet(loc)
+    register_table(spark, src, "statsdb", "nation_stats", loc)
+    try:
+        stats = analyze_table(spark, "statsdb", "nation_stats", columns=["n_nationkey"])
+        assert "Statistics" in stats
+        assert f"{src.count()} rows" in stats["Statistics"]
+        # The optimizer sees the recorded rowCount on the table's plan.
+        rel = spark.table("statsdb.nation_stats")
+        row_count = (
+            rel._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        )
+        assert row_count.isDefined() and int(str(row_count.get())) == src.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS statsdb.nation_stats")
