@@ -286,3 +286,32 @@ def set_nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return cust.subtract(supp)
+
+
+@query(
+    "skew_salted_agg",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       {sql_dec_sum('l_quantity', 2)} AS sum_l_quantity,
+       {sql_dec_sum('l_extendedprice', 2)} AS sum_l_extendedprice
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT scale] Two-phase salted aggregation (operators/skew.salted_agg):
+    the hot-key recipe for skewed GROUP BYs AQE cannot split. The oracle is
+    the PLAIN group-by — salting must be invisible in the values (decimal
+    partials make the re-aggregation order-independent), which is exactly
+    what the exact-hash gate proves."""
+    from aws_etl_fiap_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["l_quantity", "l_extendedprice"],
+        salt_source=["l_orderkey", "l_linenumber"],
+        n_salts=16,
+    )
