@@ -112,3 +112,32 @@ def stateful_running_totals(
             update, out_schema, state_schema, "update", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def streaming_session_counts(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SESSION-window aggregate: a session extends while events
+    arrive within ``gap`` of the previous one and closes after a quiet gap —
+    the hardest standard streaming shape, because windows MERGE when a
+    late-but-in-watermark event bridges two open sessions. State for a
+    session is evictable once (session end + gap) passes the watermark, so
+    memory stays bounded by the number of OPEN sessions, not event history.
+    Batch-mode twin: operators/events.py session windows (oracled)."""
+    out = (
+        with_watermark(df, ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(*aggs)
+    )
+    value_cols = [c for c in out.columns if c != "session_window" and c not in keys]
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *keys,
+        *value_cols,
+    )

@@ -136,3 +136,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     ids = sorted(r.event_id for r in spark.sql("SELECT event_id FROM dedup_test").collect())
     assert ids == [1, 2, 3, 4]
+
+
+def test_streaming_session_window_merges_across_batches(spark, tmp_path):
+    """Sessions must merge when a bridging event arrives in a LATER batch:
+    batch 1 leaves two sessions separated by a quiet gap; batch 2 drops an
+    event into the gap, welding them into one session. State from batch 1
+    must still be live (watermark) for the merge to happen."""
+    from aws_etl_fiap_spark.streaming.windows import streaming_session_counts
+
+    raw = str(tmp_path / "raw")
+    # Minutes 0,1,2 then 10,11: two sessions with a 5-minute gap rule.
+    _write_batch(spark, raw, [0, 1, 2, 10, 11])
+    schema = spark.read.parquet(raw).schema
+
+    def run(name):
+        # Keyed by user: streaming session windows require a grouping key
+        # (Spark rejects global session aggregation), which is also the only
+        # shape that scales — state partitions by key.
+        stream = stream_from_directory(spark, raw, schema).withColumn(
+            "user", F.lit("u1")
+        )
+        sessions = streaming_session_counts(
+            stream, "ts", "5 minutes", keys=["user"], aggs=[F.count(F.lit(1)).alias("n")]
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.user, r.session_start.minute, r.session_end.minute, r.n)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    # Two sessions: [0..2+gap) and [10..11+gap). Events are at second 5,
+    # so session_end = last event + 5 min lands in minute (last+5).
+    assert run("sess_a") == [("u1", 0, 7, 3), ("u1", 10, 16, 2)]
+
+    # The bridge: minute 6 is within 5 min of BOTH session edges.
+    _write_batch(spark, raw, [6])
+    assert run("sess_b") == [("u1", 0, 16, 6)]
