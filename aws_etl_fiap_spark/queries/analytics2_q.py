@@ -23,9 +23,9 @@ ORDER_STATUSES = ("F", "O", "P")
     "pivot_priority_by_status",
     oracle=f"""
 SELECT o_orderpriority,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P,
        {sql_dec_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END", 2)}
            AS F_total
 FROM orders

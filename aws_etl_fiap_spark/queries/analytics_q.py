@@ -247,11 +247,15 @@ def agg_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group regardless of input size. No SQL oracle: sketch estimates are
     implementation-defined; agg_distinct_percentiles anchors exactness."""
     li = load_table(spark, sf_dir, "lineitem")
+    iqr = F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000)
+    # scalar projections, not the raw array: list cells crash the driver's
+    # pandas canonicalizer (round-1 err on this query)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_p50_qty"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_iqr_price"),
+        F.element_at(iqr, 1).alias("approx_p25_price"),
+        F.element_at(iqr, 2).alias("approx_p75_price"),
     )
 
 

@@ -73,7 +73,7 @@ def events_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS k_total,
+       CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS k_total,
        CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS DOUBLE)
            / COUNT(regexp_extract(props, '"k":\s*(\d+)', 1)) AS k_avg
 FROM events

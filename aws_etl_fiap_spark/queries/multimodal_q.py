@@ -87,23 +87,67 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_n=4)
 
 
-@query("media_resize")  # payload-out stub: no SQL oracle, rows-only
+@query(
+    "media_resize",
+    oracle="""
+SELECT doc_id AS media_id,
+       'fake/text' AS mime,
+       8 AS width,
+       8 AS height,
+       TRUE AS ok,
+       upper(sha256(text || '|8x8') || sha256(text || '|8x8')) AS payload_hex
+FROM documents
+""",
+)
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize to 8x8 thumbnails via the stubbed codec: payload-in/payload-out
     mapInPandas (output stays binary for the next stage); per-row failures
-    degrade to ok=false instead of failing the job. Exact output bytes are
-    asserted in tests/test_multimodal.py."""
+    degrade to ok=false instead of failing the job.
+
+    Oracle-exact: the fake resize emits sha256(payload||'|8x8') bytes cycled
+    to 64 = digest||digest, and the payload is the document's UTF-8 text, so
+    DuckDB's varchar sha256 reproduces the exact output bytes; the query
+    projects them as hex for the driver's canonicalizer (full-content check,
+    stronger than a digest)."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return resize_media(media, width=8, height=8).select(
-        "media_id", "mime", "width", "height", "ok", F.sha2("payload", 256).alias("payload_digest")
+        "media_id", "mime", "width", "height", "ok", F.hex("payload").alias("payload_hex")
     )
 
 
-@query("media_extract_features")  # Python decode stub: no SQL oracle
+_FEATURE_ORACLE_COLS = ",\n".join(
+    "       CAST(CAST('0x' || substr(sha256(text), {lo}, 2) AS INT) AS DOUBLE)"
+    " / CAST(255 AS DOUBLE) AS f{i}".format(lo=2 * i + 1, i=i)
+    for i in range(8)
+)
+
+
+@query(
+    "media_extract_features",
+    oracle=f"""
+SELECT doc_id AS media_id,
+       'fake/text' AS mime,
+       TRUE AS ok,
+{_FEATURE_ORACLE_COLS}
+FROM documents
+""",
+)
 def media_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/featurize via mapInPandas: deterministic fake
     features for fake/* payloads; ok=false rows mark undecodable media
     instead of failing the job. Schema/batching seams tested in
-    tests/test_multimodal.py."""
+    tests/test_multimodal.py.
+
+    The registered projection explodes the 8-dim feature array into scalar
+    f0..f7 doubles: array cells crash the driver's canonicalizer (round-1
+    err), and the fake feature (digest byte / 255.0) is one exact IEEE
+    division per element, so DuckDB reproduces it bit-for-bit from
+    sha256(text) hex pairs."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    return extract_features(media)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        "ok",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(8)],
+    )

@@ -56,7 +56,7 @@ WITH chars AS (
            generate_subscripts(string_split(text, ''), 1) AS i
     FROM documents
 )
-SELECT doc_id, SUM(CAST(i AS BIGINT) * ascii(c)) AS fp
+SELECT doc_id, CAST(SUM(CAST(i AS BIGINT) * ascii(c)) AS BIGINT) AS fp
 FROM chars
 GROUP BY doc_id
 """,
@@ -165,9 +165,9 @@ def text_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang, source,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
-       SUM(len(string_split(text, ' '))) AS total_tokens
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY lang, source
 """,
@@ -197,12 +197,16 @@ sums AS (
     FROM feats GROUP BY lang
 )
 SELECT lang, n,
-       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
-           AS slope,
-       (CAST(sy AS DOUBLE)
-        - (CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-       / CAST(n AS DOUBLE) AS intercept
+       CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope,
+       CASE WHEN n < 2 OR n * sxx - sx * sx = 0 THEN NULL
+            ELSE (CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+       END AS intercept
 FROM sums
 """,
 )
