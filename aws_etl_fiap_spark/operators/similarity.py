@@ -118,11 +118,17 @@ def _seq_sq_norms(mat):  # numpy (n, dim) -> (n,) sequential-fold L2 norms
     return np.sqrt(acc)
 
 
+#: Loud upper bound for the driver-collect path below: past this the corpus
+#: does not belong on the driver — use :func:`allpairs_cosine_pairs_blocked`.
+ALLPAIRS_COLLECT_LIMIT = 200_000
+
+
 def allpairs_cosine_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_rows: int = ALLPAIRS_COLLECT_LIMIT,
 ) -> DataFrame:
     """All-pairs cosine >= threshold as (id_a < id_b, cos_sim) — the exact
     near-duplicate primitive, Arrow-vectorized.
@@ -145,6 +151,14 @@ def allpairs_cosine_pairs(
 
     spark = df.sparkSession
     src = df.select(F.col(id_col).cast("long").alias("id"), as_double(vec_col).alias("v"))
+    n = src.count()
+    if n > max_collect_rows:
+        raise ValueError(
+            f"allpairs_cosine_pairs: corpus has {n} rows > max_collect_rows="
+            f"{max_collect_rows}; a driver-side collect at this size is an OOM "
+            "waiting to happen — use allpairs_cosine_pairs_blocked (distributed "
+            "block pairs) or LSH-bucket blocking instead"
+        )
     corpus = src.collect()
     b_ids = np.array([r["id"] for r in corpus], dtype=np.int64)
     b_mat = np.array([r["v"] for r in corpus], dtype=np.float64)
@@ -168,6 +182,83 @@ def allpairs_cosine_pairs(
             )
 
     return src.mapInPandas(gen, "id_a long, id_b long, cos_sim double")
+
+
+def allpairs_cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, fully distributed (no driver
+    collect): the 100 TB-safe shape for the same semantics as
+    :func:`allpairs_cosine_pairs`.
+
+    Block-pair decomposition: ids hash into ``n_blocks`` disjoint blocks; the
+    B(B+1)/2 ordered block pairs (ba <= bb) are enumerated as a tiny
+    broadcast frame; each corpus row replicates to the pairs its block
+    participates in (shuffle volume O(n * B) — tune ``n_blocks`` so one
+    block pair's ~2n/B rows fit an executor's Arrow batch); each group
+    scores its A x B matrix in numpy and emits only hits. Compute stays the
+    inherent O(n^2) of EXACT all-pairs — for sub-quadratic, block with LSH
+    first and accept recall < 1 (``lsh_bucket_topk``).
+
+    Bit-exactness matches the SQL oracle for either row order: the dot is a
+    dimension-ordered accumulate and IEEE multiply/add are commutative in
+    their operands, so dot(x, y) == dot(y, x) bit-for-bit; off-diagonal hits
+    are emitted id-normalized (min, max).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    src = (
+        df.select(F.col(id_col).cast("long").alias("id"), as_double(vec_col).alias("v"))
+        .withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)))
+    )
+    pairs = (
+        spark.range(n_blocks)
+        .withColumnRenamed("id", "ba")
+        .crossJoin(spark.range(n_blocks).withColumnRenamed("id", "bb"))
+        .filter(F.col("ba") <= F.col("bb"))
+    )
+    a_side = src.join(F.broadcast(pairs), src["blk"] == pairs["ba"]).select(
+        "ba", "bb", F.lit(0).alias("side"), "id", "v"
+    )
+    b_side = src.join(F.broadcast(pairs), src["blk"] == pairs["bb"]).select(
+        "ba", "bb", F.lit(1).alias("side"), "id", "v"
+    )
+    tagged = a_side.unionByName(b_side)
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        a_rows = pdf[pdf["side"] == 0]
+        b_rows = pdf[pdf["side"] == 1]
+        if not len(a_rows) or not len(b_rows):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ids_a = a_rows["id"].to_numpy(dtype=np.int64)
+        ids_b = b_rows["id"].to_numpy(dtype=np.int64)
+        mat_a = np.array(a_rows["v"].tolist(), dtype=np.float64)
+        mat_b = np.array(b_rows["v"].tolist(), dtype=np.float64)
+        s = np.zeros((len(ids_a), len(ids_b)))
+        for i in range(mat_a.shape[1]):  # dimension-ordered accumulate
+            s += np.outer(mat_a[:, i], mat_b[:, i])
+        cos = s / np.outer(_seq_sq_norms(mat_a), _seq_sq_norms(mat_b))
+        if ba == bb:
+            mask = (cos >= threshold) & (ids_a[:, None] < ids_b[None, :])
+        else:  # disjoint blocks: every unordered pair appears exactly once
+            mask = cos >= threshold
+        hit_a, hit_b = np.nonzero(mask)
+        lo = np.minimum(ids_a[hit_a], ids_b[hit_b])
+        hi = np.maximum(ids_a[hit_a], ids_b[hit_b])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_sim": cos[hit_a, hit_b]})
+
+    return tagged.groupBy("ba", "bb").applyInPandas(
+        score, "id_a long, id_b long, cos_sim double"
+    )
 
 
 def label_centroids(

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.operators.similarity import (
-    allpairs_cosine_pairs,
+    allpairs_cosine_pairs_blocked,
     as_double,
     brute_force_topk,
     ivf_topk,
@@ -61,14 +61,15 @@ WHERE {_COS} >= 0.45
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.45): the semantic-dedup
-    primitive. Arrow-vectorized blockwise scorer: the corpus broadcasts, each
-    partition scores its block against it in numpy with a dimension-ordered
-    accumulate — bit-identical floats to the SQL oracle's sequential
-    list_dot_product, at numpy speed instead of per-pair interpreted
-    expression cost. LSH (below) is the blocking path when the corpus
-    outgrows one executor."""
+    primitive, via the distributed block-pair decomposition (NO driver
+    collect — round-1's broadcast variant pulled the whole corpus to the
+    driver, an OOM at 100x). Each block pair scores its A x B matrix in
+    numpy with a dimension-ordered accumulate — bit-identical floats to the
+    SQL oracle's sequential list_dot_product. Exact semantics, O(n*B)
+    shuffle; LSH (below) is the sub-quadratic path when exactness can be
+    traded for recall."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return allpairs_cosine_pairs(emb, threshold=0.45)
+    return allpairs_cosine_pairs_blocked(emb, threshold=0.45)
 
 
 @query(

@@ -82,3 +82,37 @@ def test_centroids_shape_and_partitioning_invariance(spark, sf_correctness):
     v1 = {(r.label, r.dim): r.centroid for r in c1.collect()}
     v2 = {(r.label, r.dim): r.centroid for r in c2.collect()}
     assert v1 == v2
+
+
+def test_blocked_allpairs_matches_broadcast_bit_for_bit(spark, sf_correctness):
+    """The distributed block-pair decomposition must return the IDENTICAL
+    pair set and IDENTICAL cosine bits as the single-node broadcast variant
+    (both claim oracle exactness, so they must agree with each other)."""
+    from aws_etl_fiap_spark.operators.similarity import (
+        allpairs_cosine_pairs,
+        allpairs_cosine_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    ref = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in allpairs_cosine_pairs(emb, threshold=0.45).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in allpairs_cosine_pairs_blocked(emb, threshold=0.45, n_blocks=5).collect()
+    }
+    assert ref, "threshold too high: empty reference pair set proves nothing"
+    assert got == ref  # dict equality: same pairs AND bit-equal floats
+
+
+def test_allpairs_collect_guard_raises(spark, sf_correctness):
+    """The driver-collect variant must refuse corpora past its loud bound
+    instead of silently OOMing the driver at scale."""
+    import pytest
+
+    from aws_etl_fiap_spark.operators.similarity import allpairs_cosine_pairs
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    with pytest.raises(ValueError, match="max_collect_rows"):
+        allpairs_cosine_pairs(emb, threshold=0.45, max_collect_rows=10)
