@@ -37,6 +37,35 @@ def content_hash(text_col: str) -> Column:
     return F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
 
 
+def portable_hash60(*cols: Column) -> Column:
+    """60-bit integer hash reproducible across engines: first 15 hex chars of
+    md5 over the ':'-joined inputs, parsed as hex.  ~16x slower than
+    xxhash64 but bit-identical in any engine with md5 (DuckDB:
+    ``CAST('0x' || substr(md5(x || ':' || y), 1, 15) AS BIGINT)``) — the
+    hash family to use when a dedup decision must be RE-DERIVABLE by a
+    different engine, e.g. for the driver's exact-oracle gate.  15 hex chars
+    (60 bits) keeps the value positive in a signed int64 on both sides."""
+    return F.conv(F.substring(F.md5(F.concat_ws(":", *cols)), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(family: str, *cols: Column) -> Column:
+    if family == "portable":
+        return portable_hash60(*cols)
+    if family == "xxhash64":
+        return F.xxhash64(*cols)
+    raise ValueError(f"unknown hash family: {family!r}")
+
+
+def _mix_constants(n_hashes: int) -> list[list[int]]:
+    """Fixed odd 16-bit multipliers for the portable minhash mixing family
+    (one row of 4 per hash function).  Deterministic: the DuckDB oracle
+    generator derives the SAME table, so both engines mix identically."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    return [[rng.randrange(1, 1 << 16) | 1 for _ in range(4)] for _ in range(n_hashes)]
+
+
 def token_shingles(text_col: str, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array<string>."""
     toks = F.split(F.col(text_col), " ")
@@ -65,6 +94,8 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
         for pdf in batches:
             docs, grams = [], []
             for doc, text in zip(pdf["doc"], pdf["text"]):
+                if text is None:  # null doc emits nothing, like the HOF path
+                    continue
                 toks = text.split(" ")
                 seen = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
                 docs.extend([doc] * len(seen))
@@ -88,14 +119,16 @@ def ngram_jaccard_pairs(
     # dominant byte volume at scale). A count-corrupting collision needs two
     # distinct shingles with equal hash64 inside one joined doc pair
     # (~2^-64 * pairs — negligible).
-    # Persisted: this frame feeds three consumers (sizes + both self-join
-    # sides); without it the shingling HOF recomputes per consumer — at any
-    # scale that's 3x the dominant cost. MEMORY_AND_DISK spills gracefully
-    # when the shingle set outgrows executor memory.
+    # localCheckpoint (MEMORY_AND_DISK under the hood): this frame feeds
+    # three consumers (sizes + both self-join sides); without it the
+    # shingling recomputes per consumer — at any scale that's 3x the
+    # dominant cost. Unlike a bare persist(), the blocks are released by the
+    # ContextCleaner once the frame is GC'd, so an 85-query driver run
+    # doesn't accumulate dead cache (round-1 advice).
     shingled = (
         shingle_rows(df, id_col, text_col, n)
         .select("doc", F.xxhash64("shingle").alias("sh"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.withColumnsRenamed({"doc": "id_a"})
@@ -139,6 +172,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     n_hashes: int = N_MINHASH,
     bands: int = LSH_BANDS,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
@@ -149,6 +183,10 @@ def minhash_lsh_pairs(
     bucket collisions are ever compared — no quadratic stage anywhere.
     Output: distinct candidate (id_a < id_b) pairs with the matching band
     count (callers verify candidates with exact jaccard on the pair subset).
+
+    ``hash_family``: "xxhash64" (default, fastest, Spark-native) or
+    "portable" (:func:`portable_hash60`, bit-reproducible in any md5-capable
+    engine — the family to register for exact cross-engine verification).
     """
     r = n_hashes // bands
     # Explode + hash-aggregate, not n_hashes interpreted passes over the
@@ -156,30 +194,58 @@ def minhash_lsh_pairs(
     # shingles is value-identical to array_min over the transform, but runs
     # in whole-stage codegen with map-side partial aggregation — one shuffle
     # keyed by doc, the shape that survives 100 TB.
-    sig = (
-        shingle_rows(df, id_col, text_col, n)
-        .withColumnRenamed("shingle", "__s")
-        .groupBy("doc")
-        .agg(
+    shingled = shingle_rows(df, id_col, text_col, n).withColumnRenamed("shingle", "__s")
+    if hash_family == "portable":
+        # ONE md5 per shingle (the expensive op), split into four 32-bit
+        # words u0..u3, then all n_hashes minhash values derive by portable
+        # integer mixing: h_i = (sum_j A_ij * u_j) mod 2^32 with fixed
+        # 16-bit constants — products stay < 2^48, so no overflow in any
+        # signed-64 engine, and the mix is pure codegen arithmetic.  The
+        # words are materialized in an explicit PROJECTION (aggregate input
+        # expressions don't reliably share subexpressions).  32-bit values
+        # are plenty for MIN-hashing (within-doc collision ~ n^2 / 2^32).
+        digest = F.md5(F.col("__s"))
+        projected = shingled.select(
+            "doc",
             *[
-                F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"mh_{i}")
-                for i in range(n_hashes)
-            ]
+                F.conv(F.substring(digest, 8 * j + 1, 8), 16, 10)
+                .cast("long")
+                .alias(f"__u{j}")
+                for j in range(4)
+            ],
         )
-    )
+        mins = [
+            F.min(
+                sum(F.col(f"__u{j}") * F.lit(a) for j, a in enumerate(row)) % F.lit(1 << 32)
+            ).alias(f"mh_{i}")
+            for i, row in enumerate(_mix_constants(n_hashes))
+        ]
+    else:
+        projected = shingled
+        mins = [
+            F.min(_hash64(hash_family, F.lit(i), F.col("__s"))).alias(f"mh_{i}")
+            for i in range(n_hashes)
+        ]
+    sig = projected.groupBy("doc").agg(*mins)
     banded = sig.select(
         "doc",
         *[
-            F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
+            _hash64(hash_family, *[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(
+                f"band_{b}"
+            )
             for b in range(bands)
         ],
     )
+    # localCheckpoint, not persist: both self-join sides reuse the one
+    # materialization, and the blocks are released by the ContextCleaner when
+    # the frame is GC'd — a bare persist() leaks cache across an 85-query
+    # driver run (round-1 advice).
     stacked = banded.selectExpr(
         "doc",
         "stack({}, {}) as (band_id, band_hash)".format(
             bands, ", ".join(f"{b}, band_{b}" for b in range(bands))
         ),
-    ).persist()  # both self-join sides: signature pipeline runs once, not twice
+    ).localCheckpoint(eager=False)
     a = stacked.withColumnsRenamed({"doc": "id_a"})
     b = stacked.withColumnsRenamed({"doc": "id_b"})
     return (
@@ -223,7 +289,11 @@ def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = SIMHASH_BITS,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Explode tokens + one grouped aggregate computing all ``bits`` votes:
     integer SUM is commutative, so the result is value-identical to the
@@ -232,7 +302,7 @@ def simhash_signatures(
     ``bits`` interpreted passes over every token array."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("__t")
-    ).select("doc", F.xxhash64("__t").alias("__h"))
+    ).select("doc", _hash64(hash_family, F.col("__t")).alias("__h"))
     votes = toks.groupBy("doc").agg(
         *[
             F.sum(
@@ -249,7 +319,13 @@ def simhash_signatures(
     return votes.select("doc", sig.alias("simhash"))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Blocking: split the 32-bit signature into 4 bands of 8 bits and equi-join
@@ -260,7 +336,11 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     collisions-only compare."""
     n_bands, band_bits = 4, SIMHASH_BITS // 4
     mask = (1 << band_bits) - 1
-    sigs = simhash_signatures(df, id_col, text_col).persist()  # feeds both join sides
+    # localCheckpoint, not persist: feeds both join sides, auto-released on
+    # GC instead of leaking cache across the driver run (round-1 advice).
+    sigs = simhash_signatures(df, id_col, text_col, hash_family=hash_family).localCheckpoint(
+        eager=False
+    )
     stacked = sigs.select(
         "doc",
         "simhash",

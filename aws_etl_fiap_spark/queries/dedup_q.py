@@ -141,19 +141,149 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh")  # xxhash64 signatures: no SQL oracle, rows-only
+def _pmd5(expr: str) -> str:
+    """DuckDB twin of operators.dedup.portable_hash60 (60-bit md5 prefix)."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+_SHINGLE_CTE = """
+toks AS (
+    SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+           generate_subscripts(string_split(text,' '),1) AS i
+    FROM documents
+),
+sh AS (
+    SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)
+"""
+
+_N_MINHASH, _LSH_BANDS, _R = 32, 8, 4
+# Mirror of the Spark portable family (operators/dedup.minhash_lsh_pairs):
+# one md5 per shingle split into four 32-bit words, then
+# h_i = (sum_j A_ij * u_j) mod 2^32 with the SAME fixed constants.
+_WORD_COLS = ",\n".join(
+    "       CAST('0x' || substr(md5(shingle), {lo}, 8) AS BIGINT) AS u{j}".format(
+        lo=8 * j + 1, j=j
+    )
+    for j in range(4)
+)
+
+
+def _sig_cols() -> str:
+    from aws_etl_fiap_spark.operators.dedup import _mix_constants
+
+    return ",\n".join(
+        "       MIN(({mix}) % 4294967296) AS mh_{i}".format(
+            mix=" + ".join(f"u{j} * {a}" for j, a in enumerate(row)), i=i
+        )
+        for i, row in enumerate(_mix_constants(_N_MINHASH))
+    )
+_BAND_COLS = ",\n".join(
+    "       {h} AS band_{b}".format(
+        h=_pmd5(
+            " || ':' || ".join(f"CAST(mh_{b * _R + j} AS VARCHAR)" for j in range(_R))
+        ),
+        b=b,
+    )
+    for b in range(_LSH_BANDS)
+)
+_BAND_STACK = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, band_{b} AS band_hash FROM banded"
+    for b in range(_LSH_BANDS)
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+words AS (
+    SELECT doc_id,
+{_WORD_COLS}
+    FROM dsh
+),
+sig AS (
+    SELECT doc_id,
+{_sig_cols()}
+    FROM words GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id,
+{_BAND_COLS}
+    FROM sig
+),
+stacked AS ({_BAND_STACK})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_matching_bands
+FROM stacked a
+JOIN stacked b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands x 4) candidate pairs — the 100 TB fuzzy-dedup
     path: constant-size signatures, equi-join on band buckets, no quadratic
-    stage. Recall vs exact Jaccard checked in tests/test_dedup.py."""
+    stage. Registered on the PORTABLE (md5-60bit) hash family so the whole
+    signature->banding->join pipeline is value-verified against DuckDB (a
+    dedup decision must be re-derivable by another engine); production runs
+    keep the default xxhash64 family for speed. Recall vs exact Jaccard
+    checked in tests/test_dedup.py."""
     df = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(df, "doc_id", "text")
+    return minhash_lsh_pairs(df, "doc_id", "text", hash_family="portable")
 
 
-@query("dedup_simhash")  # xxhash64 signatures: no SQL oracle, rows-only
+_SIMHASH_BITS, _SH_BANDS, _SH_BAND_BITS = 32, 4, 8
+_VOTE_COLS = ",\n".join(
+    f"       SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(_SIMHASH_BITS)
+)
+_SIG_EXPR = " + ".join(
+    f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+    for b in range(_SIMHASH_BITS)
+)
+_SH_STACK = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {b} AS band_id,"
+    f" (simhash >> {b * _SH_BAND_BITS}) & 255 AS band_val FROM sig"
+    for b in range(_SH_BANDS)
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH rawtok AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+th AS (
+    SELECT doc_id, {_pmd5('tok')} AS h FROM rawtok
+),
+votes AS (
+    SELECT doc_id,
+{_VOTE_COLS}
+    FROM th GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {_SIG_EXPR} AS simhash FROM votes),
+stacked AS ({_SH_STACK}),
+hits AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM stacked a
+    JOIN stacked b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                  AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM hits WHERE hamming <= 3
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) near-dup pairs within hamming distance 3, blocked on
     4 bands of 8 bits (pigeonhole: <=3 differing bits leave at least one
-    band identical, so no in-threshold pair is missed)."""
+    band identical, so no in-threshold pair is missed). Registered on the
+    PORTABLE hash family — the full vote/sign/band/hamming pipeline is
+    value-verified against DuckDB bit_count(xor) SQL."""
     df = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(df, "doc_id", "text", max_hamming=3)
+    return simhash_pairs(df, "doc_id", "text", max_hamming=3, hash_family="portable")

@@ -82,4 +82,41 @@ def test_connected_components_raises_when_unconverged(spark):
 
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, "src", "dst", max_iter=2)
+        # 1 round = HOPS_PER_ROUND (2) hops; the 4-chain needs 3.
+        connected_components(edges, "src", "dst", max_iter=1)
+
+
+def test_portable_family_recall_matches_xxhash(spark, sf_correctness):
+    """The portable (md5+mix) hash family powers the driver-oracled queries;
+    it must blocklist the same planted near-dups the xxhash64 family does
+    (hash constants change WHICH random pairs band-collide, not whether
+    ~0.99-jaccard dups are caught)."""
+    truth = _truth_pairs(spark, sf_correctness, threshold=0.9)
+    assert truth
+    df = load_table(spark, sf_correctness, "documents")
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, "doc_id", "text", hash_family="portable").collect()
+    }
+    assert not truth - cand, f"portable LSH missed: {truth - cand}"
+    sim = {
+        (r.id_a, r.id_b)
+        for r in simhash_pairs(
+            df, "doc_id", "text", max_hamming=3, hash_family="portable"
+        ).collect()
+    }
+    missed = truth - sim
+    assert len(missed) <= max(1, len(truth) // 5), f"portable simhash missed: {missed}"
+
+
+def test_shingle_rows_null_text_emits_nothing(spark):
+    """A NULL document must vanish from the shingle stream (round-1 advice:
+    the Arrow loop raised AttributeError on None)."""
+    from aws_etl_fiap_spark.operators.dedup import shingle_rows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, None), (3, "x y")],  # doc 3 has < n tokens
+        "doc_id long, text string",
+    )
+    rows = shingle_rows(df, "doc_id", "text", n=3).collect()
+    assert {r.doc for r in rows} == {1}
