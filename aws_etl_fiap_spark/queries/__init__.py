@@ -13,6 +13,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     joins_q,
     multimodal_q,
     similarity_q,
+    streaming_q,
     text_q,
     tpch,
     tpch2,

@@ -104,6 +104,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
+    # -- new in round 2: streaming execution path behind the value gate --
+    "stream_tumbling_10min_equiv",
+    "stream_session_30min_equiv",
     # -- flagship anchors (keep continuous driver evidence) --
     "flagship_refined_summary",
     "refined_detail_lag",

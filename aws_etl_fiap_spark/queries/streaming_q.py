@@ -1,0 +1,143 @@
+"""Streaming-vs-batch equivalence queries ([EXT] §2.9), driver-oracled.
+
+Round 1 left the streaming window operators test-only; these queries put the
+STREAMING execution path itself behind the driver's exact-value gate: each
+callable runs a real Structured Streaming query (readStream file source over
+the events parquet -> watermarked window aggregate -> AvailableNow trigger)
+to completion, then returns the emitted result frame, which must hash-equal
+the same batch-SQL oracle the batch-mode twins use.
+
+Output mode is COMPLETE with a memory sink: a finite verification run must
+emit EVERY window, while append mode would hold back windows newer than the
+final watermark (the exact windows the oracle contains).  Production
+streaming uses append + parquet sinks (streaming/file_trigger.py); memory
+materialization is bounded by the AGGREGATED state (windows, not events), the
+same bound the streaming state store itself carries.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import dec_sum, sql_dec_sum
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.streaming.windows import (
+    streaming_session_counts,
+    streaming_tumbling_counts,
+)
+
+_TS = "CAST(ts AS TIMESTAMP)"
+_US_10MIN = 600 * 1_000_000
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream twin of readers.load_table(..., "events"): nanos ts read as
+    long (file streams need an explicit schema anyway) and truncated to
+    micros with exact integer division."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # The testdata table is a single FILE; the file-stream source wants a
+    # directory, but a glob pattern ("[e]vents...") bypasses the basePath
+    # directory check while matching exactly that file.
+    glob = os.path.join(sf_dir, "[e]vents.parquet")
+    return (
+        spark.readStream.schema(schema)
+        .parquet(glob)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _run_to_table(result: DataFrame, spark: SparkSession) -> DataFrame:
+    name = f"stream_eq_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_tumbling_10min_equiv",
+    oracle=f"""
+SELECT make_timestamp((epoch_us({_TS}) // {_US_10MIN}) * {_US_10MIN}) AS window_start,
+       make_timestamp((epoch_us({_TS}) // {_US_10MIN}) * {_US_10MIN} + {_US_10MIN}) AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value', 2)} AS total_value
+FROM events
+GROUP BY ALL
+""",
+)
+def stream_tumbling_10min_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING tumbling 10-min window per event_type, drained end-to-end
+    through a real streaming query — the driver-checked claim is that the
+    streaming path computes byte-identical windows to the batch oracle."""
+    events = _stream_events(spark, sf_dir)
+    windowed = streaming_tumbling_counts(
+        events,
+        "ts",
+        "10 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", 2).alias("total_value"),
+        ],
+        watermark="1 hour",
+    )
+    return _run_to_table(windowed, spark)
+
+
+@query(
+    "stream_session_30min_equiv",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, {_TS} AS ts, value FROM events
+),
+marked AS (
+    SELECT *,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value', 2)} AS total_value
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def stream_session_30min_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (30-min gap) per user — session state merges
+    across micro-batches; the drained result must equal the batch
+    gap-and-islands oracle exactly."""
+    events = _stream_events(spark, sf_dir)
+    sessions = streaming_session_counts(
+        events,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", 2).alias("total_value"),
+        ],
+        watermark="1 hour",
+    )
+    return _run_to_table(sessions, spark)

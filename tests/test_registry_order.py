@@ -34,7 +34,7 @@ def test_unverdicted_families_inside_driver_window():
     need_verdict = [
         n
         for n in registry.REGISTRY
-        if n.startswith(("tpch_", "text_", "sim_"))
+        if n.startswith(("tpch_", "text_", "sim_", "stream_"))
     ] + [
         "array_functions_profile",
         # fixed or touched in round 2 -> must be re-graded
