@@ -81,6 +81,52 @@ def register_table(
     repair_partitions(spark, database, table)
 
 
+def update_external_table(
+    spark: SparkSession,
+    df: DataFrame,
+    database: str,
+    table: str,
+    location: str,
+    partition_cols: list[str] | None = None,
+) -> str:
+    """Schema-evolving registration — the reference's get_table ->
+    update_table | create_table branch (b3_transform.py:139-199, fallback at
+    :192-199) as catalog DDL.
+
+    * table absent            -> create (+ MSCK), like the :192-199 fallback;
+    * new columns appended    -> ALTER TABLE ADD COLUMNS (old files read the
+                                 new columns as NULL — parquet is by-name);
+    * a column's type changed -> drop + re-declare the EXTERNAL table in
+                                 place (metadata only: external drop leaves
+                                 every data file untouched) + MSCK, the
+                                 update_table overwrite semantics;
+    * no difference           -> no-op.
+
+    Returns which branch ran: "created" | "altered" | "recreated" |
+    "unchanged" (the reference logs the same decision, :144-145).
+    """
+    partition_cols = partition_cols or []
+    fqn = f"{database}.{table}"
+    ensure_database(spark, database)
+    if not spark.catalog.tableExists(fqn):
+        register_table(spark, df, database, table, location, partition_cols)
+        return "created"
+    existing = {f.name: f.dataType.simpleString() for f in spark.table(fqn).schema.fields}
+    desired = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    changed = {n for n, t in desired.items() if n in existing and existing[n] != t}
+    added = {n: t for n, t in desired.items() if n not in existing}
+    if changed:
+        spark.sql(f"DROP TABLE {fqn}")  # EXTERNAL: files survive the drop
+        register_table(spark, df, database, table, location, partition_cols)
+        return "recreated"
+    if added:
+        cols = ", ".join(f"`{n}` {t}" for n, t in added.items())
+        spark.sql(f"ALTER TABLE {fqn} ADD COLUMNS ({cols})")
+        repair_partitions(spark, database, table)
+        return "altered"
+    return "unchanged"
+
+
 def analyze_table(
     spark: SparkSession,
     database: str,

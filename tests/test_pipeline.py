@@ -95,3 +95,51 @@ def test_analyze_table_feeds_cbo(spark, sf_correctness, tmp_path):
         assert row_count.isDefined() and int(str(row_count.get())) == src.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS statsdb.nation_stats")
+
+
+def test_update_external_table_schema_evolution(spark, tmp_path):
+    """Reference b3_transform.py:139-199: re-registering after a schema
+    change must evolve the catalog WITHOUT dropping data (EXTERNAL drop is
+    metadata-only)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.sources.catalog import update_external_table
+
+    loc = str(tmp_path / "evolving")
+    v1 = spark.range(3).select(F.col("id"), F.lit("x").alias("a"))
+    v1.write.mode("overwrite").parquet(loc)
+    assert update_external_table(spark, v1, "evo_db", "t", loc) == "created"
+    assert update_external_table(spark, v1, "evo_db", "t", loc) == "unchanged"
+
+    # New column appended: old files read it as NULL, nothing rewritten.
+    v2 = v1.withColumn("b", F.lit(1).cast("long"))
+    v2.limit(0).write.mode("append").parquet(loc)
+    assert update_external_table(spark, v2, "evo_db", "t", loc) == "altered"
+    got = spark.table("evo_db.t")
+    assert set(got.columns) == {"id", "a", "b"}
+    assert got.count() == 3
+
+    # Type change: re-declare in place; data files survive.
+    v3 = v1.withColumn("a", F.lit(2.5))
+    assert update_external_table(spark, v3, "evo_db", "t", loc) == "recreated"
+    assert spark.table("evo_db.t").count() == 3
+    spark.sql("DROP TABLE IF EXISTS evo_db.t")
+
+
+def test_cli_shim_runs_pipeline(tmp_path):
+    """S10/S11: the argparse twin of getResolvedOptions drives the full
+    pipeline."""
+    import json
+
+    from aws_etl_fiap_spark import cli
+
+    out = tmp_path / "wh"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["--warehouse", str(out), "--keys", "AAAA3,BBBB4", "--cpus", "8"])
+    assert rc == 0
+    payload = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert payload["raw_rows"] > 0 and payload["refined_rows"] > 0
