@@ -120,14 +120,25 @@ def compact_partitions(
         .partitionBy(*pcols)
         .parquet(staging)
     )
-    # Atomic-ish swap via the Hadoop FileSystem API (works for file://, HDFS,
-    # and rename-capable object-store committers alike).
+    # Swap via the Hadoop FileSystem API (works for file://, HDFS, and
+    # rename-capable object-store committers alike).  Order matters for
+    # crash-safety: the live generation is RENAMED ASIDE first, so at no
+    # point does the table path hold nothing recoverable — delete-then-rename
+    # would lose the table if the process died between the calls.
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(staging).getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(hpath(path), True)
+    backup = path.rstrip("/") + "__compact_old"
+    fs.delete(hpath(backup), True)  # stale backup from a previous crash
+    if not fs.rename(hpath(path), hpath(backup)):
+        raise IOError(f"rename {path} -> {backup} failed; table untouched")
     if not fs.rename(hpath(staging), hpath(path)):
-        raise IOError(f"rename {staging} -> {path} failed; table left in staging")
+        # Roll the old generation back into place before failing.
+        fs.rename(hpath(backup), hpath(path))
+        raise IOError(
+            f"rename {staging} -> {path} failed; old generation restored"
+        )
+    fs.delete(hpath(backup), True)  # both renames confirmed: drop old gen
     # Drop the session's cached file listing for the old generation — without
     # this the next scan resolves deleted pre-compaction files.
     spark.catalog.refreshByPath(path)
