@@ -453,6 +453,25 @@ def ivf_topk(
     )
 
 
+def portable_planes_matrix(n_tables: int, n_planes: int, dim: int):
+    """±1 hyperplane tensor from md5 parity — pure Python (hashlib), no
+    Spark, no numpy RNG: sign(t, p, d) = 1 - 2 * (md5("t:p:d")[0:15 hex]
+    mod 2).  Portable by construction: a SQL engine (or the DuckDB oracle
+    generator) derives the IDENTICAL tensor from the same formula, which
+    puts the whole SRP bucketing pipeline behind an exact value gate."""
+    import hashlib
+
+    import numpy as np
+
+    bits = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                digest = hashlib.md5(f"{t}:{p}:{d}".encode()).hexdigest()
+                bits[t, p, d] = int(digest[:15], 16) % 2
+    return 1.0 - 2.0 * bits
+
+
 def srp_planes_matrix(spark, n_tables: int, n_planes: int, dim: int):
     """The ±1 hyperplane tensor (n_tables, n_planes, dim), materialized once
     driver-side FROM SPARK'S OWN xxhash64 (one constant-folded projection on
@@ -546,10 +565,15 @@ def lsh_bucket_topk(
     n_tables: int = N_TABLES,
     n_planes: int = N_PLANES,
     dim: int | None = None,
+    plane_family: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: score only vectors sharing an SRP bucket with the
     query in at least one of ``n_tables`` hash tables (classic multi-table
     LSH: more tables -> higher recall, proportionally more candidates).
+
+    ``plane_family``: "xxhash64" (default; planes from Spark's own hash) or
+    "portable" (:func:`portable_planes_matrix`, md5 parity — reproducible by
+    any engine, so the bucket pipeline itself can be value-verified).
 
     At 100 TB the bucket join replaces the cross product: the corpus is
     hashed once (linear scan), the equi-join on (table, bucket) shuffles by
@@ -559,7 +583,10 @@ def lsh_bucket_topk(
     candidate scoring stays expression-side so returned cos_sim values are
     bit-identical to :func:`brute_force_topk` for the same pair."""
     spark = queries.sparkSession
-    planes = srp_planes_matrix(spark, n_tables, n_planes, dim or EMBED_DIM)
+    if plane_family == "portable":
+        planes = portable_planes_matrix(n_tables, n_planes, dim or EMBED_DIM)
+    else:
+        planes = srp_planes_matrix(spark, n_tables, n_planes, dim or EMBED_DIM)
     q_src = queries.select(F.col(query_id).alias("query_id"), as_double(vec_col).alias("__qv"))
     c_src = corpus.select(F.col(corpus_id).alias("neighbor_id"), as_double(vec_col).alias("__cv"))
     q = _np_buckets(q_src, "query_id", "__qv", planes, keep_vec=False)

@@ -142,11 +142,73 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
 
 
-@query("sim_topk_lsh")  # xxhash64-derived hyperplanes: no SQL oracle
+def _portable_planes_values() -> str:
+    """The (t, p, d, sign) tuples of the portable SRP plane tensor as a SQL
+    VALUES literal — derived from the SAME md5-parity formula the Spark
+    operator uses (operators/similarity.portable_planes_matrix), so the
+    oracle rebuilds identical buckets from first principles."""
+    from aws_etl_fiap_spark.operators.similarity import (
+        EMBED_DIM,
+        N_PLANES,
+        N_TABLES,
+        portable_planes_matrix,
+    )
+
+    planes = portable_planes_matrix(N_TABLES, N_PLANES, EMBED_DIM)
+    return ",".join(
+        f"({t},{p},{d},{int(planes[t, p, d])})"
+        for t in range(N_TABLES)
+        for p in range(N_PLANES)
+        for d in range(EMBED_DIM)
+    )
+
+
+@query(
+    "sim_topk_lsh",
+    oracle=f"""
+WITH planes(t, p, d, s) AS (VALUES {_portable_planes_values()}),
+dims AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+           unnest(CAST(embedding AS DOUBLE[])) AS x
+    FROM embeddings
+),
+proj AS (
+    SELECT vec_id, t, p, SUM(x * s) AS pr
+    FROM dims JOIN planes USING (d)
+    GROUP BY vec_id, t, p
+),
+buckets AS (
+    SELECT vec_id, t,
+           CAST(SUM(CASE WHEN pr >= 0 THEN
+                    CASE p WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END
+                ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id, t
+),
+cand AS (
+    SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+    FROM buckets qb
+    JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+    WHERE qb.vec_id < 5 AND cb.vec_id <> qb.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT query_id, neighbor_id,
+           {_COS} AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {_COS} DESC, neighbor_id) AS rank
+    FROM cand
+    JOIN embeddings a ON a.vec_id = query_id
+    JOIN embeddings b ON b.vec_id = neighbor_id
+) WHERE rank <= 10
+""",
+)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via multi-table sign-random-projection bucketing
     (8 tables x 4 planes): the 100 TB ANN path — bucket equi-join instead of
-    cross product. Recall vs brute force is checked in
-    tests/test_similarity.py."""
+    cross product. Registered on the PORTABLE (md5-parity) plane family so
+    bucketing + candidate join + scoring are all value-verified against SQL
+    that re-derives the planes from the same formula; recall vs brute force
+    is checked in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucket_topk(emb.filter(F.col("vec_id") < 5), emb, k=10)
+    return lsh_bucket_topk(
+        emb.filter(F.col("vec_id") < 5), emb, k=10, plane_family="portable"
+    )
