@@ -1,0 +1,87 @@
+"""Corpus curation plan ([EXT] north star): the end-to-end training-data
+funnel — quality filter -> exact dedup -> fuzzy dedup clustering -> canonical
+survivors — composed from the engine's operators as ONE lazy dataflow.
+
+This is the shape a 100 TB pretraining-data pipeline actually runs:
+
+    raw documents
+      -> cheap expression-only quality scoring (operators/text.py), filter
+      -> exact dedup on the 32-byte content hash (one shuffle)
+      -> n-gram Jaccard near-dup pairs (inverted-index join)
+      -> connected components (operators/graph.py), keep each cluster's
+         canonical (min doc_id) member
+      -> curated corpus
+
+Stage order matters at scale: each stage shrinks the input of the next, and
+the expensive quadratic-ish fuzzy stage runs LAST on the smallest set.  Every
+stage is individually oracled elsewhere (text_quality, dedup_exact,
+dedup_ngram_jaccard, dedup_cluster_canonical); queries/corpus_q.py puts the
+WHOLE funnel behind one exact DuckDB oracle so stage composition is verified
+too, not just the pieces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.operators.dedup import (
+    content_hash,
+    exact_dedup,
+    ngram_jaccard_pairs,
+)
+from aws_etl_fiap_spark.operators.graph import connected_components
+from aws_etl_fiap_spark.operators.text import quality_score
+
+MIN_QUALITY = 0.5
+JACCARD_THRESHOLD = 0.5
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = MIN_QUALITY,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> dict[str, DataFrame]:
+    """Run the curation funnel; returns every intermediate stage (lazy):
+    ``{"quality", "exact", "survivors"}`` — callers pick the stage they
+    need, and nothing is computed twice (survivors build on exact, exact on
+    quality)."""
+    quality = (
+        quality_score(df, text_col)
+        .filter(F.col("quality") >= min_quality)
+        .select(df.columns)
+    )
+    exact = exact_dedup(
+        quality.withColumn("content_hash", content_hash(text_col)),
+        ["content_hash"],
+        id_col,
+    ).select(df.columns)
+    pairs = ngram_jaccard_pairs(exact, id_col, text_col, jaccard_threshold)
+    comp = connected_components(pairs, "id_a", "id_b")
+    dropped = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    survivors = exact.join(dropped, id_col, "left_anti")
+    return {"quality": quality, "exact": exact, "survivors": survivors}
+
+
+def curation_funnel_counts(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Per-stage row accounting (stage, n_docs) — the curation run report.
+    A long/skinny frame, not a collect: at scale this is the job's audit
+    record, written next to the curated output."""
+    stages = curate_corpus(df, id_col, text_col)
+
+    def count_frame(frame: DataFrame, stage: str) -> DataFrame:
+        return frame.agg(
+            F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_docs")
+        )
+
+    return (
+        count_frame(df, "raw")
+        .unionByName(count_frame(stages["quality"], "quality"))
+        .unionByName(count_frame(stages["exact"], "exact_dedup"))
+        .unionByName(count_frame(stages["survivors"], "fuzzy_dedup"))
+    )

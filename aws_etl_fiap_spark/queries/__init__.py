@@ -8,6 +8,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     analytics2_q,
     analytics_q,
     core,
+    corpus_q,
     dedup_q,
     events_q,
     joins_q,

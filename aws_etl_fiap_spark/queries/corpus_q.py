@@ -1,0 +1,98 @@
+"""Whole-funnel curation query ([EXT] north star): the plans/corpus.py
+quality -> exact-dedup -> fuzzy-cluster composition behind ONE exact DuckDB
+oracle — verifying stage ORDER and wiring, not just the (already-oracled)
+stages."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_etl_fiap_spark.plans.corpus import (
+    JACCARD_THRESHOLD,
+    MIN_QUALITY,
+    curation_funnel_counts,
+)
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+# Mirrors operators/text.quality_score (same IEEE ops as the text_quality
+# oracle) and the dedup_q shingle/pair/cluster CTEs, applied to the funnel's
+# shrinking inputs.
+_FUNNEL_ORACLE = f"""
+WITH q AS (
+    SELECT doc_id, text,
+        least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+        + least(CAST(len(list_filter(string_split(text, ' '),
+              x -> x IN ('the','of','and','to','in','is','that','for','with','on')))
+              AS DOUBLE)
+            / CAST(len(string_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) * 0.4
+        + CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 3.0
+                AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 12.0
+               THEN 0.2 ELSE 0.0 END AS quality
+    FROM documents
+),
+qual AS (SELECT doc_id, text FROM q WHERE quality >= {MIN_QUALITY}),
+ex AS (
+    SELECT doc_id, text FROM qual
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+toks AS (
+    SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+           generate_subscripts(string_split(text,' '),1) AS i
+    FROM ex
+),
+sh AS (
+    SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+pairs AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
+    FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+good AS (
+    SELECT id_a, id_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM good
+    UNION
+    SELECT id_b, id_a FROM good
+),
+reach AS (
+    WITH RECURSIVE r(id, v) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON e.src = r.v
+    )
+    SELECT * FROM r
+),
+comp AS (SELECT id, LEAST(id, MIN(v)) AS canonical FROM reach GROUP BY id),
+dropped AS (SELECT id FROM comp WHERE canonical <> id),
+final AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id FROM dropped))
+SELECT 'raw' AS stage, CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL
+SELECT 'quality', CAST((SELECT COUNT(*) FROM qual) AS BIGINT)
+UNION ALL
+SELECT 'exact_dedup', CAST((SELECT COUNT(*) FROM ex) AS BIGINT)
+UNION ALL
+SELECT 'fuzzy_dedup', CAST((SELECT COUNT(*) FROM final) AS BIGINT)
+"""
+
+
+@query("corpus_curation_funnel", oracle=_FUNNEL_ORACLE)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation funnel accounting: (stage, n_docs) through
+    quality filter -> exact dedup -> fuzzy-cluster canonical keep.  The
+    expensive fuzzy stage runs LAST on the smallest input — stage order is
+    part of what the oracle pins down."""
+    return curation_funnel_counts(load_table(spark, sf_dir, "documents"))

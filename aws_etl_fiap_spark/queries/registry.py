@@ -104,14 +104,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
-    # -- new in round 2: streaming execution path behind the value gate --
+    # -- new in round 2: streaming execution path + whole curation funnel --
     "stream_tumbling_10min_equiv",
     "stream_session_30min_equiv",
+    "corpus_curation_funnel",
     # -- flagship anchors (keep continuous driver evidence) --
     "flagship_refined_summary",
     "refined_detail_lag",
     "join_asof_prev_low_order",
-    "skew_salted_agg",
 )
 
 

@@ -32,13 +32,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--shuffle-partitions", default=None)
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
 
     import duckdb
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    builder = SparkSession.builder.master(args.master)
+    if args.shuffle_partitions:
+        # Parallelism sweep: exact results must be partition-count invariant
+        # (the round driver's session config is not ours to choose).
+        builder = builder.config("spark.sql.shuffle.partitions", args.shuffle_partitions)
+    spark = builder.getOrCreate()
     import __spark_entry__ as e
 
     # smoke

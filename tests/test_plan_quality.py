@@ -89,3 +89,43 @@ def test_sql_broadcast_hint_overrides_threshold(spark, sf_correctness):
         assert "BroadcastHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_blocked_allpairs_no_driver_collect_and_bounded_groups(spark, sf_correctness):
+    """The distributed exact all-pairs plan must be pure dataflow: block-pair
+    replication joins + ONE grouped Arrow stage — collect()-free by
+    construction (building the plan performs no job besides the broadcast of
+    the B^2-row pairs frame)."""
+    from aws_etl_fiap_spark.operators.similarity import allpairs_cosine_pairs_blocked
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    df = allpairs_cosine_pairs_blocked(emb, threshold=0.45, n_blocks=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # the numpy scorer, grouped form
+    # Replication is by broadcast of the tiny pairs frame, never a shuffle of
+    # the corpus per block pair: corpus-side exchanges are the single
+    # group-by-block-pair hash exchange.
+    assert plan.count("BroadcastExchange") >= 1
+    import re
+
+    shuffles = re.findall(r"Exchange (?:hash|range)partitioning", plan)
+    assert len(shuffles) <= 2, plan
+
+
+def test_minhash_portable_single_doc_shuffle(spark, sf_correctness):
+    """The portable minhash signature pipeline must keep the xxhash64
+    family's shape: shingle stream -> ONE doc-keyed aggregate (map-side
+    combined), band stack, band-bucket self-join — no extra exchanges from
+    the md5/word projection."""
+    from aws_etl_fiap_spark.operators.dedup import minhash_lsh_pairs
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    df = load_table(spark, sf_correctness, "documents")
+    out = minhash_lsh_pairs(df, "doc_id", "text", hash_family="portable")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partial_min on the map side before the doc-keyed exchange
+    assert "partial_min" in plan or "partial_" in plan, plan
+    # exactly: doc-agg exchange (pre-localCheckpoint lineage) is cut by the
+    # checkpoint; what remains is the band self-join + pair aggregate.
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
