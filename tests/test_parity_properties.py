@@ -114,3 +114,79 @@ def test_salted_agg_property(spark):
         assert got == want
 
     prop()
+
+
+def test_portable_hash60_engine_parity(spark):
+    """The portable hash family's whole value proposition is cross-engine
+    bit-equality: Spark conv(substr(md5)) must equal DuckDB's hex-cast form
+    for ANY string, including unicode and empties (md5 runs over UTF-8 bytes
+    in both engines)."""
+    import duckdb
+
+    from aws_etl_fiap_spark.operators.dedup import portable_hash60
+
+    con = duckdb.connect()
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "s string")
+        got = {
+            r.s: r.h
+            for r in df.select("s", portable_hash60(F.col("s")).alias("h")).collect()
+        }
+        for t in texts:
+            (expect,) = con.execute(
+                "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [t]
+            ).fetchone()
+            assert got[t] == expect, t
+
+    check()
+
+
+def test_portable_minhash_mixing_engine_parity(spark):
+    """The word-split + fixed-constant mixing must agree with the DuckDB SQL
+    twin for arbitrary shingle strings (guards the exact formula the
+    dedup_minhash_lsh oracle embeds)."""
+    import duckdb
+
+    from aws_etl_fiap_spark.operators.dedup import _mix_constants
+
+    con = duckdb.connect()
+    rows = _mix_constants(8)
+
+    @given(st.text(max_size=30))
+    @settings(max_examples=10, deadline=None)
+    def check(s):
+        df = spark.createDataFrame([(s,)], "s string")
+        digest = F.md5(F.col("s"))
+        words = [
+            F.conv(F.substring(digest, 8 * j + 1, 8), 16, 10).cast("long")
+            for j in range(4)
+        ]
+        cols = [
+            (sum(words[j] * F.lit(a) for j, a in enumerate(row)) % F.lit(1 << 32)).alias(
+                f"h{i}"
+            )
+            for i, row in enumerate(rows)
+        ]
+        got = df.select(*cols).first()
+        for i, row in enumerate(rows):
+            mix = " + ".join(
+                f"CAST('0x' || substr(md5(?), {8 * j + 1}, 8) AS BIGINT) * {a}"
+                for j, a in enumerate(row)
+            )
+            (expect,) = con.execute(
+                f"SELECT ({mix}) % 4294967296", [s] * 4
+            ).fetchone()
+            assert got[f"h{i}"] == expect, (s, i)
+
+    check()
