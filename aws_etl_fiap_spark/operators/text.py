@@ -110,3 +110,40 @@ def fingerprint(text_col: str) -> Column:
         lambda c, i: i.cast("long") * F.ascii(c).cast("long"),
     )
     return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-training chunking shape (context-window packing happens downstream).
+
+    Expression-only: token array -> start positions every (chunk_tokens -
+    overlap) -> slice + re-join per window -> explode. One narrow pass, no
+    shuffle, no Python; at 100 TB this pipelines inside the scan stage.
+    Output: (id, chunk_idx, n_chunk_tokens, chunk) with chunk_idx dense from
+    0 — every document yields >= 1 chunk (short docs yield themselves).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("int").alias("chunk_idx"),
+            F.slice(toks, s + 1, chunk_tokens).alias("win"),
+        ),
+    )
+    ex = df.select(F.col(id_col), F.explode(chunks).alias("c"))
+    return ex.select(
+        id_col,
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c.win").alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.col("c.win")).alias("chunk"),
+    )

@@ -96,3 +96,50 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive fuzzy stage runs LAST on the smallest input — stage order is
     part of what the oracle pins down."""
     return curation_funnel_counts(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+    SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+    FROM t
+)
+SELECT doc_id,
+       CAST(start // 48 AS INT) AS chunk_idx,
+       CAST(len(list_slice(toks, start + 1, start + 64)) AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk
+FROM s
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64 tokens, stride 48): the
+    pre-training chunk shape, expression-only (slice + explode inside the
+    scan stage, zero shuffle). Full chunk text is value-verified."""
+    from aws_etl_fiap_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@query(
+    "corpus_sample_10pct",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+           AS BIGINT) % 100 < 10
+""",
+)
+def corpus_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample via portable hash buckets — exactly
+    re-derivable by any md5-capable engine (THE property rand()-sampling
+    lacks at 100 TB), and monotone in the rate: the 5% sample under the same
+    salt is a strict subset."""
+    from aws_etl_fiap_spark.operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", rate_pct=10).select(
+        "doc_id", "lang", "source"
+    )

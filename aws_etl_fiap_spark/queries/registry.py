@@ -104,14 +104,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_cluster_canonical",
-    # -- new in round 2: streaming execution path + whole curation funnel --
+    # -- new in round 2: streaming execution path + curation components --
     "stream_tumbling_10min_equiv",
     "stream_session_30min_equiv",
     "corpus_curation_funnel",
-    # -- flagship anchors (keep continuous driver evidence) --
+    "text_chunk_windows",
+    "corpus_sample_10pct",
+    # -- flagship anchor (keeps continuous driver evidence; the rest of the
+    # r1-green registry sits after the window with its r1 rows as evidence) --
     "flagship_refined_summary",
-    "refined_detail_lag",
-    "join_asof_prev_low_order",
 )
 
 

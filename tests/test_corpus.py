@@ -13,3 +13,43 @@ def test_funnel_monotone_and_survivors_consistent(spark, sf_correctness):
     assert counts["fuzzy_dedup"] > 0
     # Survivors keep original columns untouched.
     assert set(stages["survivors"].columns) == set(docs.columns)
+
+
+def test_chunking_covers_and_overlaps(spark):
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(150))
+    df = spark.createDataFrame([(1, text), (2, "only three tokens")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_tokens=64, overlap=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,48,96,144 -> 4 chunks; sizes 64,64,54,6
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.n_chunk_tokens for r in d1] == [64, 64, 54, 6]
+    # consecutive chunks overlap by exactly 16 tokens
+    a, b = d1[0].chunk.split(" "), d1[1].chunk.split(" ")
+    assert a[-16:] == b[:16]
+    # every token position is covered
+    covered = set()
+    for r in d1:
+        start = r.chunk_idx * 48
+        covered.update(range(start, start + r.n_chunk_tokens))
+    assert covered == set(range(150))
+    # short doc yields itself as one chunk
+    (d2,) = by_doc[2]
+    assert d2.chunk == "only three tokens" and d2.chunk_idx == 0
+
+
+def test_deterministic_sample_monotone_and_stable(spark, sf_correctness):
+    from aws_etl_fiap_spark.operators.sampling import deterministic_sample
+
+    docs = load_table(spark, sf_correctness, "documents")
+    s5 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 5).select("doc_id").collect()}
+    s10 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 10).select("doc_id").collect()}
+    again = {r.doc_id for r in deterministic_sample(docs, "doc_id", 10).select("doc_id").collect()}
+    assert s5 <= s10          # rates compose monotonically
+    assert s10 == again       # exactly re-derivable
+    assert 0 < len(s10) < docs.count()
