@@ -237,6 +237,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(df, "doc_id", "text", hash_family="portable")
 
 
+@query(
+    "dedup_minhash_verified",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+words AS (
+    SELECT doc_id,
+{_WORD_COLS}
+    FROM dsh
+),
+sig AS (
+    SELECT doc_id,
+{_sig_cols()}
+    FROM words GROUP BY doc_id
+),
+banded AS (
+    SELECT doc_id,
+{_BAND_COLS}
+    FROM sig
+),
+stacked AS ({_BAND_STACK}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM stacked a
+    JOIN stacked b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+shared AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS shared
+    FROM cand c
+    JOIN dsh x ON x.doc_id = c.id_a
+    JOIN dsh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared,
+       CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {JACCARD_THRESHOLD}
+""",
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE production fuzzy-dedup composition: LSH candidates verified by
+    exact Jaccard computed ONLY on the candidate subset — linear candidate
+    build plus an exact check whose intermediate is |candidates| x shingles,
+    not the full inverted-index blowup. Portable hash family end-to-end so
+    the whole two-stage pipeline is value-verified."""
+    df = load_table(spark, sf_dir, "documents")
+    from aws_etl_fiap_spark.operators.dedup import verified_fuzzy_pairs
+
+    return verified_fuzzy_pairs(
+        df, "doc_id", "text", JACCARD_THRESHOLD, hash_family="portable"
+    )
+
+
 _SIMHASH_BITS, _SH_BANDS, _SH_BAND_BITS = 32, 4, 8
 _VOTE_COLS = ",\n".join(
     f"       SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"

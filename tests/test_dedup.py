@@ -120,3 +120,25 @@ def test_shingle_rows_null_text_emits_nothing(spark):
     )
     rows = shingle_rows(df, "doc_id", "text", n=3).collect()
     assert {r.doc for r in rows} == {1}
+
+
+def test_verified_fuzzy_pairs_subset_of_exact_with_recall(spark, sf_correctness):
+    """LSH+verify must return EXACTLY the exact-Jaccard pairs whose
+    candidates the banding surfaced: a subset of ground truth with identical
+    jaccard values, and full recall on the ~0.99 planted dups."""
+    from aws_etl_fiap_spark.operators.dedup import verified_fuzzy_pairs
+
+    df = load_table(spark, sf_correctness, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 0.5, n=3).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in verified_fuzzy_pairs(df, "doc_id", "text", 0.5).collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, j in got.items():
+        assert j == exact[pair]  # verification stage reports TRUE jaccard bits
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high and high <= set(got), "LSH+verify missed near-identical dups"
