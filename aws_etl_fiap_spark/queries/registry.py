@@ -110,9 +110,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_curation_funnel",
     "text_chunk_windows",
     "corpus_sample_10pct",
-    # -- flagship anchor (keeps continuous driver evidence; the rest of the
-    # r1-green registry sits after the window with its r1 rows as evidence) --
-    "flagship_refined_summary",
+    "dedup_minhash_verified",
+    # Everything after the 50-entry window is r1-driver-green and keeps that
+    # evidence; flagship_refined_summary additionally smoke-runs as entry()
+    # every round.
 )
 
 

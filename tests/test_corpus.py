@@ -53,3 +53,29 @@ def test_deterministic_sample_monotone_and_stable(spark, sf_correctness):
     assert s5 <= s10          # rates compose monotonically
     assert s10 == again       # exactly re-derivable
     assert 0 < len(s10) < docs.count()
+
+
+def test_sample_coherent_across_tables(spark, sf_correctness):
+    """Hash-bucket sampling on a shared KEY keeps joined tables coherent:
+    sampling orders and lineitem independently by order key (same salt)
+    equals sampling their join — the property that makes hash sampling
+    usable for multi-table training-data extracts (rand() sampling breaks
+    referential integrity)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.sampling import deterministic_sample
+
+    orders = load_table(spark, sf_correctness, "orders")
+    li = load_table(spark, sf_correctness, "lineitem")
+    o_s = deterministic_sample(orders, "o_orderkey", 20, salt="join")
+    l_s = deterministic_sample(li, "l_orderkey", 20, salt="join")
+    joined_then_sampled = deterministic_sample(
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey")),
+        "o_orderkey",
+        20,
+        salt="join",
+    )
+    sampled_then_joined = o_s.join(l_s, F.col("o_orderkey") == F.col("l_orderkey"))
+    a = {(r.o_orderkey, r.l_linenumber) for r in sampled_then_joined.collect()}
+    b = {(r.o_orderkey, r.l_linenumber) for r in joined_then_sampled.collect()}
+    assert a == b and a
