@@ -17,6 +17,7 @@ same bound the streaming state store itself carries.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
 
@@ -52,16 +53,34 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _run_to_table(result: DataFrame, spark: SparkSession) -> DataFrame:
+@contextlib.contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Stateful streaming creates a state-store instance PER shuffle
+    partition; under a vanilla session's default 200 partitions that is 200
+    store setups for a sf0.01 verification run (~7x the query's real work).
+    Scope the setting to the streaming query and restore it after — on a
+    cluster the caller sizes it to cores, as session.get_spark does."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _run_to_table(
+    result: DataFrame, spark: SparkSession, mode: str = "complete"
+) -> DataFrame:
     name = f"stream_eq_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, 16):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -141,3 +160,36 @@ def stream_session_30min_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 hour",
     )
     return _run_to_table(sessions, spark)
+
+
+@query(
+    "stream_stateful_totals_equiv",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS total
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful_totals_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARBITRARY-STATE streaming primitive (applyInPandasWithState)
+    behind the exact gate: per-user running (n, total) drained through a real
+    streaming query must equal the batch GROUP BY. Values accumulate as
+    integer cents (floor(x*100+0.5), the engine's half-up parity rule) so
+    the running total is commutative and batching-independent — exactly
+    hashable, unlike a float sum."""
+    from aws_etl_fiap_spark.streaming.windows import stateful_running_totals
+
+    events = _stream_events(spark, sf_dir).withColumn(
+        "v_cents",
+        F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)).cast("long"),
+    )
+    totals = stateful_running_totals(
+        events, "user_id", "v_cents", "ts", watermark="1 hour", integer_total=True
+    )
+    # update mode: arbitrary state doesn't support complete.  AvailableNow
+    # over the single-file source = one micro-batch, so the update-mode
+    # memory sink holds exactly one (final) row per key.
+    return _run_to_table(totals, spark, mode="update")

@@ -63,6 +63,7 @@ def stateful_running_totals(
     value_col: str,
     ts_col: str,
     watermark: str = "1 hour",
+    integer_total: bool = False,
 ) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): per-key
     cumulative ``(n, total)`` maintained across micro-batches — the arbitrary-
@@ -83,18 +84,24 @@ def stateful_running_totals(
     delay_ms = int(amount) * unit_ms[unit.rstrip("s")]
 
     key_type = df.schema[key_col].dataType.simpleString()
-    out_schema = f"{key_col} {key_type}, n long, total double"
-    state_schema = "n long, total double"
+    # integer_total: exact int64 accumulation (commutative, so the running
+    # total is order- and batching-independent — the form a value-exact
+    # oracle can check; float totals carry summation-order ulps).
+    total_type = "long" if integer_total else "double"
+    out_schema = f"{key_col} {key_type}, n long, total {total_type}"
+    state_schema = f"n long, total {total_type}"
+    zero = 0 if integer_total else 0.0
+    cast = int if integer_total else float
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
             state.remove()
             return
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total = state.get if state.exists else (0, zero)
         last_ts = None
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[value_col].sum())
+            total += cast(pdf[value_col].sum())
             batch_max = pdf[ts_col].max()
             last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
         state.update((n, total))
