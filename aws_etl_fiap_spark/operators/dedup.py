@@ -258,6 +258,27 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    seen_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Daily-pipeline dedup shape: keep only NEW documents that duplicate
+    neither the historical corpus nor each other.
+
+    ``seen_hashes`` is the running registry of content hashes (one skinny
+    column — at 100 TB that registry is what you keep hot, never the
+    documents). Two stages, both single-shuffle: within-batch canonical pick
+    (min id per hash), then LEFT ANTI against history.  Spark broadcasts the
+    smaller side automatically (AQE) — typically the day's batch, not the
+    multi-year registry."""
+    hashed = new_df.withColumn(hash_col, content_hash(text_col))
+    batch_canon = exact_dedup(hashed, [hash_col], id_col)
+    return batch_canon.join(seen_hashes.select(hash_col), hash_col, "left_anti")
+
+
 def verified_fuzzy_pairs(
     df: DataFrame,
     id_col: str,

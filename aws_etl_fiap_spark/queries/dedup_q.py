@@ -238,6 +238,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_new_docs",
+    oracle="""
+WITH history AS (
+    SELECT DISTINCT sha256(text) AS content_hash FROM documents WHERE doc_id < 250
+),
+raw_batch AS (
+    SELECT doc_id, lang, source, text FROM documents WHERE doc_id >= 250
+    UNION ALL
+    -- re-crawled copies of already-ingested docs (the daily reality)
+    SELECT doc_id + 10000, lang, source, text FROM documents WHERE doc_id < 100
+),
+batch AS (
+    SELECT doc_id, lang, source, sha256(text) AS content_hash
+    FROM raw_batch
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+)
+SELECT b.doc_id, b.lang, b.source, b.content_hash
+FROM batch b
+WHERE b.content_hash NOT IN (SELECT content_hash FROM history)
+""",
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against historical state: docs < 250 stand in as
+    the already-ingested corpus; today's batch is docs >= 250 PLUS
+    re-crawled copies of 100 historical docs (shifted ids) — the daily
+    reality this operator exists for. Within-batch canonical pick, then
+    LEFT ANTI against the skinny hash registry: every re-crawl is dropped,
+    every genuinely-new doc survives — verified exactly."""
+    from aws_etl_fiap_spark.operators.dedup import incremental_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") < 250).select(
+        content_hash("text").alias("content_hash")
+    )
+    recrawled = docs.filter(F.col("doc_id") < 100).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    batch = docs.filter(F.col("doc_id") >= 250).unionByName(recrawled)
+    out = incremental_exact_dedup(batch, history, "doc_id", "text")
+    return out.select("doc_id", "lang", "source", "content_hash")
+
+
+@query(
     "dedup_minhash_verified",
     oracle=f"""
 WITH {_SHINGLE_CTE},

@@ -142,3 +142,23 @@ def test_verified_fuzzy_pairs_subset_of_exact_with_recall(spark, sf_correctness)
         assert j == exact[pair]  # verification stage reports TRUE jaccard bits
     high = {p for p, j in exact.items() if j >= 0.9}
     assert high and high <= set(got), "LSH+verify missed near-identical dups"
+
+
+def test_incremental_dedup_drops_recrawls_keeps_new(spark):
+    from aws_etl_fiap_spark.operators.dedup import content_hash, incremental_exact_dedup
+
+    history_docs = spark.createDataFrame(
+        [(1, "old doc one"), (2, "old doc two")], "doc_id long, text string"
+    )
+    seen = history_docs.select(content_hash("text").alias("content_hash"))
+    batch = spark.createDataFrame(
+        [
+            (10, "old doc one"),   # re-crawl -> dropped
+            (11, "fresh doc"),     # new -> kept
+            (12, "fresh doc"),     # within-batch dup -> canonical 11 only
+            (13, "another fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_exact_dedup(batch, seen, "doc_id", "text")
+    assert {r.doc_id for r in out.collect()} == {11, 13}
