@@ -293,6 +293,40 @@ def set_nations_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "set_nations_intersect_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_nations_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.7] INTERSECT ALL (bag semantics — min of the per-side
+    multiplicities survives): customer/supplier nation keys WITH repetition.
+    Plans as a counted aggregate join, no row explosion."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersectAll(supp)
+
+
+@query(
+    "set_nations_except_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def set_nations_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.7] EXCEPT ALL (bag semantics — per-key multiplicity
+    difference): how many MORE customers than suppliers each nation has,
+    as repeated keys."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.exceptAll(supp)
+
+
+@query(
     "skew_salted_agg",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,

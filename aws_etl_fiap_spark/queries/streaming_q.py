@@ -162,6 +162,53 @@ def stream_session_30min_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(sessions, spark)
 
 
+_US_5MIN = 300 * 1_000_000
+
+
+@query(
+    "stream_sliding_10min_5min_equiv",
+    oracle=f"""
+WITH buckets AS (
+    SELECT (epoch_us({_TS}) // {_US_5MIN}) * {_US_5MIN} AS floor5, value FROM events
+),
+assigned AS (
+    SELECT floor5 AS start_us, value FROM buckets
+    UNION ALL
+    SELECT floor5 - {_US_5MIN} AS start_us, value FROM buckets
+)
+SELECT make_timestamp(start_us) AS window_start,
+       make_timestamp(start_us + {_US_10MIN}) AS window_end,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value', 2)} AS total_value
+FROM assigned
+GROUP BY start_us
+""",
+)
+def stream_sliding_10min_5min_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sliding window (10 min / 5 min slide) — completes the
+    streaming window family behind the exact gate (tumbling and session
+    above): every event replicates into two windows pre-partial-agg, and the
+    drained result must equal the batch bucket-union oracle."""
+    from aws_etl_fiap_spark.streaming.windows import with_watermark
+
+    events = _stream_events(spark, sf_dir)
+    out = (
+        with_watermark(events, "ts", "1 hour")
+        .groupBy(F.window(F.col("ts"), "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(out, spark)
+
+
 @query(
     "stream_stateful_totals_equiv",
     oracle="""
