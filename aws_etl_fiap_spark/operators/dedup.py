@@ -106,14 +106,53 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     return src.mapInPandas(gen, "doc long, shingle string")
 
 
+def _df_capped(shingled: DataFrame, hash_col: str, max_df: int | None) -> DataFrame:
+    """Filter exploded (doc, shingle-hash) postings to shingles whose
+    document frequency is <= ``max_df``.  One extra hash aggregate on the
+    already-checkpointed postings frame + a broadcast-able semi-join of the
+    (tiny) over-cap key set's complement — at scale the df table is a
+    map-side combined count, and the join key is the 8-byte hash."""
+    if max_df is None:
+        return shingled
+    ok = (
+        shingled.groupBy(hash_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select(hash_col)
+    )
+    return shingled.join(ok, hash_col, "left_semi")
+
+
+#: Posting-list cap for the exact-Jaccard tier: shingles shared by more than
+#: this many documents are excluded from pair GENERATION (doc sizes still
+#: count them).  The shingle self-join is quadratic in per-shingle document
+#: frequency — one stop-phrase shingle shared by 10k docs creates 10^8 join
+#: rows at corpus scale, a single-key job-killer.  Capping df is the standard
+#: inverted-index defense (drop stop postings); pairs that share ONLY
+#: ultra-common shingles are noise for near-dup purposes anyway.
+MAX_SHINGLE_DF = 1000
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
 
     Inverted-index shape: explode distinct shingles, self-join on the
     shingle (docs never pair unless they share one), count shared, then
-    |A∪B| = |A|+|B|-shared. Output: id_a < id_b, shared, jaccard."""
+    |A∪B| = |A|+|B|-shared. Output: id_a < id_b, shared, jaccard.
+
+    ``max_shingle_df`` drops postings with document frequency above the cap
+    before the self-join (``None`` disables).  Semantics with the cap:
+    ``shared`` counts only sub-cap shingles while ``na``/``nb`` remain the
+    TRUE distinct-shingle counts, so reported jaccard is a lower bound that
+    equals the exact value whenever no shared shingle is capped — and the
+    DuckDB oracle mirrors the same definition exactly."""
     # Join on the 8-byte xxhash64 of the shingle, not the string: the
     # inverted-index shuffle carries longs instead of n-gram text (the
     # dominant byte volume at scale). A count-corrupting collision needs two
@@ -131,8 +170,9 @@ def ngram_jaccard_pairs(
         .localCheckpoint(eager=False)
     )
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = shingled.withColumnsRenamed({"doc": "id_a"})
-    b = shingled.withColumnsRenamed({"doc": "id_b"})
+    postings = _df_capped(shingled, "sh", max_shingle_df)
+    a = postings.withColumnsRenamed({"doc": "id_a"})
+    b = postings.withColumnsRenamed({"doc": "id_b"})
     pairs = (
         a.join(b, (a.sh == b.sh) & (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b")
@@ -286,6 +326,7 @@ def verified_fuzzy_pairs(
     threshold: float,
     n: int = 3,
     hash_family: str = "xxhash64",
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """THE production fuzzy-dedup shape at 100 TB: MinHash-LSH candidate
     generation (linear build, band-bucket equi-join) followed by EXACT
@@ -296,7 +337,9 @@ def verified_fuzzy_pairs(
     sum-over-shingles(docs-per-shingle^2) — on a real corpus that is orders
     of magnitude smaller, at the price of LSH recall (< 1 by construction).
     Output schema matches ngram_jaccard_pairs: (id_a < id_b, shared,
-    jaccard >= threshold).
+    jaccard >= threshold) — including the same ``max_shingle_df`` posting cap
+    in the shared-shingle count, so both tiers report the identical jaccard
+    for the same pair.
     """
     cands = minhash_lsh_pairs(
         df, id_col, text_col, n=n, hash_family=hash_family
@@ -307,8 +350,9 @@ def verified_fuzzy_pairs(
         .localCheckpoint(eager=False)  # feeds sizes + both pair sides
     )
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = shingled.select(F.col("doc").alias("id_a"), F.col("h").alias("ha"))
-    sb = shingled.select(F.col("doc").alias("__idb"), F.col("h").alias("hb"))
+    postings = _df_capped(shingled, "h", max_shingle_df)
+    sa = postings.select(F.col("doc").alias("id_a"), F.col("h").alias("ha"))
+    sb = postings.select(F.col("doc").alias("__idb"), F.col("h").alias("hb"))
     shared = (
         cands.join(sa, "id_a")
         .join(sb, (F.col("id_b") == F.col("__idb")) & (F.col("ha") == F.col("hb")))

@@ -123,7 +123,7 @@ def _seq_sq_norms(mat):  # numpy (n, dim) -> (n,) sequential-fold L2 norms
 ALLPAIRS_COLLECT_LIMIT = 200_000
 
 
-def allpairs_cosine_pairs(
+def allpairs_cosine_pairs_small(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
@@ -131,7 +131,11 @@ def allpairs_cosine_pairs(
     max_collect_rows: int = ALLPAIRS_COLLECT_LIMIT,
 ) -> DataFrame:
     """All-pairs cosine >= threshold as (id_a < id_b, cos_sim) — the exact
-    near-duplicate primitive, Arrow-vectorized.
+    near-duplicate primitive, Arrow-vectorized.  The ``_small`` suffix is the
+    steer: this variant collects the corpus to the driver, which only belongs
+    on a corpus KNOWN to be small (within-bucket verification, test oracles);
+    anything unbounded goes through
+    :func:`allpairs_cosine_pairs_blocked` instead.
 
     Shape: a manual broadcast join. The corpus (the small side by
     construction — all-pairs is only ever run on a corpus that fits one
@@ -151,15 +155,17 @@ def allpairs_cosine_pairs(
 
     spark = df.sparkSession
     src = df.select(F.col(id_col).cast("long").alias("id"), as_double(vec_col).alias("v"))
-    n = src.count()
-    if n > max_collect_rows:
+    # Bounded guard: collect at most limit+1 rows — one scan that IS the
+    # collect we need anyway, instead of a separate full count() job that
+    # doubled input scans on every call (round-2 advice).
+    corpus = src.limit(max_collect_rows + 1).collect()
+    if len(corpus) > max_collect_rows:
         raise ValueError(
-            f"allpairs_cosine_pairs: corpus has {n} rows > max_collect_rows="
+            f"allpairs_cosine_pairs_small: corpus exceeds max_collect_rows="
             f"{max_collect_rows}; a driver-side collect at this size is an OOM "
             "waiting to happen — use allpairs_cosine_pairs_blocked (distributed "
             "block pairs) or LSH-bucket blocking instead"
         )
-    corpus = src.collect()
     b_ids = np.array([r["id"] for r in corpus], dtype=np.int64)
     b_mat = np.array([r["v"] for r in corpus], dtype=np.float64)
     bc = spark.sparkContext.broadcast((b_ids, b_mat, _seq_sq_norms(b_mat)))
@@ -184,6 +190,11 @@ def allpairs_cosine_pairs(
     return src.mapInPandas(gen, "id_a long, id_b long, cos_sim double")
 
 
+#: Back-compat alias; prefer the explicit ``_small`` name (or the blocked
+#: variant) so call sites advertise the driver-collect bound they accept.
+allpairs_cosine_pairs = allpairs_cosine_pairs_small
+
+
 def allpairs_cosine_pairs_blocked(
     df: DataFrame,
     threshold: float,
@@ -193,7 +204,7 @@ def allpairs_cosine_pairs_blocked(
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold, fully distributed (no driver
     collect): the 100 TB-safe shape for the same semantics as
-    :func:`allpairs_cosine_pairs`.
+    :func:`allpairs_cosine_pairs_small`.
 
     Block-pair decomposition: ids hash into ``n_blocks`` disjoint blocks; the
     B(B+1)/2 ordered block pairs (ba <= bb) are enumerated as a tiny
@@ -516,7 +527,7 @@ def _np_buckets(df: DataFrame, id_name: str, vec_name: str, planes, keep_vec: bo
     import numpy as np
     import pandas as pd
 
-    n_tables, n_planes, _ = planes.shape
+    n_tables, n_planes, dim = planes.shape
     weights = 2.0 ** np.arange(n_planes)
     out_schema = f"{id_name} long, table_id int, bucket long" + (
         f", {vec_name} array<double>" if keep_vec else ""
@@ -529,7 +540,16 @@ def _np_buckets(df: DataFrame, id_name: str, vec_name: str, planes, keep_vec: bo
             mat = np.array(pdf[vec_name].tolist(), dtype=np.float64)
             frames = []
             for t in range(n_tables):
-                proj = mat @ planes[t].T  # (batch, n_planes)
+                # Dimension-ordered accumulate, NOT a BLAS matmul: each
+                # projection is the sequential left-fold sum(x_i * s_i) —
+                # the same IEEE adds in the same order as DuckDB
+                # list_dot_product over the plane vector, so a projection
+                # within ulps of 0 gets the SAME sign on both engines
+                # (matmul uses pairwise/blocked summation, which is not
+                # order-reproducible across engines; round-2 advice).
+                proj = np.zeros((len(mat), n_planes))
+                for i in range(dim):
+                    proj += np.outer(mat[:, i], planes[t][:, i])
                 buckets = ((proj >= 0) @ weights).astype(np.int64)
                 f = pd.DataFrame(
                     {id_name: pdf[id_name].to_numpy(), "table_id": t, "bucket": buckets}

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.operators.dedup import (
+    MAX_SHINGLE_DF,
     content_hash,
     exact_dedup,
     minhash_lsh_pairs,
@@ -23,6 +24,18 @@ from aws_etl_fiap_spark.queries.registry import query
 from aws_etl_fiap_spark.sources.readers import load_table
 
 JACCARD_THRESHOLD = 0.5
+
+# Oracle mirror of the posting-list df cap (operators/dedup.MAX_SHINGLE_DF):
+# pair generation reads capped postings; doc sizes keep the full count.  The
+# Spark side caps on xxhash64(shingle) frequency and the oracle on the string
+# itself — a cross-shingle hash collision could merge two df counts, with the
+# same ~2^-64 odds already accepted for the shared-count join.
+_CAPPED_POSTINGS = f"""
+cap AS (
+    SELECT shingle FROM dsh GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+),
+post AS (SELECT dsh.doc_id, dsh.shingle FROM dsh JOIN cap USING (shingle))
+"""
 
 
 @query(
@@ -56,10 +69,11 @@ sh AS (
     JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
 ),
 dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+{_CAPPED_POSTINGS},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
 pairs AS (
     SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
-    FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    FROM post x JOIN post y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
     GROUP BY 1, 2
 )
 SELECT id_a, id_b, shared,
@@ -92,10 +106,11 @@ sh AS (
     JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
 ),
 dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+{_CAPPED_POSTINGS},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
 pairs AS (
     SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
-    FROM dsh x JOIN dsh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    FROM post x JOIN post y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
     GROUP BY 1, 2
 ),
 good AS (
@@ -197,8 +212,23 @@ _BAND_STACK = "\nUNION ALL\n".join(
 )
 
 
+@query("dedup_minhash_lsh")  # xxhash64 family: no DuckDB twin, rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands x 4) candidate pairs — the 100 TB fuzzy-dedup
+    path: constant-size signatures, equi-join on band buckets, no quadratic
+    stage. THIS is the production registration (xxhash64 hash family, the
+    fast Spark-native path) and the one bench.py times; the value-verified
+    twin is :func:`dedup_minhash_lsh_portable` below, which runs the SAME
+    pipeline on the md5-portable family that DuckDB can re-derive (round-2
+    verdict: benching the ~2x-slower verification family misstated the
+    production number). Recall of BOTH families vs the exact-Jaccard ground
+    truth is checked in tests/test_dedup.py."""
+    df = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(df, "doc_id", "text", hash_family="xxhash64")
+
+
 @query(
-    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_portable",
     oracle=f"""
 WITH {_SHINGLE_CTE},
 words AS (
@@ -225,14 +255,12 @@ JOIN stacked b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
 GROUP BY 1, 2
 """,
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32)+LSH(8 bands x 4) candidate pairs — the 100 TB fuzzy-dedup
-    path: constant-size signatures, equi-join on band buckets, no quadratic
-    stage. Registered on the PORTABLE (md5-60bit) hash family so the whole
-    signature->banding->join pipeline is value-verified against DuckDB (a
-    dedup decision must be re-derivable by another engine); production runs
-    keep the default xxhash64 family for speed. Recall vs exact Jaccard
-    checked in tests/test_dedup.py."""
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-verified twin of :func:`dedup_minhash_lsh`: the identical
+    signature->banding->join pipeline on the PORTABLE (md5-60bit) hash
+    family, so the whole MinHash-LSH decision procedure is re-derivable —
+    and exactly verified — by a different engine (DuckDB).  Correctness
+    registration only; production and bench run the xxhash64 entry."""
     df = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(df, "doc_id", "text", hash_family="portable")
 
@@ -306,12 +334,13 @@ cand AS (
     JOIN stacked b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
                   AND a.doc_id < b.doc_id
 ),
+{_CAPPED_POSTINGS},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
 shared AS (
     SELECT c.id_a, c.id_b, COUNT(*) AS shared
     FROM cand c
-    JOIN dsh x ON x.doc_id = c.id_a
-    JOIN dsh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+    JOIN post x ON x.doc_id = c.id_a
+    JOIN post y ON y.doc_id = c.id_b AND y.shingle = x.shingle
     GROUP BY 1, 2
 )
 SELECT id_a, id_b, shared,

@@ -35,13 +35,38 @@ _TS = "CAST(ts AS TIMESTAMP)"
 _US_10MIN = 600 * 1_000_000
 
 
+@contextlib.contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of the block, then restore the
+    previous value (or unset if it was unset).  Every conf mutation a
+    registered query makes MUST be scoped like this: the driver runs ~100
+    queries through ONE shared session, so an unrestored setting leaks into
+    every query that follows (round-2 advice on nanosAsLong)."""
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream twin of readers.load_table(..., "events"): nanos ts read as
     long (file streams need an explicit schema anyway) and truncated to
-    micros with exact integer division."""
+    micros with exact integer division.
+
+    The nanosAsLong conf here only covers the batch SCHEMA read; the
+    streaming run itself re-scopes it in :func:`_run_to_table` (the conf is
+    consulted at micro-batch execution time, after this function returns)."""
     path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        schema = spark.read.parquet(path).schema
     # The testdata table is a single FILE; the file-stream source wants a
     # directory, but a glob pattern ("[e]vents...") bypasses the basePath
     # directory check while matching exactly that file.
@@ -53,26 +78,22 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@contextlib.contextmanager
 def _scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Stateful streaming creates a state-store instance PER shuffle
     partition; under a vanilla session's default 200 partitions that is 200
     store setups for a sf0.01 verification run (~7x the query's real work).
     Scope the setting to the streaming query and restore it after — on a
     cluster the caller sizes it to cores, as session.get_spark does."""
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return _scoped_conf(spark, "spark.sql.shuffle.partitions", str(n))
 
 
 def _run_to_table(
     result: DataFrame, spark: SparkSession, mode: str = "complete"
 ) -> DataFrame:
     name = f"stream_eq_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle_partitions(spark, 16):
+    with _scoped_shuffle_partitions(spark, 16), _scoped_conf(
+        spark, "spark.sql.legacy.parquet.nanosAsLong", "true"
+    ):
         q = (
             result.writeStream.format("memory")
             .queryName(name)
@@ -240,3 +261,29 @@ def stream_stateful_totals_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over the single-file source = one micro-batch, so the update-mode
     # memory sink holds exactly one (final) row per key.
     return _run_to_table(totals, spark, mode="update")
+
+
+@query(
+    "stream_dedup_equiv",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dedup (``dropDuplicatesWithinWatermark``) behind the exact
+    gate: one row survives per (user_id, event_type) within the watermark
+    horizon, drained through a real streaming query.  WHICH physical row
+    survives is batch-order-dependent (dropDuplicates keeps the first row
+    encountered per key), so the query projects the dedup KEYS only — the
+    surviving key set is deterministic and must equal the batch DISTINCT
+    oracle exactly.  Append mode: dedup is a row filter, not an aggregate,
+    so rows emit as they pass."""
+    from aws_etl_fiap_spark.streaming.windows import streaming_dedup
+
+    events = _stream_events(spark, sf_dir)
+    deduped = streaming_dedup(
+        events, "ts", ["user_id", "event_type"], watermark="1 hour"
+    )
+    return _run_to_table(
+        deduped.select("user_id", "event_type"), spark, mode="append"
+    )

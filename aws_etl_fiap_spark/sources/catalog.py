@@ -116,6 +116,15 @@ def update_external_table(
     changed = {n for n, t in desired.items() if n in existing and existing[n] != t}
     added = {n: t for n, t in desired.items() if n not in existing}
     if changed:
+        # DROP is metadata-only ONLY for external tables; if this name was
+        # created as a MANAGED table outside register_table, dropping it
+        # would delete the data files (round-2 advice).  Refuse instead.
+        if spark.catalog.getTable(fqn).tableType != "EXTERNAL":
+            raise ValueError(
+                f"update_external_table: {fqn} is not an EXTERNAL table; "
+                "dropping it would delete its data files — refusing. "
+                "Migrate the managed table explicitly first."
+            )
         spark.sql(f"DROP TABLE {fqn}")  # EXTERNAL: files survive the drop
         register_table(spark, df, database, table, location, partition_cols)
         return "recreated"

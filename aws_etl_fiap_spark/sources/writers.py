@@ -95,6 +95,23 @@ def compact_partitions(
     """
     from pyspark.sql import functions as F
 
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    backup = path.rstrip("/") + "__compact_old"
+    # Crash recovery FIRST: if a previous run died between rename(path ->
+    # backup) and rename(staging -> path), the backup is the ONLY copy of the
+    # table — restore it before doing anything else (in particular before the
+    # unconditional stale-backup delete below, which would otherwise be
+    # permanent data loss in exactly the window this function protects).
+    if fs.exists(hpath(backup)) and not fs.exists(hpath(path)):
+        if not fs.rename(hpath(backup), hpath(path)):
+            raise IOError(
+                f"recovery rename {backup} -> {path} failed; "
+                "table data is intact in the backup — intervene manually"
+            )
+        spark.catalog.refreshByPath(path)
+
     pcols = list(partition_by)
     before = spark.read.parquet(path)
     files_before = before.select(F.input_file_name()).distinct().count()
@@ -125,11 +142,9 @@ def compact_partitions(
     # crash-safety: the live generation is RENAMED ASIDE first, so at no
     # point does the table path hold nothing recoverable — delete-then-rename
     # would lose the table if the process died between the calls.
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(staging).getFileSystem(spark._jsc.hadoopConfiguration())
-    backup = path.rstrip("/") + "__compact_old"
-    fs.delete(hpath(backup), True)  # stale backup from a previous crash
+    # Safe to drop a stale backup here: the live path is confirmed present
+    # (we just read it), so the backup is never the only copy at this point.
+    fs.delete(hpath(backup), True)
     if not fs.rename(hpath(path), hpath(backup)):
         raise IOError(f"rename {path} -> {backup} failed; table untouched")
     if not fs.rename(hpath(staging), hpath(path)):

@@ -162,3 +162,46 @@ def test_incremental_dedup_drops_recrawls_keeps_new(spark):
     )
     out = incremental_exact_dedup(batch, seen, "doc_id", "text")
     assert {r.doc_id for r in out.collect()} == {11, 13}
+
+
+def test_shingle_df_cap_blocks_stop_shingle_pairs(spark):
+    """A shingle shared by every document (a boilerplate header) must not
+    generate pairs once its df exceeds the cap: pair generation reads capped
+    postings, while doc sizes keep the true count — mirrored exactly by the
+    DuckDB oracle's capped definition (round-2 scale-killer fix)."""
+    from aws_etl_fiap_spark.operators.dedup import verified_fuzzy_pairs
+
+    boiler = "subscribe to our newsletter today"  # one 5-token stop phrase
+    rows = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(20)]
+    # Two genuine near-dups that also carry the boilerplate.
+    rows += [(100, f"{boiler} same body of text here"),
+             (101, f"{boiler} same body of text here also")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.id_a, r.id_b): (r.shared, r.jaccard)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 0.0, n=3,
+                                     max_shingle_df=None).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): (r.shared, r.jaccard)
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 0.0, n=3,
+                                     max_shingle_df=5).collect()
+    }
+    # Uncapped: the boilerplate shingles pair EVERY document (22*21/2 pairs).
+    assert len(uncapped) == 22 * 21 // 2
+    # Capped at 5: the boilerplate postings (df=22) are dropped, so only the
+    # genuine near-dup pair survives, counted over its sub-cap shingles only.
+    assert set(capped) == {(100, 101)}
+    shared, jac = capped[(100, 101)]
+    assert shared < uncapped[(100, 101)][0]  # boilerplate shingles excluded
+    assert 0 < jac < uncapped[(100, 101)][1]  # lower-bound jaccard
+
+    # The verified (LSH + exact check) tier applies the SAME cap definition.
+    vcap = {
+        (r.id_a, r.id_b): (r.shared, r.jaccard)
+        for r in verified_fuzzy_pairs(df, "doc_id", "text", 0.0, n=3,
+                                      max_shingle_df=5).collect()
+        if (r.id_a, r.id_b) == (100, 101)
+    }
+    assert vcap == {(100, 101): (shared, jac)}

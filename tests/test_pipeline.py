@@ -126,6 +126,30 @@ def test_update_external_table_schema_evolution(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS evo_db.t")
 
 
+def test_update_external_table_refuses_managed_drop(spark, tmp_path):
+    """A type change must NOT drop a MANAGED table that happens to share the
+    name: managed drop deletes the data files, contradicting the metadata-only
+    contract (round-2 advice)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.sources.catalog import update_external_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS evo_db2")
+    v1 = spark.range(3).select(F.col("id"), F.lit("x").alias("a"))
+    try:
+        v1.write.mode("overwrite").saveAsTable("evo_db2.managed_t")  # MANAGED
+        v_changed = v1.withColumn("a", F.lit(2.5))
+        with pytest.raises(ValueError, match="not an EXTERNAL table"):
+            update_external_table(
+                spark, v_changed, "evo_db2", "managed_t", str(tmp_path / "loc")
+            )
+        # The managed table (and its data) must be untouched.
+        assert spark.table("evo_db2.managed_t").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS evo_db2.managed_t")
+
+
 def test_cli_shim_runs_pipeline(tmp_path):
     """S10/S11: the argparse twin of getResolvedOptions drives the full
     pipeline."""

@@ -120,3 +120,34 @@ def test_compact_partitions_shrinks_files_preserves_values(spark, sf_correctness
     # Staging directory must be gone after the swap.
     import os
     assert not os.path.exists(path + "__compact_staging")
+
+
+def test_compact_partitions_recovers_crashed_swap(spark, sf_correctness, tmp_path):
+    """If a previous run died between rename(path -> backup) and
+    rename(staging -> path), the backup is the ONLY copy.  A subsequent run
+    must restore it, not delete it as a 'stale backup' (round-2 advice)."""
+    import os
+
+    from aws_etl_fiap_spark.sources.writers import compact_partitions
+
+    path = str(tmp_path / "tbl")
+    src = load_table(spark, sf_correctness, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    src.repartition(8).write.partitionBy("o_year").parquet(path)
+    want = sorted(
+        map(tuple, spark.read.parquet(path).select("o_orderkey", "o_totalprice").collect())
+    )
+    # Simulate the crash window: live generation renamed aside, new one never
+    # landed.
+    os.rename(path, path + "__compact_old")
+    assert not os.path.exists(path)
+
+    stats = compact_partitions(spark, path, ["o_year"], target_rows_per_file=1_000_000)
+
+    assert not os.path.exists(path + "__compact_old")
+    got = sorted(
+        map(tuple, spark.read.parquet(path).select("o_orderkey", "o_totalprice").collect())
+    )
+    assert got == want
+    assert stats["files_after"] <= stats["partitions"], stats

@@ -89,14 +89,14 @@ def test_blocked_allpairs_matches_broadcast_bit_for_bit(spark, sf_correctness):
     pair set and IDENTICAL cosine bits as the single-node broadcast variant
     (both claim oracle exactness, so they must agree with each other)."""
     from aws_etl_fiap_spark.operators.similarity import (
-        allpairs_cosine_pairs,
+        allpairs_cosine_pairs_small,
         allpairs_cosine_pairs_blocked,
     )
 
     emb = load_table(spark, sf_correctness, "embeddings")
     ref = {
         (r.id_a, r.id_b): r.cos_sim
-        for r in allpairs_cosine_pairs(emb, threshold=0.45).collect()
+        for r in allpairs_cosine_pairs_small(emb, threshold=0.45).collect()
     }
     got = {
         (r.id_a, r.id_b): r.cos_sim
@@ -111,8 +111,8 @@ def test_allpairs_collect_guard_raises(spark, sf_correctness):
     instead of silently OOMing the driver at scale."""
     import pytest
 
-    from aws_etl_fiap_spark.operators.similarity import allpairs_cosine_pairs
+    from aws_etl_fiap_spark.operators.similarity import allpairs_cosine_pairs_small
 
     emb = load_table(spark, sf_correctness, "embeddings")
     with pytest.raises(ValueError, match="max_collect_rows"):
-        allpairs_cosine_pairs(emb, threshold=0.45, max_collect_rows=10)
+        allpairs_cosine_pairs_small(emb, threshold=0.45, max_collect_rows=10)

@@ -138,6 +138,29 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert ids == [1, 2, 3, 4]
 
 
+def test_registered_streaming_queries_restore_session_conf(spark):
+    """Registered streaming queries scope every conf they touch (shuffle
+    partitions for state-store sizing, nanosAsLong for the events schema):
+    the driver runs ~100 queries through one shared session, so any net
+    session-conf change would leak into every query that follows."""
+    from aws_etl_fiap_spark.queries.streaming_q import stream_dedup_equiv
+
+    keys = ["spark.sql.shuffle.partitions", "spark.sql.legacy.parquet.nanosAsLong"]
+
+    def snapshot():
+        out = {}
+        for k in keys:
+            try:
+                out[k] = spark.conf.get(k)
+            except Exception:
+                out[k] = None
+        return out
+
+    before = snapshot()
+    stream_dedup_equiv(spark, "/root/testdata/sf0.001").count()
+    assert snapshot() == before
+
+
 def test_streaming_session_window_merges_across_batches(spark, tmp_path):
     """Sessions must merge when a bridging event arrives in a LATER batch:
     batch 1 leaves two sessions separated by a quiet gap; batch 2 drops an
