@@ -29,36 +29,51 @@ def test_no_query_lost_or_duplicated():
     assert set(names) == set(registry.REGISTRY)
 
 
-def test_unverdicted_families_inside_driver_window():
+def test_window_is_exactly_full():
+    """DRIVER_PRIORITY should pin the whole 50-slot window: fewer wastes
+    graded slots on arbitrary registration order, more silently truncates."""
+    assert len(registry.DRIVER_PRIORITY) == DRIVER_WINDOW
+
+
+def test_unverdicted_or_changed_queries_inside_driver_window():
+    """Round-3 contract: every query that (a) has never received a driver
+    verdict or (b) changed implementation/oracle this round must occupy a
+    graded slot.  Everything outside the window keeps green evidence from
+    CORRECTNESS_r01/r02 for unchanged code."""
     window = set(_names()[:DRIVER_WINDOW])
     need_verdict = [
-        n
-        for n in registry.REGISTRY
-        if n.startswith(("tpch_", "text_", "sim_", "stream_"))
-    ] + [
-        "array_functions_profile",
-        # fixed or touched in round 2 -> must be re-graded
-        "pivot_priority_by_status",
-        "events_json_agg",
-        "agg_approx_profile",
-        "media_extract_features",
-        "media_resize",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
-        "dedup_cluster_canonical",
-    ]
-    # The window holds exactly 50; these registered late in round 2 with
-    # zero-tolerance LOCAL parity evidence (test_oracle_parity) and are the
-    # first candidates to rotate into the round-3 window.
-    deferred_to_next_round = {
-        "stream_stateful_totals_equiv",
+        # never graded (registered after the r2 window filled)
+        "set_nations_intersect_all",
+        "set_nations_except_all",
+        "dedup_incremental_new_docs",
         "stream_sliding_10min_5min_equiv",
-    }
-    missing = [
-        n for n in need_verdict if n not in window and n not in deferred_to_next_round
+        "stream_stateful_totals_equiv",
+        # new in round 3
+        "dedup_minhash_lsh_portable",
+        "stream_dedup_equiv",
+        "roundtrip_partitioned_agg",
+        # converted no_oracle -> exact gates in round 3
+        "sim_topk_ivf",
+        "agg_approx_profile",
+        # implementation/oracle touched in round 3 (df cap, SRP order pin)
+        "dedup_ngram_jaccard",
+        "dedup_minhash_verified",
+        "dedup_cluster_canonical",
+        "sim_topk_lsh",
     ]
+    missing = [n for n in need_verdict if n not in window]
     assert not missing, f"outside driver window: {missing}"
+
+
+def test_every_window_entry_is_oracled():
+    """A window slot spent on an oracle-less entry is a guaranteed
+    err:no_oracle row (round-2 advice): all 50 graded entries must carry an
+    exact oracle."""
+    from aws_etl_fiap_spark import queries  # noqa: F401
+
+    oracles = registry.oracle_sql()
+    unoracled = [n for n in _names()[:DRIVER_WINDOW] if n not in oracles]
+    assert not unoracled, f"window entries without oracle: {unoracled}"
 
 
 def test_oracle_orphans():
