@@ -113,6 +113,29 @@ def test_blocked_allpairs_no_driver_collect_and_bounded_groups(spark, sf_correct
     assert len(shuffles) <= 2, plan
 
 
+def test_ngram_df_cap_costs_two_skinny_exchanges(spark, sf_correctness):
+    """The posting-list df cap must be a semi-join over the ALREADY
+    CHECKPOINTED (doc, hash64) postings — never a re-shingling pass — and
+    its price is bounded: the df-count aggregate + the semi-join exchange,
+    both over 12-byte rows.  That linear cost is what buys out the df^2
+    join blowup at corpus scale."""
+    from aws_etl_fiap_spark.operators.dedup import ngram_jaccard_pairs
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    df = load_table(spark, sf_correctness, "documents")
+
+    def plan(cap):
+        out = ngram_jaccard_pairs(df, "doc_id", "text", 0.5, max_shingle_df=cap)
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    uncapped, capped = plan(None), plan(1000)
+    assert "LeftSemi" in capped and "LeftSemi" not in uncapped
+    # No Python stage in either plan tail: shingling happened once, behind
+    # the localCheckpoint, and the cap reuses it.
+    assert capped.count("MapInPandas") == 0
+    assert shuffle_count(capped) <= shuffle_count(uncapped) + 2, capped
+
+
 def test_minhash_portable_single_doc_shuffle(spark, sf_correctness):
     """The portable minhash signature pipeline must keep the xxhash64
     family's shape: shingle stream -> ONE doc-keyed aggregate (map-side
