@@ -28,6 +28,17 @@ from pyspark.sql import SparkSession
 #   pass shuffle_partitions ~ 2-3x total executor cores.
 DEFAULT_LOCAL_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# In local mode the driver JVM IS the executor: all `local[N]` task slots
+# share the driver heap, and Spark's default driver memory is 1 GiB — 32
+# concurrent shuffle/join tasks starving in 1 GiB manifests as GCLocker
+# retry crashes long before data is "big" (found by scripts/scale_smoke.py
+# at a 100k-doc corpus on a 128 GiB box).  Sized per-slot: ~512 MiB x slots,
+# floor 8 GiB.  Only effective for sessions THIS factory launches (a config
+# at JVM start); on a cluster, executor memory comes from the submit config.
+DEFAULT_DRIVER_MEM = os.environ.get(
+    "SPARK_GRAFT_DRIVER_MEM", f"{max(8, DEFAULT_LOCAL_CPUS // 2)}g"
+)
+
 
 def get_spark(
     app_name: str = "aws_etl_fiap_spark",
@@ -47,6 +58,7 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: coalesce small shuffle partitions, split skewed ones, and switch
         # sort-merge -> broadcast at runtime when a side turns out small.

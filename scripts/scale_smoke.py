@@ -1,0 +1,116 @@
+"""Scale smoke: does the dedup ladder survive a corpus 20-50x the bench SF?
+
+The per-round bench (bench.py, sf0.1 = 5k documents) verifies steady-state
+throughput; THIS harness verifies the scale CLAIMS the operators make, on the
+biggest corpus this box can host:
+
+  * corpus = documents unioned K times under shifted doc_ids — every doc
+    gains K-1 exact clones (content_hash dedup must collapse them) — with a
+    BOILERPLATE sentence appended to half the rows: one shingle family shared
+    by ~half the corpus, the posting-list df^2 job-killer the MAX_SHINGLE_DF
+    cap exists for.
+  * exact_dedup must reduce the corpus back to the base count.
+  * minhash_lsh_pairs (xxhash64, production family) must run at ~linear cost:
+    signatures are constant-size and band buckets only collide for real dups.
+  * verified_fuzzy_pairs WITH the df cap must complete; the UNCAPPED exact
+    tier on the same corpus is the anti-benchmark (quadratic in the planted
+    stop-shingle's df ~ K*2500 docs -> ~(K*2500)^2/2 join rows; run it only
+    with --uncapped-tier to watch it burn).
+
+Prints one JSON line per stage: {"stage": ..., "rows": ..., "sec": ...}.
+
+Usage: python scripts/scale_smoke.py [--k 20] [--sf DIR] [--uncapped-tier]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=20, help="corpus blowup factor")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--uncapped-tier", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.dedup import (
+        content_hash,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        verified_fuzzy_pairs,
+    )
+    from aws_etl_fiap_spark.session import get_spark
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    spark = get_spark(app_name="aws_etl_fiap_spark-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = load_table(spark, args.sf, "documents").select("doc_id", "text")
+    n_base = base.count()
+    boiler = " please subscribe to our newsletter for daily updates"
+    copies = spark.range(args.k).withColumnRenamed("id", "copy")
+    corpus = (
+        base.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+            # Half the corpus carries the boilerplate: its 3-gram shingles
+            # have df ~ K * n_base / 2 — far past MAX_SHINGLE_DF.
+            F.when(F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(boiler)))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        # Materialize once: every stage below reads the same corpus, and the
+        # point is to time the operators, not the synthetic generator.
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n = corpus.count()
+
+    def stage(name, fn):
+        t0 = time.perf_counter()
+        rows = fn()
+        print(
+            json.dumps(
+                {"stage": name, "rows": int(rows), "sec": round(time.perf_counter() - t0, 2)}
+            ),
+            flush=True,
+        )
+
+    print(json.dumps({"stage": "corpus", "rows": int(n), "base_rows": int(n_base),
+                      "k": args.k}), flush=True)
+    stage(
+        "exact_dedup",
+        lambda: exact_dedup(
+            corpus.withColumn("h", content_hash("text")), ["h"], "doc_id"
+        ).count(),
+    )
+    stage(
+        "minhash_lsh_xxhash64",
+        lambda: minhash_lsh_pairs(corpus, "doc_id", "text").count(),
+    )
+    stage(
+        "verified_fuzzy_capped",
+        lambda: verified_fuzzy_pairs(corpus, "doc_id", "text", 0.5).count(),
+    )
+    if args.uncapped_tier:
+        stage(
+            "ngram_jaccard_UNCAPPED_antibenchmark",
+            lambda: ngram_jaccard_pairs(
+                corpus, "doc_id", "text", 0.5, max_shingle_df=None
+            ).count(),
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
