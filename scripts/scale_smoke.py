@@ -109,6 +109,29 @@ def main() -> None:
                 corpus, "doc_id", "text", 0.5, max_shingle_df=None
             ).count(),
         )
+
+    # ANN at K x: clone the embedding corpus the same way (clones share
+    # vectors, so every bucket a query probes carries K x candidates — the
+    # worst realistic case for bucketed ANN) and run SRP-LSH top-10.
+    from aws_etl_fiap_spark.operators.similarity import lsh_bucket_topk
+
+    emb = load_table(spark, args.sf, "embeddings").select("vec_id", "embedding")
+    big_emb = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_vec = big_emb.count()
+    stage(
+        f"srp_lsh_topk_{n_vec}vec",
+        lambda: lsh_bucket_topk(
+            big_emb.filter(F.col("vec_id") < 5), big_emb, k=10
+        ).count(),
+    )
     spark.stop()
 
 
