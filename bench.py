@@ -105,7 +105,29 @@ def main() -> None:
         "steady_runs": n_steady,
         "cold_value": round(sum(cold[n] for n in names if n in HEADLINE), 4),
     }
-    print(json.dumps(out))
+    # The round driver records only a fixed-size TAIL of stdout; round 3's
+    # single full-payload line outgrew it and the head (with "value") was
+    # truncated -> BENCH_r03.json parsed:null.  So: full payload goes to a
+    # repo file, and stdout gets ONE compact line (metric/value/unit/sf/
+    # queries/cold) that always fits the capture window.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full_latest.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(out, fh)
+    except OSError:
+        pass  # read-only checkout: the compact stdout line still carries the result
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "queries": timings,
+        "steady_runs": n_steady,
+        "cold_value": out["cold_value"],
+        "full": "bench_full_latest.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 
