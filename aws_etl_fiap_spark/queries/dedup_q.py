@@ -1,10 +1,12 @@
 """Dedup queries over ``documents`` ([EXT] north star).
 
 The testdata plants genuine near-duplicates (max 3-gram Jaccard ≈ 0.99), so
-the fuzzy variants return real pairs. Exact and n-gram Jaccard are
-DuckDB-oracled; MinHash-LSH and SimHash use xxhash64 (no DuckDB equivalent)
-and get the rows-only check — their pair sets are validated in unit tests
-against the exact-Jaccard ground truth instead.
+the fuzzy variants return real pairs. Every entry is driver-verified: exact
+and n-gram Jaccard (and the portable-family MinHash/SimHash twins) against
+DuckDB value oracles; the production xxhash64 MinHash-LSH path — whose hash
+family DuckDB cannot re-derive — through BOTH its rows-only registration and
+the exact containment gate :func:`dedup_lsh_contains_exact` (violations vs an
+empty-set oracle), so no entry's correctness rests on unit tests alone.
 """
 
 from __future__ import annotations
@@ -363,6 +365,60 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified_fuzzy_pairs(
         df, "doc_id", "text", JACCARD_THRESHOLD, hash_family="portable"
     )
+
+
+#: Planted-copy id offset for the containment gate below; far above any
+#: testdata doc_id so planted ids never collide with real ones.
+_PLANT_OFFSET = 1_000_000
+
+
+@query(
+    "dedup_lsh_contains_exact",
+    oracle="""
+SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b WHERE 1 = 0
+""",
+)
+def dedup_lsh_contains_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT containment gate for the PRODUCTION (xxhash64) MinHash-LSH path
+    — closes the registry's last rows-only entry (round-3 verdict #3).
+
+    Property verified: LSH candidate generation must surface (a) every
+    sha256-exact duplicate pair and (b) every observed near-dup pair with
+    3-gram Jaccard >= 0.9.  The testdata carries no exact duplicates
+    (sf0.001/0.01/0.1 all have zero sha256 collisions), so (a) would be
+    vacuously green on the raw table; instead the corpus is doubled with
+    re-keyed exact copies (doc_id + 1e6 — the same planted-reality move
+    dedup_incremental_new_docs uses), making every (id, id+1e6) pair a
+    REQUIRED candidate: identical text -> identical shingle set -> identical
+    signature -> all 8 bands collide.  (b) ties the xxhash64 family to the
+    exact-Jaccard ground truth on the real near-dups (max j ~ 0.99); with 8
+    bands x 4 rows a j>=0.9 pair bands together with p ~ 0.9998, and the
+    hash family is deterministic, so the observed zero-violation state is
+    stable per fixture (verified at all three sf dirs).
+
+    Returns violation pairs; the oracle is the empty set, so any missed pair
+    hash-fails the driver gate (the sim_topk_ivf pattern).  Signatures are
+    corpus-independent (per-doc MIN over shingle hashes), hence planting
+    extra docs cannot remove any real pair from the candidate set."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET))
+    corpus = docs.unionByName(planted)
+    cand = minhash_lsh_pairs(corpus, "doc_id", "text", hash_family="xxhash64").select(
+        "id_a", "id_b"
+    )
+    # Docs under 3 tokens have no 3-shingle, no signature, and are outside
+    # LSH's domain by definition (none exist in the fixture; the guard keeps
+    # the property well-defined anyway).
+    shingleable = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+    expected_exact = shingleable.select(
+        F.col("doc_id").cast("long").alias("id_a"),
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).cast("long").alias("id_b"),
+    )
+    expected_near = ngram_jaccard_pairs(docs, "doc_id", "text", 0.9, n=3).select(
+        "id_a", "id_b"
+    )
+    expected = expected_exact.unionByName(expected_near)
+    return expected.join(cand, ["id_a", "id_b"], "left_anti")
 
 
 _SIMHASH_BITS, _SH_BANDS, _SH_BAND_BITS = 32, 4, 8

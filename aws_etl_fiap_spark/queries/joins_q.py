@@ -65,14 +65,25 @@ def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 """,
 )
 def join_anti_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS): customers with no orders at all."""
+    """LEFT ANTI join (NOT EXISTS): customers with no URGENT-priority order.
+
+    Round-3 verdict: the original "no orders at all" predicate returned 0
+    rows at this fixture (every customer has orders), so the green row only
+    attested agreement on emptiness.  Anti-joining against the URGENT subset
+    keeps the operator identical while the expected set is non-empty (203
+    customers at sf0.01), so the hash now verifies actual anti-join output."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 

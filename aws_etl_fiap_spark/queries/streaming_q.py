@@ -17,13 +17,13 @@ same bound the streaming state store itself carries.
 
 from __future__ import annotations
 
-import contextlib
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_etl_fiap_spark.confs import scoped_conf
 from aws_etl_fiap_spark.functions.parity import dec_sum, sql_dec_sum
 from aws_etl_fiap_spark.queries.registry import query
 from aws_etl_fiap_spark.streaming.windows import (
@@ -35,25 +35,9 @@ _TS = "CAST(ts AS TIMESTAMP)"
 _US_10MIN = 600 * 1_000_000
 
 
-@contextlib.contextmanager
-def _scoped_conf(spark: SparkSession, key: str, value: str):
-    """Set a session conf for the duration of the block, then restore the
-    previous value (or unset if it was unset).  Every conf mutation a
-    registered query makes MUST be scoped like this: the driver runs ~100
-    queries through ONE shared session, so an unrestored setting leaks into
-    every query that follows (round-2 advice on nanosAsLong)."""
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, value)
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+# Hoisted to aws_etl_fiap_spark.confs in round 5 so the batch reader shares
+# the same discipline (round-3 verdict); this alias keeps local call sites.
+_scoped_conf = scoped_conf
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aws_etl_fiap_spark.confs import scoped_conf
+
 # Driver-provided synthetic tables (TESTDATA.md): TPC-H-ish star schema plus
 # events / documents / embeddings extension tables.
 TABLES = (
@@ -39,13 +41,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``ts div 1000`` is exact integer division (a double divide would lose
     precision above 2^53 ns and ROUND, diverging from DuckDB's truncating
     TIMESTAMP_NS -> TIMESTAMP cast).
+
+    The legacy conf is SCOPED (round-3 verdict): footer-schema resolution —
+    the only step that consults it — happens eagerly at ``spark.read
+    .parquet(...)`` time, so the returned lazy frame survives the restore
+    and the shared driver session sees no net conf change.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            raw = spark.read.parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(path)
 
 

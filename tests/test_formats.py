@@ -88,3 +88,24 @@ def test_orc_roundtrip_and_pushdown(spark, sf_smoke, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan
+
+
+def test_load_table_leaves_session_conf_untouched(spark, sf_smoke):
+    """The events read needs the legacy nanos conf only while the parquet
+    footer schema resolves; the repo rule says every mutation on the shared
+    session must be scoped (round-3 verdict: the batch reader was the one
+    leak left).  The frame must stay executable AFTER the restore — footer
+    schemas resolve eagerly at read time, which this count proves."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+    ev = load_table(spark, sf_smoke, "events")
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before, f"load_table leaked {key}: {before!r} -> {after!r}"
+    assert ev.count() > 0
+    assert dict(ev.dtypes)["ts"] == "timestamp"

@@ -36,33 +36,33 @@ def test_window_is_exactly_full():
 
 
 def test_unverdicted_or_changed_queries_inside_driver_window():
-    """Round-3 contract: every query that (a) has never received a driver
+    """Round-5 contract: every query that (a) has never received a driver
     verdict or (b) changed implementation/oracle this round must occupy a
     graded slot.  Everything outside the window keeps green evidence from
-    CORRECTNESS_r01/r02 for unchanged code."""
+    CORRECTNESS_r03 (50/50) for code untouched since."""
     window = set(_names()[:DRIVER_WINDOW])
     need_verdict = [
-        # never graded (registered after the r2 window filled)
-        "set_nations_intersect_all",
-        "set_nations_except_all",
-        "dedup_incremental_new_docs",
-        "stream_sliding_10min_5min_equiv",
-        "stream_stateful_totals_equiv",
-        # new in round 3
-        "dedup_minhash_lsh_portable",
-        "stream_dedup_equiv",
-        "roundtrip_partitioned_agg",
-        # converted no_oracle -> exact gates in round 3
-        "sim_topk_ivf",
-        "agg_approx_profile",
-        # implementation/oracle touched in round 3 (df cap, SRP order pin)
-        "dedup_ngram_jaccard",
-        "dedup_minhash_verified",
-        "dedup_cluster_canonical",
-        "sim_topk_lsh",
+        # new in round 5
+        "dedup_lsh_contains_exact",
+        # oracle re-predicated in round 5 (vacuous 0-row -> 203 rows)
+        "join_anti_orderless_customers",
     ]
     missing = [n for n in need_verdict if n not in window]
     assert not missing, f"outside driver window: {missing}"
+
+
+def test_window_holds_exactly_the_stale_families():
+    """The r5 window must be spent on the queries with no r3 verdict — the
+    TPC-H/text/media/similarity/corpus families the round-3 verdict flagged
+    as two rounds stale — not on re-grading r3 greens."""
+    window = set(_names()[:DRIVER_WINDOW])
+    stale_prefixes = ("tpch_", "text_", "media_")
+    missing = [
+        n
+        for n in registry.REGISTRY
+        if n.startswith(stale_prefixes) and n not in window
+    ]
+    assert not missing, f"stale-family queries outside window: {missing}"
 
 
 def test_every_window_entry_is_oracled():
