@@ -108,19 +108,21 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
 def _df_capped(shingled: DataFrame, hash_col: str, max_df: int | None) -> DataFrame:
     """Filter exploded (doc, shingle-hash) postings to shingles whose
-    document frequency is <= ``max_df``.  One extra hash aggregate on the
-    already-checkpointed postings frame + a broadcast-able semi-join of the
-    (tiny) over-cap key set's complement — at scale the df table is a
-    map-side combined count, and the join key is the 8-byte hash."""
+    document frequency is <= ``max_df``.  One extra map-side-combined hash
+    aggregate on the already-checkpointed postings frame, then a BROADCAST
+    left_anti against the OVER-cap key set — that set is tiny by
+    construction (stop-shingles, a handful of keys), whereas the sub-cap
+    complement is nearly every distinct shingle; round-3 advice flagged the
+    earlier semi-join shape for shuffling that full key set at scale."""
     if max_df is None:
         return shingled
-    ok = (
+    bad = (
         shingled.groupBy(hash_col)
         .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_df)
+        .filter(F.col("__df") > max_df)
         .select(hash_col)
     )
-    return shingled.join(ok, hash_col, "left_semi")
+    return shingled.join(F.broadcast(bad), hash_col, "left_anti")
 
 
 #: Posting-list cap for the exact-Jaccard tier: shingles shared by more than
@@ -141,18 +143,19 @@ def ngram_jaccard_pairs(
     n: int = 3,
     max_shingle_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+    """DF-CAPPED (lower-bound) n-gram Jaccard pairs — the default caps
+    posting lists at ``max_shingle_df=MAX_SHINGLE_DF``, so ``shared`` counts
+    only sub-cap shingles while ``na``/``nb`` remain the TRUE
+    distinct-shingle counts: reported jaccard is a lower bound that equals
+    the exact value whenever no shared shingle is capped (round-3 advice:
+    the old docstring led with "Exact" while capping by default).  Pass
+    ``max_shingle_df=None`` for exact semantics at quadratic-per-stop-shingle
+    cost; the registered queries keep the cap and their DuckDB oracles
+    mirror the same definition exactly.
 
     Inverted-index shape: explode distinct shingles, self-join on the
     shingle (docs never pair unless they share one), count shared, then
-    |A∪B| = |A|+|B|-shared. Output: id_a < id_b, shared, jaccard.
-
-    ``max_shingle_df`` drops postings with document frequency above the cap
-    before the self-join (``None`` disables).  Semantics with the cap:
-    ``shared`` counts only sub-cap shingles while ``na``/``nb`` remain the
-    TRUE distinct-shingle counts, so reported jaccard is a lower bound that
-    equals the exact value whenever no shared shingle is capped — and the
-    DuckDB oracle mirrors the same definition exactly."""
+    |A∪B| = |A|+|B|-shared. Output: id_a < id_b, shared, jaccard."""
     # Join on the 8-byte xxhash64 of the shingle, not the string: the
     # inverted-index shuffle carries longs instead of n-gram text (the
     # dominant byte volume at scale). A count-corrupting collision needs two

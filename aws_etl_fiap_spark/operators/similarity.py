@@ -516,14 +516,31 @@ def srp_planes_matrix(spark, n_tables: int, n_planes: int, dim: int):
     return 1.0 - 2.0 * bits.reshape(n_tables, n_planes, dim)  # 0 -> +1, 1 -> -1
 
 
-def _np_buckets(df: DataFrame, id_name: str, vec_name: str, planes, keep_vec: bool) -> DataFrame:
+def _np_buckets(
+    df: DataFrame,
+    id_name: str,
+    vec_name: str,
+    planes,
+    keep_vec: bool,
+    pin_add_order: bool = False,
+) -> DataFrame:
     """(id, vec) -> one row per (id, table_id, bucket) via numpy projection.
 
     The 32 projections per vector run as one (batch x dim) @ (dim x planes)
     matmul per table inside Arrow batches — versus interpreted per-element
     HOF folds, this is the difference between microseconds and milliseconds
-    per row. Both join sides MUST be bucketed by this same function (sign
-    ties on the numpy side resolve identically for both)."""
+    per row. Both join sides MUST be bucketed by this same function with the
+    same ``pin_add_order`` (sign ties on the numpy side then resolve
+    identically for both).
+
+    ``pin_add_order``: only the PORTABLE (oracle-verified) plane family
+    needs the dimension-ordered accumulate — the same IEEE adds in the same
+    order as DuckDB list_dot_product, so a projection within ulps of 0 signs
+    identically on both engines.  BLAS matmul uses pairwise/blocked
+    summation, not order-reproducible across engines — but the production
+    xxhash64 family is never re-derived by another engine, so it keeps the
+    matmul instead of paying ~dim extra temporaries for parity it cannot
+    use (round-3 advice)."""
     import numpy as np
     import pandas as pd
 
@@ -540,16 +557,12 @@ def _np_buckets(df: DataFrame, id_name: str, vec_name: str, planes, keep_vec: bo
             mat = np.array(pdf[vec_name].tolist(), dtype=np.float64)
             frames = []
             for t in range(n_tables):
-                # Dimension-ordered accumulate, NOT a BLAS matmul: each
-                # projection is the sequential left-fold sum(x_i * s_i) —
-                # the same IEEE adds in the same order as DuckDB
-                # list_dot_product over the plane vector, so a projection
-                # within ulps of 0 gets the SAME sign on both engines
-                # (matmul uses pairwise/blocked summation, which is not
-                # order-reproducible across engines; round-2 advice).
-                proj = np.zeros((len(mat), n_planes))
-                for i in range(dim):
-                    proj += np.outer(mat[:, i], planes[t][:, i])
+                if pin_add_order:
+                    proj = np.zeros((len(mat), n_planes))
+                    for i in range(dim):
+                        proj += np.outer(mat[:, i], planes[t][:, i])
+                else:
+                    proj = mat @ planes[t].T
                 buckets = ((proj >= 0) @ weights).astype(np.int64)
                 f = pd.DataFrame(
                     {id_name: pdf[id_name].to_numpy(), "table_id": t, "bucket": buckets}
@@ -609,8 +622,9 @@ def lsh_bucket_topk(
         planes = srp_planes_matrix(spark, n_tables, n_planes, dim or EMBED_DIM)
     q_src = queries.select(F.col(query_id).alias("query_id"), as_double(vec_col).alias("__qv"))
     c_src = corpus.select(F.col(corpus_id).alias("neighbor_id"), as_double(vec_col).alias("__cv"))
-    q = _np_buckets(q_src, "query_id", "__qv", planes, keep_vec=False)
-    c = _np_buckets(c_src, "neighbor_id", "__cv", planes, keep_vec=True)
+    pin = plane_family == "portable"
+    q = _np_buckets(q_src, "query_id", "__qv", planes, keep_vec=False, pin_add_order=pin)
+    c = _np_buckets(c_src, "neighbor_id", "__cv", planes, keep_vec=True, pin_add_order=pin)
     candidates = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

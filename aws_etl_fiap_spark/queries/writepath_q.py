@@ -50,11 +50,15 @@ def roundtrip_partitioned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     any row lost/duplicated/mangled by the write, the partition encoding, or
     the compaction rewrite hash-fails.
 
-    The sink lands in a per-run temp directory and is deleted before
-    returning; the aggregate is localCheckpointed EAGERLY first, so the
-    frame the driver later collects no longer references the deleted
-    files."""
-    tmp = tempfile.mkdtemp(prefix="roundtrip_")
+    The sink lands under ``SPARK_GRAFT_SINK_DIR`` (default: the local temp
+    dir) in a per-run directory deleted before returning; the aggregate is
+    localCheckpointed EAGERLY first, so the frame the driver later collects
+    no longer references the deleted files.  NOTE: with the local-tempdir
+    default this query assumes local[*] mode — on a real cluster executors
+    cannot reach the driver's /tmp, so point SPARK_GRAFT_SINK_DIR at shared
+    storage (round-3 advice)."""
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="roundtrip_", dir=base)
     path = os.path.join(tmp, "orders_by_year")
     try:
         src = load_table(spark, sf_dir, "orders").withColumn(
@@ -64,7 +68,13 @@ def roundtrip_partitioned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # daily-sink reality compaction exists for.
         write_partitioned(src.repartition(8), path, ["o_year"])
         stats = compact_partitions(spark, path, ["o_year"], target_rows_per_file=1_000_000)
-        assert stats["files_after"] <= stats["partitions"], stats
+        # Explicit raise, not assert (asserts vanish under python -O), and
+        # against the real invariant: files_after is bounded by the
+        # per-partition file budget sum(ceil(rows/target)), which equals
+        # `partitions` only while every o_year stays under target rows
+        # (breaks around sf>=5 for TPC-H orders — round-3 advice).
+        if stats["files_after"] > stats["file_budget"]:
+            raise RuntimeError(f"compaction exceeded its file budget: {stats}")
         back = read_back(spark, path)
         out = back.groupBy("o_year", "o_orderstatus").agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -91,7 +91,10 @@ def compact_partitions(
     overwrite a path while a lazy plan is still reading it (self-overwrite
     either fails or corrupts mid-job; staging + swap is also what keeps
     readers consistent on object stores). Returns {files_before, files_after,
-    partitions} for observability.
+    partitions, file_budget} for observability — ``file_budget`` is the
+    per-partition budget sum(ceil(rows/target)), the invariant callers
+    should check ``files_after`` against (``partitions`` alone only bounds
+    it while every partition fits in one target file).
     """
     from pyspark.sql import functions as F
 
@@ -164,4 +167,5 @@ def compact_partitions(
         "files_before": int(files_before),
         "files_after": int(files_after),
         "partitions": n_partitions,
+        "file_budget": total_files,
     }

@@ -17,6 +17,11 @@ biggest corpus this box can host:
     stop-shingle's df ~ K*2500 docs -> ~(K*2500)^2/2 join rows; run it only
     with --uncapped-tier to watch it burn).
 
+Round 5 adds the RELATIONAL headline at K x: a shadow sf dir whose lineitem
+is cloned K times (dimensions symlinked) runs the registered flagship /
+tpch_q5 / tpch_q18 plans unchanged with the fact side 20x the bench size —
+direct evidence the broadcast-star strategy holds as the fact table grows.
+
 Prints one JSON line per stage: {"stage": ..., "rows": ..., "sec": ...}.
 
 Usage: python scripts/scale_smoke.py [--k 20] [--sf DIR] [--uncapped-tier]
@@ -109,6 +114,56 @@ def main() -> None:
                 corpus, "doc_id", "text", 0.5, max_shingle_df=None
             ).count(),
         )
+
+    # Relational headline at K x (round-3 verdict #6): build a SHADOW sf dir
+    # where the FACT table (lineitem) is cloned K times and every other
+    # table is a symlink to the original parquet — the realistic 100 TB
+    # shape (facts grow ~Kx, dimensions don't).  The registered queries then
+    # run UNCHANGED against the shadow dir, so this times the exact plans
+    # the driver grades: flagship (lineitem-only window/agg pipeline),
+    # tpch_q5 (5-way broadcast star join), tpch_q18 (fact self-aggregation
+    # semi-join) with the fact side K x the bench size.
+    import os
+    import shutil
+    import tempfile
+
+    from aws_etl_fiap_spark.queries import REGISTRY
+    from aws_etl_fiap_spark.sources.readers import TABLES
+
+    shadow = tempfile.mkdtemp(prefix="scale_rel_")
+    try:
+        for t in TABLES:
+            if t != "lineitem":
+                os.symlink(
+                    os.path.join(args.sf, f"{t}.parquet"),
+                    os.path.join(shadow, f"{t}.parquet"),
+                )
+        li = load_table(spark, args.sf, "lineitem")
+        t0 = time.perf_counter()
+        (
+            li.crossJoin(copies)
+            .drop("copy")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(shadow, "lineitem.parquet"))
+        )
+        n_li = spark.read.parquet(os.path.join(shadow, "lineitem.parquet")).count()
+        print(
+            json.dumps(
+                {"stage": "shadow_lineitem_clone", "rows": int(n_li),
+                 "sec": round(time.perf_counter() - t0, 2)}
+            ),
+            flush=True,
+        )
+        for qname in (
+            "flagship_refined_summary",
+            "tpch_q5_local_supplier_volume",
+            "tpch_q18_large_orders",
+        ):
+            qfn = REGISTRY[qname].spark
+            stage(f"{qname}_{args.k}x", lambda q=qfn: q(spark, shadow).count())
+    finally:
+        shutil.rmtree(shadow, ignore_errors=True)
 
     # ANN at K x: clone the embedding corpus the same way (clones share
     # vectors, so every bucket a query probes carries K x candidates — the

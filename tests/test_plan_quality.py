@@ -113,12 +113,14 @@ def test_blocked_allpairs_no_driver_collect_and_bounded_groups(spark, sf_correct
     assert len(shuffles) <= 2, plan
 
 
-def test_ngram_df_cap_costs_two_skinny_exchanges(spark, sf_correctness):
-    """The posting-list df cap must be a semi-join over the ALREADY
-    CHECKPOINTED (doc, hash64) postings — never a re-shingling pass — and
-    its price is bounded: the df-count aggregate + the semi-join exchange,
-    both over 12-byte rows.  That linear cost is what buys out the df^2
-    join blowup at corpus scale."""
+def test_ngram_df_cap_is_broadcast_anti_over_checkpointed_postings(spark, sf_correctness):
+    """The posting-list df cap must be a BROADCAST left_anti against the
+    tiny OVER-cap key set, over the ALREADY CHECKPOINTED (doc, hash64)
+    postings — never a re-shingling pass, and never a shuffle of the
+    near-complete sub-cap key set (round-3 advice: the earlier semi-join
+    shape shuffled almost every distinct shingle hash).  Its price is the
+    map-side-combined df-count aggregate plus one BroadcastExchange of the
+    handful of stop-shingle keys."""
     from aws_etl_fiap_spark.operators.dedup import ngram_jaccard_pairs
     from aws_etl_fiap_spark.sources.readers import load_table
 
@@ -129,7 +131,10 @@ def test_ngram_df_cap_costs_two_skinny_exchanges(spark, sf_correctness):
         return out._jdf.queryExecution().executedPlan().toString()
 
     uncapped, capped = plan(None), plan(1000)
-    assert "LeftSemi" in capped and "LeftSemi" not in uncapped
+    assert "LeftAnti" in capped and "LeftAnti" not in uncapped
+    # The anti-join side arrives by broadcast, not exchange: the capped plan
+    # may add the df-aggregate hash exchange but NOT a join-input shuffle.
+    assert capped.count("BroadcastExchange") > uncapped.count("BroadcastExchange")
     # No Python stage in either plan tail: shingling happened once, behind
     # the localCheckpoint, and the cap reuses it.
     assert capped.count("MapInPandas") == 0
