@@ -6,12 +6,13 @@ that follows.  Rule: every conf mutation on the shared session MUST go
 through :func:`scoped_conf` — set for exactly the statements that need it,
 then restore the previous value (or unset).
 
-Restoring is safe even around LAZY reads: Spark resolves the parquet footer
-schema (the step the legacy nanos conf gates) eagerly at
-``spark.read.parquet(...)`` time, so a DataFrame created inside the scope
-stays executable after the conf is restored — verified by
-tests/test_formats.py::test_load_table_leaves_session_conf_untouched, which
-counts events rows AFTER the restore.
+CAUTION — Spark 4.1 classic analyzes LAZILY (``QueryExecution.lazyAnalyzed``):
+a DataFrame built inside the scope does NOT resolve its plan (including the
+parquet footer schema the legacy nanos conf gates) until first use, which may
+be after the restore.  Any read whose SCHEMA depends on the scoped conf must
+force analysis inside the scope (touch ``df.schema``) before exiting —
+verified by tests/test_formats.py::test_load_table_leaves_session_conf_untouched,
+which counts events rows AFTER the restore.
 """
 
 from __future__ import annotations

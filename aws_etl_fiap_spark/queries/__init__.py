@@ -13,6 +13,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     events_q,
     joins_q,
     multimodal_q,
+    pyds_q,
     similarity_q,
     streaming_q,
     text_q,

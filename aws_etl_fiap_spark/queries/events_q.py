@@ -98,6 +98,39 @@ def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_variant_agg",
+    oracle=r"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS k_total,
+       MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS k_max
+FROM events
+GROUP BY event_type
+""",
+)
+def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Spark 4 VARIANT path for semi-structured props: ``parse_json``
+    ingests the JSON ONCE into Variant's binary encoding, then every
+    ``variant_get`` is a cheap typed walk of that encoding — at 100 TB the
+    parse cost is paid once per row regardless of how many fields downstream
+    expressions pull, where stacked ``get_json_object`` calls re-parse the
+    string per field.  The oracle recomputes the same cells from the raw
+    string, so the hash verifies the whole variant encode/decode round
+    trip."""
+    v = F.parse_json(F.col("props"))
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.variant_get(v, "$.k", "int").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_total"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 _TS = "CAST(ts AS TIMESTAMP)"
 _US_10MIN = 600 * 1_000_000
 _US_5MIN = 300 * 1_000_000

@@ -61,7 +61,15 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # rounds.  Everything left OUT is exactly the r3 window (CORRECTNESS_r03:
 # 50/50 green) on code untouched since.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new in round 5 --
+    # -- new this round: never graded, highest priority.  The four slots
+    # they take come from the simplest stale TPC-H entries (q4/q6/q12/q14:
+    # single-fact filter-aggs and one-dim joins, r2-green on untouched code,
+    # zero-tolerance local parity at sf0.01) — next round's rotation picks
+    # them back up. --
+    "pyds_ticker_api_scan",
+    "pyds_ticker_api_agg",
+    "events_variant_agg",
+    "bucketed_join_colocated_agg",
     "dedup_lsh_contains_exact",
     # -- oracle/implementation re-predicated in round 5 (was a vacuous 0-row) --
     "join_anti_orderless_customers",
@@ -104,17 +112,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q10_returned_items",
     "tpch_q11_important_stock",
-    "tpch_q12_shipping_priority_class",
     "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_part_counts",
     "tpch_q17_small_quantity_revenue",

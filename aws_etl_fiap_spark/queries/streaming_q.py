@@ -41,13 +41,16 @@ _scoped_conf = scoped_conf
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream twin of readers.load_table(..., "events"): nanos ts read as
-    long (file streams need an explicit schema anyway) and truncated to
-    micros with exact integer division.
+    """readStream twin of readers.load_table(..., "events"), with the same
+    version-adaptive ts normalization (see readers.load_table): Spark 4.1+
+    resolves parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ natively (truncating,
+    DuckDB-identical); older Sparks need the legacy conf to read it as a raw
+    BIGINT which we truncate to micros with exact integer division.
 
     The nanosAsLong conf here only covers the batch SCHEMA read; the
     streaming run itself re-scopes it in :func:`_run_to_table` (the conf is
-    consulted at micro-batch execution time, after this function returns)."""
+    consulted at micro-batch execution time, after this function returns —
+    a no-op on Spark 4.1+)."""
     path = os.path.join(sf_dir, "events.parquet")
     with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
         schema = spark.read.parquet(path).schema
@@ -55,11 +58,10 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directory, but a glob pattern ("[e]vents...") bypasses the basePath
     # directory check while matching exactly that file.
     glob = os.path.join(sf_dir, "[e]vents.parquet")
-    return (
-        spark.readStream.schema(schema)
-        .parquet(glob)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    raw = spark.readStream.schema(schema).parquet(glob)
+    if schema["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _scoped_shuffle_partitions(spark: SparkSession, n: int):

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -84,4 +85,68 @@ def roundtrip_partitioned_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # frame the driver collects must not lazily re-scan it.
         return out.localCheckpoint(eager=True)
     finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "bucketed_join_colocated_agg",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 2)} AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def bucketed_join_colocated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] bucketed co-located join under the driver's exact-value gate:
+    orders and customer are written ``bucketBy(custkey)`` with the same
+    bucket count, then joined WITHOUT ANY EXCHANGE — the query RAISES if the
+    executed join plan contains one, so the driver row certifies both the
+    values (vs an oracle joining the ORIGINAL tables) and the co-location
+    property itself.
+
+    This is the 100 TB fact-to-fact join answer: broadcast covers small
+    dims, but two big tables joined repeatedly on the same key should pay
+    the bucketed write once and never shuffle again.  Broadcast is disabled
+    (scoped) so the plan can't dodge the claim; the bucketed sink lands
+    under SPARK_GRAFT_SINK_DIR (local[*] assumption, as
+    roundtrip_partitioned_agg).
+    """
+    from aws_etl_fiap_spark.confs import scoped_conf
+    from aws_etl_fiap_spark.sources.writers import write_bucketed
+
+    run_id = uuid.uuid4().hex[:8]
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix=f"bucketed_{run_id}_", dir=base)
+    t_orders, t_cust = f"b_orders_{run_id}", f"b_customer_{run_id}"
+    try:
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+            t_orders, ["o_custkey"], 8,
+            path=os.path.join(tmp, t_orders), sort_cols=["o_custkey"],
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            t_cust, ["c_custkey"], 8,
+            path=os.path.join(tmp, t_cust), sort_cols=["c_custkey"],
+        )
+        with scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+            joined = spark.table(t_orders).join(
+                spark.table(t_cust), F.col("o_custkey") == F.col("c_custkey")
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            if "Exchange" in plan:
+                raise RuntimeError(
+                    "bucketed join planned an Exchange — co-location lost:\n" + plan
+                )
+            out = joined.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dec_sum("o_totalprice", 2).alias("total_price"),
+            )
+            # Eager: the catalog tables and files are dropped on return.
+            return out.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
         shutil.rmtree(tmp, ignore_errors=True)

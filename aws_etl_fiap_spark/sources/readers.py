@@ -36,22 +36,38 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table from a scale-factor directory (lazy parquet scan).
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses outright:
-    read it as a raw long (legacy conf) and truncate to microseconds —
-    ``ts div 1000`` is exact integer division (a double divide would lose
-    precision above 2^53 ns and ROUND, diverging from DuckDB's truncating
-    TIMESTAMP_NS -> TIMESTAMP cast).
+    events.ts is parquet TIMESTAMP(NANOS); what Spark hands back is
+    version-dependent, so branch on the RESOLVED type and normalize both
+    shapes to session-tz ``timestamp``:
 
-    The legacy conf is SCOPED (round-3 verdict): footer-schema resolution —
-    the only step that consults it — happens eagerly at ``spark.read
-    .parquet(...)`` time, so the returned lazy frame survives the restore
-    and the shared driver session sees no net conf change.
+    - Spark 4.1+ reads nanos natively as TIMESTAMP_NTZ, truncating ns -> us
+      (verified value-identical to DuckDB's truncating TIMESTAMP_NS ->
+      TIMESTAMP cast at sf0.001: equal sum/min/max of epoch micros under a
+      UTC session tz).  ``spark.sql.legacy.parquet.nanosAsLong`` is a no-op
+      there.
+    - Older Sparks refuse nanos unless that legacy conf maps them to raw
+      BIGINT; then ``ts div 1000`` truncates to micros — exact integer
+      division (a double divide would lose precision above 2^53 ns and
+      ROUND, diverging from DuckDB).
+
+    The legacy conf is SCOPED (round-3 verdict) and analysis is FORCED
+    inside the scope: Spark 4.1 classic analyzes lazily
+    (``QueryExecution.lazyAnalyzed``), so without the ``.schema`` touch the
+    footer schema would resolve at first USE — after the restore.  Once
+    analyzed, downstream ops build on the resolved plan, so the frame
+    survives the restore and the shared driver session sees no net conf
+    change.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
             raw = spark.read.parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if raw.schema["ts"].dataType.simpleString() == "bigint":
+                out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            else:  # timestamp_ntz on Spark 4.1+; cast is a no-op re-label at UTC
+                out = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+            out.schema  # force lazy analysis while the conf is in effect
+        return out
     return spark.read.parquet(path)
 
 
