@@ -174,10 +174,15 @@ def ngram_jaccard_pairs(
     )
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     postings = _df_capped(shingled, "sh", max_shingle_df)
-    a = postings.withColumnsRenamed({"doc": "id_a"})
-    b = postings.withColumnsRenamed({"doc": "id_b"})
+    # Explicit plan aliases: both sides share the checkpointed postings
+    # lineage, and an attribute predicate like ``a.sh == b.sh`` would lean on
+    # Spark's trivially-true-equals self-join disambiguation (it logs a
+    # warning and rewrites by position — fragile across versions).  Qualified
+    # column refs against named subplans are unambiguous by construction.
+    a = postings.withColumnsRenamed({"doc": "id_a"}).alias("__ja")
+    b = postings.withColumnsRenamed({"doc": "id_b"}).alias("__jb")
     pairs = (
-        a.join(b, (a.sh == b.sh) & (F.col("id_a") < F.col("id_b")))
+        a.join(b, (F.col("__ja.sh") == F.col("__jb.sh")) & (F.col("id_a") < F.col("id_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -289,12 +294,18 @@ def minhash_lsh_pairs(
             bands, ", ".join(f"{b}, band_{b}" for b in range(bands))
         ),
     ).localCheckpoint(eager=False)
-    a = stacked.withColumnsRenamed({"doc": "id_a"})
-    b = stacked.withColumnsRenamed({"doc": "id_b"})
+    # Aliased like the ngram self-join above: both sides derive from the one
+    # checkpointed ``stacked`` frame, so qualified refs (not bare attribute
+    # equality) keep the band equi-join out of Spark's trivially-true-equals
+    # self-join rewrite.
+    a = stacked.withColumnsRenamed({"doc": "id_a"}).alias("__ba")
+    b = stacked.withColumnsRenamed({"doc": "id_b"}).alias("__bb")
     return (
         a.join(
             b,
-            (a.band_id == b.band_id) & (a.band_hash == b.band_hash) & (F.col("id_a") < F.col("id_b")),
+            (F.col("__ba.band_id") == F.col("__bb.band_id"))
+            & (F.col("__ba.band_hash") == F.col("__bb.band_hash"))
+            & (F.col("id_a") < F.col("id_b")),
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_matching_bands"))

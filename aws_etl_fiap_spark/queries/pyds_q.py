@@ -59,7 +59,7 @@ def pyds_ticker_api_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return (
         spark.read.format(pyds.FORMAT_NAME)
-        .option("keys", ",".join(sorted(keys)))
+        .option("keys", pyds.encode_keys(sorted(keys)))
         .option("days", str(_DAYS))
         .option("chunk", "4")
         .load()

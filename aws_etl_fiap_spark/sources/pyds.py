@@ -27,6 +27,7 @@ DuckDB oracle reproduces it exactly in SQL (queries/pyds_q.py).
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator, Sequence
 from datetime import date, timedelta
 
@@ -37,6 +38,30 @@ from pyspark.sql.types import StructType
 FORMAT_NAME = "ticker_api"
 SCHEMA_DDL = "ticker string, day date, close double, volume bigint"
 _BASE_DAY = date(2024, 1, 1)
+
+
+def encode_keys(keys: Sequence[str]) -> str:
+    """Lossless key-list transport for the ``keys`` option: a JSON array.
+
+    DataSource options are flat strings; the original comma-joined form
+    silently SPLIT any key containing ``,`` (round-4 advice).  JSON escapes
+    every delimiter, so arbitrary keys round-trip byte-exactly."""
+    return json.dumps(list(keys))
+
+
+def decode_keys(raw: str) -> list[str]:
+    """Inverse of :func:`encode_keys`, with a legacy comma-list fallback.
+
+    JSON form (leading ``[``) is authoritative and lossless.  A bare comma
+    list is still accepted for hand-written options, but any non-string
+    JSON payload or malformed array raises instead of guessing."""
+    raw = raw.strip()
+    if raw.startswith("["):
+        keys = json.loads(raw)
+        if not isinstance(keys, list) or not all(isinstance(k, str) for k in keys):
+            raise ValueError("ticker_api 'keys' JSON must be an array of strings")
+        return keys
+    return [k for k in raw.split(",") if k]
 
 
 def series_row(key: str, i: int) -> tuple[str, date, float, int]:
@@ -53,9 +78,11 @@ class _TickerApiReader(DataSourceReader):
     """Batch reader: key list -> chunked input partitions -> executor fetch."""
 
     def __init__(self, options: dict) -> None:
-        keys = [k for k in (options.get("keys") or "").split(",") if k]
+        keys = decode_keys(options.get("keys") or "")
         if not keys:
-            raise ValueError("ticker_api requires .option('keys', 'A,B,...')")
+            raise ValueError(
+                "ticker_api requires .option('keys', encode_keys([...]))"
+            )
         self._keys = keys
         self._days = int(options.get("days", 5))
         self._chunk = max(1, int(options.get("chunk", 16)))
@@ -74,9 +101,10 @@ class _TickerApiReader(DataSourceReader):
 
 
 class TickerApiDataSource(DataSource):
-    """``spark.read.format("ticker_api")`` — options: ``keys`` (comma list,
-    required), ``days`` (rows per key, default 5), ``chunk`` (keys per input
-    partition, default 16)."""
+    """``spark.read.format("ticker_api")`` — options: ``keys`` (JSON array
+    via :func:`encode_keys`; bare comma list accepted for comma-free keys),
+    ``days`` (rows per key, default 5), ``chunk`` (keys per input partition,
+    default 16)."""
 
     @classmethod
     def name(cls) -> str:

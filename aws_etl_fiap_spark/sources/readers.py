@@ -60,13 +60,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        # The NTZ->timestamp cast re-labels wall-clock values using the
+        # SESSION time zone at ANALYSIS time; the file's nanos are UTC
+        # wall-clock (and the DuckDB oracle reads them as such), so the cast
+        # must resolve under UTC regardless of the caller's session tz.
+        # Both confs are scoped and analysis is forced inside the scope, so
+        # the resolved plan carries timeZoneId=UTC and survives the restore
+        # (same mechanism as the nanosAsLong scope below).
+        with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"), scoped_conf(
+            spark, "spark.sql.session.timeZone", "UTC"
+        ):
             raw = spark.read.parquet(path)
             if raw.schema["ts"].dataType.simpleString() == "bigint":
                 out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            else:  # timestamp_ntz on Spark 4.1+; cast is a no-op re-label at UTC
+            else:  # timestamp_ntz on Spark 4.1+; cast re-labels at the scoped UTC
                 out = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-            out.schema  # force lazy analysis while the conf is in effect
+            out.schema  # force lazy analysis while the confs are in effect
         return out
     return spark.read.parquet(path)
 

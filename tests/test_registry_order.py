@@ -2,20 +2,43 @@
 
 The round driver grades only the first 50 ``queries()`` entries (round-1
 evidence: CORRECTNESS_r01.json covered exactly the first 50 of 85).  These
-tests pin the contract that everything which still NEEDS a driver verdict
-sits inside that window, and that priority reordering never drops or
-duplicates a query.
+tests pin the ROTATION POLICY itself (registry.py's window comment), not a
+hand-copied family list — the round-4/round-5 red test failed precisely
+because it hardcoded "all tpch_/text_/media_ inside" after the policy had
+deliberately displaced four TPC-H entries:
+
+* a query whose code or oracle changed this round occupies a graded slot;
+* the stalest entries (oldest green driver row) rotate in ahead of fresher
+  ones — for r6 that is tpch_q4/q6/q12/q14 (last green r2);
+* every registered query is accounted for: graded this round, green last
+  round, or an explicitly documented deferral (``DEFERRED_R6``);
+* deferrals never include changed code, and never exceed the window
+  overflow they exist to absorb.
 """
 
 from aws_etl_fiap_spark.queries import registry
 
 DRIVER_WINDOW = 50
 
+#: r6: the entries whose latest green row predates round 3 — the stalest
+#: queries in the registry, displaced in r4 and owed a slot since.
+STALEST_R6 = (
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q12_shipping_priority_class",
+    "tpch_q14_promo_revenue",
+    "dedup_minhash_lsh",
+)
+
 
 def _names():
     from aws_etl_fiap_spark import queries  # noqa: F401  (populate REGISTRY)
 
     return list(registry.queries())
+
+
+def _window():
+    return set(_names()[:DRIVER_WINDOW])
 
 
 def test_priority_names_all_registered():
@@ -33,47 +56,60 @@ def test_window_is_exactly_full():
     """DRIVER_PRIORITY should pin the whole 50-slot window: fewer wastes
     graded slots on arbitrary registration order, more silently truncates."""
     assert len(registry.DRIVER_PRIORITY) == DRIVER_WINDOW
+    assert len(set(registry.DRIVER_PRIORITY)) == DRIVER_WINDOW
 
 
-def test_unverdicted_or_changed_queries_inside_driver_window():
-    """Round-5 contract: every query that (a) has never received a driver
-    verdict or (b) changed implementation/oracle this round must occupy a
-    graded slot.  Everything outside the window keeps green evidence from
-    CORRECTNESS_r03 (50/50) for code untouched since."""
-    window = set(_names()[:DRIVER_WINDOW])
-    need_verdict = [
-        # new in round 5
-        "dedup_lsh_contains_exact",
-        # oracle re-predicated in round 5 (vacuous 0-row -> 203 rows)
-        "join_anti_orderless_customers",
-    ]
-    missing = [n for n in need_verdict if n not in window]
-    assert not missing, f"outside driver window: {missing}"
+def test_changed_queries_inside_driver_window():
+    """Policy clause 1: changed implementation/oracle => graded slot."""
+    missing = [n for n in registry.CHANGED_R6 if n not in _window()]
+    assert not missing, f"changed-this-round queries outside window: {missing}"
 
 
-def test_window_holds_exactly_the_stale_families():
-    """The r5 window must be spent on the queries with no r3 verdict — the
-    TPC-H/text/media/similarity/corpus families the round-3 verdict flagged
-    as two rounds stale — not on re-grading r3 greens."""
-    window = set(_names()[:DRIVER_WINDOW])
-    stale_prefixes = ("tpch_", "text_", "media_")
-    missing = [
-        n
-        for n in registry.REGISTRY
-        if n.startswith(stale_prefixes) and n not in window
-    ]
-    assert not missing, f"stale-family queries outside window: {missing}"
+def test_stalest_queries_inside_driver_window():
+    """Policy clause 2: the oldest-evidence entries rotate in first."""
+    missing = [n for n in STALEST_R6 if n not in _window()]
+    assert not missing, f"stalest queries outside window: {missing}"
+
+
+def test_every_query_accounted_for():
+    """Policy clause 3: window + last round's green window + documented
+    deferrals must cover the whole registry — nothing goes silently
+    ungraded."""
+    accounted = _window() | set(registry.R5_WINDOW) | set(registry.DEFERRED_R6)
+    missing = sorted(set(registry.REGISTRY) - accounted)
+    assert not missing, f"queries with no grading account: {missing}"
+
+
+def test_deferrals_are_legitimate():
+    """Policy clause 4: deferrals absorb exactly the window overflow
+    (|eligible| - 50), never changed code, and never the stalest entries."""
+    deferred = set(registry.DEFERRED_R6)
+    assert not deferred & _window(), "deferred query occupies a window slot"
+    assert not deferred & set(registry.CHANGED_R6), "changed code deferred"
+    assert not deferred & set(STALEST_R6), "stalest entry deferred"
+    # Eligible for r6 grading: everything not sitting on a fresh r5 row,
+    # plus the changed r5-green entries that must re-enter.
+    eligible = (set(registry.REGISTRY) - set(registry.R5_WINDOW)) | set(
+        registry.CHANGED_R6
+    )
+    overflow = len(eligible) - DRIVER_WINDOW
+    assert len(deferred) == overflow, (
+        f"{len(deferred)} deferrals for an overflow of {overflow}"
+    )
+    assert eligible - deferred == _window()
 
 
 def test_every_window_entry_is_oracled():
     """A window slot spent on an oracle-less entry is a guaranteed
     err:no_oracle row (round-2 advice): all 50 graded entries must carry an
-    exact oracle."""
+    exact oracle.  As of r6 the whole registry is oracled (104/104 — the
+    former rows-only dedup_minhash_lsh now grades its pair set against the
+    portable family's SQL-derived set)."""
     from aws_etl_fiap_spark import queries  # noqa: F401
 
     oracles = registry.oracle_sql()
-    unoracled = [n for n in _names()[:DRIVER_WINDOW] if n not in oracles]
-    assert not unoracled, f"window entries without oracle: {unoracled}"
+    unoracled = [n for n in _names() if n not in oracles]
+    assert not unoracled, f"entries without oracle: {unoracled}"
 
 
 def test_oracle_orphans():

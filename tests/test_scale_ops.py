@@ -151,3 +151,37 @@ def test_compact_partitions_recovers_crashed_swap(spark, sf_correctness, tmp_pat
     )
     assert got == want
     assert stats["files_after"] <= stats["partitions"], stats
+
+
+def test_writepath_queries_honor_sink_dir_override(spark, sf_smoke, tmp_path, monkeypatch):
+    """Both write-path gates must land their sinks under SPARK_GRAFT_SINK_DIR
+    (round-5 verdict #5): on a real cluster executors cannot reach the
+    driver's /tmp, so the override is the only cluster-honest path.  Run
+    both at sf0.001 with the override pointed at tmp_path and assert every
+    sink directory was created there (captured before each query's own
+    cleanup deletes it)."""
+    import tempfile as _tempfile
+
+    from aws_etl_fiap_spark.queries.writepath_q import (
+        bucketed_join_colocated_agg,
+        roundtrip_partitioned_agg,
+    )
+
+    sink = tmp_path / "sink_override"
+    sink.mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_SINK_DIR", str(sink))
+    made = []
+    real_mkdtemp = _tempfile.mkdtemp
+
+    def spy_mkdtemp(*args, **kwargs):
+        path = real_mkdtemp(*args, **kwargs)
+        made.append(path)
+        return path
+
+    monkeypatch.setattr(_tempfile, "mkdtemp", spy_mkdtemp)
+
+    assert roundtrip_partitioned_agg(spark, sf_smoke).count() > 0
+    assert bucketed_join_colocated_agg(spark, sf_smoke).count() > 0
+    assert len(made) == 2, f"expected one sink dir per query: {made}"
+    stray = [p for p in made if not p.startswith(str(sink))]
+    assert not stray, f"sink dirs ignored SPARK_GRAFT_SINK_DIR: {stray}"
