@@ -143,3 +143,39 @@ def corpus_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_sample(docs, "doc_id", rate_pct=10).select(
         "doc_id", "lang", "source"
     )
+
+
+@query(
+    "corpus_stratified_sample",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, lang, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+)
+SELECT doc_id, lang, source FROM ranked WHERE rn <= CEIL(0.1 * n)
+""",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] EXACT per-stratum quota sample: the ceil(10% of n) smallest
+    docs per language under the portable (md5, doc_id) order — the curation
+    recipe shape ("10% of each language") that hash-threshold sampling
+    (:func:`corpus_sample_10pct` above) cannot pin to a hard count.
+
+    The implementation is the two-level order-statistic refinement
+    (operators/sampling.stratified_quota_sample): per-(stratum, hash-byte)
+    counts locate each stratum's quota boundary, whole buckets below it pass
+    with no per-row ranking, and only the single boundary bucket pays a
+    ROW_NUMBER — so a 50 TB-stratum never lands on one window task.  The
+    oracle is the naive window definition; set-equality of the two is also
+    pinned by tests/test_corpus.py."""
+    from aws_etl_fiap_spark.operators.sampling import stratified_quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_quota_sample(docs, ["lang"], 0.1, "doc_id").select(
+        "doc_id", "lang", "source"
+    )

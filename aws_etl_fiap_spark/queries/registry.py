@@ -64,8 +64,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # sim-ivf-lsh/writepath-roundtrip) — PLUS the entries whose implementation
 # changed in round 6 and therefore re-enter the window from r5-green:
 #   * pyds_ticker_api_scan / pyds_ticker_api_agg (JSON key transport),
-#   * dedup_lsh_contains_exact (aliased minhash band self-join).
-# That demands 57 slots for 50; the overflow is DEFERRED_R6 below.
+#   * dedup_lsh_contains_exact (aliased minhash band self-join),
+# and the two queries NEW in round 6 (never graded, highest priority):
+#   * upsert_partitioned_merge (partition-level MERGE write-path gate),
+#   * corpus_stratified_sample (exact per-stratum quota sampling).
+# That demands 59 slots for 50; the overflow is DEFERRED_R6 below.
 #
 # Remaining r5-green entries stay out on their fresh r5 rows.  Note the
 # round-6 readers.py change (UTC-scoped NTZ re-label) technically touches
@@ -89,12 +92,14 @@ CHANGED_R6: tuple[str, ...] = (
 )
 
 #: r3-green entries displaced from the 50-slot window by CHANGED_R6's three
-#: re-entries plus dedup_minhash_lsh's promotion: single-construct
-#: lineitem/orders queries (no events read, no dedup/pyds code), each pinned
-#: by unit tests, code untouched since r1 — the lowest-risk deferrals.
-#: They are the FIRST picks for the r7 window.
+#: re-entries, dedup_minhash_lsh's promotion, and the two round-6-new
+#: queries: single-construct queries (no events read, no dedup/pyds/write
+#: code), each pinned by unit tests, code untouched since r1 — the
+#: lowest-risk deferrals.  They are the FIRST picks for the r7 window.
 DEFERRED_R6: tuple[str, ...] = (
     "null_filter_project",
+    "union_all_sources",
+    "keyed_stats_single",
     "date_parts_cast",
     "rename_literal_hyphen",
     "conditional_round",
@@ -131,6 +136,9 @@ R5_WINDOW: tuple[str, ...] = (
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- NEW in round 6: never graded. --
+    "upsert_partitioned_merge",
+    "corpus_stratified_sample",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -175,8 +183,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "set_nations_except_all",
     "skew_salted_agg",
     "refined_detail_lag",
-    "union_all_sources",
-    "keyed_stats_single",
     "sql_athena_canonical",
     "sql_hint_broadcast_join",
     # -- r3-green joins. --

@@ -150,3 +150,104 @@ def bucketed_join_colocated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_cust}")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "upsert_partitioned_merge",
+    oracle=f"""
+WITH src AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+),
+upd AS (
+    SELECT o_orderkey, o_orderstatus,
+           o_totalprice + 1.0 AS o_totalprice,
+           CASE WHEN o_orderkey % 130 = 0
+                THEN o_orderdate + INTERVAL 370 DAY
+                ELSE o_orderdate END AS o_orderdate
+    FROM src WHERE o_orderkey % 13 = 0
+),
+ins AS (
+    SELECT o_orderkey + 1000000 AS o_orderkey, o_orderstatus, o_totalprice,
+           o_orderdate + INTERVAL 400 DAY AS o_orderdate
+    FROM src WHERE o_orderkey % 97 = 3
+),
+batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+merged AS (
+    SELECT * FROM batch
+    UNION ALL
+    SELECT * FROM src
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+)
+SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(o_orderkey) AS key_sum,
+       {sql_dec_sum('o_totalprice', 2)} AS total_price
+FROM merged
+GROUP BY 1, 2
+""",
+)
+def upsert_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Partition-level MERGE under the driver's exact-value gate:
+    seed a partitioned table from orders, apply one batch holding in-place
+    updates (key % 13: price + 1.00), partition-MOVING updates (key % 130:
+    date + 370 days, so the row must leave its old o_year directory), and
+    inserts (key % 97 == 3, re-keyed +1M, date + 400 days), then read the
+    table back and aggregate.  The oracle recomputes the merge in SQL from
+    the ORIGINAL table, so replaced rows, moved rows (and the absence of
+    their stale old copies), inserted rows, and untouched partitions are all
+    inside the verified loop — the incremental-refresh counterpart to
+    roundtrip_partitioned_agg's full-rewrite gate.
+
+    Sink lands under SPARK_GRAFT_SINK_DIR like the other write-path gates;
+    the aggregate is eagerly checkpointed before the per-run directory is
+    deleted."""
+    from aws_etl_fiap_spark.sources.writers import upsert_partitioned
+
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="upsert_", dir=base)
+    path = os.path.join(tmp, "orders_merge")
+    try:
+        src = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        )
+        write_partitioned(src.repartition(4), path, ["o_year"])
+        upd = (
+            src.filter(F.col("o_orderkey") % 13 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+            .withColumn(
+                "o_orderdate",
+                F.when(
+                    F.col("o_orderkey") % 130 == 0,
+                    F.expr("timestampadd(DAY, 370, o_orderdate)"),
+                ).otherwise(F.col("o_orderdate")),
+            )
+        )
+        ins = (
+            src.filter(F.col("o_orderkey") % 97 == 3)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(1_000_000))
+            .withColumn(
+                "o_orderdate", F.expr("timestampadd(DAY, 400, o_orderdate)")
+            )
+        )
+        batch = (
+            upd.unionByName(ins)
+            .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        )
+        upsert_partitioned(
+            spark, path, batch, ["o_orderkey"], ["o_year"],
+            keys_partition_stable=False,
+        )
+        back = read_back(spark, path)
+        out = back.groupBy(
+            F.col("o_year").cast("int").alias("o_year"), "o_orderstatus"
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            dec_sum("o_totalprice", 2).alias("total_price"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

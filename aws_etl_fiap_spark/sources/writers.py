@@ -169,3 +169,117 @@ def compact_partitions(
         "partitions": n_partitions,
         "file_budget": total_files,
     }
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_by: Sequence[str],
+    keys_partition_stable: bool = True,
+    max_affected_partitions: int = 10_000,
+) -> dict[str, int]:
+    """MERGE a batch of full replacement rows into a partitioned parquet
+    table: matching keys are replaced, new keys inserted — the incremental
+    daily-refresh pattern the reference's full ``mode("overwrite")`` rewrite
+    (b3_transform.py:309-312) cannot express once the table dwarfs the delta.
+
+    100 TB shape: only AFFECTED partitions are ever read or rewritten.
+
+    1. Affected = partitions present in ``updates``; when
+       ``keys_partition_stable=False`` also the partitions currently holding
+       an updated key (found via a key semi-join — a full-table scan, which
+       is why stable-keyed tables, e.g. day-partitioned facts whose key
+       embeds the day, should keep the default and skip it).
+    2. The survivor scan is PRUNED to affected partitions (the predicate is
+       on partition columns only, so it prunes directories at planning
+       time), then LEFT ANTI joined against the update keys.
+    3. survivors + updates land in a STAGING directory first — Spark
+       (rightly) refuses to overwrite a path an active plan is reading, and
+       staging + rename is also what keeps concurrent readers consistent —
+       then each affected partition directory is swapped in with Hadoop
+       FileSystem renames, compact_partitions-style: the live partition is
+       renamed aside before its replacement moves in, so no point in the
+       swap leaves a partition with nothing recoverable.
+    4. An affected partition the merge wrote NO rows into (every row moved
+       elsewhere) simply has no staged replacement: the swap leaves it
+       renamed aside and it is dropped with the backups — phantom
+       directories cannot survive.
+
+    Crash mid-swap leaves some partitions pre-merge and some post-merge;
+    re-running the SAME batch is idempotent (replace-by-key of an identical
+    batch maps both states to the same result), so the recovery is simply
+    to re-run.  The partition LIST (never row data) is collected on the
+    driver, bounded by ``max_affected_partitions`` with an explicit raise.
+
+    Returns {affected_partitions, rewritten_partitions, dropped_partitions}.
+    """
+    from pyspark.sql import functions as F
+
+    pcols, kcols = list(partition_by), list(key_cols)
+    existing = spark.read.parquet(path)
+    batch_keys = updates.select(*kcols).distinct()
+    affected_df = updates.select(*pcols)
+    if not keys_partition_stable:
+        affected_df = affected_df.unionByName(
+            existing.join(batch_keys, kcols, "left_semi").select(*pcols)
+        )
+    affected = [
+        tuple(r)
+        for r in affected_df.distinct().limit(max_affected_partitions + 1).collect()
+    ]
+    if len(affected) > max_affected_partitions:
+        raise ValueError(
+            f"upsert touches more than {max_affected_partitions} partitions; "
+            "this merge should be a table rewrite, not an upsert"
+        )
+    pred = F.lit(False)
+    for values in affected:
+        clause = F.lit(True)
+        for col, val in zip(pcols, values):
+            clause = clause & (F.col(col) == F.lit(val))
+        pred = pred | clause
+    survivors = existing.filter(pred).join(batch_keys, kcols, "left_anti")
+    merged = survivors.unionByName(updates.select(*survivors.columns))
+
+    staging = path.rstrip("/") + "__upsert_staging"
+    backup = path.rstrip("/") + "__upsert_old"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(staging), True)
+    fs.delete(hpath(backup), True)
+    merged.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
+
+    def _rel(values) -> str:
+        return "/".join(f"{col}={val}" for col, val in zip(pcols, values))
+
+    rewritten = dropped = 0
+    fs.mkdirs(hpath(backup))
+    for values in affected:
+        live = hpath(path.rstrip("/") + "/" + _rel(values))
+        staged = hpath(staging + "/" + _rel(values))
+        aside = hpath(backup + "/" + _rel(values).replace("/", "%2F"))
+        had_live = fs.exists(live)
+        if had_live and not fs.rename(live, aside):
+            raise IOError(f"rename-aside failed for partition {values}")
+        if fs.exists(staged):
+            fs.mkdirs(live.getParent())
+            if not fs.rename(staged, live):
+                if had_live:
+                    fs.rename(aside, live)  # roll back this partition
+                raise IOError(f"swap-in failed for partition {values}")
+            rewritten += 1
+        elif had_live:
+            dropped += 1  # no staged replacement: partition merged away
+    fs.delete(hpath(backup), True)
+    fs.delete(hpath(staging), True)
+    # Drop the cached file listing — the next scan must not resolve
+    # pre-merge files.
+    spark.catalog.refreshByPath(path)
+    return {
+        "affected_partitions": len(affected),
+        "rewritten_partitions": rewritten,
+        "dropped_partitions": dropped,
+    }

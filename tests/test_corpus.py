@@ -1,5 +1,7 @@
 """Curation-funnel plan tests: stage wiring and monotone shrinkage."""
 
+from pyspark.sql import functions as F
+
 from aws_etl_fiap_spark.plans.corpus import curate_corpus, curation_funnel_counts
 from aws_etl_fiap_spark.sources.readers import load_table
 
@@ -79,3 +81,48 @@ def test_sample_coherent_across_tables(spark, sf_correctness):
     a = {(r.o_orderkey, r.l_linenumber) for r in sampled_then_joined.collect()}
     b = {(r.o_orderkey, r.l_linenumber) for r in joined_then_sampled.collect()}
     assert a == b and a
+
+
+def test_stratified_quota_sample_matches_naive_window(spark, sf_smoke):
+    """The two-level bucket refinement must produce EXACTLY the set the
+    naive per-stratum ROW_NUMBER window produces: the ceil(f * n) smallest
+    rows per stratum under the portable (md5, id) order."""
+    from pyspark.sql import Window
+
+    from aws_etl_fiap_spark.operators.sampling import stratified_quota_sample
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = stratified_quota_sample(docs, ["lang"], 0.1, "doc_id")
+    key = F.md5(F.concat_ws(":", F.lit("strat"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    naive = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+        .filter(F.col("__rn") <= F.ceil(0.1 * F.col("__n")))
+        .select(*docs.columns)
+    )
+    got_ids = {r.doc_id for r in got.collect()}
+    naive_ids = {r.doc_id for r in naive.collect()}
+    assert got_ids == naive_ids
+    # Hard per-stratum quota: exactly ceil(0.1 * n) docs per language.
+    per_lang = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got_per_lang = {r.lang: r.n for r in got.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    import math
+    for lang, n in per_lang.items():
+        assert got_per_lang.get(lang, 0) == math.ceil(0.1 * n), lang
+
+
+def test_stratified_quota_sample_monotone_and_bounds(spark, sf_smoke):
+    from aws_etl_fiap_spark.operators.sampling import stratified_quota_sample
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    s10 = {r.doc_id for r in stratified_quota_sample(docs, ["lang"], 0.1, "doc_id").collect()}
+    s25 = {r.doc_id for r in stratified_quota_sample(docs, ["lang"], 0.25, "doc_id").collect()}
+    assert s10 <= s25  # quotas grow monotonically under one order
+    all_rows = {r.doc_id for r in stratified_quota_sample(docs, ["lang"], 1.0, "doc_id").collect()}
+    assert all_rows == {r.doc_id for r in docs.select("doc_id").collect()}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_quota_sample(docs, ["lang"], 1.5, "doc_id")

@@ -157,3 +157,59 @@ def test_minhash_portable_single_doc_shuffle(spark, sf_correctness):
     # exactly: doc-agg exchange (pre-localCheckpoint lineage) is cut by the
     # checkpoint; what remains is the band self-join + pair aggregate.
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_plan_broadcasts_and_prunes_rank_work(spark, sf_correctness):
+    """The two-level refinement's scale properties, asserted on the plan:
+    the per-(stratum, bucket) quota plan joins back by BROADCAST (it is
+    KB-sized), and the only window (ROW_NUMBER) sits over the boundary-
+    bucket subset, partitioned by (stratum, bucket) — never by stratum
+    alone, which is the single-task bottleneck the operator exists to
+    avoid."""
+    from aws_etl_fiap_spark.operators.sampling import stratified_quota_sample
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_correctness, "documents")
+    out = stratified_quota_sample(docs, ["lang"], 0.1, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # Every Window operator's partition spec must include the bucket column.
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "__b" in line, line
+
+
+def test_upsert_survivor_scan_is_partition_pruned(spark, tmp_path, sf_correctness):
+    """upsert_partitioned's survivor read must prune to the affected
+    partitions at the directory level (PartitionFilters on the partition
+    column), not scan the whole table and filter rows."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.sources.readers import load_table
+    from aws_etl_fiap_spark.sources.writers import upsert_partitioned, write_partitioned
+
+    path = str(tmp_path / "orders_pruned")
+    src = (
+        load_table(spark, sf_correctness, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+    )
+    write_partitioned(src.repartition(4), path, ["o_year"])
+    existing = spark.read.parquet(path)
+    years = sorted(r.o_year for r in existing.select("o_year").distinct().collect())
+    one_year = years[0]
+    pred = F.col("o_year") == F.lit(one_year)
+    survivors = existing.filter(pred)
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "o_year" in pf, plan
+    # And the op itself only rewrites the touched partition.
+    batch = (
+        src.filter(F.col("o_year").cast("string") == str(one_year))
+        .limit(10)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    )
+    stats = upsert_partitioned(spark, path, batch, ["o_orderkey"], ["o_year"])
+    assert stats["affected_partitions"] == 1
+    assert stats["rewritten_partitions"] == 1

@@ -185,3 +185,72 @@ def test_writepath_queries_honor_sink_dir_override(spark, sf_smoke, tmp_path, mo
     assert len(made) == 2, f"expected one sink dir per query: {made}"
     stray = [p for p in made if not p.startswith(str(sink))]
     assert not stray, f"sink dirs ignored SPARK_GRAFT_SINK_DIR: {stray}"
+
+
+def test_upsert_partitioned_merge_semantics(spark, tmp_path):
+    """upsert_partitioned must replace matching keys, insert new ones,
+    relocate partition-movers WITHOUT leaving the old copy behind, and drop
+    a partition whose every row merged away (the phantom-directory case)."""
+    import os
+
+    from aws_etl_fiap_spark.sources.writers import upsert_partitioned
+
+    path = str(tmp_path / "t")
+    rows = [(k, 1, float(k)) for k in range(10)] + [(k, 2, float(k)) for k in range(10, 20)]
+    spark.createDataFrame(rows, "k long, p int, v double").write.partitionBy(
+        "p"
+    ).parquet(path)
+    # Batch: update k=0 in place; move ALL of p=1 (k 0..9) to p=3 except
+    # k=0; insert k=100 into p=4; update k=15 in p=2 in place.
+    batch_rows = (
+        [(0, 1, 999.0)]
+        + [(k, 3, float(k)) for k in range(1, 10)]
+        + [(100, 4, 100.0), (15, 2, -15.0)]
+    )
+    batch = spark.createDataFrame(batch_rows, "k long, p int, v double")
+    stats = upsert_partitioned(
+        spark, path, batch, ["k"], ["p"], keys_partition_stable=False
+    )
+    # The repo session disables partition-column type inference (string
+    # partition values by design); normalize for comparison.
+    got = {(r.k, int(r.p), r.v) for r in spark.read.parquet(path).collect()}
+    expect = set(batch_rows) | {(k, 2, float(k)) for k in range(10, 20) if k != 15}
+    assert got == expect
+    assert stats["affected_partitions"] == 4  # p=1,2,3,4
+    assert stats["rewritten_partitions"] == 4
+    assert stats["dropped_partitions"] == 0
+
+    # Now merge the remaining p=1 row away entirely: p=1 must VANISH.
+    batch2 = spark.createDataFrame([(0, 3, 999.0)], "k long, p int, v double")
+    stats2 = upsert_partitioned(
+        spark, path, batch2, ["k"], ["p"], keys_partition_stable=False
+    )
+    got2 = {(r.k, int(r.p), r.v) for r in spark.read.parquet(path).collect()}
+    assert (0, 3, 999.0) in got2 and not any(p == 1 for _, p, _ in got2)
+    assert stats2["dropped_partitions"] == 1
+    assert not os.path.exists(os.path.join(path, "p=1"))
+    # No staging/backup litter left behind.
+    assert not os.path.exists(path + "__upsert_staging")
+    assert not os.path.exists(path + "__upsert_old")
+
+
+def test_upsert_partition_stable_skips_table_scan_but_merges(spark, tmp_path):
+    """With keys_partition_stable=True (the default) the merge must still be
+    correct when keys really are partition-stable."""
+    from aws_etl_fiap_spark.sources.writers import upsert_partitioned
+
+    path = str(tmp_path / "t2")
+    rows = [(k, k % 3, float(k)) for k in range(30)]
+    spark.createDataFrame(rows, "k long, p long, v double").write.partitionBy(
+        "p"
+    ).parquet(path)
+    batch = spark.createDataFrame(
+        [(3, 0, -3.0), (31, 1, 31.0)], "k long, p long, v double"
+    )
+    upsert_partitioned(spark, path, batch, ["k"], ["p"])
+    got = {(r.k, int(r.p), r.v) for r in spark.read.parquet(path).collect()}
+    expect = {(k, k % 3, float(k)) for k in range(30) if k != 3} | {
+        (3, 0, -3.0),
+        (31, 1, 31.0),
+    }
+    assert got == expect
