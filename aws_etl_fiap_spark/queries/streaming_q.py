@@ -273,3 +273,113 @@ def stream_dedup_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(
         deduped.select("user_id", "event_type"), spark, mode="append"
     )
+
+
+@query(
+    "stream_upsert_merge_equiv",
+    oracle=f"""
+WITH src AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+),
+final AS (
+    SELECT o_orderkey, o_orderstatus, o_orderdate,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 11.0
+                WHEN o_orderkey % 10 = 0 THEN o_totalprice + 5.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM src
+)
+SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       SUM(o_orderkey) AS key_sum,
+       {sql_dec_sum('o_totalprice', 2)} AS total_price
+FROM final
+GROUP BY 1, 2
+""",
+)
+def stream_upsert_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] STREAMING incremental refresh behind the exact gate: a real
+    file-source readStream delivers two sequenced update batches into a
+    ``foreachBatch`` handler that merges each into a partitioned table with
+    writers.upsert_partitioned — the composition a daily 100 TB refinement
+    pipeline actually runs (stream in, merge by key, partitions rewritten
+    only where touched).
+
+    Scenario: the table is seeded from orders; batch seq=0 re-prices keys
+    divisible by 10 (+5.00), batch seq=1 re-prices keys divisible by 4
+    (+11.00).  Keys divisible by 20 appear in BOTH batches, so the final
+    state proves sequenced replace-by-key (seq=1 wins), not blind append.
+    The handler applies sub-batches in seq order, so the result is
+    deterministic however the file source packs files into micro-batches.
+    The oracle recomputes the final table state straight from orders; the
+    aggregate over the merged table must hash-equal it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.functions.parity import dec_sum
+    from aws_etl_fiap_spark.sources.readers import load_table
+    from aws_etl_fiap_spark.sources.writers import upsert_partitioned, write_partitioned
+
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="stream_upsert_", dir=base)
+    table = os.path.join(tmp, "orders_by_year")
+    inbox = os.path.join(tmp, "inbox")
+    ckpt = os.path.join(tmp, "ckpt")
+    try:
+        src = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        )
+        write_partitioned(src.repartition(4), table, ["o_year"])
+        b0 = (
+            src.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(5.0))
+            .withColumn("seq", F.lit(0))
+        )
+        b1 = (
+            src.filter(F.col("o_orderkey") % 4 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(11.0))
+            .withColumn("seq", F.lit(1))
+        )
+        # Sequential writes -> increasing mod times: the file source lists
+        # oldest-first, so seq order survives even if the batches land in
+        # separate micro-batches.
+        b0.coalesce(1).write.parquet(os.path.join(inbox, "seq=0_batch"))
+        b1.coalesce(1).write.parquet(os.path.join(inbox, "seq=1_batch"))
+
+        def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            seqs = sorted(r.seq for r in batch_df.select("seq").distinct().collect())
+            for s in seqs:
+                upsert_partitioned(
+                    spark,
+                    table,
+                    batch_df.filter(F.col("seq") == s).drop("seq"),
+                    ["o_orderkey"],
+                    ["o_year"],
+                )
+
+        stream = spark.readStream.schema(b0.schema).parquet(
+            os.path.join(inbox, "*")
+        )
+        with _scoped_shuffle_partitions(spark, 16):
+            q = (
+                stream.writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        back = spark.read.parquet(table)
+        out = back.groupBy(
+            F.col("o_year").cast("int").alias("o_year"), "o_orderstatus"
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            dec_sum("o_totalprice", 2).alias("total_price"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -165,6 +165,83 @@ def main() -> None:
     finally:
         shutil.rmtree(shadow, ignore_errors=True)
 
+    # Round-6 additions: the two incremental-pipeline operators.
+    #
+    # Stratified quota sampling at K x: the two-level refinement's whole
+    # point is that a dominant stratum never lands on one ROW_NUMBER task —
+    # so the smoke corpus is deliberately SKEWED (every clone keeps its
+    # lang; 'en' is ~44% of documents, so at K=20 the en stratum is ~44k
+    # rows ranked through 256 buckets instead of one window partition).
+    from aws_etl_fiap_spark.operators.sampling import stratified_quota_sample
+
+    docs_lang = load_table(spark, args.sf, "documents").select("doc_id", "lang")
+    big_docs = (
+        docs_lang.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+            "lang",
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_docs = big_docs.count()
+    stage(
+        f"stratified_quota_sample_{n_docs}docs",
+        lambda: stratified_quota_sample(big_docs, ["lang"], 0.1, "doc_id").count(),
+    )
+
+    # Partition-level upsert at K x: seed a K x orders table partitioned by
+    # o_year, then merge a batch touching ONE year.  The claim under test:
+    # merge cost ~ affected-partition size, not table size — compare
+    # upsert_1yr_batch sec against the full seed write above it.
+    from aws_etl_fiap_spark.sources.writers import upsert_partitioned
+
+    upsert_dir = tempfile.mkdtemp(prefix="scale_upsert_")
+    try:
+        orders = load_table(spark, args.sf, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderdate"
+        )
+        big_orders = (
+            orders.crossJoin(copies)
+            .select(
+                (F.col("o_orderkey") + F.col("copy") * 100_000_000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderdate",
+            )
+            .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        )
+        seed_path = os.path.join(upsert_dir, "orders_by_year")
+        t0 = time.perf_counter()
+        big_orders.repartition(32).write.partitionBy("o_year").parquet(seed_path)
+        n_seed = spark.read.parquet(seed_path).count()
+        print(
+            json.dumps(
+                {"stage": "upsert_seed_full_write", "rows": int(n_seed),
+                 "sec": round(time.perf_counter() - t0, 2)}
+            ),
+            flush=True,
+        )
+        one_year = int(
+            big_orders.agg(F.min("o_year")).first()[0]
+        )
+        batch = (
+            big_orders.filter(
+                (F.col("o_year") == one_year) & (F.col("o_orderkey") % 50 == 0)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        )
+
+        def _run_upsert():
+            stats = upsert_partitioned(
+                spark, seed_path, batch, ["o_orderkey"], ["o_year"]
+            )
+            assert stats["affected_partitions"] == 1, stats
+            return spark.read.parquet(seed_path).count()
+
+        stage("upsert_1yr_batch", _run_upsert)
+    finally:
+        shutil.rmtree(upsert_dir, ignore_errors=True)
+
     # ANN at K x: clone the embedding corpus the same way (clones share
     # vectors, so every bucket a query probes carries K x candidates — the
     # worst realistic case for bucketed ANN) and run SRP-LSH top-10.
