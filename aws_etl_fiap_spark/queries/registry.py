@@ -68,8 +68,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # and the two queries NEW in round 6 (never graded, highest priority):
 #   * upsert_partitioned_merge (partition-level MERGE write-path gate),
 #   * corpus_stratified_sample (exact per-stratum quota sampling),
-#   * stream_upsert_merge_equiv (readStream -> foreachBatch -> merge).
-# That demands 60 slots for 50; the overflow is DEFERRED_R6 below.
+#   * stream_upsert_merge_equiv (readStream -> foreachBatch -> merge),
+#   * stream_static_join_equiv (stream-static broadcast enrichment).
+# That demands 61 slots for 50; the overflow is DEFERRED_R6 below.
 #
 # Remaining r5-green entries stay out on their fresh r5 rows.  Note the
 # round-6 readers.py change (UTC-scoped NTZ re-label) technically touches
@@ -95,14 +96,15 @@ CHANGED_R6: tuple[str, ...] = (
 #: r3-green entries displaced from the 50-slot window by CHANGED_R6's three
 #: re-entries, dedup_minhash_lsh's promotion, and the two round-6-new
 #: queries: single-construct queries (no events read, no dedup/pyds/write
-#: code), each pinned by unit tests, code untouched since r1 (the set op
-#: also shares its implementation with its three in-window siblings) — the
-#: lowest-risk deferrals.  They are the FIRST picks for the r7 window.
+#: code), each pinned by unit tests, code untouched since r1 (the two set
+#: ops also share their implementation with their two in-window siblings) —
+#: the lowest-risk deferrals.  They are the FIRST picks for the r7 window.
 DEFERRED_R6: tuple[str, ...] = (
     "null_filter_project",
     "union_all_sources",
     "keyed_stats_single",
     "set_nations_intersect",
+    "set_nations_except_all",
     "date_parts_cast",
     "rename_literal_hyphen",
     "conditional_round",
@@ -143,6 +145,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "upsert_partitioned_merge",
     "corpus_stratified_sample",
     "stream_upsert_merge_equiv",
+    "stream_static_join_equiv",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -183,7 +186,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_approx_profile",
     "set_nations_except",
     "set_nations_intersect_all",
-    "set_nations_except_all",
     "skew_salted_agg",
     "refined_detail_lag",
     "sql_athena_canonical",

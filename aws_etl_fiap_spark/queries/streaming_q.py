@@ -383,3 +383,41 @@ def stream_upsert_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_static_join_equiv",
+    oracle=f"""
+SELECT c_mktsegment,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dec_sum('value', 2)} AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+)
+def stream_static_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] STREAM-STATIC JOIN behind the exact gate: the events stream is
+    enriched against the static customer dimension inside the streaming
+    query (broadcast hash join per micro-batch — the dimension never
+    shuffles, the 100 TB enrichment shape), then aggregated to running
+    totals per (segment, event type) and drained with AvailableNow.  Must
+    hash-equal the batch join+aggregate oracle.
+
+    Complete output mode for the same reason as the window equiv gates: a
+    finite verification run must emit every group.  The streaming aggregate
+    state is bounded by the GROUP count (segments x event types), not the
+    event count."""
+    from aws_etl_fiap_spark.functions.parity import dec_sum
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    events = _stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(
+        F.broadcast(cust), events.user_id == cust.c_custkey
+    )
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", 2).alias("total_value"),
+    )
+    return _run_to_table(agg, spark, mode="complete")

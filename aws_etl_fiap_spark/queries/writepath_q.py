@@ -172,11 +172,16 @@ ins AS (
     FROM src WHERE o_orderkey % 97 = 3
 ),
 batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+del AS (
+    SELECT o_orderkey FROM src
+    WHERE o_orderkey % 89 = 7 AND o_orderkey % 13 <> 0
+),
 merged AS (
     SELECT * FROM batch
     UNION ALL
     SELECT * FROM src
     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+      AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
 )
 SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
        o_orderstatus,
@@ -191,12 +196,14 @@ def upsert_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Partition-level MERGE under the driver's exact-value gate:
     seed a partitioned table from orders, apply one batch holding in-place
     updates (key % 13: price + 1.00), partition-MOVING updates (key % 130:
-    date + 370 days, so the row must leave its old o_year directory), and
-    inserts (key % 97 == 3, re-keyed +1M, date + 400 days), then read the
-    table back and aggregate.  The oracle recomputes the merge in SQL from
-    the ORIGINAL table, so replaced rows, moved rows (and the absence of
-    their stale old copies), inserted rows, and untouched partitions are all
-    inside the verified loop — the incremental-refresh counterpart to
+    date + 370 days, so the row must leave its old o_year directory),
+    inserts (key % 97 == 3, re-keyed +1M, date + 400 days), and DELETES
+    (key % 89 == 7, disjoint from the update set, delivered as bare keys so
+    the op must locate their partitions itself), then read the table back
+    and aggregate.  The oracle recomputes the merge in SQL from the
+    ORIGINAL table, so replaced rows, moved rows (and the absence of their
+    stale old copies), inserted rows, removed rows, and untouched
+    partitions are all inside the verified loop — the incremental-refresh counterpart to
     roundtrip_partitioned_agg's full-rewrite gate.
 
     Sink lands under SPARK_GRAFT_SINK_DIR like the other write-path gates;
@@ -236,9 +243,12 @@ def upsert_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             upd.unionByName(ins)
             .withColumn("o_year", F.year("o_orderdate").cast("int"))
         )
+        dels = src.filter(
+            (F.col("o_orderkey") % 89 == 7) & (F.col("o_orderkey") % 13 != 0)
+        ).select("o_orderkey")
         upsert_partitioned(
             spark, path, batch, ["o_orderkey"], ["o_year"],
-            keys_partition_stable=False,
+            keys_partition_stable=False, deletes=dels,
         )
         back = read_back(spark, path)
         out = back.groupBy(

@@ -179,10 +179,12 @@ def upsert_partitioned(
     partition_by: Sequence[str],
     keys_partition_stable: bool = True,
     max_affected_partitions: int = 10_000,
+    deletes: DataFrame | None = None,
 ) -> dict[str, int]:
     """MERGE a batch of full replacement rows into a partitioned parquet
-    table: matching keys are replaced, new keys inserted — the incremental
-    daily-refresh pattern the reference's full ``mode("overwrite")`` rewrite
+    table: matching keys are replaced, new keys inserted, and keys listed in
+    ``deletes`` removed — the incremental daily-refresh pattern (full CDC
+    apply: upsert + delete) the reference's ``mode("overwrite")`` rewrite
     (b3_transform.py:309-312) cannot express once the table dwarfs the delta.
 
     100 TB shape: only AFFECTED partitions are ever read or rewritten.
@@ -191,10 +193,14 @@ def upsert_partitioned(
        ``keys_partition_stable=False`` also the partitions currently holding
        an updated key (found via a key semi-join — a full-table scan, which
        is why stable-keyed tables, e.g. day-partitioned facts whose key
-       embeds the day, should keep the default and skip it).
+       embeds the day, should keep the default and skip it).  ``deletes``
+       contributes partitions directly when it carries the partition
+       columns; otherwise its keys are located by the same semi-join (forced
+       even under stable keys — a bare delete key says nothing about where
+       it lives).
     2. The survivor scan is PRUNED to affected partitions (the predicate is
        on partition columns only, so it prunes directories at planning
-       time), then LEFT ANTI joined against the update keys.
+       time), then LEFT ANTI joined against the update AND delete keys.
     3. survivors + updates land in a STAGING directory first — Spark
        (rightly) refuses to overwrite a path an active plan is reading, and
        staging + rename is also what keeps concurrent readers consistent —
@@ -220,11 +226,22 @@ def upsert_partitioned(
     pcols, kcols = list(partition_by), list(key_cols)
     existing = spark.read.parquet(path)
     batch_keys = updates.select(*kcols).distinct()
+    if deletes is not None:
+        batch_keys = batch_keys.unionByName(deletes.select(*kcols).distinct()).distinct()
     affected_df = updates.select(*pcols)
     if not keys_partition_stable:
         affected_df = affected_df.unionByName(
             existing.join(batch_keys, kcols, "left_semi").select(*pcols)
         )
+    elif deletes is not None:
+        if set(pcols) <= set(deletes.columns):
+            affected_df = affected_df.unionByName(deletes.select(*pcols))
+        else:
+            affected_df = affected_df.unionByName(
+                existing.join(
+                    deletes.select(*kcols).distinct(), kcols, "left_semi"
+                ).select(*pcols)
+            )
     affected = [
         tuple(r)
         for r in affected_df.distinct().limit(max_affected_partitions + 1).collect()

@@ -247,9 +247,12 @@ def test_upsert_partition_stable_skips_table_scan_but_merges(spark, tmp_path):
     batch = spark.createDataFrame(
         [(3, 0, -3.0), (31, 1, 31.0)], "k long, p long, v double"
     )
-    upsert_partitioned(spark, path, batch, ["k"], ["p"])
+    # Delete delivered as a bare key: the op must locate its partition via
+    # the semi-join even under stable keys.
+    dels = spark.createDataFrame([(7,)], "k long")
+    upsert_partitioned(spark, path, batch, ["k"], ["p"], deletes=dels)
     got = {(r.k, int(r.p), r.v) for r in spark.read.parquet(path).collect()}
-    expect = {(k, k % 3, float(k)) for k in range(30) if k != 3} | {
+    expect = {(k, k % 3, float(k)) for k in range(30) if k not in (3, 7)} | {
         (3, 0, -3.0),
         (31, 1, 31.0),
     }
