@@ -69,8 +69,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #   * upsert_partitioned_merge (partition-level MERGE write-path gate),
 #   * corpus_stratified_sample (exact per-stratum quota sampling),
 #   * stream_upsert_merge_equiv (readStream -> foreachBatch -> merge),
-#   * stream_static_join_equiv (stream-static broadcast enrichment).
-# That demands 61 slots for 50; the overflow is DEFERRED_R6 below.
+#   * stream_static_join_equiv (stream-static broadcast enrichment),
+#   * stream_stream_interval_join_equiv (watermarked funnel join).
+# That demands 62 slots for 50; the overflow is DEFERRED_R6 below.
 #
 # Remaining r5-green entries stay out on their fresh r5 rows.  Note the
 # round-6 readers.py change (UTC-scoped NTZ re-label) technically touches
@@ -96,15 +97,16 @@ CHANGED_R6: tuple[str, ...] = (
 #: r3-green entries displaced from the 50-slot window by CHANGED_R6's three
 #: re-entries, dedup_minhash_lsh's promotion, and the two round-6-new
 #: queries: single-construct queries (no events read, no dedup/pyds/write
-#: code), each pinned by unit tests, code untouched since r1 (the two set
-#: ops also share their implementation with their two in-window siblings) —
-#: the lowest-risk deferrals.  They are the FIRST picks for the r7 window.
+#: code), each pinned by unit tests, code untouched since r1 (the three
+#: deferred set ops share their implementation with the in-window
+#: set_nations_except) — the lowest-risk deferrals.  They are the FIRST picks for the r7 window.
 DEFERRED_R6: tuple[str, ...] = (
     "null_filter_project",
     "union_all_sources",
     "keyed_stats_single",
     "set_nations_intersect",
     "set_nations_except_all",
+    "set_nations_intersect_all",
     "date_parts_cast",
     "rename_literal_hyphen",
     "conditional_round",
@@ -146,6 +148,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_stratified_sample",
     "stream_upsert_merge_equiv",
     "stream_static_join_equiv",
+    "stream_stream_interval_join_equiv",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -185,7 +188,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_distinct_percentiles",
     "agg_approx_profile",
     "set_nations_except",
-    "set_nations_intersect_all",
     "skew_salted_agg",
     "refined_detail_lag",
     "sql_athena_canonical",

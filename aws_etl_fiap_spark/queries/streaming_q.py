@@ -421,3 +421,62 @@ def stream_static_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum("value", 2).alias("total_value"),
     )
     return _run_to_table(agg, spark, mode="complete")
+
+
+@query(
+    "stream_stream_interval_join_equiv",
+    oracle=f"""
+SELECT a.event_id AS click_id,
+       b.event_id AS view_id,
+       a.user_id AS user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'view'
+ AND {_TS.replace('ts', 'b.ts')} >= {_TS.replace('ts', 'a.ts')}
+ AND {_TS.replace('ts', 'b.ts')} <= {_TS.replace('ts', 'a.ts')} + INTERVAL 60 MINUTE
+""",
+)
+def stream_stream_interval_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] STREAM-STREAM interval join behind the exact gate: two live
+    event streams (clicks, views) joined on user within a 60-minute
+    follow window — the funnel/attribution shape.  Both sides carry
+    watermarks, so the join STATE is bounded: a buffered click can be
+    dropped once the view-side watermark passes its 60-minute horizon —
+    the property that lets this run forever at 100 TB/day, unlike an
+    unbounded cache of all history.
+
+    Append mode: inner-join matches emit as soon as both sides arrive
+    (nothing is withheld for watermark finalization on an inner join), so a
+    finite AvailableNow run emits the complete pair set, which must
+    hash-equal the batch self-join oracle.  Output is the (click_id,
+    view_id) pair set — deterministic regardless of micro-batch timing."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("u_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("u_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("u_a") == F.col("u_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 MINUTES")),
+    )
+    out = joined.select(
+        "click_id", "view_id", F.col("u_a").alias("user_id")
+    )
+    return _run_to_table(out, spark, mode="append")

@@ -300,3 +300,33 @@ def upsert_partitioned(
         "rewritten_partitions": rewritten,
         "dropped_partitions": dropped,
     }
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write a table CLUSTERED on ``cluster_cols``: range-partitioned into
+    ``n_files`` writer tasks and sorted within each — so each output file
+    covers a narrow, non-overlapping key range and each row group inside it
+    is narrower still.
+
+    This is the data-skipping layout for high-cardinality predicates that
+    partitionBy cannot serve (partitioning by a million user_ids creates a
+    million directories; clustering keeps N files).  A point or range
+    predicate on the cluster key then touches ~1 file's row groups: the
+    parquet reader prunes row groups via min/max footer stats once the
+    filter is pushed down, and the ranges don't overlap across files.  The
+    sort costs one range exchange at write time — the read-side skipping is
+    free forever after (same price-once-ride-free economics as bucketing,
+    but for RANGE predicates instead of equi-joins).
+    """
+    (
+        df.repartitionByRange(n_files, *[df[c] for c in cluster_cols])
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -257,3 +257,48 @@ def test_upsert_partition_stable_skips_table_scan_but_merges(spark, tmp_path):
         (31, 1, 31.0),
     }
     assert got == expect
+
+
+def test_write_clustered_layout_confines_key_ranges(spark, sf_correctness, tmp_path):
+    """write_clustered must produce non-overlapping per-file key ranges: a
+    point predicate's matching rows live in ONE file (of 8), and the
+    predicate reaches the parquet reader as a pushed filter so its min/max
+    row-group pruning actually fires.  Contrast: an unclustered write
+    scatters the same key across every file."""
+    from aws_etl_fiap_spark.sources.readers import load_table
+    from aws_etl_fiap_spark.sources.writers import write_clustered
+
+    ev = load_table(spark, sf_correctness, "events").select(
+        "event_id", "user_id", "value"
+    )
+    clustered = str(tmp_path / "ev_clustered")
+    scattered = str(tmp_path / "ev_scattered")
+    write_clustered(ev, clustered, ["user_id"], 8)
+    ev.repartition(8).write.parquet(scattered)
+
+    def files_holding(path, uid):
+        back = spark.read.parquet(path).filter(F.col("user_id") == uid)
+        return back.select(F.input_file_name()).distinct().count()
+
+    uid = 77
+    assert files_holding(clustered, uid) == 1
+    assert files_holding(scattered, uid) > 1
+    # The predicate is pushed to the reader (row-group pruning eligible).
+    plan = (
+        spark.read.parquet(clustered)
+        .filter(F.col("user_id") == uid)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan
+    assert "user_id" in plan.split("PushedFilters")[1].split("]")[0]
+    # Files cover non-overlapping ranges: per-file (min, max) intervals of
+    # the cluster key must not intersect.
+    back = spark.read.parquet(clustered)
+    ranges = sorted(
+        (r.lo, r.hi)
+        for r in back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .collect()
+    )
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
