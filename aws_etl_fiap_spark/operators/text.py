@@ -147,3 +147,79 @@ def chunk_documents(
         F.size("c.win").alias("n_chunk_tokens"),
         F.concat_ws(" ", F.col("c.win")).alias("chunk"),
     )
+
+
+# PII redaction rule table: (name, pattern, replacement tag), applied IN
+# ORDER — URLs first (an URL may embed userinfo/digits that the narrower
+# rules would half-redact), then emails, then phone-shaped digit runs over
+# the already-redacted text.  The patterns deliberately stay inside the
+# common Java-regex / RE2 subset (no backreferences, no lookaround) so the
+# exact same strings drive Spark's codegen'd regexp_* and any RE2-based
+# engine (both implement leftmost-first greedy matching for this subset).
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^ ]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str, out: str = "redacted") -> DataFrame:
+    """PII scrubbing for training corpora: replace URLs / emails / phone
+    numbers with typed tags and count each redaction class per document.
+
+    Counts are taken on the PROGRESSIVELY redacted text (the email count
+    runs after URL replacement, the phone count after both), so a string is
+    attributed to exactly one class no matter how rules overlap.  All three
+    passes are built-in ``regexp_*`` expressions — JVM-side, one narrow
+    projection, no shuffle, codegen'd; at 100 TB this fuses into the scan
+    stage like any other projection.
+    """
+    cur: Column = F.col(text_col)
+    counts: list[Column] = []
+    for name, pattern, tag in PII_RULES:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(pattern), F.lit(0))).alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pattern, tag)
+    return df.select("*", *counts, cur.alias(out))
+
+
+def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio,
+    most-frequent-token mass, and most-frequent-bigram mass — the cheap
+    boilerplate/degenerate-text detectors that run before any model-based
+    quality filter.
+
+    Expression-only (split / array_distinct / transform / filter over the
+    in-row token array): zero shuffle, zero Python — each document is scored
+    inside the scan stage.  Cost is O(distinct x tokens) per row, bounded by
+    the document length itself; the alternative explode -> groupBy(doc,
+    token) -> max path costs two shuffles of the full corpus, which is the
+    wrong trade at 100 TB for bounded-length documents (chunk first if your
+    documents are unbounded).
+    """
+    toks = F.split(F.col(text_col), " ")
+    df = df.withColumn("__t", toks).withColumn(
+        "__bg",
+        F.expr("transform(sequence(0, size(__t)-2), i -> concat(__t[i], ' ', __t[i+1]))"),
+    )
+
+    def top_mass(arr: Column) -> Column:
+        return F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda x: F.size(F.filter(arr, lambda y: y == x)),
+            )
+        ).cast("double")
+
+    n = F.size(F.col("__t"))
+    out = df.select(
+        "*",
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct(F.col("__t"))).cast("double") / n).alias("distinct_ratio"),
+        (top_mass(F.col("__t")) / n).alias("top_token_frac"),
+        F.when(
+            n >= 2, top_mass(F.col("__bg")) / (n - 1).cast("double")
+        ).alias("top_bigram_frac"),
+    )
+    return out.drop("__t", "__bg")

@@ -415,3 +415,56 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_source=["l_orderkey", "l_linenumber"],
         n_salts=16,
     )
+
+
+@query(
+    "join_skew_salted_bigbig",
+    oracle=f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       {sql_dec_sum('l_extendedprice', 2)} AS sum_extprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_skew_salted_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT scale] Salted fact-to-fact equi-join (operators/skew.salted_join)
+    under the exact-value gate: lineitem rows take a deterministic salt,
+    orders is replicated once per salt, and the join runs on (key, salt) so
+    a hot orderkey's rows spread across n_salts tasks instead of stalling
+    one straggler — the manual recipe for skew AQE's OptimizeSkewedJoin
+    cannot fix (e.g. when the skewed side feeds a bucketed/pre-partitioned
+    layout AQE must preserve).  Broadcast is disabled (scoped) so the gate
+    exercises the real shuffle-join path, and the oracle is the PLAIN join:
+    salting must be invisible in the values."""
+    from aws_etl_fiap_spark.confs import scoped_conf
+    from aws_etl_fiap_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    with scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        joined = salted_join(
+            li,
+            orders,
+            big_key="l_orderkey",
+            small_key="o_orderkey",
+            salt_source=["l_orderkey", "l_linenumber"],
+            n_salts=8,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "BroadcastHashJoin" in plan:
+            raise RuntimeError(
+                "salted join planned a broadcast — the skew path is not "
+                "being exercised:\n" + plan
+            )
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum("l_extendedprice", 2).alias("sum_extprice"),
+        )
+        # Eager: the no-broadcast conf is scoped to this block; the frame
+        # the driver collects later must not re-plan outside it.
+        return out.localCheckpoint(eager=True)

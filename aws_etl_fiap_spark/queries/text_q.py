@@ -222,3 +222,108 @@ def text_ols_chars_per_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", token_count("text")
     )
     return ols_fit_per_group(df, ["lang"], "n_tokens", "n_chars")
+
+
+# The synthetic corpus carries no PII-shaped strings (verified: zero '@',
+# zero digits at every SF), so a redaction gate over the raw text would be
+# vacuously green.  Instead both sides append the SAME deterministic
+# doc_id-derived email / URL / phone suffix and redact THAT — every row
+# exercises all three rules, so the gate verifies the pattern semantics and
+# the sequential count-then-replace pipeline for real.
+_PII_SUFFIX_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com or https://docs.example.com/d/'"
+    " || CAST(doc_id AS VARCHAR) || '?ref=x call +1 (555) 010-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'"
+)
+
+
+@query(
+    "text_redact_pii",
+    oracle=f"""
+WITH aug AS (
+    SELECT doc_id, {_PII_SUFFIX_SQL} AS t FROM documents
+),
+s_url AS (
+    SELECT doc_id,
+           len(regexp_extract_all(t, 'https?://[^ ]+')) AS n_url,
+           regexp_replace(t, 'https?://[^ ]+', '<URL>', 'g') AS t
+    FROM aug
+),
+s_email AS (
+    SELECT doc_id, n_url,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t
+    FROM s_url
+),
+s_phone AS (
+    SELECT doc_id, n_url, n_email,
+           len(regexp_extract_all(t, '\\+?[0-9][0-9() -]{{6,}}[0-9]')) AS n_phone,
+           regexp_replace(t, '\\+?[0-9][0-9() -]{{6,}}[0-9]', '<PHONE>', 'g') AS t
+    FROM s_email
+)
+SELECT doc_id, n_url, n_email, n_phone, t AS redacted FROM s_phone
+""",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.10 north star] PII scrubbing (operators/text.redact_pii):
+    URL -> email -> phone redaction with per-class counts, value-verified
+    against an RE2 oracle running the identical patterns — the regexes stay
+    in the Java-regex/RE2 common subset, so both engines produce the same
+    matches.  PII is synthesized deterministically from doc_id (see
+    _PII_SUFFIX_SQL) because the corpus itself is PII-free."""
+    from aws_etl_fiap_spark.operators.text import redact_pii
+
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://docs.example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=x call +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    out = redact_pii(df, "text")
+    return out.select("doc_id", "n_url", "n_email", "n_phone", "redacted")
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+b AS (
+    SELECT doc_id, t, len(t) AS n,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+    FROM tok
+)
+SELECT doc_id,
+       n AS n_tokens,
+       CAST(len(list_distinct(t)) AS DOUBLE) / n AS distinct_ratio,
+       CAST(list_max(list_transform(list_distinct(t),
+                x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / n AS top_token_frac,
+       CASE WHEN n >= 2 THEN
+           CAST(list_max(list_transform(list_distinct(bg),
+                x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / (n - 1)
+       END AS top_bigram_frac
+FROM b
+""",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.10 north star] Gopher-style repetition/boilerplate signals
+    (operators/text.repetition_stats): distinct-token ratio + top token /
+    top bigram mass fractions, expression-only (no shuffle, no Python) —
+    exact integer counts divided in IEEE double, bit-identical to the list
+    oracle."""
+    from aws_etl_fiap_spark.operators.text import repetition_stats
+
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = repetition_stats(df, "text")
+    return out.select(
+        "doc_id", "n_tokens", "distinct_ratio", "top_token_frac", "top_bigram_frac"
+    )
