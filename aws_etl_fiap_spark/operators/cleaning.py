@@ -39,3 +39,27 @@ def filter_nulls_with_counts(df: DataFrame, columns: Sequence[str]) -> tuple[Dat
     filtered = filter_nulls(cached, columns)
     after = filtered.count()
     return filtered, before, after
+
+
+def audit_checks(
+    df: DataFrame, checks: Sequence[tuple[str, "F.Column"]]
+) -> DataFrame:
+    """Data-quality audit: evaluate named violation predicates in ONE pass
+    and return a tall (check_name, n_fail, n_rows) frame.
+
+    All predicates fold into a single aggregate over one scan — at 100 TB
+    the audit costs exactly one read however many checks it carries (the
+    naive one-count-per-check loop costs N full scans, the reference's
+    uncached-recount anti-pattern scaled up).  Conditional counts are
+    map-side combined; the final ``stack`` pivots one 1-row frame, so
+    nothing wide ever shuffles.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.count(F.when(cond, F.lit(1))).alias(f"__c{i}")
+        for i, (_, cond) in enumerate(checks)
+    ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', __c{i}" for i, (name, _) in enumerate(checks))
+    return one.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (check_name, n_fail)", "n_rows"
+    )

@@ -199,9 +199,16 @@ def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
     documents are unbounded).
     """
     toks = F.split(F.col(text_col), " ")
+    # Guard the bigram build: sequence(0, size-2) on a 1-token document is
+    # sequence(0, -1), which Spark treats as DESCENDING ([0, -1]) and then
+    # faults on t[-1+1=0+1] under ANSI indexing — single-token rows must
+    # short-circuit to an empty array (CASE only evaluates the taken branch).
     df = df.withColumn("__t", toks).withColumn(
         "__bg",
-        F.expr("transform(sequence(0, size(__t)-2), i -> concat(__t[i], ' ', __t[i+1]))"),
+        F.when(
+            F.size(F.col("__t")) >= 2,
+            F.expr("transform(sequence(0, size(__t)-2), i -> concat(__t[i], ' ', __t[i+1]))"),
+        ).otherwise(F.expr("CAST(array() AS array<string>)")),
     )
 
     def top_mass(arr: Column) -> Column:

@@ -6,6 +6,7 @@ Each module registers (name -> Spark callable [+ DuckDB oracle SQL]) pairs via
 
 from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects)
     formats_q,
+    quality_q,
     analytics2_q,
     analytics_q,
     core,

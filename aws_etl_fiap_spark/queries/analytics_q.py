@@ -468,3 +468,32 @@ def join_skew_salted_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Eager: the no-broadcast conf is scoped to this block; the frame
         # the driver collects later must not re-plan outside it.
         return out.localCheckpoint(eager=True)
+
+
+@query(
+    "window_percent_cume",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.5] Relative-rank analytics: percent_rank / cume_dist /
+    ntile(4) per priority class, totally ordered by (price, key) so every
+    rank is deterministic.  Both engines compute (rank-1)/(n-1) and
+    peers/n in IEEE double over identical ints — exact-hash comparable."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -1,0 +1,178 @@
+"""Data-quality queries ([EXT]; generalizing the reference's null-filter +
+row-count accounting, b3_transform.py:115-136, into the audit surface a
+production pipeline runs before promoting a raw batch).
+
+Two shapes:
+- a single-pass rule audit (operators/cleaning.audit_checks): N named
+  violation predicates, one scan, tall (check_name, n_fail, n_rows) output;
+- robust distribution outliers via exact discrete quartiles + Tukey fences:
+  PERCENTILE_DISC picks actual data elements (never interpolates), so the
+  fence arithmetic is the same IEEE ops on the same values in any engine —
+  exact-hash verifiable, unlike mean/stddev z-scores whose partial-sum order
+  differs per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+
+@query(
+    "dq_audit_lineitem",
+    oracle="""
+WITH a AS (
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS c0,
+           COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS c1,
+           COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS c2,
+           COUNT(CASE WHEN l_tax < 0 THEN 1 END) AS c3,
+           COUNT(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS c4,
+           COUNT(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                       OR l_shipdate >= TIMESTAMP '2000-01-01' THEN 1 END) AS c5
+    FROM lineitem
+),
+o AS (
+    SELECT COUNT(*) AS c6
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey IS NULL
+)
+SELECT 'null_orderkey' AS check_name, c0 AS n_fail, n_rows FROM a
+UNION ALL SELECT 'nonpositive_quantity', c1, n_rows FROM a
+UNION ALL SELECT 'discount_out_of_range', c2, n_rows FROM a
+UNION ALL SELECT 'negative_tax', c3, n_rows FROM a
+UNION ALL SELECT 'nonpositive_extendedprice', c4, n_rows FROM a
+UNION ALL SELECT 'shipdate_out_of_era', c5, n_rows FROM a
+UNION ALL SELECT 'orphan_orderkey', o.c6, a.n_rows FROM a, o
+""",
+)
+def dq_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT P1/A3 generalized] One-scan rule audit over lineitem — null
+    keys, domain ranges, date sanity — plus a referential-integrity check
+    (lineitem keys with no parent order, via left_anti).  Clean TPC-H data
+    legitimately reports zero violations; the gate's value is that every
+    count (including the zeros and the shared n_rows denominator) is
+    exact-hash verified, so a broken predicate or a lossy scan shows up."""
+    from aws_etl_fiap_spark.operators.cleaning import audit_checks
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = audit_checks(
+        li,
+        [
+            ("null_orderkey", F.col("l_orderkey").isNull()),
+            ("nonpositive_quantity", F.col("l_quantity") <= 0),
+            (
+                "discount_out_of_range",
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            ),
+            ("negative_tax", F.col("l_tax") < 0),
+            ("nonpositive_extendedprice", F.col("l_extendedprice") <= 0),
+            (
+                "shipdate_out_of_era",
+                (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp")),
+            ),
+        ],
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    orphans = (
+        li.select("l_orderkey")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_fail"))
+        .withColumn("check_name", F.lit("orphan_orderkey"))
+    )
+    total = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    orphan_row = orphans.crossJoin(total).select("check_name", "n_fail", "n_rows")
+    return rules.unionByName(orphan_row)
+
+
+@query(
+    "events_quantile_outliers",
+    oracle="""
+WITH fences AS (
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS q1,
+           quantile_disc(value, 0.75) AS q3
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type, f.q1, f.q3,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1) THEN 1 END) AS n_low_outliers,
+       COUNT(CASE WHEN e.value > f.q3 + 1.5 * (f.q3 - f.q1) THEN 1 END) AS n_high_outliers
+FROM events e JOIN fences f ON e.event_type = f.event_type
+GROUP BY e.event_type, f.q1, f.q3
+""",
+)
+def events_quantile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT A-EXT] Robust outlier detection per event_type: exact discrete
+    quartiles (PERCENTILE_DISC WITHIN GROUP — returns real data elements,
+    cross-engine exact) -> Tukey fences (q1/q3 ± 1.5 IQR) -> conditional
+    counts.  Two-stage scale shape: the quartile aggregate reduces to one
+    tiny fence row per type, which BROADCASTS back onto the stream for the
+    fence comparison — the full table shuffles once (for the quantile),
+    never twice."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("q1"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("q3"),
+    )
+    low = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    high = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("value") < low, F.lit(1))).alias("n_low_outliers"),
+            F.count(F.when(F.col("value") > high, F.lit(1))).alias("n_high_outliers"),
+        )
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+WITH w AS (
+    SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+),
+m AS (
+    SELECT user_id, wk,
+           MIN(wk) OVER (PARTITION BY user_id) AS cohort_week
+    FROM w
+)
+SELECT cohort_week,
+       CAST((wk - cohort_week) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM m
+GROUP BY cohort_week, week_offset
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT A-EXT] Cohort retention: users bucketed by first-activity week,
+    distinct actives per (cohort, week offset) — the standard product
+    retention triangle.  One shuffle shape: the cohort week comes from a
+    window MIN over the user partition (no self-join back onto the event
+    stream), then the distinct-count agg reuses nothing wider than
+    (cohort, offset, user)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    m = ev.withColumn(
+        "cohort_week", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    return (
+        m.select(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -54,6 +54,8 @@ REPRESENTATIVE = [
     #   query whose steady-state output is 0 rows said nothing about ANN
     #   throughput; LSH bucketed top-k is the production surface)
     "media_frame_sample",            # multimodal mapInPandas
+    "text_redact_pii",               # regex scrub (r6: PII pass over corpus)
+    "join_skew_salted_bigbig",       # salted shuffle join (r6: skew recipe)
 ]
 
 

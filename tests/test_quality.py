@@ -1,0 +1,83 @@
+"""Unit tests for the round-6 quality/text additions: PII redaction,
+repetition stats, the single-pass DQ audit, and the salted big-big join —
+hand-computed expectations on crafted rows (the sf0.01 oracle parity runs in
+test_oracle_parity.py; these pin the operator semantics directly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.operators.cleaning import audit_checks
+from aws_etl_fiap_spark.operators.text import redact_pii, repetition_stats
+
+
+def test_redact_pii_counts_and_sequencing(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@x.example.org or visit https://x.example.org/u?id=1 tel +1 (555) 010-9999 ok"),
+            (2, "no pii here at all"),
+            # URL embedding an @ must be consumed by the URL rule, not the
+            # email rule (sequencing: URL replaces first).
+            (3, "see https://u:p@host.example.com/path now"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert (rows[1]["n_url"], rows[1]["n_email"], rows[1]["n_phone"]) == (1, 1, 1)
+    assert rows[1]["redacted"] == "mail me at <EMAIL> or visit <URL> tel <PHONE> ok"
+    assert (rows[2]["n_url"], rows[2]["n_email"], rows[2]["n_phone"]) == (0, 0, 0)
+    assert rows[2]["redacted"] == "no pii here at all"
+    assert (rows[3]["n_url"], rows[3]["n_email"], rows[3]["n_phone"]) == (1, 0, 0)
+    assert rows[3]["redacted"] == "see <URL> now"
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a a a b": 4 tokens, 2 distinct, top token 'a' x3, bigrams
+    # ["a a","a a","a b"] -> top bigram "a a" x2 of 3.
+    df = spark.createDataFrame([(1, "a a a b"), (2, "x")], "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "text").collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["distinct_ratio"] == 0.5
+    assert rows[1]["top_token_frac"] == 0.75
+    assert rows[1]["top_bigram_frac"] == 2.0 / 3.0
+    # single token: no bigram -> NULL, ratios degenerate to 1.
+    assert rows[2]["n_tokens"] == 1
+    assert rows[2]["distinct_ratio"] == 1.0
+    assert rows[2]["top_bigram_frac"] is None
+
+
+def test_audit_checks_single_pass_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (None, 0.0), (4, 2.0)],
+        "k bigint, v double",
+    )
+    out = audit_checks(
+        df,
+        [("null_k", F.col("k").isNull()), ("nonpositive_v", F.col("v") <= 0)],
+    )
+    rows = {r["check_name"]: r for r in out.collect()}
+    assert rows["null_k"]["n_fail"] == 1
+    assert rows["nonpositive_v"]["n_fail"] == 2
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    # Single-pass claim: exactly one scan of the source feeds one aggregate
+    # (no per-check re-read, the reference's recount anti-pattern).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString prints final + initial plan; count scans in the final
+    # section only.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("LocalTableScan") + final.count("Scan ExistingRDD") <= 1
+
+
+def test_salted_join_matches_plain_with_nulls_and_dupes(spark):
+    big = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0), (None, 99.0), (5, 50.0)],
+        "k bigint, v double",
+    )
+    small = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b2"), (3, "c")], "sk bigint, tag string"
+    )
+    from aws_etl_fiap_spark.operators.skew import salted_join
+
+    salted = salted_join(big, small, "k", "sk", salt_source=["k", "v"], n_salts=4)
+    plain = big.join(small, big["k"] == small["sk"])
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
