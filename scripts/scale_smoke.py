@@ -264,6 +264,93 @@ def main() -> None:
             big_emb.filter(F.col("vec_id") < 5), big_emb, k=10
         ).count(),
     )
+
+    # Round-6 additions: text scrubbing/repetition (expression-only — the
+    # claim is flat per-row cost, so K x rows should cost ~K x one scan),
+    # the salted big-big join (hot keys spread across salts as the fact
+    # side grows), and the quantile/cohort event analytics (one shuffle
+    # each; the fence/cohort reduction stays tiny at any K).
+    from aws_etl_fiap_spark.operators.skew import salted_join
+    from aws_etl_fiap_spark.operators.text import redact_pii, repetition_stats
+
+    stage(f"redact_pii_{n}docs", lambda: redact_pii(corpus, "text").count())
+    stage(
+        f"repetition_stats_{n}docs",
+        lambda: repetition_stats(corpus, "text").count(),
+    )
+
+    li_small = load_table(spark, args.sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    big_li = (
+        li_small.crossJoin(copies)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_li2 = big_li.count()
+    orders_side = load_table(spark, args.sf, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    stage(
+        f"salted_join_{n_li2}fact",
+        lambda: salted_join(
+            big_li, orders_side, "l_orderkey", "o_orderkey",
+            salt_source=["l_orderkey", "l_linenumber"], n_salts=8,
+        )
+        .groupBy("o_orderpriority")
+        .count()
+        .count(),
+    )
+
+    ev = load_table(spark, args.sf, "events").select("user_id", "event_type", "value", "ts")
+    big_ev = (
+        ev.crossJoin(copies)
+        .select(
+            (F.col("user_id") + F.col("copy") * 1_000_000).alias("user_id"),
+            "event_type", "value", "ts",
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_ev = big_ev.count()
+    from aws_etl_fiap_spark.queries.quality_q import (  # noqa: F401
+        events_cohort_retention,
+        events_quantile_outliers,
+    )
+    from pyspark.sql import Window
+
+    def _quantile_outliers():
+        fences = big_ev.groupBy("event_type").agg(
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("q1"),
+            F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)").alias("q3"),
+        )
+        return (
+            big_ev.join(F.broadcast(fences), "event_type")
+            .groupBy("event_type", "q1", "q3")
+            .count()
+            .count()
+        )
+
+    stage(f"quantile_outliers_{n_ev}ev", _quantile_outliers)
+
+    def _cohort():
+        wk = big_ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+        )
+        m = wk.withColumn(
+            "cohort_week", F.min("wk").over(Window.partitionBy("user_id"))
+        )
+        return (
+            m.groupBy(
+                "cohort_week",
+                (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("int"),
+            )
+            .agg(F.countDistinct("user_id"))
+            .count()
+        )
+
+    stage(f"cohort_retention_{n_ev}ev", _cohort)
     spark.stop()
 
 
