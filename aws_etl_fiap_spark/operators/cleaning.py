@@ -63,3 +63,46 @@ def audit_checks(
     return one.selectExpr(
         f"stack({len(checks)}, {stack_args}) AS (check_name, n_fail)", "n_rows"
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Table reconciliation / CDC extraction: full-outer join two snapshots
+    on ``keys`` and classify every key as inserted / deleted / updated,
+    dropping unchanged rows.
+
+    Comparison is null-safe (``<=>``) per column, so NULL-to-value and
+    value-to-NULL transitions classify as updates rather than vanishing.
+    Scale shape: one co-partitioned shuffle join on the key (at 100 TB both
+    snapshots bucketed/clustered by key make this exchange-free); the
+    change classification is a pure projection, and unchanged rows — the
+    overwhelming majority in a daily diff — are filtered before anything
+    downstream sees them.
+    """
+    o = old.select(*keys, *compare_cols).alias("o")
+    n = new.select(*keys, *compare_cols).alias("n")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"o.{k}") == F.col(f"n.{k}"))
+    joined = o.join(n, cond, "full_outer")
+    any_diff = F.lit(False)
+    for c in compare_cols:
+        any_diff = any_diff | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    old_present = F.col(f"o.{keys[0]}").isNotNull()
+    new_present = F.col(f"n.{keys[0]}").isNotNull()
+    change = (
+        F.when(~new_present, F.lit("deleted"))
+        .when(~old_present, F.lit("inserted"))
+        .when(any_diff, F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"o.{k}"), F.col(f"n.{k}")).alias(k) for k in keys
+    ]
+    return joined.select(*out_keys, change.alias("change_type")).filter(
+        F.col("change_type") != "unchanged"
+    )

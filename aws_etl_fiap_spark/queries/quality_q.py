@@ -176,3 +176,139 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "timeseries_gapfill_ffill",
+    oracle="""
+WITH sparse AS (
+    SELECT event_type,
+           make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600000000) AS bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38, 2))) AS DOUBLE) AS bucket_value
+    FROM events GROUP BY 1, 2
+),
+bounds AS (
+    SELECT event_type, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM sparse GROUP BY 1
+),
+spine AS (
+    SELECT event_type, unnest(generate_series(b0, b1, INTERVAL 10 MINUTE)) AS bucket
+    FROM bounds
+)
+SELECT s.event_type, s.bucket,
+       COALESCE(p.n_events, 0) AS n_events,
+       last_value(p.bucket_value IGNORE NULLS)
+           OVER (PARTITION BY s.event_type ORDER BY s.bucket) AS ffill_value
+FROM spine s
+LEFT JOIN sparse p ON s.event_type = p.event_type AND s.bucket = p.bucket
+""",
+)
+def timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT A-EXT/W-EXT] Time-series regularization: 10-minute buckets per
+    event_type, a generated dense spine (sequence+explode between each
+    type's min/max bucket), zero-fill for counts and forward-fill (last
+    non-null over the time order) for the decimal totals — the gap-fill /
+    ffill primitive every downstream resample or as-of consumer assumes.
+
+    Scale shape: the sparse aggregate is the only full-data shuffle; the
+    spine is generated per type (rows = time-range/step, independent of
+    event count) and the ffill window runs per type in bucket order.  At
+    100 TB with high key cardinality the same plan holds — spine size is
+    keys x buckets, never a function of raw event volume."""
+    from pyspark.sql import Window
+
+    from aws_etl_fiap_spark.functions.parity import dec_sum
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    sparse = (
+        ev.groupBy("event_type", F.window("ts", "10 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", 2).alias("bucket_value"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("bucket"),
+            "n_events",
+            "bucket_value",
+        )
+    )
+    bounds = sparse.groupBy("event_type").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("b0", "b1", F.expr("interval 10 minutes"))
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return spine.join(sparse, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("bucket_value", ignorenulls=True).over(w).alias("ffill_value"),
+    )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+new_snap AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM src WHERE o_orderkey % 41 <> 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+    FROM src WHERE o_orderkey % 97 = 3
+),
+classified AS (
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'deleted'
+                WHEN a.o_orderkey IS NULL THEN 'inserted'
+                WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                  OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                THEN 'updated'
+                ELSE 'unchanged' END AS change_type
+    FROM src a FULL JOIN new_snap b ON a.o_orderkey = b.o_orderkey
+)
+SELECT o_orderkey, change_type FROM classified WHERE change_type <> 'unchanged'
+""",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Snapshot reconciliation / CDC diff (operators/cleaning.
+    snapshot_diff): today's orders vs a deterministically mutated twin
+    (deletes: key%41, updates: key%13 price+1, inserts: key%97=3 shifted) —
+    classify every key as inserted/updated/deleted via one null-safe
+    full-outer join, unchanged rows dropped.  The oracle re-derives the
+    same mutation and the same classification in SQL, so the join, the
+    null-safe column compare, and the filter are all value-verified."""
+    from aws_etl_fiap_spark.operators.cleaning import snapshot_diff
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    new_snap = (
+        src.filter(key % 41 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 13 == 0, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            src.filter(key % 97 == 3).select(
+                (key + 10_000_000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(
+        src, new_snap, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )

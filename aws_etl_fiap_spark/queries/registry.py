@@ -78,8 +78,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #   * dq_audit_lineitem (one-scan rule audit + referential check),
 #   * events_quantile_outliers (PERCENTILE_DISC + Tukey fences),
 #   * events_cohort_retention (first-week cohort triangle),
-#   * window_percent_cume (percent_rank / cume_dist / ntile).
-# That demands 72 slots for 50; the overflow is DEFERRED_R6 below.
+#   * window_percent_cume (percent_rank / cume_dist / ntile),
+#   * timeseries_gapfill_ffill (dense spine + zero/forward fill),
+#   * snapshot_diff_orders (CDC full-outer reconciliation diff).
+# That demands 74 slots for 50; the overflow is DEFERRED_R6 below.
 #
 # Remaining r5-green entries stay out on their fresh r5 rows.  Note the
 # round-6 readers.py change (UTC-scoped NTZ re-label) technically touches
@@ -127,7 +129,7 @@ DEFERRED_R6: tuple[str, ...] = (
     # new code always outranks a stale-but-unchanged row.  Each deferral
     # leaves its construct family represented in the window: --
     "agg_cube_flag_status",        # rollup + grouping_sets stay in
-    "window_lead_first_last_ntile",  # rank_top3/rolling stay; percent_cume new
+    "window_lead_first_last_ntile",  # rolling stays; percent_cume new
     "join_left_customer_orders",   # full/asof/range + new salted bigbig stay
     "join_semi_urgent_customers",  # ditto (anti is r5-green)
     "events_rollup_type_user",     # 5 events_* entries + 2 new events_* stay
@@ -136,6 +138,8 @@ DEFERRED_R6: tuple[str, ...] = (
     "dedup_incremental_new_docs",  # 7 dedup_* entries stay
     "stream_dedup_equiv",          # sliding/stateful + 3 new stream gates stay
     "refined_detail_lag",          # benched every round; flagship r5-green
+    "events_json_typed_parse",     # json extract/agg r5-green; events family rich
+    "window_rank_top3_orders",     # rolling stays; percent_cume covers ranking
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
@@ -182,6 +186,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_quantile_outliers",
     "events_cohort_retention",
     "window_percent_cume",
+    "timeseries_gapfill_ffill",
+    "snapshot_diff_orders",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -200,7 +206,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- r3-green dedup/events/streaming (events read path touched by the
     # round-6 UTC scope; re-graded here). --
     "dedup_exact",
-    "events_json_typed_parse",
     "events_tumbling_10min",
     "events_sliding_10min_5min",
     "events_session_30min",
@@ -209,7 +214,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_stateful_totals_equiv",
     # -- r3-green window/analytics/set/skew families. --
     "unpivot_lineitem_measures",
-    "window_rank_top3_orders",
     "window_rolling_7row_avg",
     "agg_rollup_status_priority",
     "agg_grouping_sets_sql",

@@ -213,3 +213,39 @@ def test_upsert_survivor_scan_is_partition_pruned(spark, tmp_path, sf_correctnes
     stats = upsert_partitioned(spark, path, batch, ["o_orderkey"], ["o_year"])
     assert stats["affected_partitions"] == 1
     assert stats["rewritten_partitions"] == 1
+
+
+def test_redact_and_repetition_are_shuffle_free_pruned_scans(spark, sf_correctness):
+    """The round-6 text operators claim pure scan-stage projection: one
+    pruned parquet scan (doc_id + text only), zero exchanges."""
+    for name in ("text_redact_pii", "text_repetition_stats"):
+        plan = physical_plan(spark, sf_correctness, name)
+        assert shuffle_count(plan) == 0, (name, plan)
+        (scan,) = scan_lines(plan)
+        assert "lang" not in scan and "source" not in scan, (name, scan)
+
+
+def test_quantile_outliers_broadcasts_fences_single_full_shuffle(spark, sf_correctness):
+    """events_quantile_outliers claims: the big side never shuffles for the
+    fence comparison — the per-type fence rows broadcast back.  The only
+    exchanges are the two aggregates' (quartile agg over the full table,
+    final tiny group)."""
+    plan = physical_plan(spark, sf_correctness, "events_quantile_outliers")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cohort_retention_reuses_user_partitioning(spark, sf_correctness):
+    """The window MIN and the event stream share the user_id shuffle; the
+    final (cohort, offset) distinct-agg adds its own.  Anything above 3
+    exchanges means the self-join shape crept back in."""
+    plan = physical_plan(spark, sf_correctness, "events_cohort_retention")
+    assert "Join" not in plan, plan  # window-based, never a self-join
+    assert shuffle_count(plan) <= 3, plan
+
+
+def test_snapshot_diff_is_single_cogrouped_join(spark, sf_correctness):
+    """One full-outer join on the key, no nested-loop fallback."""
+    plan = physical_plan(spark, sf_correctness, "snapshot_diff_orders")
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) .*FullOuter", plan), plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -81,3 +81,64 @@ def test_salted_join_matches_plain_with_nulls_and_dupes(spark):
     salted = salted_join(big, small, "k", "sk", salt_source=["k", "v"], n_salts=4)
     plain = big.join(small, big["k"] == small["sk"])
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_snapshot_diff_classifies_all_transitions(spark):
+    from aws_etl_fiap_spark.operators.cleaning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 1.0),      # unchanged -> dropped
+            (2, "b", 2.5),      # value update
+            (3, "c", 3.0),      # NULL -> value must classify as update
+            (5, "e", 5.0),      # insert
+        ],                       # 4 deleted
+        "k bigint, s string, v double",
+    )
+    out = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert out == {2: "updated", 3: "updated", 4: "deleted", 5: "inserted"}
+
+
+def test_gapfill_zero_fills_and_forward_fills(spark):
+    # One type, buckets at 00:00 and 00:30 -> spine has 00:10/00:20 gaps
+    # that must appear with n_events=0 and the 00:00 total forward-filled.
+    from aws_etl_fiap_spark.queries.quality_q import timeseries_gapfill_ffill  # noqa: F401
+    from pyspark.sql import Window
+    from aws_etl_fiap_spark.functions.parity import dec_sum
+
+    ev = spark.createDataFrame(
+        [("x", "2024-01-01 00:01:00", 1.5), ("x", "2024-01-01 00:33:00", 2.5)],
+        "event_type string, ts_s string, value double",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    sparse = (
+        ev.groupBy("event_type", F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value", 2).alias("tv"))
+        .select("event_type", F.col("window.start").alias("b"), "n", "tv")
+    )
+    bounds = sparse.groupBy("event_type").agg(
+        F.min("b").alias("b0"), F.max("b").alias("b1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("b0", "b1", F.expr("interval 10 minutes"))).alias("b"),
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    rows = (
+        spine.join(sparse, ["event_type", "b"], "left")
+        .select(
+            "b",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("tv", ignorenulls=True).over(w).alias("ff"),
+        )
+        .orderBy("b")
+        .collect()
+    )
+    assert [r["n"] for r in rows] == [1, 0, 0, 1]
+    assert [float(r["ff"]) for r in rows] == [1.5, 1.5, 1.5, 2.5]
