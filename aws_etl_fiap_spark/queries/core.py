@@ -353,3 +353,36 @@ def sql_hint_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-hinted oracle must match exactly."""
     register_views(spark, sf_dir, ("orders", "customer"))
     return spark.sql(_HINTED_SQL.replace("SELECT", "SELECT /*+ BROADCAST(customer) */", 1))
+
+
+_RECURSIVE_SPARK_SQL = """
+WITH RECURSIVE up(o_orderkey, cur, depth) AS (
+    SELECT o_orderkey, o_orderkey, 0 FROM orders
+    UNION ALL
+    SELECT o_orderkey, cur DIV 7, depth + 1 FROM up WHERE cur >= 7
+)
+SELECT o_orderkey, cur AS root, depth FROM up WHERE cur < 7
+"""
+
+
+@query(
+    "sql_recursive_hierarchy",
+    oracle="""
+WITH RECURSIVE up(o_orderkey, cur, depth) AS (
+    SELECT o_orderkey, o_orderkey, 0 FROM orders
+    UNION ALL
+    SELECT o_orderkey, cur // 7, depth + 1 FROM up WHERE cur >= 7
+)
+SELECT o_orderkey, cur AS root, depth FROM up WHERE cur < 7
+""",
+)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT EP3, Spark 4 SQL surface] Recursive CTE (WITH RECURSIVE, new in
+    Spark 4.0): climb a synthetic forest where parent(k) = k DIV 7 until the
+    root (< 7), emitting (key, root, depth) — the hierarchy/bill-of-materials
+    traversal shape.  Depth is O(log key), so the iterative union converges
+    in ~6 rounds at any SF; each round is a narrow filter+project over the
+    frontier, no joins.  The oracle is the same recursive query in DuckDB
+    (integer division spelled // there, DIV here)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_RECURSIVE_SPARK_SQL)

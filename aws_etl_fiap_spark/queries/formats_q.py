@@ -173,3 +173,59 @@ def roundtrip_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "roundtrip_schema_evolution",
+    oracle=f"""
+WITH evolved AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1
+                THEN CAST(YEAR(o_orderdate) AS INT) END AS o_year
+    FROM orders
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 2)} AS total_price,
+       COUNT(o_year) AS n_evolved_rows,
+       SUM(CAST(o_year AS BIGINT)) AS sum_year
+FROM evolved
+GROUP BY o_orderstatus
+""",
+)
+def roundtrip_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT S5/S7] Schema evolution on read (mergeSchema): two generations
+    of the same table land in one directory — generation 1 with three
+    columns, generation 2 with an added o_year — and the read-back merges
+    the footers so old files surface the new column as NULL.  The aggregate
+    pins exactly which rows carry the evolved column (COUNT/SUM over it),
+    so a reader that dropped the column, defaulted it wrongly, or failed
+    the merge hash-fails.  At 100 TB this is the additive-column migration
+    path: no rewrite of historical files, schema merged at scan time (pay
+    the footer merge only when evolution is in flight; freeze the final
+    schema in the catalog afterwards — sources/catalog.py)."""
+    tmp = _tmp("evolve_rt_")
+    path = os.path.join(tmp, "orders_evolving")
+    try:
+        src = load_table(spark, sf_dir, "orders")
+        gen1 = src.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        gen2 = src.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        gen1.repartition(4).write.mode("overwrite").parquet(path)
+        gen2.repartition(4).write.mode("append").parquet(path)
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        out = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", 2).alias("total_price"),
+            F.count("o_year").alias("n_evolved_rows"),
+            F.sum(F.col("o_year").cast("bigint")).alias("sum_year"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -80,8 +80,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #   * events_cohort_retention (first-week cohort triangle),
 #   * window_percent_cume (percent_rank / cume_dist / ntile),
 #   * timeseries_gapfill_ffill (dense spine + zero/forward fill),
-#   * snapshot_diff_orders (CDC full-outer reconciliation diff).
-# That demands 74 slots for 50; the overflow is DEFERRED_R6 below.
+#   * snapshot_diff_orders (CDC full-outer reconciliation diff),
+#   * sql_recursive_hierarchy (Spark 4 WITH RECURSIVE traversal),
+#   * roundtrip_schema_evolution (mergeSchema additive-column migration).
+# That demands 76 slots for 50; the overflow is DEFERRED_R6 below.
 #
 # Remaining r5-green entries stay out on their fresh r5 rows.  Note the
 # round-6 readers.py change (UTC-scoped NTZ re-label) technically touches
@@ -123,9 +125,10 @@ DEFERRED_R6: tuple[str, ...] = (
     "global_count",
     "sort_limit_topn",
     "distinct_pairs",
-    # -- displaced by the TEN queries NEW in round 6 (PII redaction,
-    # repetition stats, salted big-big join, CSV/JSONL/ORC roundtrips, DQ
-    # audit, quantile outliers, cohort retention, percent/cume window) —
+    # -- displaced by the FOURTEEN queries NEW in round 6 (PII redaction,
+    # repetition stats, salted big-big join, CSV/JSONL/ORC/schema-evolution
+    # roundtrips, DQ audit, quantile outliers, cohort retention, percent/
+    # cume window, gap-fill, CDC diff, recursive CTE) —
     # new code always outranks a stale-but-unchanged row.  Each deferral
     # leaves its construct family represented in the window: --
     "agg_cube_flag_status",        # rollup + grouping_sets stay in
@@ -140,6 +143,8 @@ DEFERRED_R6: tuple[str, ...] = (
     "refined_detail_lag",          # benched every round; flagship r5-green
     "events_json_typed_parse",     # json extract/agg r5-green; events family rich
     "window_rank_top3_orders",     # rolling stays; percent_cume covers ranking
+    "events_tumbling_10min",       # stream_tumbling equiv r5-green, same bucketing
+    "unpivot_lineitem_measures",   # pivot r5-green (inverse construct)
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
@@ -188,6 +193,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "window_percent_cume",
     "timeseries_gapfill_ffill",
     "snapshot_diff_orders",
+    "sql_recursive_hierarchy",
+    "roundtrip_schema_evolution",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -206,14 +213,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- r3-green dedup/events/streaming (events read path touched by the
     # round-6 UTC scope; re-graded here). --
     "dedup_exact",
-    "events_tumbling_10min",
     "events_sliding_10min_5min",
     "events_session_30min",
     "events_islands_sessionize",
     "stream_sliding_10min_5min_equiv",
     "stream_stateful_totals_equiv",
     # -- r3-green window/analytics/set/skew families. --
-    "unpivot_lineitem_measures",
     "window_rolling_7row_avg",
     "agg_rollup_status_priority",
     "agg_grouping_sets_sql",
