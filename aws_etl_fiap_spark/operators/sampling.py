@@ -111,3 +111,39 @@ def stratified_quota_sample(
     )
     out_cols = df.columns
     return whole.select(*out_cols).unionByName(partial.select(*out_cols))
+
+
+def weighted_poisson_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    expected_k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted Poisson sampling: include each row independently with
+    probability min(1, expected_k * w / W) — the deterministic weighted
+    corpus-mixing primitive (heavier documents proportionally likelier),
+    reproducible months later because the coin flip is the portable hash of
+    the key, not a RNG.
+
+    Scale shape: W is ONE scalar aggregate broadcast back (crossJoin of a
+    1-row frame); the inclusion test is then a pure projection — no
+    shuffle of the corpus itself, no ordering, no top-k heap, unlike
+    exact-size weighted reservoirs (A-ES) whose log/pow keys are also not
+    bit-reproducible across engines.
+    """
+    u = (
+        (portable_hash60(F.lit(salt), F.col(key_col).cast("string")) % 1_000_000)
+        .cast("double")
+        / 1.0e6
+    )
+    total = df.agg(F.sum(F.col(weight_col)).alias("__W"))
+    rate = (
+        F.lit(float(expected_k)) * F.col(weight_col).cast("double") / F.col("__W").cast("double")
+    )
+    return (
+        df.crossJoin(F.broadcast(total))
+        .withColumn("rate", rate)
+        .filter(u < F.col("rate"))
+        .drop("__W")
+    )

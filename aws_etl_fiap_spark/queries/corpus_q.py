@@ -6,6 +6,7 @@ stages."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.plans.corpus import (
     JACCARD_THRESHOLD,
@@ -178,4 +179,89 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return stratified_quota_sample(docs, ["lang"], 0.1, "doc_id").select(
         "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "corpus_weighted_sample",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, lang, n_chars,
+           CAST(CAST('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 1000000 AS DOUBLE) / 1.0e6 AS u,
+           SUM(n_chars) OVER () AS W
+    FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       100.0 * CAST(n_chars AS DOUBLE) / CAST(W AS DOUBLE) AS rate
+FROM w
+WHERE u < 100.0 * CAST(n_chars AS DOUBLE) / CAST(W AS DOUBLE)
+""",
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Weighted Poisson corpus sample (operators/sampling.
+    weighted_poisson_sample): inclusion probability proportional to document
+    weight (n_chars), expected size 100 — the corpus-mixing primitive for
+    training-set re-weighting.  The coin is the portable md5 hash of doc_id
+    (exactly re-derived in the oracle), the rate arithmetic is the same two
+    IEEE ops on both sides, so the sampled SET — not just its size — is
+    value-verified."""
+    from aws_etl_fiap_spark.operators.sampling import weighted_poisson_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_poisson_sample(docs, "doc_id", "n_chars", expected_k=100)
+
+
+@query(
+    "corpus_pack_sequences",
+    oracle="""
+WITH sized AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+),
+streamed AS (
+    SELECT lang, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum
+    FROM sized
+)
+SELECT lang,
+       (cum - n_tokens) // 2048 AS bin_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS sum_tokens
+FROM streamed
+GROUP BY lang, bin_id
+""",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Context-window stream packing: documents are
+    concatenated per language in doc_id order and cut into 2048-token bins
+    (bin = starting offset DIV budget) — the concatenate-then-cut packing
+    step of an LLM pre-training pipeline, summarized per (lang, bin).
+    One window cumsum over (lang, doc_id) order and one aggregate; all
+    integer arithmetic, bit-identical to the SQL twin."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    streamed = docs.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        streamed.select(
+            "lang",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 2048).alias("bin_id"),
+            "n_tokens",
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
     )

@@ -82,8 +82,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #   * timeseries_gapfill_ffill (dense spine + zero/forward fill),
 #   * snapshot_diff_orders (CDC full-outer reconciliation diff),
 #   * sql_recursive_hierarchy (Spark 4 WITH RECURSIVE traversal),
-#   * roundtrip_schema_evolution (mergeSchema additive-column migration).
-# That demands 76 slots for 50; the overflow is DEFERRED_R6 below.
+#   * roundtrip_schema_evolution (mergeSchema additive-column migration),
+#   * corpus_weighted_sample (portable-hash weighted Poisson sampling),
+#   * corpus_pack_sequences (concatenate-then-cut context-window packing).
+# That demands 78 slots for 50; the overflow is DEFERRED_R6 below.
 #
 # Remaining r5-green entries stay out on their fresh r5 rows.  Note the
 # round-6 readers.py change (UTC-scoped NTZ re-label) technically touches
@@ -125,10 +127,11 @@ DEFERRED_R6: tuple[str, ...] = (
     "global_count",
     "sort_limit_topn",
     "distinct_pairs",
-    # -- displaced by the FOURTEEN queries NEW in round 6 (PII redaction,
+    # -- displaced by the SIXTEEN queries NEW in round 6 (PII redaction,
     # repetition stats, salted big-big join, CSV/JSONL/ORC/schema-evolution
     # roundtrips, DQ audit, quantile outliers, cohort retention, percent/
-    # cume window, gap-fill, CDC diff, recursive CTE) —
+    # cume window, gap-fill, CDC diff, recursive CTE, weighted sampling,
+    # sequence packing) —
     # new code always outranks a stale-but-unchanged row.  Each deferral
     # leaves its construct family represented in the window: --
     "agg_cube_flag_status",        # rollup + grouping_sets stay in
@@ -145,6 +148,8 @@ DEFERRED_R6: tuple[str, ...] = (
     "window_rank_top3_orders",     # rolling stays; percent_cume covers ranking
     "events_tumbling_10min",       # stream_tumbling equiv r5-green, same bucketing
     "unpivot_lineitem_measures",   # pivot r5-green (inverse construct)
+    "events_sliding_10min_5min",   # stream_sliding equiv stays in-window
+    "join_full_nation_activity",   # full-outer covered by snapshot_diff_orders
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
@@ -195,6 +200,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "snapshot_diff_orders",
     "sql_recursive_hierarchy",
     "roundtrip_schema_evolution",
+    "corpus_weighted_sample",
+    "corpus_pack_sequences",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -213,7 +220,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- r3-green dedup/events/streaming (events read path touched by the
     # round-6 UTC scope; re-graded here). --
     "dedup_exact",
-    "events_sliding_10min_5min",
     "events_session_30min",
     "events_islands_sessionize",
     "stream_sliding_10min_5min_equiv",
@@ -227,7 +233,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_salted_agg",
     "sql_athena_canonical",
     # -- r3-green joins. --
-    "join_full_nation_activity",
     "join_asof_prev_low_order",
     "join_range_price_bands",
     # -- r3-green similarity (ivf/lsh variants not regraded since r3). --
