@@ -61,3 +61,42 @@ def count_delta(df_before: DataFrame, df_after: DataFrame) -> tuple[int, int, in
     """Reference A4 (b3_transform.py:128-133): removed-row accounting."""
     before, after = df_before.count(), df_after.count()
     return before, after, before - after
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    sum_scale: int = 2,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column with fixed [lo, hi) bounds:
+    per bucket the row count, exact-decimal sum, and true min/max — the
+    one-pass distribution profile behind range-partition planning and DQ
+    drift checks.
+
+    The bucket index is explicit floor arithmetic (``floor((x-lo)/width)``
+    clamped to [0, n_buckets-1]) rather than an engine built-in, so any SQL
+    engine reproduces the exact same bucketing bit-for-bit. Single map-side
+    combined aggregate over at most ``n_buckets`` keys — no sort, no second
+    pass, nothing scales with row count but the scan.
+    """
+    width = (hi - lo) / n_buckets
+    x = F.col(value_col).cast("double")
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum(value_col, sum_scale).alias("sum_value"),
+            F.min(x).alias("min_value"),
+            F.max(x).alias("max_value"),
+        )
+        .withColumn("bucket_lo", F.lit(lo) + F.col("bucket").cast("double") * F.lit(width))
+        .withColumn("bucket_hi", F.lit(lo) + (F.col("bucket") + F.lit(1)).cast("double") * F.lit(width))
+    )

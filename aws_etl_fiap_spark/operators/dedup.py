@@ -499,3 +499,47 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word ``n``-gram shingles also occur anywhere in the benchmark
+    corpus (the GPT-3/PaLM-style n-gram overlap check run before training,
+    so eval sets don't leak into the training corpus).
+
+    Output: one row per training document that has at least one full
+    ``n``-gram — ``(id_col, n_shingles, n_hits)`` where ``n_shingles`` is
+    the document's distinct-shingle count and ``n_hits`` how many of those
+    shingles appear in the benchmark set. Documents shorter than ``n``
+    tokens have no shingle and are out of scope (same semantics as the
+    positional self-join oracle).
+
+    100 TB shape: the benchmark side is eval suites — thousands of
+    documents, millions of distinct shingles at worst — so it collapses to
+    a BROADCAST hash map and the training corpus streams past it with zero
+    shuffle on the join; the only exchange is the per-document count
+    aggregate (map-side combined). For a benchmark too big to broadcast,
+    drop the hint and the same plan degrades gracefully to a shuffle join
+    on the shingle.
+    """
+    bench_sh = (
+        shingle_rows(bench, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train_sh = shingle_rows(train, id_col, text_col, n)
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )

@@ -230,3 +230,89 @@ def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
         ).alias("top_bigram_frac"),
     )
     return out.drop("__t", "__bg")
+
+
+# Okapi BM25 constants (the standard defaults in Lucene/Elasticsearch).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag-of-terms query:
+    ``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` — the keyword-retrieval
+    scorer behind corpus search / targeted-subset selection in a training
+    -data pipeline.
+
+    Plan shape for 100 TB: tokenize -> explode -> FILTER to the query terms
+    (the filter lands before the shuffle, so only matching postings move) ->
+    per-(doc, term) counts; document frequencies per term (|terms| rows) and
+    the global (N, avgdl) scalar both BROADCAST back, so the only exchanges
+    over corpus-sized data are the two map-side-combined aggregates. Output:
+    one row per document containing >= 1 query term: (id, bm25 — unrounded;
+    callers round for cross-engine hashing).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("__id"), F.size(toks).alias("dl"), toks.alias("__t"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    # tf feeds BOTH the per-term document frequencies and the scorer; without
+    # the checkpoint each consumer re-runs the corpus explode — at scale that
+    # doubles the dominant cost (same pattern as dedup.ngram_jaccard_pairs).
+    tf = (
+        base.select("__id", "dl", F.explode("__t").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("__id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+    )
+    contrib = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
+    return (
+        scored.groupBy("__id")
+        .agg(F.sum(contrib).alias("bm25"))
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Shannon entropy (bits) of the per-document character distribution,
+    plus the distinct-character count — a cheap degenerate-text detector
+    (near-zero entropy = one repeated symbol; high entropy = noise/binary
+    junk) used alongside the repetition/quality signals.
+
+    explode(chars) -> count per (doc, char) -> -sum(p log2 p). The explode
+    multiplies rows by document length, but both aggregates are map-side
+    combined on (doc, char) keys, so the shuffle carries at most
+    |alphabet| rows per document, not the characters themselves. Empty
+    documents carry no distribution and are filtered out (engines disagree
+    on splitting ''). Output: (id, n_unique_chars, entropy — unrounded).
+    """
+    chars = df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col).alias("__id"),
+        F.length(F.col(text_col)).alias("n"),
+        F.explode(F.split(F.col(text_col), "")).alias("c"),
+    )
+    counts = chars.groupBy("__id", "n", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    p = F.col("cnt").cast("double") / F.col("n").cast("double")
+    return (
+        counts.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_chars"),
+            (-F.sum(p * F.log2(p))).alias("entropy"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

@@ -98,3 +98,46 @@ def rolling_agg(
     if decimals is not None:
         expr = F.round(expr, decimals)
     return df.withColumn(out, expr)
+
+
+def scd2_collapse(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from an event/change log:
+    collapse consecutive identical states per key into validity intervals
+    ``[effective_from, effective_to)`` with a dense version number and an
+    ``is_current`` flag on the open interval.
+
+    Classic change-collapse: lag() marks state transitions, a running sum
+    numbers the versions, one aggregate takes each version's start, lead()
+    closes the interval. ``(ts_col, tiebreak_col)`` must be a TOTAL order
+    per key or versioning is nondeterministic. Two narrow windows plus one
+    aggregate, all partitioned by the key — a single shuffle of the log at
+    scale (Spark reuses the hash partitioning across the three steps).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(F.col(state_col)).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ver = (
+        df.withColumn("__chg", chg)
+        .withColumn("version", F.sum("__chg").over(run))
+        .groupBy(key_col, "version", state_col)
+        .agg(F.min(ts_col).alias("effective_from"))
+    )
+    wv = Window.partitionBy(key_col).orderBy("version")
+    to = F.lead("effective_from").over(wv)
+    return ver.select(
+        key_col,
+        "version",
+        state_col,
+        "effective_from",
+        to.alias("effective_to"),
+        F.when(to.isNull(), 1).otherwise(0).alias("is_current"),
+    )

@@ -181,3 +181,37 @@ def events_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dec_sum("value", 2).alias("total_value"),
     )
+
+
+@query(
+    "profile_histogram_totalprice",
+    oracle="""
+WITH b AS (
+    SELECT LEAST(19, GREATEST(0, CAST(FLOOR((o_totalprice - 0.0) / 25000.0) AS INT))) AS bucket,
+           o_totalprice
+    FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT bucket,
+       0.0 + CAST(bucket AS DOUBLE) * 25000.0 AS bucket_lo,
+       0.0 + CAST(bucket + 1 AS DOUBLE) * 25000.0 AS bucket_hi,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
+       MIN(o_totalprice) AS min_value,
+       MAX(o_totalprice) AS max_value
+FROM b GROUP BY bucket
+""",
+)
+def profile_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Equi-width histogram profile (operators/aggregates.
+    equi_width_histogram): o_totalprice bucketed into 20 fixed 25k-wide
+    bins with per-bin count / exact-decimal sum / true min-max — the
+    one-pass distribution profile for range-partition planning and DQ
+    drift.  Bucketing is explicit floor arithmetic (identical IEEE ops on
+    both engines), clamped to the edge bins."""
+    from aws_etl_fiap_spark.operators.aggregates import equi_width_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = equi_width_histogram(orders, "o_totalprice", 0.0, 500000.0, 20)
+    return hist.select(
+        "bucket", "bucket_lo", "bucket_hi", "n_rows", "sum_value", "min_value", "max_value"
+    )

@@ -265,3 +265,52 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("sum_tokens"),
         )
     )
+
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+           generate_subscripts(string_split(text,' '),1) AS i
+    FROM documents
+),
+sh AS (
+    SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 17 = 0),
+train AS (SELECT doc_id, shingle FROM dsh WHERE doc_id % 17 <> 0)
+SELECT t.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(COALESCE(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_hits,
+       CAST(CASE WHEN SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 10 >= COUNT(*)
+                 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM train t LEFT JOIN bench b ON b.shingle = t.shingle
+GROUP BY t.doc_id
+"""
+
+
+@query("corpus_decontaminate", oracle=_DECONTAM_ORACLE)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Benchmark decontamination (operators/dedup.decontaminate): the
+    GPT-3/PaLM-style n-gram overlap check — every training document is
+    scored by how many of its distinct 3-gram shingles appear anywhere in
+    the held-out benchmark slice (doc_id % 17 == 0 stands in for the eval
+    suites), and flagged contaminated at >= 10% overlap (integer-arithmetic
+    threshold, no float compare).  The benchmark shingle set broadcasts, so
+    the training corpus never shuffles for the join — the 100 TB shape."""
+    from aws_etl_fiap_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    scored = decontaminate(train, bench, "doc_id", "text", n=3)
+    return scored.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.when(F.col("n_hits") * 10 >= F.col("n_shingles"), 1).otherwise(0).alias("contaminated"),
+    )

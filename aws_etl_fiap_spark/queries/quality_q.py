@@ -312,3 +312,46 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         src, new_snap, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     )
+
+
+@query(
+    "scd2_event_history",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+),
+ver AS (
+    SELECT user_id, event_type, ts,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+    FROM ordered
+),
+grp AS (
+    SELECT user_id, CAST(version AS BIGINT) AS version, event_type,
+           MIN(ts) AS effective_from
+    FROM ver GROUP BY user_id, version, event_type
+)
+SELECT user_id, version, event_type, effective_from,
+       LEAD(effective_from) OVER (PARTITION BY user_id ORDER BY version) AS effective_to,
+       CAST(CASE WHEN LEAD(effective_from)
+                      OVER (PARTITION BY user_id ORDER BY version) IS NULL
+                 THEN 1 ELSE 0 END AS INT) AS is_current
+FROM grp
+""",
+)
+def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SCD type-2 history build (operators/windows.scd2_collapse):
+    collapse each user's event-type change log into versioned validity
+    intervals [effective_from, effective_to) with an is_current flag —
+    the warehouse dimension-history construct, driven off the events
+    table.  (ts, event_id) is the total per-user order, so version
+    numbering is deterministic; the oracle re-derives the identical
+    lag/running-sum/lead pipeline in SQL."""
+    from aws_etl_fiap_spark.operators.windows import scd2_collapse
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    return scd2_collapse(ev, "user_id", "event_type", "ts", "event_id")

@@ -84,8 +84,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #   * sql_recursive_hierarchy (Spark 4 WITH RECURSIVE traversal),
 #   * roundtrip_schema_evolution (mergeSchema additive-column migration),
 #   * corpus_weighted_sample (portable-hash weighted Poisson sampling),
-#   * corpus_pack_sequences (concatenate-then-cut context-window packing).
-# That demands 78 slots for 50; the overflow is DEFERRED_R6 below.
+#   * corpus_pack_sequences (concatenate-then-cut context-window packing),
+#   * corpus_decontaminate (benchmark n-gram overlap decontamination),
+#   * text_bm25_topk (Okapi BM25 keyword retrieval, total-order top-k),
+#   * text_char_entropy (character-distribution Shannon entropy),
+#   * scd2_event_history (SCD type-2 validity-interval build),
+#   * profile_histogram_totalprice (equi-width distribution profile).
+# That demands 83 slots for 50; the overflow is DEFERRED_R6 below.
 #
 # Remaining r5-green entries stay out on their fresh r5 rows.  Note the
 # round-6 readers.py change (UTC-scoped NTZ re-label) technically touches
@@ -150,6 +155,14 @@ DEFERRED_R6: tuple[str, ...] = (
     "unpivot_lineitem_measures",   # pivot r5-green (inverse construct)
     "events_sliding_10min_5min",   # stream_sliding equiv stays in-window
     "join_full_nation_activity",   # full-outer covered by snapshot_diff_orders
+    # -- displaced by the FIVE second-batch round-6 queries (decontaminate,
+    # bm25, char entropy, SCD2, histogram profile) — same rule, new code
+    # outranks stale-but-unchanged rows; each family stays represented: --
+    "agg_grouping_sets_sql",       # rollup + cube constructs stay in-window
+    "sql_athena_canonical",        # SQL-string surface: recursive CTE stays
+    "events_islands_sessionize",   # events_session_30min stays (same islands core)
+    "skew_salted_agg",             # join_skew_salted_bigbig keeps salting graded
+    "roundtrip_partitioned_agg",   # 4 roundtrip gates + upsert merge stay
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
@@ -202,6 +215,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "roundtrip_schema_evolution",
     "corpus_weighted_sample",
     "corpus_pack_sequences",
+    "corpus_decontaminate",
+    "text_bm25_topk",
+    "text_char_entropy",
+    "scd2_event_history",
+    "profile_histogram_totalprice",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -221,25 +239,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # round-6 UTC scope; re-graded here). --
     "dedup_exact",
     "events_session_30min",
-    "events_islands_sessionize",
     "stream_sliding_10min_5min_equiv",
     "stream_stateful_totals_equiv",
-    # -- r3-green window/analytics/set/skew families. --
+    # -- r3-green window/analytics/set families (grouping_sets, athena-SQL,
+    # salted-agg, islands, partitioned-roundtrip deferred to r7 — their
+    # constructs stay represented; see DEFERRED_R6). --
     "window_rolling_7row_avg",
     "agg_rollup_status_priority",
-    "agg_grouping_sets_sql",
     "agg_distinct_percentiles",
     "set_nations_except",
-    "skew_salted_agg",
-    "sql_athena_canonical",
     # -- r3-green joins. --
     "join_asof_prev_low_order",
     "join_range_price_bands",
     # -- r3-green similarity (ivf/lsh variants not regraded since r3). --
     "sim_topk_ivf",
     "sim_topk_lsh",
-    # -- r3-green write path. --
-    "roundtrip_partitioned_agg",
 )
 
 def _ordered() -> list[str]:

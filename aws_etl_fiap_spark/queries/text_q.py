@@ -327,3 +327,91 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", "distinct_ratio", "top_token_frac", "top_bigram_frac"
     )
+
+
+#: Fixed bag-of-terms query for the BM25 gate — common corpus vocabulary so
+#: every term has a non-trivial document frequency.
+BM25_TERMS: tuple[str, ...] = ("spark", "join", "vector")
+
+
+def _bm25_oracle() -> str:
+    from aws_etl_fiap_spark.operators.text import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    # repr() the Python-folded constants so DuckDB parses the EXACT doubles
+    # Spark's literals fold to (shortest round-trip repr on both sides).
+    k1, k1p1, b, one_minus_b = repr(BM25_K1), repr(BM25_K1 + 1.0), repr(BM25_B), repr(1.0 - BM25_B)
+    return f"""
+WITH base AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+tf AS (
+    SELECT doc_id, tok AS term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) u
+    WHERE tok IN ({terms})
+    GROUP BY doc_id, tok
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id,
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (tf.tf * {k1p1})
+             / (tf.tf + {k1} * ({one_minus_b} + {b} * (b.dl / s.avgdl))) AS contrib
+    FROM tf
+    JOIN dfreq d USING (term)
+    JOIN base b USING (doc_id)
+    CROSS JOIN stats s
+)
+SELECT doc_id, FLOOR(SUM(contrib) * 10000.0 + 0.5) / 10000.0 AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Okapi BM25 keyword retrieval (operators/text.bm25_scores):
+    top-20 documents for a fixed bag-of-terms query, scored with the
+    Lucene-default k1/b and ln(1 + (N-df+.5)/(df+.5)) idf.  Score rounded
+    half-up to 4 dp on both engines BEFORE the top-k sort, and the sort
+    carries doc_id as the unique tiebreaker, so the LIMIT is a total
+    order."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, BM25_TERMS, "doc_id", "text")
+    return (
+        scored.select("doc_id", round_half_up("bm25", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id, length(text) AS n, unnest(string_split(text,'')) AS c
+    FROM documents WHERE length(text) > 0
+),
+counts AS (SELECT doc_id, n, c, COUNT(*) AS cnt FROM chars GROUP BY doc_id, n, c)
+SELECT doc_id, COUNT(*) AS n_unique_chars,
+       FLOOR((-SUM((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                    * log2(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)))) * 1000000.0 + 0.5)
+           / 1000000.0 AS entropy
+FROM counts GROUP BY doc_id
+""",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-document character-distribution Shannon entropy
+    (operators/text.char_entropy) + distinct-character count — the
+    degenerate-text detector in the quality-signal family.  Entropy rounded
+    half-up to 6 dp on both engines (sum order differs; the round kills the
+    last-ulp drift)."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    ent = char_entropy(docs, "doc_id", "text")
+    return ent.select("doc_id", "n_unique_chars", round_half_up("entropy", 6).alias("entropy"))

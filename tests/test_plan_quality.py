@@ -249,3 +249,55 @@ def test_snapshot_diff_is_single_cogrouped_join(spark, sf_correctness):
     plan = physical_plan(spark, sf_correctness, "snapshot_diff_orders")
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin) .*FullOuter", plan), plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_correctness):
+    """corpus_decontaminate claims: the training corpus never shuffles for
+    the overlap join — the benchmark shingle set broadcasts.  Exchanges are
+    only the tiny bench-distinct agg and the per-doc count agg."""
+    plan = physical_plan(spark, sf_correctness, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert shuffle_count(plan) <= 2, plan
+
+
+def test_bm25_broadcasts_stats_and_dfreq(spark, sf_correctness):
+    """text_bm25_topk: document frequencies (|terms| rows) and the global
+    (N, avgdl) scalar broadcast back; the corpus side only shuffles for
+    map-side-combined aggregates, and the top-k is a TakeOrdered, not a
+    global sort exchange."""
+    plan = physical_plan(spark, sf_correctness, "text_bm25_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert shuffle_count(plan) <= 5, plan
+
+
+def test_char_entropy_two_combined_aggs_no_join(spark, sf_correctness):
+    """text_char_entropy: explode -> (doc, char) counts -> per-doc entropy.
+    Two hash aggregates, both map-side combined, no join; the scan reads
+    only doc_id + text."""
+    plan = physical_plan(spark, sf_correctness, "text_char_entropy")
+    assert "Join" not in plan, plan
+    assert shuffle_count(plan) == 2, plan
+    (scan,) = scan_lines(plan)
+    assert "lang" not in scan and "source" not in scan, scan
+
+
+def test_scd2_single_user_shuffle(spark, sf_correctness):
+    """scd2_event_history: the change-flag window, the version window, the
+    interval aggregate, and the lead() close-out all reuse ONE hash
+    partitioning on user_id — a single shuffle of the event log."""
+    plan = physical_plan(spark, sf_correctness, "scd2_event_history")
+    assert "Join" not in plan, plan
+    assert shuffle_count(plan) == 1, plan
+
+
+def test_histogram_single_agg_pruned_scan(spark, sf_correctness):
+    """profile_histogram_totalprice: one map-side-combined aggregate over
+    <= n_buckets keys; the scan reads only the profiled column."""
+    plan = physical_plan(spark, sf_correctness, "profile_histogram_totalprice")
+    assert "Join" not in plan, plan
+    assert shuffle_count(plan) == 1, plan
+    (scan,) = scan_lines(plan)
+    assert "o_orderkey" not in scan and "o_orderdate" not in scan, scan

@@ -142,3 +142,105 @@ def test_gapfill_zero_fills_and_forward_fills(spark):
     )
     assert [r["n"] for r in rows] == [1, 0, 0, 1]
     assert [float(r["ff"]) for r in rows] == [1.5, 1.5, 1.5, 2.5]
+
+
+def test_decontaminate_exact_hits_and_broadcast_free_zero(spark):
+    """A train doc sharing a full 3-gram with the bench set is counted; a
+    disjoint doc scores 0; short docs (<3 tokens) are out of scope."""
+    from aws_etl_fiap_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [
+            (10, "x a b c y"),     # shares shingle "a b c" -> 1 hit of 3
+            (11, "p q r s"),       # disjoint -> 0 hits of 2
+            (12, "one two"),       # < 3 tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(train, bench).collect()}
+    assert set(rows) == {10, 11}
+    assert rows[10]["n_shingles"] == 3 and rows[10]["n_hits"] == 1
+    assert rows[11]["n_shingles"] == 2 and rows[11]["n_hits"] == 0
+
+
+def test_scd2_collapse_versions_and_intervals(spark):
+    """Consecutive duplicate states collapse; reverting to an earlier state
+    opens a NEW version; intervals chain with no gaps and one open tail."""
+    from aws_etl_fiap_spark.operators.windows import scd2_collapse
+
+    rows = [
+        (1, "A", "2024-01-01 00:00:00", 1),
+        (1, "A", "2024-01-02 00:00:00", 2),  # dup -> same version
+        (1, "B", "2024-01-03 00:00:00", 3),
+        (1, "A", "2024-01-04 00:00:00", 4),  # revert -> version 3, not 1
+        (2, "Z", "2024-01-01 00:00:00", 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, state string, ts string, event_id long")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    out = scd2_collapse(df, "user_id", "state", "ts", "event_id")
+    got = sorted(
+        (r["user_id"], r["version"], r["state"], str(r["effective_from"]),
+         str(r["effective_to"]), r["is_current"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 1, "A", "2024-01-01 00:00:00", "2024-01-03 00:00:00", 0),
+        (1, 2, "B", "2024-01-03 00:00:00", "2024-01-04 00:00:00", 0),
+        (1, 3, "A", "2024-01-04 00:00:00", "None", 1),
+        (2, 1, "Z", "2024-01-01 00:00:00", "None", 1),
+    ]
+
+
+def test_char_entropy_bounds_and_known_values(spark):
+    """H(single char)=0; H(uniform over 4 chars)=2 bits; always within
+    [0, log2(n_unique)]."""
+    import math
+
+    from aws_etl_fiap_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "aabb")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_unique_chars"] == 1
+    assert abs(got[2]["entropy"] - 2.0) < 1e-12
+    assert abs(got[3]["entropy"] - 1.0) < 1e-12
+    for r in got.values():
+        assert -1e-12 <= r["entropy"] <= math.log2(r["n_unique_chars"]) + 1e-12
+
+
+def test_histogram_clamps_edges_and_conserves_mass(spark):
+    """Out-of-range values clamp to the edge buckets; counts sum to the
+    non-null row count; per-bucket min/max stay inside the clamp."""
+    from aws_etl_fiap_spark.operators.aggregates import equi_width_histogram
+
+    vals = [(-5.0,), (0.0,), (9.99,), (10.0,), (55.0,), (99.0,), (150.0,), (None,)]
+    df = spark.createDataFrame(vals, "x double")
+    hist = equi_width_histogram(df, "x", 0.0, 100.0, 10).collect()
+    by_bucket = {r["bucket"]: r for r in hist}
+    assert set(by_bucket) == {0, 1, 5, 9}
+    assert by_bucket[0]["n_rows"] == 3          # -5 clamps into bucket 0
+    assert by_bucket[9]["n_rows"] == 2          # 99 and the 150 clamp
+    assert sum(r["n_rows"] for r in hist) == 7  # null dropped
+    assert by_bucket[9]["max_value"] == 150.0   # true max survives the clamp
+
+
+def test_bm25_single_doc_matches_closed_form(spark):
+    """One matching doc, one term: score reduces to the closed-form BM25
+    with df=1 over the 2-doc corpus."""
+    import math
+
+    from aws_etl_fiap_spark.operators.text import BM25_B, BM25_K1, bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "hello world hello"), (2, "other text here")], "doc_id long, text string"
+    )
+    rows = bm25_scores(df, ("hello",)).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    n_docs, avgdl, dl, tf, dfreq = 2, 3.0, 3, 2, 1
+    idf = math.log(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+    expect = idf * (tf * (BM25_K1 + 1.0)) / (
+        tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl))
+    )
+    assert abs(rows[0]["bm25"] - expect) < 1e-12
