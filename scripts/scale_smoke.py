@@ -303,12 +303,15 @@ def main() -> None:
         .count(),
     )
 
-    ev = load_table(spark, args.sf, "events").select("user_id", "event_type", "value", "ts")
+    ev = load_table(spark, args.sf, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
     big_ev = (
         ev.crossJoin(copies)
         .select(
             (F.col("user_id") + F.col("copy") * 1_000_000).alias("user_id"),
             "event_type", "value", "ts",
+            (F.col("event_id") + F.col("copy") * 100_000_000).alias("event_id"),
         )
         .repartition(32)
         .localCheckpoint(eager=True)
@@ -351,6 +354,45 @@ def main() -> None:
         )
 
     stage(f"cohort_retention_{n_ev}ev", _cohort)
+
+    # Round-6 second batch: decontamination / BM25 / entropy on the 20x
+    # corpus, SCD2 on the 20x event log, histogram on a 20x fact column.
+    from aws_etl_fiap_spark.operators.aggregates import equi_width_histogram
+    from aws_etl_fiap_spark.operators.dedup import decontaminate
+    from aws_etl_fiap_spark.operators.text import bm25_scores, char_entropy
+    from aws_etl_fiap_spark.operators.windows import scd2_collapse
+
+    # Realistic decontam shape: the benchmark slice stays eval-suite-sized
+    # (base docs only) while the training corpus is the full 20x clone.
+    bench_docs = base.filter(F.col("doc_id") % 17 == 0)
+    stage(
+        "decontaminate_bench_broadcast",
+        lambda: decontaminate(corpus, bench_docs).count(),
+    )
+    stage(
+        "bm25_three_terms",
+        lambda: bm25_scores(corpus, ("spark", "join", "vector")).count(),
+    )
+    stage("char_entropy", lambda: char_entropy(corpus).count())
+    stage(
+        "scd2_event_history",
+        lambda: scd2_collapse(big_ev, "user_id", "event_type", "ts", "event_id").count(),
+    )
+    ords = load_table(spark, args.sf, "orders").select("o_orderkey", "o_totalprice")
+    big_ord = (
+        ords.crossJoin(copies)
+        .select(
+            (F.col("o_orderkey") + F.col("copy") * 100_000_000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_ord = big_ord.count()
+    stage(
+        f"histogram_{n_ord}orders",
+        lambda: equi_width_histogram(big_ord, "o_totalprice", 0.0, 500000.0, 20).count(),
+    )
     spark.stop()
 
 
