@@ -158,3 +158,64 @@ def _propagate(sym: DataFrame, max_iter: int) -> DataFrame:
         f"{max_iter * HOPS_PER_ROUND} hops; component diameter exceeds "
         "the bound — use star-contraction rounds"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list:
+    ``pr_{k+1}(v) = (1-d)/N + d * sum_{u->v} pr_k(u) / outdeg(u)`` from a
+    uniform 1/N start — the standard importance score for graph-shaped
+    corpus metadata (link graphs, citation graphs, entity co-occurrence).
+
+    A FIXED iteration count (not convergence-tested) keeps the result a
+    deterministic pure function of the edge list, so an unrolled SQL oracle
+    reproduces it; callers wanting convergence loop over deltas themselves.
+    Every node must have out-degree >= 1 (symmetrize or self-loop dangling
+    nodes first — asserting that here would cost a full extra pass per
+    call; the registered query feeds a symmetrized bipartite graph).
+
+    Scale shape: the edge list checkpoints once (flat scan per round), each
+    round is one shuffle-join of edges against the ~|V|-row rank frame plus
+    one map-side-combined sum per destination, with the shuffle width
+    scoped to the edge count exactly like connected_components; rank frames
+    checkpoint per round so the plan tree stays flat instead of doubling
+    per iteration.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    n = nodes.count()
+    session = e.sparkSession
+    n_edges = e.count()
+    default_parts = int(session.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_parts = max(1, min(default_parts, -(-n_edges // EDGES_PER_SHUFFLE_PARTITION)))
+    base = (1.0 - damping) / n
+    with scoped_conf(session, "spark.sql.shuffle.partitions", str(loop_parts)):
+        # outdeg rides along with the rank frame so the per-round join
+        # touches only (edges x ranks), not a third frame.
+        ranks = nodes.join(deg, nodes.id == deg.src).select(
+            "id", F.lit(1.0 / n).alias("pr"), "outdeg"
+        )
+        for _ in range(iters):
+            contribs = e.join(ranks, e.src == ranks.id).select(
+                F.col("dst"), (F.col("pr") / F.col("outdeg")).alias("c")
+            )
+            incoming = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
+            prev = ranks
+            ranks = (
+                incoming.select(
+                    F.col("dst").alias("id"),
+                    (F.lit(base) + F.lit(damping) * F.col("s")).alias("pr"),
+                )
+                .join(deg, F.col("id") == deg.src)
+                .select("id", "pr", "outdeg")
+                .localCheckpoint(eager=True)
+            )
+            _release_checkpoint_blocks(prev)
+    return ranks.select("id", "pr")

@@ -640,3 +640,39 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of a float embedding column —
+    the standard 4x ANN-index compression step (scale = max|x| / 127,
+    q_i = round(x_i / scale)) before shipping vectors to an IVF/HNSW store.
+
+    Rounding is explicit ``floor(x/scale + 0.5)`` (round-half-toward-+inf),
+    pure IEEE ops any engine reproduces bit-for-bit; |q_i| <= 127 holds by
+    construction, no clamp needed. All-zero vectors quantize to zeros with
+    scale 0. Expression-only per-row transform: fuses into the scan stage,
+    zero shuffle, zero Python at any corpus size.
+
+    Output: (id, scale, q — array<long> codes, n_sat — count of saturated
+    |q_i| = 127 codes, sum_q / sum_abs_q — exact integer checksums for
+    cross-engine verification).
+    """
+    v = as_double(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    q = F.when(
+        max_abs > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("long")))
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+        F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_sat"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("sum_abs_q"),
+    )

@@ -13,6 +13,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     corpus_q,
     dedup_q,
     events_q,
+    graph_q,
     joins_q,
     multimodal_q,
     pyds_q,

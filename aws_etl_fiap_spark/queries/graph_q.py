@@ -1,0 +1,89 @@
+"""Graph-analytics queries ([EXT]): fixed-iteration PageRank over a
+relational-derived edge list, oracled by unrolling the identical iterations
+in SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+#: Supplier node ids are offset past the customer key space so the
+#: bipartite graph lives in one long id domain.
+SUPP_OFFSET = 10_000_000
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    d = repr(PR_DAMPING)
+    # One unrolled CTE per iteration — the same arithmetic tree as the
+    # operator: base + d * SUM(pr/outdeg), from a uniform 1/N start.
+    steps = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+    SELECT e.dst AS id, base.b + {d} * SUM(p.pr / p.outdeg) AS pr, any_value(p2.outdeg) AS outdeg
+    FROM edges e
+    JOIN {prev} p ON p.id = e.src
+    JOIN deg p2 ON p2.src = e.dst
+    CROSS JOIN base
+    GROUP BY e.dst, base.b
+)"""
+        )
+        prev = f"r{i}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH raw AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + {SUPP_OFFSET} AS supp
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+    SELECT cust AS src, supp AS dst FROM raw
+    UNION ALL
+    SELECT supp AS src, cust AS dst FROM raw
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+base AS (SELECT (1.0 - {d}) / n AS b FROM nn),
+r0 AS (
+    SELECT nodes.id, 1.0 / nn.n AS pr, deg.outdeg
+    FROM nodes CROSS JOIN nn JOIN deg ON deg.src = nodes.id
+),
+{joined}
+SELECT r.id, FLOOR(r.pr * 1000000000.0 + 0.5) / 1000000000.0 AS pr
+FROM {prev} r
+"""
+
+
+@query("graph_pagerank_bipartite", oracle=_pagerank_oracle())
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Fixed-iteration PageRank (operators/graph.pagerank) on the
+    symmetrized customer<->supplier bipartite graph derived from
+    orders x lineitem — the iterative-algorithm family beyond connected
+    components.  3 damped iterations from a uniform start; the oracle
+    unrolls the identical per-iteration arithmetic in SQL and both sides
+    round half-up to 9 dp (iteration sums are order-sensitive in the last
+    ulp only)."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionAll(
+        raw.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    ranks = pagerank(edges, "src", "dst", iters=PR_ITERS, damping=PR_DAMPING)
+    return ranks.select("id", round_half_up("pr", 9).alias("pr"))

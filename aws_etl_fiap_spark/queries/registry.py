@@ -163,6 +163,13 @@ DEFERRED_R6: tuple[str, ...] = (
     "events_islands_sessionize",   # events_session_30min stays (same islands core)
     "skew_salted_agg",             # join_skew_salted_bigbig keeps salting graded
     "roundtrip_partitioned_agg",   # 4 roundtrip gates + upsert merge stay
+    # -- displaced by sim_quantize_int8 + graph_pagerank_bipartite: the ANN
+    # variants' production families are ALSO pinned by md5-parity / exact
+    # recall-gate unit tests, bench.py times sim_topk_lsh every round, and
+    # the sim family stays graded via the r5-green bruteforce/neardup/
+    # centroids plus the new quantize entry: --
+    "sim_topk_ivf",
+    "sim_topk_lsh",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
@@ -220,6 +227,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_char_entropy",
     "scd2_event_history",
     "profile_histogram_totalprice",
+    "sim_quantize_int8",
+    "graph_pagerank_bipartite",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -251,9 +260,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- r3-green joins. --
     "join_asof_prev_low_order",
     "join_range_price_bands",
-    # -- r3-green similarity (ivf/lsh variants not regraded since r3). --
-    "sim_topk_ivf",
-    "sim_topk_lsh",
 )
 
 def _ordered() -> list[str]:

@@ -256,3 +256,45 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(
         emb.filter(F.col("vec_id") < 5), emb, k=10, plane_family="portable"
     )
+
+
+@query(
+    "sim_quantize_int8",
+    oracle="""
+WITH v AS (
+    SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS e
+    FROM embeddings
+),
+m AS (
+    SELECT vec_id, e,
+           list_max(list_transform(e, x -> abs(x))) AS max_abs,
+           list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+    FROM v
+),
+q AS (
+    SELECT vec_id, scale,
+           CASE WHEN max_abs > 0
+                THEN list_transform(e, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT))
+                ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+    FROM m
+)
+SELECT vec_id, scale,
+       len(list_filter(qv, x -> abs(x) = 127)) AS n_sat,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+       CAST(list_aggregate(list_transform(qv, x -> abs(x)), 'sum') AS BIGINT) AS sum_abs_q
+FROM q
+""",
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Symmetric int8 embedding quantization (operators/similarity.
+    quantize_int8): per-vector scale = max|x|/127, codes floor(x/scale+.5)
+    — the ANN-index compression step.  Compared output pins the exact
+    double scale plus integer checksums (saturated-code count, sum,
+    abs-sum) of the full code vector; all arithmetic is identical IEEE ops
+    on both engines, no rounding tolerance anywhere."""
+    from aws_etl_fiap_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "vec_id", "embedding").select(
+        "vec_id", "scale", "n_sat", "sum_q", "sum_abs_q"
+    )

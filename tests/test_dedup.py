@@ -205,3 +205,34 @@ def test_shingle_df_cap_blocks_stop_shingle_pairs(spark):
         if (r.id_a, r.id_b) == (100, 101)
     }
     assert vcap == {(100, 101): (shared, jac)}
+
+
+def test_pagerank_star_matches_hand_computation(spark):
+    """Symmetrized 3-leaf star, 1 iteration: center gets base + d * 3 *
+    ((1/4)/1); each leaf gets base + d * (1/4)/3."""
+    from aws_etl_fiap_spark.operators.graph import pagerank
+
+    raw = [(0, i) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "src long, dst long"
+    )
+    got = {r["id"]: r["pr"] for r in pagerank(edges, iters=1, damping=0.85).collect()}
+    base = 0.15 / 4
+    assert abs(got[0] - (base + 0.85 * 3 * (0.25 / 1))) < 1e-12
+    for leaf in (1, 2, 3):
+        assert abs(got[leaf] - (base + 0.85 * (0.25 / 3))) < 1e-12
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark):
+    """On a symmetric graph total rank mass stays 1.0 every iteration, and
+    two runs produce identical doubles (fixed iterations, no RNG)."""
+    from aws_etl_fiap_spark.operators.graph import pagerank
+
+    raw = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]
+    edges = spark.createDataFrame(
+        raw + [(b, a) for a, b in raw], "src long, dst long"
+    )
+    a = sorted((r["id"], r["pr"]) for r in pagerank(edges, iters=3).collect())
+    b = sorted((r["id"], r["pr"]) for r in pagerank(edges, iters=3).collect())
+    assert a == b
+    assert abs(sum(pr for _, pr in a) - 1.0) < 1e-9

@@ -301,3 +301,12 @@ def test_histogram_single_agg_pruned_scan(spark, sf_correctness):
     assert shuffle_count(plan) == 1, plan
     (scan,) = scan_lines(plan)
     assert "o_orderkey" not in scan and "o_orderdate" not in scan, scan
+
+
+def test_quantize_int8_shuffle_free_pruned_scan(spark, sf_correctness):
+    """sim_quantize_int8: pure per-row expression transform — zero
+    exchanges, scan reads only vec_id + embedding."""
+    plan = physical_plan(spark, sf_correctness, "sim_quantize_int8")
+    assert shuffle_count(plan) == 0, plan
+    (scan,) = scan_lines(plan)
+    assert "label" not in scan, scan

@@ -116,3 +116,21 @@ def test_allpairs_collect_guard_raises(spark, sf_correctness):
     emb = load_table(spark, sf_correctness, "embeddings")
     with pytest.raises(ValueError, match="max_collect_rows"):
         allpairs_cosine_pairs_small(emb, threshold=0.45, max_collect_rows=10)
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    """Dequantized codes reconstruct each component within scale/2, codes
+    never exceed 127 in magnitude, and the max-|x| component saturates."""
+    from aws_etl_fiap_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = quantize_int8(df).collect()
+    rows = {r["vec_id"]: r for r in out}
+    q1, s1 = rows[1]["q"], rows[1]["scale"]
+    assert max(abs(c) for c in q1) == 127 and rows[1]["n_sat"] == 1
+    for code, orig in zip(q1, [1.0, -0.5, 0.25, 0.0]):
+        assert abs(code * s1 - orig) <= s1 / 2 + 1e-12
+    assert rows[2]["scale"] == 0.0 and rows[2]["q"] == [0, 0, 0, 0]
