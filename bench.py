@@ -56,6 +56,9 @@ REPRESENTATIVE = [
     "media_frame_sample",            # multimodal mapInPandas
     "text_redact_pii",               # regex scrub (r6: PII pass over corpus)
     "join_skew_salted_bigbig",       # salted shuffle join (r6: skew recipe)
+    "corpus_decontaminate",          # broadcast benchmark-overlap (r6)
+    "scd2_event_history",            # single-shuffle SCD2 build (r6)
+    "graph_pagerank_bipartite",      # fixed-iteration PageRank (r6)
 ]
 
 
