@@ -393,6 +393,49 @@ def main() -> None:
         f"histogram_{n_ord}orders",
         lambda: equi_width_histogram(big_ord, "o_totalprice", 0.0, 500000.0, 20).count(),
     )
+
+    # Iterative + vector round-6 additions: PageRank over a K x edge list
+    # (clones shifted into disjoint id spaces — K independent copies of the
+    # base graph, so the iteration cost scales in |E| while the structure
+    # stays realistic), and int8 quantization over a K x embedding table.
+    from aws_etl_fiap_spark.operators.graph import pagerank
+    from aws_etl_fiap_spark.operators.similarity import quantize_int8
+
+    ordk = load_table(spark, args.sf, "orders").select("o_orderkey", "o_custkey")
+    lik = load_table(spark, args.sf, "lineitem").select("l_orderkey", "l_suppkey")
+    raw_e = (
+        ordk.join(lik, ordk.o_orderkey == lik.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), (F.col("l_suppkey") + 10_000_000).alias("supp"))
+        .distinct()
+    )
+    big_raw = raw_e.crossJoin(copies).select(
+        (F.col("cust") + F.col("copy") * 100_000_000).alias("cust"),
+        (F.col("supp") + F.col("copy") * 100_000_000).alias("supp"),
+    )
+    big_edges = (
+        big_raw.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+        .unionAll(big_raw.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_e = big_edges.count()
+    stage(f"pagerank_3iter_{n_e}edges", lambda: pagerank(big_edges, iters=3).count())
+
+    emb = load_table(spark, args.sf, "embeddings")
+    big_emb = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_emb = big_emb.count()
+    stage(
+        f"quantize_int8_{n_emb}vec",
+        lambda: quantize_int8(big_emb).agg(F.sum("sum_abs_q")).count(),
+    )
     spark.stop()
 
 
