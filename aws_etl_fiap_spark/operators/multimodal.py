@@ -180,3 +180,48 @@ def documents_as_media(df: DataFrame) -> DataFrame:
         F.lit("fake/text").alias("mime"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
+
+
+def write_payload_files(df: DataFrame, path: str, id_col: str = "media_id",
+                        payload_col: str = "payload") -> int:
+    """Materialize each binary payload as its own ``<id>.bin`` file under
+    ``path`` — the on-disk shape real media corpora arrive in (one object
+    per image/audio clip), written distributed via Arrow batches (no
+    driver collect, no per-row pickling).  Returns the file count.
+
+    Executors must share ``path``'s filesystem (true on local[*] and on any
+    cluster writing to a mounted object store/NFS — same assumption as the
+    writers.py sinks).
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+
+    def dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in batches:
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                with open(os.path.join(path, f"{int(mid):012d}.bin"), "wb") as fh:
+                    fh.write(bytes(payload))
+            n += len(pdf)
+        yield pd.DataFrame({"n": [n]})
+
+    counts = df.select(id_col, payload_col).mapInPandas(dump, "n long")
+    return int(counts.agg(F.sum("n")).collect()[0][0] or 0)
+
+
+def read_payload_files(spark, path: str) -> DataFrame:
+    """Ingest a blob directory through Spark's native ``binaryFile`` source:
+    (path, modificationTime, length, content) rows, with the id parsed back
+    from the file name.  This is the 100 TB media-ingest front door —
+    distributed file listing, predicate pushdown on path/length, and
+    ``spark.sql.files.maxPartitionBytes`` packing many small blobs per
+    task.  Note: Spark's file-source planner skips ZERO-length files, so an
+    empty payload written by write_payload_files will not reappear here —
+    represent emptiness as metadata upstream, never as a 0-byte object."""
+    raw = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"([0-9]{12})\.bin$", 1).cast("long").alias("media_id"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )

@@ -151,3 +151,48 @@ def media_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok",
         *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(8)],
     )
+
+
+@query(
+    "media_binaryfile_ingest",
+    oracle="""
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS digest
+FROM documents
+""",
+)
+def media_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT S5 edge] Native ``binaryFile`` blob ingest under the exact gate:
+    every payload is written as its own .bin object (distributed, Arrow-
+    batched — operators/multimodal.write_payload_files), read back through
+    ``spark.read.format("binaryFile")``, and the recovered (id, byte
+    length, sha256) must hash-equal an oracle computed from the source
+    table — so the file sink, the distributed listing, and the content
+    bytes are all inside the verified loop.  Mirrors the formats_q
+    roundtrip pattern (temp dir under SPARK_GRAFT_SINK_DIR, eager
+    checkpoint, cleanup)."""
+    import os
+    import shutil
+    import tempfile
+
+    from aws_etl_fiap_spark.operators.multimodal import (
+        documents_as_media,
+        read_payload_files,
+        write_payload_files,
+    )
+
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="blob_rt_", dir=base)
+    path = os.path.join(tmp, "blobs")
+    try:
+        media = documents_as_media(load_table(spark, sf_dir, "documents"))
+        write_payload_files(media, path)
+        got = read_payload_files(spark, path).select(
+            "media_id",
+            "n_bytes",
+            F.sha2(F.col("payload"), 256).alias("digest"),
+        )
+        return got.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -86,3 +86,33 @@ def test_undecodable_media_degrades_not_fails(spark):
     assert rows[1].ok and len(rows[1].feature) == FEATURE_DIM
     assert not rows[2].ok and rows[2].feature is None
     assert not rows[3].ok and rows[3].feature is None
+
+
+def test_binaryfile_roundtrip_bytes_and_ids(spark, tmp_path):
+    """Payloads written one-object-per-file come back byte-identical through
+    the binaryFile source, ids parse from the file names, and the reported
+    length matches the true payload size."""
+    from aws_etl_fiap_spark.operators.multimodal import (
+        read_payload_files,
+        write_payload_files,
+    )
+
+    payloads = {7: b"\x00\x01binary\xff", 42: b"", 999999: b"x" * 4096}
+    nonempty = {k: v for k, v in payloads.items() if v}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()],
+        "media_id long, payload binary",
+    )
+    n = write_payload_files(df, str(tmp_path / "blobs"))
+    assert n == 3
+    back = {
+        r["media_id"]: (r["n_bytes"], bytes(r["payload"]))
+        for r in read_payload_files(spark, str(tmp_path / "blobs")).collect()
+    }
+    # Spark file sources skip zero-length files at partition planning, so
+    # empty payloads don't come back — pinned here because a media pipeline
+    # must ensure emptiness is represented upstream (metadata row), not as
+    # a zero-byte object.
+    assert set(back) == set(nonempty)
+    for k, v in nonempty.items():
+        assert back[k] == (len(v), v)
