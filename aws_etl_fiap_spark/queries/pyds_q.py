@@ -89,3 +89,39 @@ def pyds_ticker_api_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("close"), 2).alias("sum_close"),
         F.max("volume").alias("max_volume"),
     )
+
+
+@query("pyds_stream_scan_equiv", oracle=_ORACLE)
+def pyds_stream_scan_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Spark 4 Python STREAMING DataSource behind the exact gate: the
+    same ticker feed consumed via ``spark.readStream.format("ticker_api")``
+    — day-index offsets, per-micro-batch chunked partition planning, the
+    engine's checkpointed (offset, commit) bookkeeping — drained with
+    AvailableNow into a memory sink.  The drained rows must hash-equal the
+    SAME DuckDB oracle as the batch scan: stream and batch paths agree
+    bit-for-bit, the Kafka-shaped custom-ingest contract at 100 TB (a
+    stateless source scales by partition count per batch)."""
+    import uuid
+
+    pyds.register(spark)
+    keys = [
+        r.n_name
+        for r in load_table(spark, sf_dir, "nation").select("n_name").limit(1000).collect()
+    ]
+    stream = (
+        spark.readStream.format(pyds.FORMAT_NAME)
+        .option("keys", pyds.encode_keys(keys))
+        .option("days", _DAYS)
+        .option("chunk", 4)
+        .load()
+    )
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).localCheckpoint(eager=True)

@@ -174,6 +174,10 @@ DEFERRED_R6: tuple[str, ...] = (
     # window and exact_dedup (unchanged since r1) is pinned by test_dedup
     # plus the 20x smoke's clone-collapse stage: --
     "dedup_exact",
+    # -- displaced by pyds_stream_scan_equiv: the exact-distinct/percentile
+    # construct stays graded through events_quantile_outliers
+    # (PERCENTILE_DISC) and the r5-green approx-gate family: --
+    "agg_distinct_percentiles",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
@@ -234,6 +238,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_quantize_int8",
     "graph_pagerank_bipartite",
     "media_binaryfile_ingest",
+    "pyds_stream_scan_equiv",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -260,7 +265,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # constructs stay represented; see DEFERRED_R6). --
     "window_rolling_7row_avg",
     "agg_rollup_status_priority",
-    "agg_distinct_percentiles",
     "set_nations_except",
     # -- r3-green joins. --
     "join_asof_prev_low_order",

@@ -32,7 +32,12 @@ from collections.abc import Iterator, Sequence
 from datetime import date, timedelta
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 FORMAT_NAME = "ticker_api"
@@ -115,6 +120,59 @@ class TickerApiDataSource(DataSource):
 
     def reader(self, schema: StructType) -> _TickerApiReader:
         return _TickerApiReader(self.options)
+
+    def streamReader(self, schema: StructType) -> "_TickerApiStreamReader":
+        return _TickerApiStreamReader(self.options)
+
+
+class _TickerApiStreamReader(DataSourceStreamReader):
+    """Streaming twin of the batch reader (Spark 4 Python streaming
+    DataSource): the day index is the source OFFSET, so micro-batch N covers
+    day range [start.day, end.day) for every key — each batch is planned
+    into the same chunked executor partitions as the batch scan, and the
+    (offset, commit) contract gives the engine exactly-once bookkeeping
+    through its checkpoint like any built-in source.
+
+    ``days`` bounds the feed (latestOffset parks there), so an
+    ``availableNow`` verification run drains the whole series
+    deterministically; a live deployment would instead advance
+    latestOffset() per poll.  The rows for a given (key, day) are the SAME
+    ``series_row`` arithmetic the batch reader and the DuckDB oracle use —
+    stream and batch must agree bit-for-bit.
+    """
+
+    def __init__(self, options: dict) -> None:
+        keys = decode_keys(options.get("keys") or "")
+        if not keys:
+            raise ValueError(
+                "ticker_api requires .option('keys', encode_keys([...]))"
+            )
+        self._keys = keys
+        self._days = int(options.get("days", 5))
+        self._chunk = max(1, int(options.get("chunk", 16)))
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def latestOffset(self) -> dict:
+        return {"day": self._days}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = int(start["day"]), int(end["day"])
+        return [
+            InputPartition((self._keys[i : i + self._chunk], lo, hi))
+            for i in range(0, len(self._keys), self._chunk)
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        keys, lo, hi = partition.value
+        for key in keys:
+            for i in range(lo, hi):
+                yield series_row(key, i)
+
+    def commit(self, end: dict) -> None:
+        # Nothing external to clean up: the fixture feed is arithmetic.
+        pass
 
 
 def register(spark: SparkSession) -> None:

@@ -52,3 +52,33 @@ def test_comma_bearing_key_survives_scan(spark):
     for r in rows:
         k = (r.ticker, (r.day - pyds._BASE_DAY).days)
         assert (r.ticker, r.day, r.close, r.volume) == expect[k]
+
+
+def test_stream_reader_offsets_partition_day_ranges():
+    """The streaming reader's offset is the day index: partitions(start,
+    end) must cover exactly [start, end) for every key chunk, so the
+    engine's checkpointed offsets replay deterministically."""
+    from aws_etl_fiap_spark.sources.pyds import _TickerApiStreamReader, encode_keys
+
+    r = _TickerApiStreamReader(
+        {"keys": encode_keys(["AAA", "BBB", "CCC"]), "days": "6", "chunk": "2"}
+    )
+    assert r.initialOffset() == {"day": 0}
+    assert r.latestOffset() == {"day": 6}
+    parts = r.partitions({"day": 2}, {"day": 5})
+    assert [p.value for p in parts] == [(["AAA", "BBB"], 2, 5), (["CCC"], 2, 5)]
+    rows = [row for p in parts for row in r.read(p)]
+    assert len(rows) == 3 * 3  # 3 keys x days {2,3,4}
+    assert {i for (_, day, _, _) in rows for i in [(day - rows[0][1]).days]} <= {0, 1, 2}
+
+
+def test_stream_reader_resume_midway_no_overlap():
+    """Replaying from a committed mid-stream offset yields exactly the
+    remaining rows — no duplicates, no gaps (exactly-once bookkeeping)."""
+    from aws_etl_fiap_spark.sources.pyds import _TickerApiStreamReader, encode_keys
+
+    r = _TickerApiStreamReader({"keys": encode_keys(["XY"]), "days": "5", "chunk": "8"})
+    first = [row for p in r.partitions({"day": 0}, {"day": 3}) for row in r.read(p)]
+    rest = [row for p in r.partitions({"day": 3}, {"day": 5}) for row in r.read(p)]
+    assert len(first) == 3 and len(rest) == 2
+    assert not {x[1] for x in first} & {x[1] for x in rest}
