@@ -265,3 +265,59 @@ def events_rollup_type_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("value", 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "events_cascading_rollup",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST({_TS} AS DATE) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(38,2))) AS day_value
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+       event_type,
+       COUNT(*) AS n_days,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(day_value) AS DOUBLE) AS total_value
+FROM daily
+GROUP BY 1, 2
+""",
+)
+def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Hypertable-style cascading rollup: events aggregate to DAILY
+    buckets, and the MONTHLY tier re-aggregates from the daily pre-
+    aggregates (never from raw rows) — the continuous-aggregate pattern
+    that makes dashboard tiers O(|days|), not O(|events|), at 100 TB.
+    Counts compose by summation and values stay DECIMAL(38,2) through both
+    tiers (exact, order-independent) with one double cast at the very end,
+    so cascade == direct and the oracle verifies exactly that.  Plan-wise
+    the month tier reuses nothing of the event scan: its input is the
+    |days x types|-row daily frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    daily = (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,2)")).alias("day_value"),
+        )
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("month", F.col("day")).cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("day_value").cast("double").alias("total_value"),
+        )
+    )

@@ -178,6 +178,11 @@ DEFERRED_R6: tuple[str, ...] = (
     # construct stays graded through events_quantile_outliers
     # (PERCENTILE_DISC) and the r5-green approx-gate family: --
     "agg_distinct_percentiles",
+    # -- displaced by events_cascading_rollup: bench.py re-times the rolling
+    # window min-of-3 EVERY round, and the rolling-frame construct also
+    # sits inside the in-window timeseries_gapfill_ffill (IGNORE NULLS
+    # frames): --
+    "window_rolling_7row_avg",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
@@ -239,6 +244,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_pagerank_bipartite",
     "media_binaryfile_ingest",
     "pyds_stream_scan_equiv",
+    "events_cascading_rollup",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -263,7 +269,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- r3-green window/analytics/set families (grouping_sets, athena-SQL,
     # salted-agg, islands, partitioned-roundtrip deferred to r7 — their
     # constructs stay represented; see DEFERRED_R6). --
-    "window_rolling_7row_avg",
     "agg_rollup_status_priority",
     "set_nations_except",
     # -- r3-green joins. --
