@@ -314,3 +314,73 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.when(F.col("n_hits") * 10 >= F.col("n_shingles"), 1).otherwise(0).alias("contaminated"),
     )
+
+
+_N_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+WITH s AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                % {_N_SHARDS} AS INT) AS shard
+    FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM s GROUP BY shard
+"""
+
+
+@query("corpus_shard_write_manifest", oracle=_SHARD_ORACLE)
+def corpus_shard_write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Training-data shard writer + manifest under the exact gate: the
+    last stage of a curation pipeline assigns every document a PORTABLE
+    deterministic shard (md5 hash % {n}), physically writes the corpus
+    partitioned by shard, and derives the shard manifest (doc/token counts,
+    id range) from the FILES READ BACK — so the shard function, the
+    partitioned write, partition-column recovery, and the manifest stats
+    are all inside the verified loop.  Hash sharding keeps shards balanced
+    at any scale and re-derivable by any engine (resumable backfills); the
+    per-shard repartition guard caps the file count at tasks-per-shard,
+    not tasks x shards."""
+    import os
+    import shutil
+    import tempfile
+
+    from aws_etl_fiap_spark.operators.dedup import portable_hash60
+    from aws_etl_fiap_spark.operators.text import token_count
+    from aws_etl_fiap_spark.sources.writers import read_back, write_partitioned
+
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="shards_", dir=base)
+    path = os.path.join(tmp, "corpus_shards")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        sharded = docs.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            (
+                portable_hash60(F.lit("shard"), F.col("doc_id").cast("string"))
+                % _N_SHARDS
+            )
+            .cast("int")
+            .alias("shard"),
+        )
+        write_partitioned(sharded, path, ["shard"], target_file_rows=100_000)
+        manifest = (
+            read_back(spark, path)
+            .groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+        )
+        return manifest.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -183,6 +183,11 @@ DEFERRED_R6: tuple[str, ...] = (
     # sits inside the in-window timeseries_gapfill_ffill (IGNORE NULLS
     # frames): --
     "window_rolling_7row_avg",
+    # -- displaced by corpus_shard_write_manifest: the time-range-join
+    # construct stays graded via the in-window
+    # stream_stream_interval_join_equiv; the binned batch range join is
+    # additionally pinned by its join unit tests: --
+    "join_range_price_bands",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
@@ -245,6 +250,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "media_binaryfile_ingest",
     "pyds_stream_scan_equiv",
     "events_cascading_rollup",
+    "corpus_shard_write_manifest",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -273,7 +279,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "set_nations_except",
     # -- r3-green joins. --
     "join_asof_prev_low_order",
-    "join_range_price_bands",
 )
 
 def _ordered() -> list[str]:

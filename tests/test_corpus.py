@@ -126,3 +126,28 @@ def test_stratified_quota_sample_monotone_and_bounds(spark, sf_smoke):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         stratified_quota_sample(docs, ["lang"], 1.5, "doc_id")
+
+
+def test_shard_assignment_balanced_and_stable(spark, sf_correctness):
+    """Hash sharding: every shard occupied, sizes within 3x of each other
+    (md5 uniformity at 500 docs / 16 shards), and the assignment is a pure
+    function of doc_id (two runs identical)."""
+    from aws_etl_fiap_spark.operators.dedup import portable_hash60
+    from aws_etl_fiap_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_correctness, "documents")
+    shard = (
+        portable_hash60(F.lit("shard"), F.col("doc_id").cast("string")) % 16
+    ).cast("int")
+    counts = {
+        r["shard"]: r["n"]
+        for r in docs.groupBy(shard.alias("shard")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == set(range(16))
+    assert max(counts.values()) <= 3 * min(counts.values())
+    counts2 = {
+        r["shard"]: r["n"]
+        for r in docs.groupBy(shard.alias("shard")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == counts2
