@@ -148,3 +148,61 @@ def streaming_session_counts(
         *keys,
         *value_cols,
     )
+
+
+def tws_running_totals(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-key running ``(n, total)`` on the **transformWithStateInPandas**
+    API (Spark 4's arbitrary-state v2: typed value/list/map state cells,
+    timers, initial-state seeding — the successor to
+    ``applyInPandasWithState``). Same integer-exact accumulation contract as
+    :func:`stateful_running_totals`, so the same batch GROUP BY oracle
+    verifies it.
+
+    Requires the RocksDB state-store provider (the only provider
+    implementing transformWithState's multi-column-family state layout) —
+    callers scope ``spark.sql.streaming.stateStore.providerClass`` around
+    the run; on a cluster that provider is also the right choice for any
+    large-state job (off-heap, incremental snapshots).  ALSO requires a
+    working ``google.protobuf`` (the TWS state server speaks proto to the
+    Python worker); environments without it get the v1
+    :func:`stateful_running_totals` path — the registered driver gate stays
+    on v1 for exactly that reason, and the v2 test skips when protobuf is
+    absent.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, n long, total long"
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n long, total long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += int(pdf[value_col].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        with_watermark(df, ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            _Totals(), outputStructType=out_schema, outputMode="Update", timeMode="None"
+        )
+    )

@@ -5,6 +5,7 @@ parquet sinks, AvailableNow trigger)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.streaming.file_trigger import (
@@ -204,3 +205,43 @@ def test_streaming_session_window_merges_across_batches(spark, tmp_path):
     # The bridge: minute 6 is within 5 min of BOTH session edges.
     _write_batch(spark, raw, [6])
     assert run("sess_b") == [("u1", 0, 16, 6)]
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python state server needs google.protobuf",
+)
+def test_tws_running_totals_matches_batch(spark, tmp_path, sf_smoke):
+    """Arbitrary-state v2 (transformWithStateInPandas + RocksDB provider):
+    drained running totals must equal the batch GROUP BY, like the v1 gate."""
+    from aws_etl_fiap_spark.confs import scoped_conf
+    from aws_etl_fiap_spark.queries.streaming_q import _run_to_table, _stream_events
+    from aws_etl_fiap_spark.sources.readers import load_table
+    from aws_etl_fiap_spark.streaming.windows import tws_running_totals
+
+    cents = F.floor(F.col("value").cast("double") * 100.0 + 0.5).cast("long")
+    events = _stream_events(spark, sf_smoke).withColumn("v_cents", cents)
+    with scoped_conf(
+        spark,
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    ):
+        got = _run_to_table(
+            tws_running_totals(events, "user_id", "v_cents", "ts"), spark, mode="update"
+        )
+    expect = (
+        load_table(spark, sf_smoke, "events")
+        .withColumn("v_cents", cents)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v_cents").alias("total"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
