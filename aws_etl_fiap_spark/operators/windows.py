@@ -121,7 +121,11 @@ def scd2_collapse(
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
     prev = F.lag(F.col(state_col)).over(w)
-    chg = F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0)
+    # Null-safe transition test (IS DISTINCT FROM semantics): a null state
+    # following a non-null one IS a change, two consecutive nulls are NOT —
+    # a bare ``prev != state`` would evaluate to null and silently miss
+    # transitions into a null state.
+    chg = F.when(~prev.eqNullSafe(F.col(state_col)), 1).otherwise(0)
     run = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -89,8 +89,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #   * text_bm25_topk (Okapi BM25 keyword retrieval, total-order top-k),
 #   * text_char_entropy (character-distribution Shannon entropy),
 #   * scd2_event_history (SCD type-2 validity-interval build),
-#   * profile_histogram_totalprice (equi-width distribution profile).
-# That demands 83 slots for 50; the overflow is DEFERRED_R6 below.
+#   * profile_histogram_totalprice (equi-width distribution profile),
+#   * sim_quantize_int8 (symmetric int8 embedding quantization),
+#   * graph_pagerank_bipartite (fixed-iteration damped PageRank),
+#   * media_binaryfile_ingest (native binaryFile blob ingest roundtrip),
+#   * pyds_stream_scan_equiv (Spark 4 Python STREAMING DataSource),
+#   * events_cascading_rollup (day->month rollup from pre-aggregates),
+#   * corpus_shard_write_manifest (hash-sharded corpus write + manifest).
+# That demands 89 slots for 50; the overflow is DEFERRED_R6 below.
 #
 # Remaining r5-green entries stay out on their fresh r5 rows.  Note the
 # round-6 readers.py change (UTC-scoped NTZ re-label) technically touches

@@ -190,3 +190,89 @@ def test_portable_minhash_mixing_engine_parity(spark):
             assert got[f"h{i}"] == expect, (s, i)
 
     check()
+
+
+def test_quantize_int8_engine_parity_property(spark):
+    """For arbitrary float vectors, the explicit floor-round quantization
+    (scale, codes) must agree bit-for-bit with DuckDB's evaluation of the
+    same arithmetic, and codes must stay within [-127, 127]."""
+    duck = duckdb.connect()
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    def prop(vec):
+        from aws_etl_fiap_spark.operators.similarity import quantize_int8
+
+        df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+        r = quantize_int8(df).collect()[0]
+        assert all(abs(c) <= 127 for c in r["q"])
+        # Ship the vector as a real float32 Arrow array (the registered
+        # query's oracle reads float32 PARQUET): a SQL literal would parse
+        # through DECIMAL/DOUBLE and can land one float32 ulp away.
+        import pyarrow as pa
+
+        duck.register("qv_t", pa.table({"emb": pa.array([vec], pa.list_(pa.float32()))}))
+        d = duck.sql(
+            """
+            WITH v AS (SELECT list_transform(CAST(emb AS DOUBLE[]), x -> x) AS e FROM qv_t),
+            m AS (SELECT e, list_max(list_transform(e, x -> abs(x))) AS max_abs,
+                         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v)
+            SELECT scale,
+                   CASE WHEN max_abs > 0
+                        THEN list_transform(e, x -> CAST(FLOOR(x / scale + 0.5) AS BIGINT))
+                        ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+            FROM m
+            """
+        ).fetchone()
+        assert r["scale"] == d[0]
+        assert list(r["q"]) == list(d[1])
+
+    prop()
+
+
+def test_scd2_intervals_partition_timeline_property(spark):
+    """For arbitrary per-key state sequences: versions are dense from 1,
+    intervals chain exactly (next effective_from == previous effective_to),
+    exactly one open interval per key, and consecutive rows never share a
+    state."""
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 3), st.sampled_from(["A", "B", "C"])),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def prop(seq):
+        from aws_etl_fiap_spark.operators.windows import scd2_collapse
+
+        rows = [
+            (key, state, f"2024-01-{(i % 27) + 1:02d} 00:00:00", i)
+            for i, (key, state) in enumerate(seq)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, state string, ts string, event_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = scd2_collapse(df, "user_id", "state", "ts", "event_id").collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["user_id"], []).append(r)
+        for key, rs in by_key.items():
+            rs.sort(key=lambda r: r["version"])
+            assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+            opens = [r for r in rs if r["effective_to"] is None]
+            assert len(opens) == 1 and rs[-1]["is_current"] == 1
+            for a, b in zip(rs, rs[1:]):
+                assert a["effective_to"] == b["effective_from"]
+                assert a["state"] != b["state"]
+
+    prop()

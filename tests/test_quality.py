@@ -244,3 +244,23 @@ def test_bm25_single_doc_matches_closed_form(spark):
         tf + BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl))
     )
     assert abs(rows[0]["bm25"] - expect) < 1e-12
+
+
+def test_scd2_null_state_transitions_are_changes(spark):
+    """IS DISTINCT FROM semantics: entering / leaving a null state opens a
+    new version; consecutive nulls collapse."""
+    from aws_etl_fiap_spark.operators.windows import scd2_collapse
+
+    rows = [
+        (1, "A", "2024-01-01 00:00:00", 1),
+        (1, None, "2024-01-02 00:00:00", 2),
+        (1, None, "2024-01-03 00:00:00", 3),  # collapses into version 2
+        (1, "A", "2024-01-04 00:00:00", 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, state string, ts string, event_id long")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    out = sorted(
+        (r["version"], r["state"]) for r in
+        scd2_collapse(df, "user_id", "state", "ts", "event_id").collect()
+    )
+    assert out == [(1, "A"), (2, None), (3, "A")]
