@@ -147,3 +147,66 @@ def weighted_poisson_sample(
         .filter(u < F.col("rate"))
         .drop("__W")
     )
+
+
+def ordered_global_index(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str = "global_idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based global index under a TOTAL order — without the
+    classic ``row_number() OVER (ORDER BY ...)`` single-reducer window,
+    which funnels the whole table through ONE task and is the canonical
+    100 TB anti-pattern.
+
+    Two-pass range-partition scheme instead: range-partition + sort on the
+    order columns (so partition p holds a contiguous key range), count rows
+    per partition (ONE long per partition to the driver — bounded by the
+    partition count, never by rows), prefix-sum those counts into start
+    offsets, then stamp ``offset + local position`` in a streaming Arrow
+    pass.  The result is identical to the window form for any total order,
+    but every stage is as parallel as the partition count.  (Correctness
+    does not depend on WHERE the range boundaries land — only on the sort —
+    so the range partitioner's sampling is free to be approximate.)
+
+    ``order_cols`` must be a total order (add a unique tiebreaker);
+    otherwise indices within tied runs are partition-placement-dependent.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    # Persist so the count pass and the stamp pass share one shuffle+sort.
+    parts = parts.localCheckpoint(eager=True)
+    rows_per_pid = dict(
+        parts.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += int(rows_per_pid.get(pid, 0))
+    bc = spark.sparkContext.broadcast(offsets)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(parts.schema.fields) + [StructField(out, LongType())])
+
+    def stamp(batches):
+        pid = TaskContext.get().partitionId()
+        seen = bc.value[pid]
+        for pdf in batches:
+            idx = pd.RangeIndex(seen, seen + len(pdf))
+            seen += len(pdf)
+            pdf = pdf.copy()
+            pdf[out] = idx.to_numpy()
+            yield pdf
+
+    return parts.mapInPandas(stamp, out_schema)

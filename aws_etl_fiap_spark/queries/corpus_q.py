@@ -384,3 +384,26 @@ def corpus_shard_write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return manifest.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "order_global_index_orders",
+    oracle="""
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS global_idx
+FROM orders
+""",
+)
+def order_global_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Dense global row numbering WITHOUT the single-reducer window
+    (operators/sampling.ordered_global_index): range-partition + sort on
+    the total order, per-partition counts prefix-summed into offsets (one
+    long per partition to the driver), then offset + local position
+    stamped in an Arrow pass — the example-numbering primitive for
+    training-data shuffles.  Must equal ROW_NUMBER() OVER (ORDER BY ...)
+    - 1 exactly, which is precisely the plan shape Spark would funnel
+    through ONE task."""
+    from aws_etl_fiap_spark.operators.sampling import ordered_global_index
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return ordered_global_index(orders, ["o_orderkey"], num_partitions=32)

@@ -151,3 +151,27 @@ def test_shard_assignment_balanced_and_stable(spark, sf_correctness):
         for r in docs.groupBy(shard.alias("shard")).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert counts == counts2
+
+
+def test_ordered_global_index_dense_and_distributed(spark):
+    """The two-pass global index is dense 0..n-1 in key order, equals the
+    single-reducer window form, and actually spreads rows across many
+    partitions (the point of not using that window)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.sampling import ordered_global_index
+
+    n = 5000
+    df = spark.range(n).select((F.col("id") * 7919 % n).alias("k"))  # scrambled
+    out = ordered_global_index(df, ["k"], num_partitions=16)
+    assert out.rdd.getNumPartitions() == 16
+    got = {r["k"]: r["global_idx"] for r in out.collect()}
+    assert sorted(got.values()) == list(range(n))
+    expect = {
+        r["k"]: r["idx"]
+        for r in df.withColumn(
+            "idx", F.row_number().over(Window.orderBy("k")) - 1
+        ).collect()
+    }
+    assert got == expect
