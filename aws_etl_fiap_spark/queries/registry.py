@@ -199,6 +199,11 @@ DEFERRED_R6: tuple[str, ...] = (
     # stays graded through the five other in-window events_* entries plus
     # the stream gates: --
     "events_session_30min",
+    # -- displaced by stream_multibatch_totals_equiv (which supersedes the
+    # single-batch stateful gate's coverage): the sliding construct shares
+    # its F.window implementation with the r5-green tumbling equiv, and
+    # events_sliding's batch twin is already a documented deferral: --
+    "stream_sliding_10min_5min_equiv",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
@@ -263,6 +268,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_cascading_rollup",
     "corpus_shard_write_manifest",
     "order_global_index_orders",
+    "stream_multibatch_totals_equiv",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -281,7 +287,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- r3-green events/streaming (events read path touched by the
     # round-6 UTC scope; re-graded here; dedup_exact deferred, see
     # DEFERRED_R6). --
-    "stream_sliding_10min_5min_equiv",
     "stream_stateful_totals_equiv",
     # -- r3-green window/analytics/set families (grouping_sets, athena-SQL,
     # salted-agg, islands, partitioned-roundtrip deferred to r7 — their

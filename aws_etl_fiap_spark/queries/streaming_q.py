@@ -480,3 +480,68 @@ def stream_stream_interval_join_equiv(spark: SparkSession, sf_dir: str) -> DataF
         "click_id", "view_id", F.col("u_a").alias("user_id")
     )
     return _run_to_table(out, spark, mode="append")
+
+
+@query(
+    "stream_multibatch_totals_equiv",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1e2 + 5e-1) AS BIGINT)) AS BIGINT)
+           AS total
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_multibatch_totals_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CROSS-MICRO-BATCH state under the exact gate: the events table
+    is split into four parquet files and replayed with
+    ``maxFilesPerTrigger=1``, so the arbitrary-state operator accumulates
+    its per-user totals across FOUR separate micro-batches (the
+    single-file equiv gates run exactly one batch — this is the one that
+    proves state actually survives batch boundaries).  The update-mode
+    sink holds one row per touched key PER batch; ``max_by(total, n)``
+    selects each key's final update (n is strictly increasing).  The
+    watermark delay exceeds the data's time span, so no split ordering can
+    mark rows late — state carry-over is what's under test, not eviction.
+    Must hash-equal the one-shot batch GROUP BY oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from aws_etl_fiap_spark.sources.readers import load_table
+    from aws_etl_fiap_spark.streaming.windows import stateful_running_totals
+
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="mb_stream_", dir=base)
+    path = os.path.join(tmp, "events_split")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+        )
+        for i in range(4):
+            ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        schema = spark.read.parquet(path).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+            .withColumn(
+                "v_cents",
+                F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                ),
+            )
+        )
+        totals = stateful_running_totals(
+            stream, "user_id", "v_cents", "ts", watermark="8760 hours", integer_total=True
+        )
+        drained = _run_to_table(totals, spark, mode="update")
+        final = drained.groupBy("user_id").agg(
+            F.max("n").alias("n"), F.expr("max_by(total, n)").alias("total")
+        )
+        return final.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

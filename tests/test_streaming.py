@@ -245,3 +245,37 @@ def test_tws_running_totals_matches_batch(spark, tmp_path, sf_smoke):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v_cents").alias("total"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_multibatch_state_carries_across_batches(spark, tmp_path):
+    """With maxFilesPerTrigger=1, a key present in two files gets TWO
+    update-mode emissions whose totals accumulate — proof the state cell
+    survives the micro-batch boundary (the single-file gates never cross
+    one)."""
+    import uuid as _uuid
+
+    from aws_etl_fiap_spark.streaming.windows import stateful_running_totals
+
+    path = str(tmp_path / "split")
+    for batch in ([(1, "2024-01-01 10:00:00", 5)], [(1, "2024-01-01 11:00:00", 7)]):
+        spark.createDataFrame(
+            batch, "user_id long, ts string, v long"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    totals = stateful_running_totals(
+        stream, "user_id", "v", "ts", watermark="8760 hours", integer_total=True
+    )
+    name = f"mb_{_uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = sorted(map(tuple, spark.table(name).collect()))
+    assert rows == [(1, 1, 5), (1, 2, 12)]  # two emissions, accumulated
