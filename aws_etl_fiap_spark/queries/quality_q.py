@@ -355,3 +355,80 @@ def scd2_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     return scd2_collapse(ev, "user_id", "event_type", "ts", "event_id")
+
+
+_TS_Q = "CAST(ts AS TIMESTAMP)"
+
+
+@query(
+    "events_funnel_conversion",
+    oracle=f"""
+WITH t1 AS (
+    SELECT user_id, MIN({_TS_Q}) AS view_ts
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id, MIN({_TS_Q.replace('ts', 'e.ts')}) AS click_ts
+    FROM events e JOIN t1 ON t1.user_id = e.user_id
+    WHERE e.event_type = 'click' AND {_TS_Q.replace('ts', 'e.ts')} > t1.view_ts
+    GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id, MIN({_TS_Q.replace('ts', 'e.ts')}) AS purchase_ts
+    FROM events e JOIN t2 ON t2.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND {_TS_Q.replace('ts', 'e.ts')} > t2.click_ts
+    GROUP BY e.user_id
+)
+SELECT t1.user_id, t1.view_ts, t2.click_ts, t3.purchase_ts,
+       CAST(CASE WHEN t3.purchase_ts IS NOT NULL THEN 3
+                 WHEN t2.click_ts IS NOT NULL THEN 2
+                 ELSE 1 END AS INT) AS reached_stage
+FROM t1
+LEFT JOIN t2 ON t2.user_id = t1.user_id
+LEFT JOIN t3 ON t3.user_id = t1.user_id
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Ordered 3-step funnel (view -> click -> purchase): each stage's
+    timestamp is the FIRST qualifying event STRICTLY AFTER the previous
+    stage — the sequence-detection construct behind conversion analytics
+    (the interval-join gate checks co-occurrence; this one checks ORDER).
+    Three aggregates and two joins, all partitioned on user_id, so the
+    event log shuffles once and the stage frames (<=1 row per user) reuse
+    that partitioning."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .otherwise(1)
+            .alias("reached_stage"),
+        )
+    )

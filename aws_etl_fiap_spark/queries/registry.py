@@ -95,8 +95,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #   * media_binaryfile_ingest (native binaryFile blob ingest roundtrip),
 #   * pyds_stream_scan_equiv (Spark 4 Python STREAMING DataSource),
 #   * events_cascading_rollup (day->month rollup from pre-aggregates),
-#   * corpus_shard_write_manifest (hash-sharded corpus write + manifest).
-# That demands 89 slots for 50; the overflow is DEFERRED_R6 below.
+#   * corpus_shard_write_manifest (hash-sharded corpus write + manifest),
+#   * order_global_index_orders (global row index, no single-reducer),
+#   * stream_multibatch_totals_equiv (cross-micro-batch state, 4 batches),
+#   * events_funnel_conversion (ordered view->click->purchase funnel),
+#   * text_unigram_surprisal (corpus-unigram-LM quality signal).
+# That demands 93 slots for 50; the overflow is DEFERRED_R6 below.
 #
 # Remaining r5-green entries stay out on their fresh r5 rows.  Note the
 # round-6 readers.py change (UTC-scoped NTZ re-label) technically touches
@@ -204,6 +208,13 @@ DEFERRED_R6: tuple[str, ...] = (
     # its F.window implementation with the r5-green tumbling equiv, and
     # events_sliding's batch twin is already a documented deferral: --
     "stream_sliding_10min_5min_equiv",
+    # -- displaced by events_funnel_conversion + text_unigram_surprisal:
+    # stream_stateful_totals_equiv's operator is exercised HARDER by the
+    # in-window multibatch gate (same stateful_running_totals, 4 batches vs
+    # 1), and bench.py times agg_rollup_status_priority min-of-3 every
+    # round with the grouping construct unit-pinned: --
+    "stream_stateful_totals_equiv",
+    "agg_rollup_status_priority",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
@@ -269,6 +280,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "corpus_shard_write_manifest",
     "order_global_index_orders",
     "stream_multibatch_totals_equiv",
+    "events_funnel_conversion",
+    "text_unigram_surprisal",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -287,11 +300,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- r3-green events/streaming (events read path touched by the
     # round-6 UTC scope; re-graded here; dedup_exact deferred, see
     # DEFERRED_R6). --
-    "stream_stateful_totals_equiv",
     # -- r3-green window/analytics/set families (grouping_sets, athena-SQL,
     # salted-agg, islands, partitioned-roundtrip deferred to r7 — their
     # constructs stay represented; see DEFERRED_R6). --
-    "agg_rollup_status_priority",
     "set_nations_except",
     # -- r3-green joins. --
     "join_asof_prev_low_order",

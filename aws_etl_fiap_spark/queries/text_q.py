@@ -415,3 +415,51 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ent = char_entropy(docs, "doc_id", "text")
     return ent.select("doc_id", "n_unique_chars", round_half_up("entropy", 6).alias("entropy"))
+
+
+@query(
+    "text_unigram_surprisal",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+total AS (SELECT COUNT(*) AS n_total FROM toks),
+scored AS (
+    SELECT t.doc_id,
+           -ln(CAST(v.cnt AS DOUBLE) / CAST(s.n_total AS DOUBLE)) AS surprisal
+    FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN total s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       FLOOR((SUM(surprisal) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
+           AS avg_surprisal
+FROM scored GROUP BY doc_id
+""",
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Corpus-unigram-LM surprisal per document: average
+    -ln p(token) under the corpus's own unigram distribution — the
+    model-based-flavored quality signal (high = rare-token soup, low =
+    boilerplate) that sits between the cheap ratio filters and a real LM
+    pass.  The vocabulary (distinct tokens + counts) broadcasts back onto
+    the exploded corpus, so the only full-width shuffles are the two
+    map-side-combined aggregates; rounded half-up to 6 dp on both engines
+    (sum order + libm ln last-ulp)."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).localCheckpoint(eager=False)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    surprisal = -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+    scored = toks.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            round_half_up(F.sum(surprisal) / F.count(F.lit(1)), 6).alias("avg_surprisal"),
+        )
+    )
