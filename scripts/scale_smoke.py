@@ -436,6 +436,56 @@ def main() -> None:
         f"quantize_int8_{n_emb}vec",
         lambda: quantize_int8(big_emb).agg(F.sum("sum_abs_q")).count(),
     )
+
+    # Third-batch round-6 operators at K x.
+    from aws_etl_fiap_spark.operators.sampling import ordered_global_index
+    from aws_etl_fiap_spark.operators.text import bm25_scores  # noqa: F401 (already staged)
+
+    stage(
+        f"global_index_{n_ord}orders",
+        lambda: ordered_global_index(
+            big_ord.select("o_orderkey"), ["o_orderkey"], num_partitions=32
+        ).count(),
+    )
+
+    def _surprisal():
+        toks = corpus.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        ).localCheckpoint(eager=False)
+        vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+        sur = -F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double"))
+        return (
+            toks.join(F.broadcast(vocab), "tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg((F.sum(sur) / F.count(F.lit(1))).alias("s"))
+            .count()
+        )
+
+    stage("unigram_surprisal", _surprisal)
+
+    def _funnel():
+        t1 = big_ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+            F.min("ts").alias("t1")
+        )
+        t2 = (
+            big_ev.filter(F.col("event_type") == "click")
+            .join(t1, "user_id")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        t3 = (
+            big_ev.filter(F.col("event_type") == "purchase")
+            .join(t2, "user_id")
+            .filter(F.col("ts") > F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+        return t1.join(t2, "user_id", "left").join(t3, "user_id", "left").count()
+
+    stage(f"funnel_{n_ev}ev", _funnel)
     spark.stop()
 
 

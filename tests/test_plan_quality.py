@@ -310,3 +310,23 @@ def test_quantize_int8_shuffle_free_pruned_scan(spark, sf_correctness):
     assert shuffle_count(plan) == 0, plan
     (scan,) = scan_lines(plan)
     assert "label" not in scan, scan
+
+
+def test_funnel_stays_user_partitioned_no_cartesian(spark, sf_correctness):
+    """events_funnel_conversion: three stage aggregates + two close-out
+    joins, everything keyed on user_id — no nested-loop fallback, bounded
+    exchanges (AQE may broadcast the <=1-row-per-user stage frames at small
+    SF; at scale they stay co-partitioned shuffle joins)."""
+    plan = physical_plan(spark, sf_correctness, "events_funnel_conversion")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert shuffle_count(plan) <= 6, plan
+
+
+def test_surprisal_broadcasts_vocab(spark, sf_correctness):
+    """text_unigram_surprisal: the vocabulary and the total-count scalar
+    broadcast back onto the exploded corpus — the corpus side shuffles only
+    for its two map-side-combined aggregates."""
+    plan = physical_plan(spark, sf_correctness, "text_unigram_surprisal")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert shuffle_count(plan) <= 3, plan
