@@ -229,3 +229,52 @@ def roundtrip_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "roundtrip_corrupt_file_skip",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dec_sum('o_totalprice', 2)} AS total_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def roundtrip_corrupt_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT S5 edge] Corrupt-object resilience: the orders table is written
+    as parquet, then two GARBAGE objects (random bytes with a .parquet
+    name, and a zero-file with a valid footer magic prefix) are dropped
+    into the directory — the few-bad-objects reality of any 100 TB lake.
+    With ``spark.sql.files.ignoreCorruptFiles`` scoped on, the scan must
+    skip exactly the garbage and aggregate the good files to hash-equality
+    with the source-table oracle (a silent row loss OR a crash both fail
+    the gate).  The conf is scoped, not session-global: corruption
+    tolerance is an opt-in per read — default-on would mask real damage."""
+    import os
+    import shutil
+    import tempfile
+
+    from aws_etl_fiap_spark.confs import scoped_conf
+
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="corrupt_rt_", dir=base)
+    path = os.path.join(tmp, "orders_pq")
+    try:
+        src = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        src.repartition(4).write.parquet(path)
+        with open(os.path.join(path, "part-junk-0.parquet"), "wb") as fh:
+            fh.write(b"\x13\x37" * 4096)  # not parquet at all
+        with open(os.path.join(path, "part-junk-1.parquet"), "wb") as fh:
+            fh.write(b"PAR1" + b"\x00" * 64)  # magic but truncated garbage
+        with scoped_conf(spark, "spark.sql.files.ignoreCorruptFiles", "true"):
+            back = spark.read.parquet(path)
+            out = back.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dec_sum("o_totalprice", 2).alias("total_price"),
+            )
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

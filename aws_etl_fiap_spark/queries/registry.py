@@ -99,8 +99,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #   * order_global_index_orders (global row index, no single-reducer),
 #   * stream_multibatch_totals_equiv (cross-micro-batch state, 4 batches),
 #   * events_funnel_conversion (ordered view->click->purchase funnel),
-#   * text_unigram_surprisal (corpus-unigram-LM quality signal).
-# That demands 93 slots for 50; the overflow is DEFERRED_R6 below.
+#   * text_unigram_surprisal (corpus-unigram-LM quality signal),
+#   * roundtrip_corrupt_file_skip (scoped ignoreCorruptFiles resilience).
+# That demands 94 slots for 50; the overflow is DEFERRED_R6 below.
 #
 # Remaining r5-green entries stay out on their fresh r5 rows.  Note the
 # round-6 readers.py change (UTC-scoped NTZ re-label) technically touches
@@ -126,9 +127,11 @@ CHANGED_R6: tuple[str, ...] = (
 #: r3-green entries displaced from the 50-slot window by CHANGED_R6's three
 #: re-entries, dedup_minhash_lsh's promotion, and the two round-6-new
 #: queries: single-construct queries (no events read, no dedup/pyds/write
-#: code), each pinned by unit tests, code untouched since r1 (the three
-#: deferred set ops share their implementation with the in-window
-#: set_nations_except) — the lowest-risk deferrals.  They are the FIRST picks for the r7 window.
+#: code), each pinned by unit tests, code untouched since r1 (the four
+#: deferred set ops share one DataFrame intersect/except implementation) —
+#: the lowest-risk deferrals.  Every deferred entry STILL runs against its
+#: exact oracle in each local pytest (tests/test_oracle_parity.py); deferral
+#: delays only the driver's row.  They are the FIRST picks for the r7 window.
 DEFERRED_R6: tuple[str, ...] = (
     "null_filter_project",
     "union_all_sources",
@@ -215,6 +218,12 @@ DEFERRED_R6: tuple[str, ...] = (
     # round with the grouping construct unit-pinned: --
     "stream_stateful_totals_equiv",
     "agg_rollup_status_priority",
+    # -- displaced by roundtrip_corrupt_file_skip: the whole set-op family
+    # (shared DataFrame intersect/except implementation) is now an r7
+    # first-pick; every deferred entry still runs against its exact oracle
+    # in each local pytest (tests/test_oracle_parity.py), so deferral only
+    # delays the DRIVER's row, never the check itself: --
+    "set_nations_except",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
@@ -282,6 +291,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_multibatch_totals_equiv",
     "events_funnel_conversion",
     "text_unigram_surprisal",
+    "roundtrip_corrupt_file_skip",
     # -- changed in round 6: must be re-graded (CHANGED_R6). --
     "pyds_ticker_api_scan",
     "pyds_ticker_api_agg",
@@ -300,10 +310,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- r3-green events/streaming (events read path touched by the
     # round-6 UTC scope; re-graded here; dedup_exact deferred, see
     # DEFERRED_R6). --
-    # -- r3-green window/analytics/set families (grouping_sets, athena-SQL,
-    # salted-agg, islands, partitioned-roundtrip deferred to r7 — their
-    # constructs stay represented; see DEFERRED_R6). --
-    "set_nations_except",
     # -- r3-green joins. --
     "join_asof_prev_low_order",
 )
