@@ -486,6 +486,53 @@ def main() -> None:
         return t1.join(t2, "user_id", "left").join(t3, "user_id", "left").count()
 
     stage(f"funnel_{n_ev}ev", _funnel)
+
+    # AQE skew-join: the BUILT-IN alternative to the manual salting recipe
+    # (operators/skew.py).  One supplier key is forced to hold ~half the
+    # 12M-row fact side; with broadcast disabled the shuffle join would put
+    # half the table in one task, and AQE's OptimizeSkewedJoin must split
+    # that partition at runtime (skew=true in the final plan).
+    from aws_etl_fiap_spark.confs import scoped_conf as _sc
+
+    li2 = load_table(spark, args.sf, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    big_fact = (
+        li2.crossJoin(copies)
+        .select(
+            # ~90% of the fact lands on one supplier key: the hot-partition
+            # shape AQE's skew detector (factor x median AND absolute
+            # threshold) reliably classifies as skewed.
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit(1))
+            .otherwise(F.col("l_suppkey"))
+            .alias("l_suppkey"),
+            "l_quantity",
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_fact = big_fact.count()
+    supp = load_table(spark, args.sf, "supplier").select("s_suppkey", "s_nationkey")
+
+    def _aqe_skew():
+        with _sc(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"), _sc(
+            spark, "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+        ), _sc(spark, "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB"), _sc(
+            # The downstream aggregate re-shuffles on different keys anyway,
+            # which by default makes AQE conservatively skip the skew split;
+            # force says the extra exchange is acceptable — exactly the
+            # trade a 100 TB job WANTS when one key holds half the table.
+            spark, "spark.sql.adaptive.forceOptimizeSkewedJoin", "true"
+        ):
+            joined = big_fact.join(supp, big_fact.l_suppkey == supp.s_suppkey)
+            agg = joined.groupBy("s_nationkey").agg(F.sum("l_quantity").alias("q"))
+            n = len(agg.collect())  # same QueryExecution -> final AQE plan below
+            plan = agg._jdf.queryExecution().executedPlan().toString()
+            print(json.dumps({"stage": "aqe_skew_join_final_plan",
+                              "skew_split": "skew=true" in plan and "skewed" in plan,
+                              "smj": "SortMergeJoin" in plan or "ShuffledHashJoin" in plan}),
+                  flush=True)
+            return n
+
+    stage(f"aqe_skew_join_{n_fact}fact", _aqe_skew)
     spark.stop()
 
 
