@@ -59,6 +59,9 @@ REPRESENTATIVE = [
     "corpus_decontaminate",          # broadcast benchmark-overlap (r6)
     "scd2_event_history",            # single-shuffle SCD2 build (r6)
     "graph_pagerank_bipartite",      # fixed-iteration PageRank (r6)
+    "order_global_index_orders",     # no-single-reducer global index (r6)
+    "text_unigram_surprisal",        # corpus-LM quality signal (r6)
+    "events_funnel_conversion",      # ordered funnel detection (r6)
 ]
 
 
