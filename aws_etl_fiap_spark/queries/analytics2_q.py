@@ -165,8 +165,10 @@ def events_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Compare gaps in MICROSECONDS: ts carries µs, and a cast to long would
     # truncate to seconds — a 1800.5s gap must break the session on both
-    # engines identically.
-    micros = F.unix_micros(F.col("ts"))
+    # engines identically.  timestampdiff on the NTZ epoch (not
+    # unix_micros, which requires an instant and would re-introduce the
+    # session-tz coupling the NTZ read path removed).
+    micros = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
     gap = micros - F.lag(micros).over(w)
     marked = e.withColumn(
         "brk", F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)

@@ -297,9 +297,9 @@ def events_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     so cascade == direct and the oracle verifies exactly that.  Plan-wise
     the month tier reuses nothing of the event scan: its input is the
     |days x types|-row daily frame."""
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
-    )
+    # ts is TIMESTAMP_NTZ: naive day/month extraction, identical on any
+    # session time zone (matching the naive DuckDB oracle).
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
     daily = (
         ev.groupBy(
             F.col("ts").cast("date").alias("day"),

@@ -396,9 +396,8 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three aggregates and two joins, all partitioned on user_id, so the
     event log shuffles once and the stage frames (<=1 row per user) reuse
     that partitioning."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
-    )
+    # NTZ ts: naive comparisons, session-tz-independent.
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     t1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")

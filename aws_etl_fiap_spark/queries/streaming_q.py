@@ -61,7 +61,16 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(schema).parquet(glob)
     if schema["ts"].dataType.simpleString() == "bigint":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Spark 4.1+: the file resolves as TIMESTAMP_NTZ, but Structured
+    # Streaming REJECTS NTZ event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    # — watermarks need an instant.  Re-label under a SCOPED UTC so the
+    # instants equal the file's wall clock on any session tz (analysis is
+    # forced inside the scope; _run_to_table converts emitted timestamps
+    # back to NTZ, so gate OUTPUTS stay naive/tz-free like the batch path).
+    with _scoped_conf(spark, "spark.sql.session.timeZone", "UTC"):
+        out = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        out.schema  # force lazy analysis while the conf is in effect
+    return out
 
 
 def _scoped_shuffle_partitions(spark: SparkSession, n: int):
@@ -88,7 +97,21 @@ def _run_to_table(
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+    drained = spark.table(name)
+    # Emitted event-time columns (window bounds) are INSTANTS; collecting
+    # them renders session-local wall clock.  Convert to NTZ under a scoped
+    # UTC so the values the driver hashes are the same naive wall clock the
+    # DuckDB oracle computes, on any session tz.
+    from pyspark.sql.types import TimestampType
+
+    ts_cols = [f.name for f in drained.schema.fields if isinstance(f.dataType, TimestampType)]
+    if ts_cols:
+        with _scoped_conf(spark, "spark.sql.session.timeZone", "UTC"):
+            drained = drained.withColumns(
+                {c: F.col(c).cast("timestamp_ntz") for c in ts_cols}
+            )
+            drained.schema  # force analysis inside the scope
+    return drained
 
 
 @query(
@@ -516,25 +539,31 @@ def stream_multibatch_totals_equiv(spark: SparkSession, sf_dir: str) -> DataFram
     tmp = tempfile.mkdtemp(prefix="mb_stream_", dir=base)
     path = os.path.join(tmp, "events_split")
     try:
+        # NTZ ts for the parquet split (tz-free file contents); the stream
+        # read below re-labels to an instant under scoped UTC because
+        # watermarks require TimestampType.
         ev = load_table(spark, sf_dir, "events").select(
-            "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+            "event_id", "ts", "user_id", "value"
         )
         for i in range(4):
             ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
                 "append"
             ).parquet(path)
         schema = spark.read.parquet(path).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(path)
-            .withColumn(
-                "v_cents",
-                F.floor(F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)).cast(
-                    "long"
-                ),
+        with _scoped_conf(spark, "spark.sql.session.timeZone", "UTC"):
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .withColumn(
+                    "v_cents",
+                    F.floor(
+                        F.col("value").cast("double") * F.lit(100.0) + F.lit(0.5)
+                    ).cast("long"),
+                )
             )
-        )
+            stream.schema  # force analysis inside the scope
         totals = stateful_running_totals(
             stream, "user_id", "v_cents", "ts", watermark="8760 hours", integer_total=True
         )

@@ -60,21 +60,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # The NTZ->timestamp cast re-labels wall-clock values using the
-        # SESSION time zone at ANALYSIS time; the file's nanos are UTC
-        # wall-clock (and the DuckDB oracle reads them as such), so the cast
-        # must resolve under UTC regardless of the caller's session tz.
-        # Both confs are scoped and analysis is forced inside the scope, so
-        # the resolved plan carries timeZoneId=UTC and survives the restore
-        # (same mechanism as the nanosAsLong scope below).
+        # ts stays TIMESTAMP_NTZ — naive wall-clock fields, the SAME
+        # semantics DuckDB's TIMESTAMP carries and the same type every
+        # other table's timestamp columns already resolve to (the files are
+        # isAdjustedToUTC=false).  Earlier rounds re-labeled NTZ to instant
+        # ``timestamp`` here, which made every downstream day-boundary
+        # extraction (cast-to-date, date_trunc, windowing, and even the
+        # final collect) SESSION-TIME-ZONE-DEPENDENT: green under the
+        # driver's UTC container, silently wrong under any other tz
+        # (round-6 tz sweep caught six queries).  Naive end-to-end removes
+        # the tz coupling instead of scoping it.
         with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"), scoped_conf(
             spark, "spark.sql.session.timeZone", "UTC"
         ):
             raw = spark.read.parquet(path)
             if raw.schema["ts"].dataType.simpleString() == "bigint":
-                out = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            else:  # timestamp_ntz on Spark 4.1+; cast re-labels at the scoped UTC
-                out = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+                # Legacy nanos-as-long path: micros instant -> naive UTC
+                # fields, resolved under the scoped UTC so the NTZ values
+                # equal the file's wall clock on any session tz.
+                out = raw.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                )
+            else:  # Spark 4.1+ resolves TIMESTAMP(NANOS) natively as NTZ
+                out = raw
             out.schema  # force lazy analysis while the confs are in effect
         return out
     return spark.read.parquet(path)

@@ -439,7 +439,6 @@ def main() -> None:
 
     # Third-batch round-6 operators at K x.
     from aws_etl_fiap_spark.operators.sampling import ordered_global_index
-    from aws_etl_fiap_spark.operators.text import bm25_scores  # noqa: F401 (already staged)
 
     stage(
         f"global_index_{n_ord}orders",

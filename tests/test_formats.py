@@ -108,25 +108,30 @@ def test_load_table_leaves_session_conf_untouched(spark, sf_smoke):
         after = None
     assert after == before, f"load_table leaked {key}: {before!r} -> {after!r}"
     assert ev.count() > 0
-    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # r6: ts stays TIMESTAMP_NTZ end-to-end (naive wall clock, the DuckDB
+    # semantics) — the instant re-label was the session-tz coupling.
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
 
 
 def test_events_ts_instants_invariant_under_session_tz(spark, sf_smoke):
-    """The NTZ->timestamp re-label in load_table must resolve under UTC no
-    matter what the caller's session time zone is (round-5 verdict #3): the
-    file's nanos are UTC wall-clock, and the DuckDB oracle reads them as
-    such.  Compare the INSTANTS (epoch micros — display-tz-independent): a
-    non-UTC session must yield byte-identical epoch values to the UTC one.
-    """
+    """events.ts values must be independent of the caller's session time
+    zone (round-5 verdict #3, finished in r6 by keeping ts TIMESTAMP_NTZ —
+    naive wall clock — instead of scoping a UTC re-label).  Fingerprint the
+    naive epoch micros AND a day-boundary extraction (the expression class
+    the old instant re-label silently shifted under non-UTC sessions)."""
     from aws_etl_fiap_spark.confs import scoped_conf
+
+    EPOCH = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
 
     def fingerprint():
         ev = load_table(spark, sf_smoke, "events")
         return ev.select(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.unix_micros("ts")).alias("s"),
-            F.min(F.unix_micros("ts")).alias("lo"),
-            F.max(F.unix_micros("ts")).alias("hi"),
+            F.sum(F.expr(EPOCH)).alias("s"),
+            F.min(F.expr(EPOCH)).alias("lo"),
+            F.max(F.expr(EPOCH)).alias("hi"),
+            F.countDistinct(F.col("ts").cast("date")).alias("days"),
+            F.min(F.col("ts").cast("date")).cast("string").alias("d0"),
         ).collect()[0]
 
     base = fingerprint()
