@@ -103,6 +103,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #   * roundtrip_corrupt_file_skip (scoped ignoreCorruptFiles resilience).
 # That demands 94 slots for 50; the overflow is DEFERRED_R6 below.
 #
+# LATE-ROUND NOTE (NTZ hardening): the shared streaming helpers
+# (_stream_events scoped-UTC re-label, _run_to_table NTZ conversion of
+# emitted window bounds) were touched after the window filled.  Under the
+# driver's UTC session the changed code paths are value-identical (full
+# driver simulation re-run post-change: 141/141 exact under UTC AND
+# America/Sao_Paulo — scripts/verify_driver.py), and the new conversion
+# chain IS exercised in-window by stream_multibatch_totals_equiv plus the
+# three r6 stream gates; the five stream equiv gates left outside
+# (tumbling/session r5-green, sliding/dedup/stateful deferred) are top r7
+# picks alongside DEFERRED_R6.
+#
 # Remaining r5-green entries stay out on their fresh r5 rows.  Note the
 # round-6 readers.py change (UTC-scoped NTZ re-label) technically touches
 # every events consumer; the five r5-green events/streaming entries left
@@ -122,6 +133,7 @@ CHANGED_R6: tuple[str, ...] = (
     "dedup_ngram_jaccard",        # aliased postings self-join (dedup.py)
     "dedup_cluster_canonical",    # builds on the aliased pair generation
     "dedup_minhash_verified",     # LSH candidates + exact verify, both touched
+    "events_islands_sessionize",  # NTZ epoch gap (timestampdiff, r6 tz fix)
 )
 
 #: r3-green entries displaced from the 50-slot window by CHANGED_R6's three
@@ -173,7 +185,7 @@ DEFERRED_R6: tuple[str, ...] = (
     # outranks stale-but-unchanged rows; each family stays represented: --
     "agg_grouping_sets_sql",       # rollup + cube constructs stay in-window
     "sql_athena_canonical",        # SQL-string surface: recursive CTE stays
-    "events_islands_sessionize",   # events_session_30min stays (same islands core)
+    "join_asof_prev_low_order",    # as-of core unchanged since r1; unit-pinned
     "skew_salted_agg",             # join_skew_salted_bigbig keeps salting graded
     "roundtrip_partitioned_agg",   # 4 roundtrip gates + upsert merge stay
     # -- displaced by sim_quantize_int8 + graph_pagerank_bipartite: the ANN
@@ -310,8 +322,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # -- r3-green events/streaming (events read path touched by the
     # round-6 UTC scope; re-graded here; dedup_exact deferred, see
     # DEFERRED_R6). --
-    # -- r3-green joins. --
-    "join_asof_prev_low_order",
+    # -- changed by the r6 NTZ tz fix (timestampdiff gap expression). --
+    "events_islands_sessionize",
 )
 
 def _ordered() -> list[str]:
