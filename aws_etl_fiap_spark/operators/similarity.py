@@ -676,3 +676,39 @@ def quantize_int8(
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_q"),
         F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias("sum_abs_q"),
     )
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int = EMBED_DIM) -> DataFrame:
+    """Distributed Gram matrix ``X^T X`` of an embedding column — the
+    covariance/PCA building block (dim x dim from n x dim, e.g. the first
+    step of a whitening or low-rank projection pass over corpus
+    embeddings).
+
+    Per-partition Arrow batches accumulate a local float64 ``M.T @ M``
+    (BLAS, no Python loop over rows), each partition emits its dim^2
+    partial cells, and one map-side-combined aggregate sums them: the
+    shuffle carries ``partitions x dim^2`` cells — never the vectors — and
+    the result is driver-small at any corpus size.  Callers round for
+    cross-engine comparison (partition-order summation differs in last
+    ulps, like any double sum).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def acc(batches):
+        g = np.zeros((dim, dim), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            g += m.T @ m
+            seen = True
+        if seen:
+            ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "partial": g.ravel()}
+            )
+
+    parts = df.select(vec_col).mapInPandas(acc, "i int, j int, partial double")
+    return parts.groupBy("i", "j").agg(F.sum("partial").alias("g"))

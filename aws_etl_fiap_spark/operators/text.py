@@ -316,3 +316,62 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 25,
+) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information of
+    adjacent token bigrams, ``pmi = ln( (c_ab / N_bi) / ((c_a/N) * (c_b/N)) )``
+    with a count floor — the classic phrase-detection pass (word2vec-style
+    phrasing, vocabulary induction) before tokenizer training.
+
+    Plan shape: one exploded-unigram aggregate and one exploded-bigram
+    aggregate (both map-side combined), scalar totals and the unigram
+    vocabulary BROADCAST back onto the bigram counts — the corpus never
+    shuffles except inside the two count aggregates.  Output: (w1, w2,
+    c_ab, pmi — unrounded; callers round for cross-engine hashing).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(toks.alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bi = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_tok"))
+    n_bi = base.select(
+        F.sum(F.greatest(F.size("__t") - 1, F.lit(0))).alias("n_bi")
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    p_ab = F.col("c_ab").cast("double") / F.col("n_bi").cast("double")
+    p_a = F.col("c_a").cast("double") / F.col("n_tok").cast("double")
+    p_b = F.col("c_b").cast("double") / F.col("n_tok").cast("double")
+    return scored.select(
+        "w1", "w2", "c_ab", F.log(p_ab / (p_a * p_b)).alias("pmi")
+    )

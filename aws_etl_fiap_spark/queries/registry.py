@@ -236,6 +236,12 @@ DEFERRED_R6: tuple[str, ...] = (
     # in each local pytest (tests/test_oracle_parity.py), so deferral only
     # delays the DRIVER's row, never the check itself: --
     "set_nations_except",
+    # -- registered AFTER the 50-slot window saturated with never-graded
+    # round-6 entries (37 new + 9 changed + 4 stalest): these two are fully
+    # oracle-gated locally from day one and lead the r7 window together
+    # with the five displaced stream equiv gates: --
+    "text_bigram_pmi",
+    "sim_gram_matrix",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,

@@ -298,3 +298,27 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(emb, "vec_id", "embedding").select(
         "vec_id", "scale", "n_sat", "sum_q", "sum_abs_q"
     )
+
+
+@query(
+    "sim_gram_matrix",
+    oracle="""
+WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS v FROM embeddings)
+SELECT CAST(t1.i AS INT) AS i, CAST(t2.j AS INT) AS j,
+       FLOOR(SUM(e.v[t1.i + 1] * e.v[t2.j + 1]) * 1000000.0 + 0.5) / 1000000.0 AS g
+FROM e, range(0, 64) t1(i), range(0, 64) t2(j)
+GROUP BY 1, 2
+""",
+)
+def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed Gram matrix X^T X of the embedding table
+    (operators/similarity.gram_matrix): per-partition BLAS partials, one
+    combined sum over dim^2 cells — the covariance/PCA primitive whose
+    shuffle carries partitions x 4096 doubles, never vectors.  Cells
+    rounded half-up to 6 dp (partition summation order)."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.similarity import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = gram_matrix(emb, "embedding", 64)
+    return g.select("i", "j", round_half_up("g", 6).alias("g"))

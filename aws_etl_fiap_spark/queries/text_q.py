@@ -463,3 +463,46 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.sum(surprisal) / F.count(F.lit(1)), 6).alias("avg_surprisal"),
         )
     )
+
+
+@query(
+    "text_bigram_pmi",
+    oracle="""
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+pos AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+uc AS (SELECT tok AS w, COUNT(*) AS c FROM pos GROUP BY tok),
+nt AS (SELECT COUNT(*) AS n_tok FROM pos),
+nb AS (SELECT SUM(greatest(len(toks) - 1, 0)) AS n_bi FROM t),
+bc AS (
+    SELECT a.tok AS w1, b.tok AS w2, COUNT(*) AS c_ab
+    FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 25
+)
+SELECT bc.w1, bc.w2, bc.c_ab,
+       FLOOR(ln((CAST(bc.c_ab AS DOUBLE) / CAST(nb.n_bi AS DOUBLE))
+                / ((CAST(a.c AS DOUBLE) / CAST(nt.n_tok AS DOUBLE))
+                   * (CAST(b.c AS DOUBLE) / CAST(nt.n_tok AS DOUBLE))))
+             * 1000000.0 + 0.5) / 1000000.0 AS pmi
+FROM bc
+JOIN uc a ON a.w = bc.w1
+JOIN uc b ON b.w = bc.w2
+CROSS JOIN nt CROSS JOIN nb
+""",
+)
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Adjacent-bigram PMI collocation mining (operators/text.
+    bigram_pmi): the phrase-detection pass before tokenizer/vocab training
+    — two map-side-combined count aggregates, unigram vocabulary and
+    scalar totals broadcast back.  Count floor 25; pmi rounded half-up to
+    6 dp (single ln per row — only libm last-ulp to kill)."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.text import bigram_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_pmi(docs, "text", min_count=25)
+    return scored.select("w1", "w2", "c_ab", round_half_up("pmi", 6).alias("pmi"))

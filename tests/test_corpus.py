@@ -175,3 +175,19 @@ def test_ordered_global_index_dense_and_distributed(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_bigram_pmi_known_corpus(spark):
+    """Hand-checkable corpus: 'a b' occurs every doc, 'b c' never passes the
+    floor; PMI matches the closed form."""
+    import math
+
+    from aws_etl_fiap_spark.operators.text import bigram_pmi
+
+    docs = spark.createDataFrame([(i, "a b x") for i in range(30)], "doc_id long, text string")
+    rows = bigram_pmi(docs, "text", min_count=10).collect()
+    got = {(r["w1"], r["w2"]): (r["c_ab"], r["pmi"]) for r in rows}
+    # tokens: 30x each of a,b,x (N=90); bigrams: 30x 'a b', 30x 'b x' (Nb=60)
+    assert set(got) == {("a", "b"), ("b", "x")}
+    expect = math.log((30 / 60) / ((30 / 90) * (30 / 90)))
+    assert abs(got[("a", "b")][1] - expect) < 1e-12

@@ -134,3 +134,24 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
     for code, orig in zip(q1, [1.0, -0.5, 0.25, 0.0]):
         assert abs(code * s1 - orig) <= s1 / 2 + 1e-12
     assert rows[2]["scale"] == 0.0 and rows[2]["q"] == [0, 0, 0, 0]
+
+
+def test_gram_matrix_symmetric_and_matches_numpy(spark, sf_smoke):
+    """X^T X is symmetric, diagonal non-negative, and equals a local numpy
+    computation within float tolerance."""
+    import numpy as np
+
+    from aws_etl_fiap_spark.operators.similarity import gram_matrix
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    got = {(r["i"], r["j"]): r["g"] for r in gram_matrix(emb).collect()}
+    local = np.vstack(
+        [np.array(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    expect = local.T @ local
+    assert len(got) == 64 * 64
+    for (i, j), v in got.items():
+        assert abs(v - expect[i, j]) < 1e-8
+        assert abs(v - got[(j, i)]) < 1e-8
+    assert all(got[(d, d)] >= 0 for d in range(64))
