@@ -242,6 +242,7 @@ DEFERRED_R6: tuple[str, ...] = (
     # with the five displaced stream equiv gates: --
     "text_bigram_pmi",
     "sim_gram_matrix",
+    "text_lid_confusion_matrix",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,

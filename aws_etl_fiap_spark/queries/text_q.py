@@ -506,3 +506,25 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = bigram_pmi(docs, "text", min_count=25)
     return scored.select("w1", "w2", "c_ab", round_half_up("pmi", 6).alias("pmi"))
+
+
+def _lid_confusion_oracle() -> str:
+    base = _lid_oracle().strip()
+    return f"""
+WITH pred AS ({base})
+SELECT lang, lang_pred, COUNT(*) AS n_docs
+FROM pred GROUP BY lang, lang_pred
+"""
+
+
+@query("text_lid_confusion_matrix", oracle=_lid_confusion_oracle())
+def text_lid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Classifier-eval confusion matrix: gold ``lang`` label vs the
+    stopword-vote ``lang_pred``, counted per cell — the accuracy/drift
+    monitor every model-based pipeline stage reports.  One aggregate over
+    the LID projection; the oracle composes the exact LID SQL inside a
+    GROUP BY, so prediction and evaluation are verified together."""
+    from aws_etl_fiap_spark.operators.text import lang_id
+
+    df = lang_id(load_table(spark, sf_dir, "documents"), "text")
+    return df.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
