@@ -543,3 +543,161 @@ def decontaminate(
             F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n: int = 3,
+    max_shingle_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """DIRECTIONAL shingle containment ``|A ∩ B| / |A|`` — the sub-document
+    dedup measure Jaccard misses: a short document pasted verbatim inside a
+    long one has low Jaccard (the union is dominated by the long doc) but
+    containment ≈ 1 for the short side. This is the standard second fuzzy
+    tier (Broder's containment, the measure behind suffix/prefix and
+    quote-inclusion dedup) for training corpora where boilerplate wrappers
+    re-publish whole articles.
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (one shingle
+    self-join on 8-byte hashes, df-capped postings, true sizes), but emits
+    BOTH directions of every qualifying pair: ``(inner_id, outer_id,
+    shared, containment)`` where ``containment = shared / n_inner``. With
+    the default df cap the score is a lower bound, exact whenever no shared
+    shingle is over-cap — mirrored 1:1 by the registered oracle.
+    """
+    shingled = (
+        shingle_rows(df, id_col, text_col, n)
+        .select("doc", F.xxhash64("shingle").alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    postings = _df_capped(shingled, "sh", max_shingle_df)
+    a = postings.withColumnsRenamed({"doc": "inner_id"}).alias("__ca")
+    b = postings.withColumnsRenamed({"doc": "outer_id"}).alias("__cb")
+    pairs = (
+        a.join(
+            b,
+            (F.col("__ca.sh") == F.col("__cb.sh"))
+            & (F.col("inner_id") != F.col("outer_id")),
+        )
+        .groupBy("inner_id", "outer_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    si = sizes.withColumnsRenamed({"doc": "inner_id", "n_shingles": "n_inner"})
+    return (
+        pairs.join(si, "inner_id")
+        .withColumn("containment", F.col("shared").cast("double") / F.col("n_inner"))
+        .filter(F.col("containment") >= threshold)
+        .select("inner_id", "outer_id", "shared", "containment")
+    )
+
+
+#: Fingerprint df cap for winnowing pair generation — same inverted-index
+#: defense as MAX_SHINGLE_DF: a fingerprint selected by thousands of
+#: documents (boilerplate minima) would make the self-join quadratic in one
+#: key; capped postings keep pair generation linear in corpus size.
+MAX_WINNOW_DF = 1000
+
+WINNOW_K = 3  # k-gram width (tokens) hashed into the candidate stream
+WINNOW_W = 4  # winnowing window: one fingerprint guaranteed per w k-grams
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    MOSS algorithm): hash every word ``k``-gram, slide a window of ``w``
+    consecutive hashes, keep the minimum of each window, dedup the selected
+    hashes per document. Guarantees: any shared run of ``w + k - 1`` tokens
+    between two documents yields at least one shared fingerprint, while
+    storing only ~``2/(w+1)`` of all k-gram hashes — the document sketch of
+    choice when MinHash's fixed-size signature loses too much locality.
+
+    100 TB shape: winnowing is PER-DOCUMENT local, so this runs as one
+    Arrow-batched ``mapInPandas`` pass — zero shuffle, embarrassingly
+    parallel, no window exchange (contrast a Spark-window formulation, which
+    would shuffle every k-gram row by doc_id first). The hash is the
+    portable 60-bit md5 prefix (operators.dedup.portable_hash60), computed
+    here via hashlib on identical bytes, so a DuckDB oracle re-derives every
+    fingerprint bit-for-bit.
+
+    Output: distinct ``(doc, fp)`` rows. Documents with fewer than
+    ``w + k - 1`` tokens have no full window and emit nothing (the oracle's
+    full-window filter matches).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            docs, fps = [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                hs = [
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[i : i + k]).encode("utf-8")
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(len(toks) - k + 1)
+                ]
+                sel = {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+                docs.extend([doc] * len(sel))
+                fps.extend(sel)
+            yield pd.DataFrame({"doc": docs, "fp": fps})
+
+    src = df.select(F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text"))
+    return src.mapInPandas(gen, "doc long, fp long")
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_fp_df: int | None = MAX_WINNOW_DF,
+) -> DataFrame:
+    """Near-dup candidate pairs by winnowing-fingerprint overlap
+    ``shared / min(|A|, |B|)`` — the containment-normalized match score MOSS
+    reports. Same inverted-index discipline as the shingle tiers: postings
+    df-capped (boilerplate fingerprints never explode the self-join), sizes
+    stay uncapped, so the score is a lower bound that is exact whenever no
+    shared fingerprint is over-cap.
+
+    Output: ``(id_a, id_b, shared, overlap)`` with ``id_a < id_b`` and
+    ``overlap >= threshold``.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).localCheckpoint(eager=False)
+    sizes = fps.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fp"))
+    postings = _df_capped(fps, "fp", max_fp_df)
+    a = postings.withColumnsRenamed({"doc": "id_a"}).alias("__wa")
+    b = postings.withColumnsRenamed({"doc": "id_b"}).alias("__wb")
+    pairs = (
+        a.join(b, (F.col("__wa.fp") == F.col("__wb.fp")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.withColumnsRenamed({"doc": "id_a", "n_fp": "na"})
+    sb = sizes.withColumnsRenamed({"doc": "id_b", "n_fp": "nb"})
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "overlap", F.col("shared").cast("double") / F.least(F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("id_a", "id_b", "shared", "overlap")
+    )

@@ -515,3 +515,98 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-verified against DuckDB bit_count(xor) SQL."""
     df = load_table(spark, sf_dir, "documents")
     return simhash_pairs(df, "doc_id", "text", max_hamming=3, hash_family="portable")
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+{_CAPPED_POSTINGS},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+pairs AS (
+    SELECT x.doc_id AS inner_id, y.doc_id AS outer_id, COUNT(*) AS shared
+    FROM post x JOIN post y ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+    GROUP BY 1, 2
+)
+SELECT inner_id, outer_id, shared,
+       CAST(shared AS DOUBLE) / si.n AS containment
+FROM pairs JOIN sizes si ON si.doc_id = inner_id
+WHERE CAST(shared AS DOUBLE) / si.n >= 0.8
+""",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Directional shingle containment |A∩B|/|A| >= 0.8
+    (operators/dedup.containment_pairs) — the sub-document tier Jaccard
+    misses: a short doc pasted inside a long one scores ~1 for the short
+    side. Same df-capped inverted-index join as the Jaccard tier; single
+    IEEE division, no rounding needed (mirrors dedup_ngram_jaccard)."""
+    from aws_etl_fiap_spark.operators.dedup import containment_pairs
+
+    df = load_table(spark, sf_dir, "documents")
+    return containment_pairs(df, "doc_id", "text", threshold=0.8, n=3)
+
+
+# Winnowing oracle: same positional 3-gram chain as _SHINGLE_CTE but KEEPING
+# the position and hashing with the portable 60-bit md5 family; window
+# minima over w=4 consecutive k-gram hashes, full windows only, distinct
+# selected hashes per doc = the fingerprint set (operators/dedup.
+# winnow_fingerprints computes the identical bytes via hashlib).
+_WINNOW_FPS = f"""
+toks AS (
+    SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+           generate_subscripts(string_split(text,' '),1) AS i
+    FROM documents
+),
+kg AS (
+    SELECT a.doc_id, a.i,
+           {_pmd5("a.tok || ' ' || b.tok || ' ' || c.tok")} AS h
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+nk AS (SELECT doc_id, MAX(i) AS maxi FROM kg GROUP BY doc_id),
+wmin AS (
+    SELECT doc_id, i,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM kg
+),
+fps AS (
+    SELECT DISTINCT wm.doc_id, wm.fp
+    FROM wmin wm JOIN nk ON nk.doc_id = wm.doc_id
+    WHERE wm.i <= nk.maxi - 3
+)
+"""
+
+
+@query(
+    "dedup_winnow_overlap",
+    oracle=f"""
+WITH {_WINNOW_FPS},
+cap AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 1000),
+post AS (SELECT fps.doc_id, fps.fp FROM fps JOIN cap USING (fp)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
+pairs AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
+    FROM post x JOIN post y ON x.fp = y.fp AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared,
+       CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS overlap
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+""",
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Winnowing (MOSS, SIGMOD'03) near-dup pairs: per-doc sliding
+    minima of portable 60-bit 3-gram hashes (w=4) as fingerprints —
+    zero-shuffle Arrow mapInPandas sketch extraction — then the df-capped
+    inverted-index overlap join, scored shared/min(|A|,|B|) >= 0.5. The
+    oracle re-derives every fingerprint via SQL window minima over the
+    identical md5-prefix hashes."""
+    from aws_etl_fiap_spark.operators.dedup import winnow_overlap_pairs
+
+    df = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(df, "doc_id", "text", threshold=0.5)

@@ -243,6 +243,9 @@ DEFERRED_R6: tuple[str, ...] = (
     "text_bigram_pmi",
     "sim_gram_matrix",
     "text_lid_confusion_matrix",
+    "dedup_containment_pairs",
+    "dedup_winnow_overlap",
+    "text_tfidf_top_terms",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,

@@ -236,3 +236,62 @@ def test_pagerank_mass_conserved_and_deterministic(spark):
     b = sorted((r["id"], r["pr"]) for r in pagerank(edges, iters=3).collect())
     assert a == b
     assert abs(sum(pr for _, pr in a) - 1.0) < 1e-9
+
+
+def test_containment_detects_planted_subdocument(spark):
+    """A short doc pasted verbatim inside a long one: containment ≈ 1 for
+    the short side even though Jaccard is low (union dominated by the long
+    doc) — the exact asymmetry the directional measure exists for."""
+    from aws_etl_fiap_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_doc = "x0 " + " ".join(f"w{i}" for i in range(80)) + " " + short + " tail end here"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc), (3, "totally different words only")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.inner_id, r.outer_id): r.containment
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 1) not in got  # the long side is NOT contained in the short
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5, n=3).collect()
+    assert not jac, "Jaccard must miss the sub-document pair containment catches"
+
+
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark):
+    """Winnowing's coverage guarantee: any shared token run of length
+    >= w + k - 1 (here 6) produces at least one shared fingerprint."""
+    from aws_etl_fiap_spark.operators.dedup import winnow_fingerprints
+
+    run = "m1 m2 m3 m4 m5 m6"  # w + k - 1 = 4 + 3 - 1 = 6 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + run + " a4 a5 a6 a7"),
+            (2, "b1 b2 b3 b4 " + run + " b5 b6"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text").collect()
+    by_doc = {1: set(), 2: set()}
+    for r in fps:
+        by_doc[r.doc] .add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+
+
+def test_winnowing_density_and_short_doc_cutoff(spark):
+    """Sketch size: ~2/(w+1) of k-gram hashes selected (must be well under
+    the full k-gram count); docs with < w + k - 1 tokens emit nothing."""
+    from aws_etl_fiap_spark.operators.dedup import winnow_fingerprints
+
+    long_text = " ".join(f"t{i % 37}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, "too short here")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df, "doc_id", "text").collect()
+    n1 = sum(1 for r in rows if r.doc == 1)
+    n_kgrams = 400 - 3 + 1
+    assert 0 < n1 < n_kgrams // 2, f"fingerprint density off: {n1}/{n_kgrams}"
+    assert not any(r.doc == 2 for r in rows)
