@@ -288,6 +288,58 @@ def bm25_scores(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` terms by smoothed TF-IDF
+    ``tf * (ln((1 + N) / (1 + df)) + 1)`` (the sklearn ``smooth_idf``
+    formulation — never divides by zero, never goes negative). BM25
+    (:func:`bm25_scores`) answers "which documents match this query";
+    this answers the transpose, "which terms characterize this document" —
+    the tagging/topic-surfacing pass of a corpus curation pipeline.
+
+    Plan shape for 100 TB: one exploded (doc, term) count aggregate
+    (map-side combined), per-term document frequencies aggregated FROM the
+    tf frame (vocabulary-sized, broadcast back with the N scalar), then the
+    per-doc top-k window — the only corpus-sized exchanges are the tf
+    aggregate and the final window partitioned by document.
+
+    Determinism across engines: scores are rounded HALF_UP to 6 dp BEFORE
+    ranking, ties broken by term, so a last-ulp ``ln`` divergence between
+    libm and DuckDB cannot flip the rank order.  Output: (id, term, tf,
+    tfidf, rnk <= k).
+    """
+    from pyspark.sql import Window
+
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        base.select("__id", F.explode("__t").alias("term"))
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", round_half_up(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("__id").alias(id_col), "term", "tf", "tfidf", "rnk")
+    )
+
+
 def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Shannon entropy (bits) of the per-document character distribution,
     plus the distinct-character count — a cheap degenerate-text detector

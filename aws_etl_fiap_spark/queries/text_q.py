@@ -528,3 +528,37 @@ def text_lid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = lang_id(load_table(spark, sf_dir, "documents"), "text")
     return df.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           FLOOR(tf.tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, tfidf, rnk FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) AS rnk
+    FROM scored
+) WHERE rnk <= 3
+""",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-document keyword extraction: top-3 terms by smoothed
+    TF-IDF (operators/text.tfidf_top_terms) — the transpose of BM25's
+    query->docs scoring.  Scores rounded half-up to 6 dp BEFORE the rank
+    (term tiebreak) so a last-ulp ln divergence cannot flip the order."""
+    from aws_etl_fiap_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)

@@ -264,3 +264,27 @@ def test_scd2_null_state_transitions_are_changes(spark):
         scd2_collapse(df, "user_id", "state", "ts", "event_id").collect()
     )
     assert out == [(1, "A"), (2, None), (3, "A")]
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """3-doc corpus with a shared stopword: the doc-specific term must
+    outrank the ubiquitous one (idf of a term in all docs is exactly 1.0
+    after smoothing's +1, and tf*1 < tf*(ln(2)+1) here)."""
+    import math
+
+    from aws_etl_fiap_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "the cat the cat the"), (2, "the dog"), (3, "the bird bird")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.term): (r.tf, r.tfidf, r.rnk)
+        for r in tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    }
+    # doc 1: 'cat' tf=2 idf=ln(4/2)+1; 'the' tf=3 idf=ln(4/4)+1=1.0
+    cat = math.floor(2 * (math.log(2.0) + 1.0) * 1e6 + 0.5) / 1e6
+    assert rows[(1, "cat")][2] == 1 and abs(rows[(1, "cat")][1] - cat) < 1e-9
+    assert rows[(1, "the")] == (3, 3.0, 2)
+    # doc 3: 'bird' (tf=2, doc-specific) outranks 'the' (tf=1)
+    assert rows[(3, "bird")][2] == 1 and rows[(3, "the")][2] == 2
