@@ -15,6 +15,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     events_q,
     graph_q,
     joins_q,
+    linkage_q,
     multimodal_q,
     pyds_q,
     similarity_q,

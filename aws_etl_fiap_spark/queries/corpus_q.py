@@ -407,3 +407,85 @@ def order_global_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
     return ordered_global_index(orders, ["o_orderkey"], num_partitions=32)
+
+
+# Leakage-free split: the WHOLE near-dup cluster (connected component of the
+# exact-oracled Jaccard pair graph, same CTE chain as dedup_cluster_canonical)
+# hashes to one split via the portable md5 family — a doc and its near-twin
+# can never straddle train/test, the contamination mode a per-doc split
+# cannot prevent.
+def _cluster_split_oracle() -> str:
+    from aws_etl_fiap_spark.queries.dedup_q import _CAPPED_POSTINGS, _SHINGLE_CTE
+    from aws_etl_fiap_spark.queries.dedup_q import JACCARD_THRESHOLD as _JT
+
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+{_CAPPED_POSTINGS},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+pairs AS (
+    SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS shared
+    FROM post x JOIN post y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+good AS (
+    SELECT id_a, id_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {_JT}
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM good
+    UNION
+    SELECT id_b, id_a FROM good
+),
+reach(id, r) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+),
+comp AS (SELECT id AS doc_id, LEAST(id, MIN(r)) AS canonical FROM reach GROUP BY id),
+assigned AS (
+    SELECT d.doc_id, COALESCE(c.canonical, d.doc_id) AS canonical
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+bkt AS (
+    SELECT doc_id, canonical,
+           CAST('0x' || substr(md5('split:' || CAST(canonical AS VARCHAR)), 1, 15)
+                AS BIGINT) % 100 AS b
+    FROM assigned
+)
+SELECT doc_id, canonical,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM bkt
+"""
+
+
+@query("corpus_cluster_split", oracle=_cluster_split_oracle())
+def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Leakage-free train/val/test assignment: near-dup clusters
+    (connected components of the 3-gram Jaccard graph) are the split unit —
+    the whole cluster lands in one split via the portable md5 bucket of its
+    canonical id (80/10/10), so a document and its near-duplicate can never
+    contaminate each other's split. Singletons are their own cluster; the
+    only costs beyond the already-benched pair generation are the bounded
+    min-label propagation and one doc_id-keyed left join (NO broadcast hint:
+    the component map covers every clustered doc, corpus-scale in the worst
+    case — let AQE pick broadcast only when it actually fits)."""
+    from aws_etl_fiap_spark.operators.dedup import ngram_jaccard_pairs
+    from aws_etl_fiap_spark.operators.dedup import portable_hash60
+    from aws_etl_fiap_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD, n=3)
+    comp = connected_components(pairs, "id_a", "id_b").withColumnsRenamed(
+        {"id": "doc_id"}
+    )
+    assigned = docs.select("doc_id").join(comp, "doc_id", "left")
+    canonical = F.coalesce(F.col("comp"), F.col("doc_id"))
+    bucket = portable_hash60(F.lit("split"), canonical.cast("string")) % 100
+    return assigned.select(
+        "doc_id",
+        canonical.alias("canonical"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )

@@ -246,6 +246,8 @@ DEFERRED_R6: tuple[str, ...] = (
     "dedup_containment_pairs",
     "dedup_winnow_overlap",
     "text_tfidf_top_terms",
+    "er_blocked_part_names",
+    "corpus_cluster_split",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,

@@ -191,3 +191,25 @@ def test_bigram_pmi_known_corpus(spark):
     assert set(got) == {("a", "b"), ("b", "x")}
     expect = math.log((30 / 60) / ((30 / 90) * (30 / 90)))
     assert abs(got[("a", "b")][1] - expect) < 1e-12
+
+
+def test_cluster_split_no_leakage_and_ratio(spark, sf_correctness):
+    """Every near-dup cluster sits wholly inside ONE split, and the
+    80/10/10 hash buckets land near their targets at corpus size."""
+    from aws_etl_fiap_spark.queries.corpus_q import corpus_cluster_split
+
+    rows = corpus_cluster_split(spark, sf_correctness).collect()
+    by_cluster = {}
+    from collections import Counter
+    counts = Counter()
+    for r in rows:
+        by_cluster.setdefault(r.canonical, set()).add(r.split)
+        counts[r.split] += 1
+    assert all(len(s) == 1 for s in by_cluster.values()), "cluster straddles splits"
+    multi = [c for c, _ in Counter(r.canonical for r in rows).items()
+             if sum(1 for x in rows if x.canonical == c) > 1]
+    assert multi, "testdata should contain at least one non-singleton cluster"
+    n = sum(counts.values())
+    assert n == 500
+    assert 0.7 <= counts["train"] / n <= 0.9
+    assert counts["val"] > 0 and counts["test"] > 0
