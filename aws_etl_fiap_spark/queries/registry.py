@@ -248,6 +248,7 @@ DEFERRED_R6: tuple[str, ...] = (
     "text_tfidf_top_terms",
     "er_blocked_part_names",
     "corpus_cluster_split",
+    "layout_zorder_orders",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,

@@ -261,3 +261,45 @@ def upsert_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _zorder_oracle() -> str:
+    from aws_etl_fiap_spark.sources.writers import sql_morton_code
+
+    z = sql_morton_code("o_orderkey & 65535", "o_custkey & 65535")
+    return f"""
+WITH z AS (SELECT {z} AS zv, o_orderkey FROM orders)
+SELECT zv >> 16 AS z_bucket,
+       COUNT(*) AS n_orders,
+       MIN(zv) AS min_z,
+       MAX(zv) AS max_z,
+       SUM(o_orderkey) AS key_sum
+FROM z GROUP BY 1
+"""
+
+
+@query("layout_zorder_orders", oracle=_zorder_oracle())
+def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Morton (Z-order) interleave of (o_orderkey, o_custkey) — the
+    multi-dimensional clustering key behind writers.write_zordered
+    (Delta/Iceberg OPTIMIZE ZORDER equivalent) — aggregated per 65536-way
+    z-bucket so every row's full 32-bit code is inside the verified hash.
+    Pure shift/mask expressions in whole-stage codegen; the oracle runs the
+    identical chain on BIGINT."""
+    from aws_etl_fiap_spark.sources.writers import morton_code
+
+    orders = load_table(spark, sf_dir, "orders")
+    z = morton_code(
+        F.col("o_orderkey").bitwiseAND(F.lit(65535)),
+        F.col("o_custkey").bitwiseAND(F.lit(65535)),
+    )
+    return (
+        orders.select(z.alias("zv"), "o_orderkey")
+        .groupBy(F.shiftright(F.col("zv"), 16).alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("zv").alias("min_z"),
+            F.max("zv").alias("max_z"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )

@@ -62,6 +62,9 @@ REPRESENTATIVE = [
     "order_global_index_orders",     # no-single-reducer global index (r6)
     "text_unigram_surprisal",        # corpus-LM quality signal (r6)
     "events_funnel_conversion",      # ordered funnel detection (r6)
+    "dedup_winnow_overlap",          # winnowing fingerprints (r6 batch 3)
+    "er_blocked_part_names",         # blocked record linkage (r6 batch 3)
+    "text_tfidf_top_terms",          # per-doc keyword extraction (r6 batch 3)
 ]
 
 

@@ -532,6 +532,61 @@ def main() -> None:
             return n
 
     stage(f"aqe_skew_join_{n_fact}fact", _aqe_skew)
+
+    # --- round-6 batch 3: winnowing / containment / linkage / split ------
+    # Winnowing + containment ride the same K-scaled corpus as the dedup
+    # tiers: boilerplate fingerprints/shingles blow past the df cap, so pair
+    # generation must stay feasible (the cap is doing the work).
+    from aws_etl_fiap_spark.operators.dedup import containment_pairs, winnow_overlap_pairs
+
+    stage(
+        f"winnow_overlap_{n}docs",
+        lambda: winnow_overlap_pairs(corpus, "doc_id", "text", 0.5).count(),
+    )
+    stage(
+        f"containment_{n}docs",
+        lambda: containment_pairs(corpus, "doc_id", "text", 0.8).count(),
+    )
+
+    # Blocked linkage: K x the part rows but the NAME VOCABULARY is fixed —
+    # the quadratic stage must be flat in K (that is the blocking claim).
+    from aws_etl_fiap_spark.operators.linkage import blocked_levenshtein_pairs
+
+    part = load_table(spark, args.sf, "part").select("p_partkey", "p_name")
+    big_part = (
+        part.crossJoin(copies)
+        .select(
+            (F.col("p_partkey") + F.col("copy") * 10_000_000).alias("p_partkey"),
+            "p_name",
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_part = big_part.count()
+    stage(
+        f"er_blocked_{n_part}parts",
+        lambda: blocked_levenshtein_pairs(
+            big_part, "p_name", lambda c: F.split(c, " ")[1], 3
+        ).count(),
+    )
+
+    # Cluster-aware split at K x docs: pair graph + CC + hash assignment.
+    from aws_etl_fiap_spark.operators.graph import connected_components
+    from aws_etl_fiap_spark.operators.dedup import portable_hash60
+
+    def _cluster_split():
+        pairs = ngram_jaccard_pairs(corpus, "doc_id", "text", 0.5, n=3)
+        comp = connected_components(pairs, "id_a", "id_b").withColumnsRenamed(
+            {"id": "doc_id"}
+        )
+        assigned = corpus.select("doc_id").join(comp, "doc_id", "left")
+        canonical = F.coalesce(F.col("comp"), F.col("doc_id"))
+        bucket = portable_hash60(F.lit("split"), canonical.cast("string")) % 100
+        return assigned.select(
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        ).count()
+
+    stage(f"cluster_split_{n}docs", _cluster_split)
     spark.stop()
 
 

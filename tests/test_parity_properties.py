@@ -276,3 +276,45 @@ def test_scd2_intervals_partition_timeline_property(spark):
                 assert a["state"] != b["state"]
 
     prop()
+
+
+def test_winnowing_reference_model_and_guarantee_property(spark):
+    """The distributed winnowing sketch equals a direct local model on
+    arbitrary token streams, and the coverage guarantee holds: two docs
+    sharing any w+k-1-token run share at least one fingerprint."""
+    import hashlib
+
+    from aws_etl_fiap_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    def local_fps(text, k=WINNOW_K, w=WINNOW_W):
+        toks = text.split(" ")
+        hs = [
+            int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15], 16)
+            for i in range(len(toks) - k + 1)
+        ]
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    token = st.integers(min_value=0, max_value=30).map(lambda i: f"t{i}")
+    doc = st.lists(token, min_size=0, max_size=40).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4), st.lists(token, min_size=6, max_size=9))
+    def prop(texts, run):
+        run_s = " ".join(run)  # >= w + k - 1 = 6 tokens
+        texts = list(texts) + [texts[0] + " " + run_s, run_s + " " + texts[-1]]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {}
+        for r in winnow_fingerprints(df, "doc_id", "text").collect():
+            got.setdefault(r.doc, set()).add(r.fp)
+        for i, t in enumerate(texts):
+            assert got.get(i, set()) == local_fps(t), f"doc {i} sketch mismatch"
+        a, b = len(texts) - 2, len(texts) - 1
+        assert got[a] & got[b], "shared run must yield a shared fingerprint"
+
+    prop()

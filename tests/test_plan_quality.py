@@ -330,3 +330,45 @@ def test_surprisal_broadcasts_vocab(spark, sf_correctness):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert shuffle_count(plan) <= 3, plan
+
+
+def test_containment_no_cartesian_capped_broadcast(spark, sf_correctness):
+    """Directional containment keeps the Jaccard tier's discipline: pair
+    generation is an equi-join on the shingle hash (never a cartesian) and
+    the df-cap is a BROADCAST anti against the tiny over-cap set."""
+    plan = physical_plan(spark, sf_correctness, "dedup_containment_pairs")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastExchange" in plan
+    assert shuffle_count(plan) <= 5, plan
+
+
+def test_winnow_no_cartesian_capped_broadcast(spark, sf_correctness):
+    """Winnowing overlap: fingerprint extraction is per-doc (zero-shuffle
+    mapInPandas, lineage behind the checkpoint); the pair join must stay an
+    equi-join with the broadcast df-cap anti."""
+    plan = physical_plan(spark, sf_correctness, "dedup_winnow_overlap")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastExchange" in plan
+    assert shuffle_count(plan) <= 6, plan
+
+
+def test_tfidf_broadcasts_vocab_and_scalar(spark, sf_correctness):
+    """TF-IDF: dfreq (vocabulary) and the N scalar broadcast back onto tf —
+    corpus-sized data shuffles only for the tf/dfreq aggregates and the
+    per-doc top-k window; the N-count scan reads ZERO columns."""
+    plan = physical_plan(spark, sf_correctness, "text_tfidf_top_terms")
+    assert plan.count("BroadcastExchange") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(plan) == 3, plan
+    count_scans = [l for l in scan_lines(plan) if "FileScan parquet []" in l]
+    assert count_scans, "N-docs count scan should read zero columns"
+
+
+def test_er_blocking_joins_vocabulary_not_rows(spark, sf_correctness):
+    """Record linkage: the levenshtein join runs on the distinct-name
+    vocabulary (behind the checkpoint), is an equi-join on the blocking
+    key (broadcast at this SF), and never a cartesian."""
+    plan = physical_plan(spark, sf_correctness, "er_blocked_part_names")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "levenshtein" in plan
+    assert shuffle_count(plan) == 0, plan

@@ -302,3 +302,75 @@ def test_write_clustered_layout_confines_key_ranges(spark, sf_correctness, tmp_p
     )
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_correctness, tmp_path):
+    """Z-ordered layout gives min/max file skipping on BOTH interleaved
+    columns; single-column clustering serves only its own column.  Compare
+    files touched by a selective per-dimension predicate across layouts."""
+    from aws_etl_fiap_spark.sources.readers import load_table
+    from aws_etl_fiap_spark.sources.writers import write_clustered, write_zordered
+
+    orders = load_table(spark, sf_correctness, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    n_files = 16
+    zpath, cpath = str(tmp_path / "z"), str(tmp_path / "c")
+    write_zordered(orders, zpath, "o_orderkey", "o_custkey", n_files)
+    write_clustered(orders, cpath, ["o_orderkey"], n_files)
+
+    def files_touched(path, col, lo, hi):
+        back = spark.read.parquet(path).filter(F.col(col).between(lo, hi))
+        return back.select(F.input_file_name()).distinct().count()
+
+    hi_key = orders.agg(F.max("o_orderkey")).first()[0]
+    hi_cust = orders.agg(F.max("o_custkey")).first()[0]
+    k_band = (0, hi_key // 16)          # selective on o_orderkey
+    c_band = (0, hi_cust // 16)         # selective on o_custkey
+    # orderkey predicate: single-dim clustering is optimal (~1 file); the
+    # z-order still skips most files (< half).
+    assert files_touched(zpath, "o_orderkey", *k_band) <= n_files // 2
+    # custkey predicate: the o_orderkey-clustered layout scatters custkey
+    # across every file; z-order must do strictly better.
+    z_cust = files_touched(zpath, "o_custkey", *c_band)
+    c_cust = files_touched(cpath, "o_custkey", *c_band)
+    assert c_cust == n_files, "orderkey clustering cannot serve custkey"
+    assert z_cust < c_cust, f"z-order should skip files on dim 2: {z_cust} vs {c_cust}"
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_correctness):
+    """Catalyst's runtime bloom-filter injection (the row-level runtime
+    filter AQE adds for selective dim joins, Spark >= 3.3): with broadcast
+    off and the size thresholds scaled to the fixture, the fact side of
+    lineitem JOIN (selective part) must scan through
+    bloom_filter_might_contain before the shuffle — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    ~1% that can match."""
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_correctness, "lineitem").select(
+            "l_partkey", "l_quantity"
+        )
+        part = load_table(spark, sf_correctness, "part").filter(F.col("p_size") == 1)
+        joined = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").agg(
+            F.sum("l_quantity").alias("qty")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan
+        assert joined.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
