@@ -1,0 +1,123 @@
+"""Sequence- and co-occurrence-mining operators ([EXT]: behavioral
+analytics over the events log and market-basket association over order
+line items — the session-mining layer above the funnel/session gates in
+queries/{quality_q,events_q}.py).
+
+Scale notes baked into each shape:
+
+- Transition mining is ONE window pass over the per-user order (the event
+  log shuffles once on user_id) followed by an aggregate over the tiny
+  (state, next_state) grid; transition probabilities normalize with a
+  window over that grid, never over raw events.
+- Basket pairing self-joins WITHIN basket only, after deduplicating to
+  distinct (basket, item) and capping basket size: a basket of k items
+  emits k(k-1)/2 pairs, so the explicit ``max_basket`` cap bounds the
+  join's output volume per basket at a constant — the standard guard that
+  keeps a power-law basket (one order touching 10^5 items) from emitting
+  10^10 pairs.  The cap is a semantic parameter (mirrored in oracles),
+  not a silent truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import round_half_up
+
+
+def transition_matrix(
+    df: DataFrame,
+    key: str,
+    state: str,
+    order_by: list[str],
+    scale: int = 6,
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities per state pair.
+
+    ``order_by`` must be a TOTAL order within each key partition (include
+    a unique tiebreaker) or the lead() is nondeterministic.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_by])
+    pairs = (
+        df.select(F.col(state).alias("from_state"), F.lead(state).over(w).alias("to_state"))
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    norm = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n_transitions",
+        round_half_up(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm).cast("double"),
+            scale,
+        ).alias("p_transition"),
+    )
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket: str,
+    item: str,
+    max_basket: int = 64,
+    min_pair_count: int = 2,
+    scale: int = 6,
+) -> DataFrame:
+    """Pairwise co-occurrence with support / confidence / lift.
+
+    Pipeline: distinct (basket, item) -> drop baskets wider than
+    ``max_basket`` (bounds pair fan-out; mirrored in the oracle) ->
+    within-basket self-join with ``item_a < item_b`` (each unordered pair
+    once) -> counts -> association measures against single-item supports
+    (a broadcast-sized frame) and the global basket total.
+
+    lift = P(a,b) / (P(a) P(b)) computed as the exact integer product
+    ``n_ab * n_baskets`` over ``n_a * n_b``, one IEEE division, rounded.
+    """
+    items = df.select(F.col(basket).alias("bk"), F.col(item).alias("it")).distinct()
+    sized = items.withColumn(
+        "bk_size", F.count(F.lit(1)).over(Window.partitionBy("bk"))
+    ).filter(F.col("bk_size") <= max_basket)
+    a = sized.select("bk", F.col("it").alias("item_a"))
+    b = sized.select("bk", F.col("it").alias("item_b"))
+    pair_counts = (
+        a.join(b, "bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    singles = sized.groupBy(F.col("it")).agg(F.count(F.lit(1)).alias("n_item"))
+    # Lazy scalar total as a 1-row broadcast (same pattern as the TPC-H
+    # global-threshold joins): no eager action at query-construction time.
+    totals = sized.agg(F.countDistinct("bk").alias("n_baskets"))
+    joined = (
+        pair_counts.join(
+            F.broadcast(singles.withColumnRenamed("it", "item_a").withColumnRenamed("n_item", "n_a")),
+            "item_a",
+        )
+        .join(
+            F.broadcast(singles.withColumnRenamed("it", "item_b").withColumnRenamed("n_item", "n_b")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return joined.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        round_half_up(
+            F.col("n_ab").cast("double") / F.col("n_baskets").cast("double"), scale
+        ).alias("support"),
+        round_half_up(F.col("n_ab").cast("double") / F.col("n_a").cast("double"), scale).alias(
+            "confidence_a_to_b"
+        ),
+        round_half_up(
+            (F.col("n_ab") * F.col("n_baskets")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+            scale,
+        ).alias("lift"),
+    )

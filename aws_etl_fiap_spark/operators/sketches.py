@@ -1,0 +1,102 @@
+"""Mergeable frequency sketches ([EXT]: the 100 TB profile-pass toolbox
+alongside the HLL++/KLL gates in queries/analytics_q.py).
+
+Count-min sketch, built from relational primitives so the whole chain is
+plan-visible and cross-engine reproducible:
+
+- UPDATE: explode each row into ``depth`` (row, seed) pairs, hash into
+  ``width`` buckets, count per (seed, bucket).  One groupBy over a
+  depth-times-larger map-side stream; the reduced sketch is exactly
+  ``depth x width`` rows no matter the input volume — the textbook
+  mergeable-summary contract (merging two sketches = summing bucket
+  counts), here expressed as an aggregate Catalyst can partial-apply.
+- QUERY: join candidate keys against the (broadcast-sized) sketch on the
+  same (seed, bucket) pair and take ``min(count)`` over the depth rows —
+  the classic CM point estimate, which never under-counts.
+
+Hashing uses :func:`operators.dedup.portable_hash60` (md5-prefix), so the
+estimates themselves — not just an accuracy bound — are bit-reproducible
+in any md5-capable engine and can be exact-hash verified against DuckDB.
+Swap ``hash_family="fast"`` for xxhash64 in production where cross-engine
+replay is not needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.operators.dedup import portable_hash60
+
+
+def _bucket(seed: Column, key: Column, width: int, hash_family: str) -> Column:
+    if hash_family == "portable":
+        h = portable_hash60(seed.cast("string"), key.cast("string"))
+    else:
+        h = F.xxhash64(seed.cast("string"), key.cast("string"))
+    return F.pmod(h, F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    key: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Count-min sketch of ``df[key]`` as a (seed, bucket, n) frame.
+
+    Output is at most ``depth * width`` rows regardless of input size; the
+    exploded update stream is map-side combined before the one shuffle.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
+    updates = df.select(F.col(key).alias("__k")).select(seeds, "__k")
+    return (
+        updates.select(
+            "seed", _bucket(F.col("seed"), F.col("__k"), width, hash_family).alias("bucket")
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    sketch: DataFrame,
+    key: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Point-estimate each key's frequency from a built sketch.
+
+    ``keys`` is one row per distinct key to probe.  The sketch (<= depth x
+    width rows) broadcasts; each key expands to its ``depth`` probe
+    coordinates and takes the min matched count.  A probe coordinate with
+    no sketch row means count 0 (empty bucket), hence the coalesce-to-0
+    BEFORE the min.
+    """
+    probes = keys.select(F.col(key)).select(
+        key,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
+    )
+    probes = probes.select(
+        key,
+        "seed",
+        _bucket(F.col("seed"), F.col(key), width, hash_family).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .select(key, F.coalesce("n", F.lit(0)).alias("n"))
+        .groupBy(key)
+        .agg(F.min("n").alias("est_count"))
+    )
+
+
+def sql_cms_bucket(seed_expr: str, key_expr: str, width: int) -> str:
+    """DuckDB twin of the portable bucket expression (md5-prefix hash60)."""
+    h = (
+        "CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(" + seed_expr + " AS VARCHAR), "
+        "':', CAST(" + key_expr + " AS VARCHAR))), 1, 15)) AS BIGINT)"
+    )
+    return f"(({h}) % {width} + {width}) % {width}"

@@ -13,12 +13,15 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     corpus_q,
     dedup_q,
     events_q,
+    finance_q,
     graph_q,
     joins_q,
     linkage_q,
     multimodal_q,
     pyds_q,
+    seq_q,
     similarity_q,
+    sketch_q,
     streaming_q,
     text_q,
     tpch,

@@ -249,6 +249,20 @@ DEFERRED_R6: tuple[str, ...] = (
     "er_blocked_part_names",
     "corpus_cluster_split",
     "layout_zorder_orders",
+    # -- batch-4 round-6 additions, registered after window saturation
+    # (same rule as above: fully oracle-gated locally from day one via
+    # tests/test_oracle_parity.py; r7 window first-picks): the market-data
+    # pack (OHLC/VWAP/Bollinger/drawdown — the reference's own stock
+    # domain), portable count-min + DataSketches-HLL-merge sketches,
+    # Markov transitions, and market-basket lift: --
+    "fin_ohlc_daily_bars",
+    "fin_vwap_brand_month",
+    "fin_sma_bollinger",
+    "fin_drawdown_daily",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_merge_gate",
+    "seq_event_transitions",
+    "basket_brand_pairs_lift",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,

@@ -587,6 +587,71 @@ def main() -> None:
         ).count()
 
     stage(f"cluster_split_{n}docs", _cluster_split)
+
+    # Round-6 batch 4: market-data pack + sketches + sequence/association
+    # mining.  Claims under test: OHLC stays ONE hash aggregate (flat-ish
+    # in K beyond the scan), transitions cost one user_id shuffle, the CM
+    # sketch build reduces K x keys to depth x width rows with a broadcast
+    # probe, and capped basket pairing's join output scales linearly in
+    # baskets (never quadratically in corpus size).
+    from aws_etl_fiap_spark.operators.finance import ohlc_bars, rolling_bands
+    from aws_etl_fiap_spark.operators.sequences import basket_pairs, transition_matrix
+    from aws_etl_fiap_spark.operators.sketches import cms_build, cms_estimate
+
+    stage(
+        f"ohlc_daily_bars_{n_ev}ev",
+        lambda: ohlc_bars(
+            big_ev, "event_type", "ts", "event_id", "value", F.col("ts").cast("date")
+        ).count(),
+    )
+
+    def _bollinger():
+        daily = big_ev.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.sum("value").alias("daily_total"))
+        return rolling_bands(daily, "event_type", "day", "daily_total").count()
+
+    stage(f"sma_bollinger_{n_ev}ev", _bollinger)
+    stage(
+        f"event_transitions_{n_ev}ev",
+        lambda: transition_matrix(
+            big_ev, "user_id", "event_type", ["ts", "event_id"]
+        ).count(),
+    )
+
+    ord_keys = load_table(spark, args.sf, "orders").select("o_custkey")
+    big_keys = (
+        ord_keys.crossJoin(copies)
+        .select((F.col("o_custkey") + F.col("copy") * 10_000_000).alias("o_custkey"))
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_keys = big_keys.count()
+
+    def _cms():
+        sk = cms_build(big_keys, "o_custkey")
+        return cms_estimate(big_keys.distinct(), sk, "o_custkey").count()
+
+    stage(f"cms_build_probe_{n_keys}rows", _cms)
+
+    part_dim = load_table(spark, args.sf, "part").select("p_partkey", "p_brand")
+    li_bk = load_table(spark, args.sf, "lineitem").select("l_orderkey", "l_partkey")
+    big_baskets = (
+        li_bk.crossJoin(copies)
+        .select(
+            (F.col("l_orderkey") + F.col("copy") * 100_000_000).alias("l_orderkey"),
+            "l_partkey",
+        )
+        .join(F.broadcast(part_dim), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_bk = big_baskets.count()
+    stage(
+        f"basket_pairs_{n_bk}items",
+        lambda: basket_pairs(big_baskets, "l_orderkey", "p_brand").count(),
+    )
     spark.stop()
 
 
