@@ -73,9 +73,9 @@ def vwap(
     map-side combinable.
     """
     return df.groupBy(*keys).agg(
-        round_half_up(dec_sum(price_total, 2) / dec_sum(quantity, 2), scale).alias(
-            "vwap"
-        ),
+        round_half_up(
+            F.try_divide(dec_sum(price_total, 2), dec_sum(quantity, 2)), scale
+        ).alias("vwap"),
         dec_sum(price_total, 2).alias("total_value"),
         dec_sum(quantity, 2).alias("total_qty"),
         F.count(F.lit(1)).alias("n_fills"),
@@ -150,11 +150,13 @@ def drawdown(
     v = F.col(value)
     peak = F.max(value).over(run)
     first = F.first(value).over(run)
+    # try_divide: an all-zero-prefix series has peak/first = 0; NULL there
+    # matches DuckDB's zero-division double semantics (ANSI Spark raises).
     return daily.select(
         key,
         order_col,
         value,
         peak.alias("running_peak"),
-        round_half_up((peak - v) / peak, scale).alias("drawdown_pct"),
-        round_half_up(v / first - 1.0, scale).alias("cum_return_pct"),
+        round_half_up(F.try_divide(peak - v, peak), scale).alias("drawdown_pct"),
+        round_half_up(F.try_divide(v, first) - 1.0, scale).alias("cum_return_pct"),
     )

@@ -219,3 +219,27 @@ def pagerank(
             )
             _release_checkpoint_blocks(prev)
     return ranks.select("id", "pr")
+
+
+def triangle_counts(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Per-node triangle participation counts over an undirected simple
+    graph given as ORIENTED distinct edges (``a < b``, each undirected
+    edge once).
+
+    Classic two-join enumeration: wedges (x<y<z with edges x-y and y-z)
+    close against the oriented edge set on (x, z); each triangle is found
+    exactly once because its three vertices appear in sorted order.  The
+    orientation bounds the wedge fan-out by each vertex's FORWARD degree —
+    the standard distributed-triangle trick (ordering by degree instead of
+    id tightens the bound further; id order keeps the oracle a plain SQL
+    triple join).  Output: (id, n_triangles) for every vertex in at least
+    one triangle.
+    """
+    e1 = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    e2 = edges.select(F.col(a).alias("y"), F.col(b).alias("z"))
+    wedges = e1.join(e2, "y")
+    closed = wedges.join(
+        edges.select(F.col(a).alias("x"), F.col(b).alias("z")), ["x", "z"]
+    )
+    members = closed.select(F.explode(F.array("x", "y", "z")).alias("id"))
+    return members.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -210,3 +210,37 @@ def ordered_global_index(
             yield pdf
 
     return parts.mapInPandas(stamp, out_schema)
+
+
+def balanced_class_sample(
+    df: DataFrame,
+    class_cols: list[str],
+    id_col: str,
+    salt: str = "balance",
+) -> DataFrame:
+    """Class-balanced downsample: every class keeps exactly M rows, where
+    M is the SMALLEST class's count — the classic majority-downsampling
+    recipe for imbalanced training data, made deterministic by taking each
+    class's M smallest rows under the portable ``(md5(salt:id), id)``
+    order (same order family as :func:`stratified_quota_sample`, so the
+    selection is engine-re-derivable and stable across re-runs).
+
+    Scale shape: per-class counts reduce to a class-cardinality-sized
+    frame; M broadcasts back as a 1-row lazy aggregate (no driver
+    action); the per-class ranking is a window over (class) — for a
+    majority class that dwarfs a single task, swap in the same
+    order-statistic refinement stratified_quota_sample uses (bucket by
+    first hash byte, rank only the boundary bucket); the selected SET is
+    identical.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    counts = df.groupBy(*class_cols).agg(F.count(F.lit(1)).alias("__cn"))
+    m = counts.agg(F.min("__cn").alias("__m"))
+    w = Window.partitionBy(*class_cols).orderBy("__k", id_col)
+    return (
+        df.withColumn("__k", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("__rn") <= F.col("__m"))
+        .select(*df.columns)
+    )

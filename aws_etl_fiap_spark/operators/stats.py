@@ -1,0 +1,174 @@
+"""Statistical-testing operators ([EXT]: the hypothesis-testing /
+dependence layer over the profile aggregates in operators/aggregates.py).
+
+Every statistic here is engineered for cross-engine exact-hash parity the
+same way operators/finance.py's rolling moments are: raw doubles are fixed
+to integer cents once, every accumulation is exact integer (or exact
+DECIMAL) arithmetic, and the only floating-point steps are the final
+correctly-rounded IEEE divisions/sqrts — so DuckDB re-deriving the same
+closed forms produces bit-identical values, and the driver's value hash
+genuinely verifies the math.
+
+int64 bounds (documented, same discipline as finance.rolling_bands): with
+per-row |cents| <= c and frame/group size n, ``n * sum(x^2)`` must stay
+under 2^63 — at c ~ 1e8 that allows n ~ 1e6 rows per group; shrink the
+cent scale for wider data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import round_half_up
+
+
+def _cents(x: Column) -> Column:
+    return F.floor(x * 100.0 + 0.5).cast("long")
+
+
+def rolling_corr(
+    pair: DataFrame,
+    order_col: str,
+    x: str,
+    y: str,
+    n_rows: int = 20,
+    scale: int = 6,
+) -> DataFrame:
+    """Rolling Pearson correlation over an N-row trailing frame of an
+    ALIGNED pair series (one row per order_col with both x and y).
+
+    Bivariate moments accumulate in integer cents (sx, sy, sxx, syy, sxy);
+    r = (n sxy - sx sy) / (sqrt(n sxx - sx^2) sqrt(n syy - sy^2)) is
+    exact-integer until the two sqrts and one divide.  Zero-variance
+    windows yield NULL (0/0) in both engines.
+
+    The window is UNPARTITIONED by design: the input is a time spine
+    (rows = distinct periods, independent of raw event volume — same
+    scale argument as the gap-fill spine), so the single-partition sort
+    is over calendar-sized data no matter how large the fact table is.
+    """
+    w = Window.orderBy(order_col).rowsBetween(-(n_rows - 1), 0)
+    xc, yc = _cents(F.col(x)), _cents(F.col(y))
+    n = F.count(F.lit(1)).over(w)
+    sx, sy = F.sum(xc).over(w), F.sum(yc).over(w)
+    sxx, syy = F.sum(xc * xc).over(w), F.sum(yc * yc).over(w)
+    sxy = F.sum(xc * yc).over(w)
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    # try_divide: a zero-variance window (always true at n=1) has den=0;
+    # DuckDB's double division yields NULL there, and ANSI-mode Spark
+    # (4.x default, the driver's session) would otherwise raise.
+    return pair.select(
+        order_col,
+        x,
+        y,
+        n.alias("n_in_window"),
+        round_half_up(F.try_divide(num, den), scale).alias("rolling_corr"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    row_key: Column,
+    col_key: Column,
+    scale: int = 6,
+) -> DataFrame:
+    """Chi-square statistic of independence for two categorical columns.
+
+    One shuffle reduces the raw table to the |rows| x |cols| contingency
+    grid; marginals and the grand total are windows OVER THAT GRID (a few
+    dozen rows), never over raw data.  Each cell term (o-e)^2/e is one
+    IEEE expression on exact integers, rounded half-up to 9dp, and the
+    final sum accumulates the rounded terms in DECIMAL(38,9) — exact and
+    order-independent, so the statistic hash-verifies.  Output: one row
+    (chi2, dof, n_rows, n_cols, n_obs).
+    """
+    grid = df.groupBy(row_key.alias("r"), col_key.alias("c")).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    wall = Window.partitionBy()
+    e = (
+        F.sum("o").over(wr) * F.sum("o").over(wc)
+    ).cast("double") / F.sum("o").over(wall).cast("double")
+    o = F.col("o").cast("double")
+    term = round_half_up((o - e) * (o - e) / e, 9)
+    cells = grid.select(
+        "r",
+        "c",
+        term.alias("term"),
+        F.sum("o").over(wall).alias("n_obs"),
+    )
+    return cells.agg(
+        round_half_up(
+            F.sum(F.col("term").cast("decimal(38,9)")).cast("double"), scale
+        ).alias("chi2"),
+        ((F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)).alias("dof"),
+        F.countDistinct("r").alias("n_rows"),
+        F.countDistinct("c").alias("n_cols"),
+        F.max("n_obs").alias("n_obs"),
+    )
+
+
+def welch_z_test(
+    df: DataFrame,
+    group: Column,
+    value: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Welch (unequal-variance) two-sample z statistic comparing the mean
+    of ``value`` between two groups.
+
+    Per-group n / sum / sum-of-squares accumulate in integer cents (one
+    map-side-combinable aggregate over the filtered scan); means,
+    population variances, and z come out of closed-form expressions on
+    the 1-row-per-group result — exact until the final divides + sqrt.
+    Output: one row (n_a, n_b, mean_a, mean_b, mean_diff, z_stat).
+    """
+
+    def side(name: str, label: str) -> DataFrame:
+        xc = _cents(F.col(value))
+        return (
+            df.filter(group == name)
+            .agg(
+                F.count(F.lit(1)).alias(f"n_{label}"),
+                F.sum(xc).alias(f"s1_{label}"),
+                F.sum(xc * xc).alias(f"s2_{label}"),
+            )
+        )
+
+    both = side(group_a, "a").crossJoin(side(group_b, "b"))
+
+    def mean(label: str) -> Column:
+        return F.col(f"s1_{label}").cast("double") / (
+            100.0 * F.col(f"n_{label}")
+        )
+
+    def var(label: str) -> Column:
+        n, s1, s2 = (
+            F.col(f"n_{label}"),
+            F.col(f"s1_{label}"),
+            F.col(f"s2_{label}"),
+        )
+        return (n * s2 - s1 * s1).cast("double") / (n * n).cast("double") / 10000.0
+
+    # try_divide: both-groups-constant data has a zero standard error;
+    # NULL there matches DuckDB (ANSI Spark would raise).
+    z = F.try_divide(
+        mean("a") - mean("b"),
+        F.sqrt(var("a") / F.col("n_a") + var("b") / F.col("n_b")),
+    )
+    return both.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        round_half_up(mean("a"), scale).alias("mean_a"),
+        round_half_up(mean("b"), scale).alias("mean_b"),
+        round_half_up(mean("a") - mean("b"), scale).alias("mean_diff"),
+        round_half_up(z, scale).alias("z_stat"),
+    )

@@ -13,6 +13,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     corpus_q,
     dedup_q,
     events_q,
+    features_q,
     finance_q,
     graph_q,
     joins_q,
@@ -22,6 +23,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     seq_q,
     similarity_q,
     sketch_q,
+    stats_q,
     streaming_q,
     text_q,
     tpch,

@@ -87,3 +87,59 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, "src", "dst", iters=PR_ITERS, damping=PR_DAMPING)
     return ranks.select("id", round_half_up("pr", 9).alias("pr"))
+
+
+def _triangle_oracle() -> str:
+    from aws_etl_fiap_spark.queries.seq_q import _MAX_BASKET, _MIN_PAIR
+
+    return f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+sized AS (
+    SELECT bk, it FROM (
+        SELECT bk, it, COUNT(*) OVER (PARTITION BY bk) AS bk_size FROM items
+    ) WHERE bk_size <= {_MAX_BASKET}
+),
+edges AS (
+    SELECT a.it AS ea, b.it AS eb
+    FROM sized a JOIN sized b ON a.bk = b.bk AND a.it < b.it
+    GROUP BY a.it, b.it
+    HAVING COUNT(*) >= {_MIN_PAIR}
+),
+tri AS (
+    SELECT e1.ea AS x, e1.eb AS y, e2.eb AS z
+    FROM edges e1
+    JOIN edges e2 ON e2.ea = e1.eb
+    JOIN edges e3 ON e3.ea = e1.ea AND e3.eb = e2.eb
+)
+SELECT id AS brand, COUNT(*) AS n_triangles
+FROM (SELECT unnest([x, y, z]) AS id FROM tri)
+GROUP BY id
+"""
+
+
+@query("graph_triangle_brands", oracle=_triangle_oracle())
+def graph_triangle_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-node triangle counts (operators/graph.triangle_counts)
+    over the brand co-occurrence graph (edges = brand pairs co-purchased
+    in >= MIN_PAIR capped baskets, from sequences.basket_pairs): the
+    wedge-close two-join enumeration on oriented edges, each triangle
+    found exactly once via the sorted-vertex orientation.  Triangle
+    structure is the community-density signal co-occurrence analyses
+    read; the oracle is the same triple join in SQL."""
+    from aws_etl_fiap_spark.operators.graph import triangle_counts
+    from aws_etl_fiap_spark.operators.sequences import basket_pairs
+    from aws_etl_fiap_spark.queries.seq_q import _MAX_BASKET, _MIN_PAIR
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    edges = basket_pairs(
+        baskets, "l_orderkey", "p_brand",
+        max_basket=_MAX_BASKET, min_pair_count=_MIN_PAIR,
+    ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+    return triangle_counts(edges).withColumnRenamed("id", "brand")

@@ -263,6 +263,24 @@ DEFERRED_R6: tuple[str, ...] = (
     "sketch_hll_merge_gate",
     "seq_event_transitions",
     "basket_brand_pairs_lift",
+    # -- batch-5 round-6 additions (same saturated-window rule): the
+    # statistics pack — rolling Pearson correlation, chi-square
+    # independence, Welch two-sample z, last-touch attribution (as-of via
+    # running MAX over the preceding frame), golden-record survivorship
+    # profile: --
+    "fin_rolling_corr_view_click",
+    "attr_last_touch_purchase",
+    "stat_chi2_type_weekday",
+    "stat_welch_view_click",
+    "profile_user_snapshot",
+    # -- batch-6 round-6 additions (same saturated-window rule): the
+    # training-set-construction pack — leakage-free point-in-time feature
+    # join, hashing-trick featurization, class-balanced sampling — plus
+    # per-node triangle counts on the brand co-occurrence graph: --
+    "fs_point_in_time_join",
+    "text_feature_hashing",
+    "corpus_balanced_sample",
+    "graph_triangle_brands",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,

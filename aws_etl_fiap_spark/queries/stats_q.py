@@ -1,0 +1,293 @@
+"""Statistical-analytics queries ([EXT]: hypothesis testing, dependence,
+attribution, and survivorship over the events log — operators/stats.py
+holds the parity-safe closed forms)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import round_half_up, sql_round_half_up
+from aws_etl_fiap_spark.operators.stats import (
+    chi2_independence,
+    rolling_corr,
+    welch_z_test,
+)
+from aws_etl_fiap_spark.queries.registry import query
+from aws_etl_fiap_spark.sources.readers import load_table
+
+_TS = "CAST(ts AS TIMESTAMP)"
+
+_CORR_FRAME = "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW"
+
+
+@query(
+    "fin_rolling_corr_view_click",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST({_TS} AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'view'
+                         THEN CAST(value AS DECIMAL(38,2)) END) AS DOUBLE) AS view_total,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN CAST(value AS DECIMAL(38,2)) END) AS DOUBLE) AS click_total
+    FROM events WHERE event_type IN ('view', 'click') GROUP BY 1
+),
+pair AS (
+    SELECT * FROM daily WHERE view_total IS NOT NULL AND click_total IS NOT NULL
+),
+c AS (
+    SELECT day, view_total, click_total,
+           CAST(FLOOR(view_total * 100.0 + 0.5) AS BIGINT) AS xc,
+           CAST(FLOOR(click_total * 100.0 + 0.5) AS BIGINT) AS yc
+    FROM pair
+),
+m AS (
+    SELECT day, view_total, click_total,
+           COUNT(*) OVER w AS n,
+           CAST(SUM(xc) OVER w AS BIGINT) AS sx,
+           CAST(SUM(yc) OVER w AS BIGINT) AS sy,
+           CAST(SUM(xc * xc) OVER w AS BIGINT) AS sxx,
+           CAST(SUM(yc * yc) OVER w AS BIGINT) AS syy,
+           CAST(SUM(xc * yc) OVER w AS BIGINT) AS sxy
+    FROM c WINDOW w AS (ORDER BY day {_CORR_FRAME})
+)
+SELECT day, view_total, click_total, n AS n_in_window,
+       FLOOR((CAST(n * sxy - sx * sy AS DOUBLE)
+              / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                 * SQRT(CAST(n * syy - sy * sy AS DOUBLE))))
+             * 1000000.0 + 0.5) / 1000000.0 AS rolling_corr
+FROM m
+""",
+)
+def fin_rolling_corr_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT W-EXT] 20-day rolling Pearson correlation between the daily
+    view and click traded-value series (operators/stats.rolling_corr):
+    conditional exact-decimal daily totals pivot the two series into one
+    aligned spine row per day, then integer-cents bivariate moments give a
+    closed-form r — exact arithmetic until two sqrts and one divide.  The
+    unpartitioned window is over the CALENDAR spine (rows = days, not
+    events) — the same volume-independence argument as the gap-fill
+    spine."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", F.col("value")).cast(
+                    "decimal(38,2)"
+                )
+            )
+            .cast("double")
+            .alias("view_total"),
+            F.sum(
+                F.when(F.col("event_type") == "click", F.col("value")).cast(
+                    "decimal(38,2)"
+                )
+            )
+            .cast("double")
+            .alias("click_total"),
+        )
+        .filter(F.col("view_total").isNotNull() & F.col("click_total").isNotNull())
+    )
+    return rolling_corr(daily, "day", "view_total", "click_total", n_rows=20)
+
+
+@query(
+    "attr_last_touch_purchase",
+    oracle=f"""
+WITH u AS (
+    SELECT user_id, {_TS} AS ts, event_id, event_type
+    FROM events WHERE event_type IN ('click', 'purchase')
+),
+f AS (
+    SELECT user_id, ts, event_id, event_type,
+           MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
+    FROM u
+)
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(*) AS n_purchases,
+       COUNT(CASE WHEN prev_click >= ts - INTERVAL 7 DAY THEN 1 END) AS n_attributed,
+       {sql_round_half_up(
+           'CAST(COUNT(CASE WHEN prev_click >= ts - INTERVAL 7 DAY THEN 1 END) AS DOUBLE)'
+           ' / CAST(COUNT(*) AS DOUBLE)', 6)} AS attributed_share
+FROM f WHERE event_type = 'purchase'
+GROUP BY day
+""",
+)
+def attr_last_touch_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.3 as-of generalized] Last-touch marketing attribution: each
+    purchase looks up the SAME USER's most recent click STRICTLY BEFORE it
+    (running MAX over the preceding frame — the union-free as-of lookup,
+    same trick as joins.asof_join) and counts as attributed when that
+    click landed within a 7-day window; rolled up per day.  One shuffle of
+    the filtered log on user_id; the attribution check is a frame-local
+    expression, never a join against the click table."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    purchases = ev.withColumn("prev_click", prev_click).filter(
+        F.col("event_type") == "purchase"
+    )
+    attributed = F.col("prev_click") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    return (
+        purchases.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count(F.when(attributed, F.lit(1))).alias("n_attributed"),
+        )
+        .select(
+            "day",
+            "n_purchases",
+            "n_attributed",
+            round_half_up(
+                F.col("n_attributed").cast("double")
+                / F.col("n_purchases").cast("double"),
+                6,
+            ).alias("attributed_share"),
+        )
+    )
+
+
+@query(
+    "stat_chi2_type_weekday",
+    oracle=f"""
+WITH grid AS (
+    SELECT event_type AS r, (isodow({_TS}) - 1) AS c, COUNT(*) AS o
+    FROM events GROUP BY r, c
+),
+cells AS (
+    SELECT r, c, o,
+           CAST(SUM(o) OVER (PARTITION BY r) * SUM(o) OVER (PARTITION BY c) AS DOUBLE)
+               / CAST(SUM(o) OVER () AS DOUBLE) AS e,
+           CAST(SUM(o) OVER () AS BIGINT) AS n_obs
+    FROM grid
+)
+SELECT {sql_round_half_up(
+    'CAST(SUM(CAST(' + sql_round_half_up(
+        '(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e', 9)
+    + ' AS DECIMAL(38,9))) AS DOUBLE)', 6)} AS chi2,
+       (COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS dof,
+       COUNT(DISTINCT r) AS n_rows,
+       COUNT(DISTINCT c) AS n_cols,
+       MAX(n_obs) AS n_obs
+FROM cells
+""",
+)
+def stat_chi2_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT A-EXT] Chi-square test of independence between event_type and
+    ISO weekday (operators/stats.chi2_independence): the raw log reduces
+    to the |types| x 7 contingency grid in one shuffle; marginals/grand
+    total are windows over that grid; each (o-e)^2/e term rounds at 9dp
+    and sums in exact DECIMAL so the statistic is order-independent and
+    hash-verifiable.  Spark's weekday() (0=Monday) == DuckDB isodow()-1."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return chi2_independence(
+        ev, F.col("event_type"), F.expr("weekday(ts)")
+    )
+
+
+@query(
+    "stat_welch_view_click",
+    oracle="""
+WITH av AS (
+    SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS xc
+    FROM events WHERE event_type = 'view'
+),
+bv AS (
+    SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS xc
+    FROM events WHERE event_type = 'click'
+),
+a AS (SELECT COUNT(*) AS n_a, CAST(SUM(xc) AS BIGINT) AS s1_a,
+             CAST(SUM(xc * xc) AS BIGINT) AS s2_a FROM av),
+b AS (SELECT COUNT(*) AS n_b, CAST(SUM(xc) AS BIGINT) AS s1_b,
+             CAST(SUM(xc * xc) AS BIGINT) AS s2_b FROM bv)
+SELECT n_a, n_b,
+       FLOOR((CAST(s1_a AS DOUBLE) / (100.0 * n_a)) * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+       FLOOR((CAST(s1_b AS DOUBLE) / (100.0 * n_b)) * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+       FLOOR((CAST(s1_a AS DOUBLE) / (100.0 * n_a)
+              - CAST(s1_b AS DOUBLE) / (100.0 * n_b)) * 1000000.0 + 0.5) / 1000000.0 AS mean_diff,
+       FLOOR(((CAST(s1_a AS DOUBLE) / (100.0 * n_a) - CAST(s1_b AS DOUBLE) / (100.0 * n_b))
+              / SQRT(CAST(n_a * s2_a - s1_a * s1_a AS DOUBLE) / CAST(n_a * n_a AS DOUBLE) / 10000.0 / n_a
+                     + CAST(n_b * s2_b - s1_b * s1_b AS DOUBLE) / CAST(n_b * n_b AS DOUBLE) / 10000.0 / n_b))
+             * 1000000.0 + 0.5) / 1000000.0 AS z_stat
+FROM a CROSS JOIN b
+""",
+)
+def stat_welch_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT A-EXT] Welch two-sample z statistic comparing mean event value
+    between views and clicks (operators/stats.welch_z_test): per-group
+    integer-cents moments from two map-side-combinable aggregates, then
+    closed-form means/variances/z on the 1-row-per-group frames — the A/B
+    experimentation primitive, exact until the final divides + sqrt."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return welch_z_test(ev, F.col("event_type"), "value", "view", "click")
+
+
+@query(
+    "profile_user_snapshot",
+    oracle=f"""
+WITH o AS (
+    SELECT user_id, {_TS} AS ts, event_id, event_type, value,
+           last_value(event_type) OVER w AS le,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER w AS lpv
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {_TS}, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id,
+       MIN(ts) AS first_seen,
+       MAX(ts) AS last_seen,
+       COUNT(*) AS n_events,
+       MAX(le) AS last_event_type,
+       MAX(lpv) AS last_purchase_value
+FROM o GROUP BY user_id
+""",
+)
+def profile_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT W-EXT] Golden-record / survivorship user profile: per user the
+    first/last activity, event count, the LAST event type, and the last
+    PURCHASE value — the IGNORE NULLS last-non-null-wins survivorship rule
+    (windows full-frame ``last(..., ignorenulls=True)`` under the unique
+    (ts, event_id) order), the construct master-data pipelines use to
+    merge entity attributes by recency.  One shuffle on user_id; window
+    and aggregate share the partitioning."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    annotated = ev.select(
+        "user_id",
+        "ts",
+        F.last("event_type").over(w).alias("le"),
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("lpv"),
+    )
+    return annotated.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("le").alias("last_event_type"),
+        F.max("lpv").alias("last_purchase_value"),
+    )

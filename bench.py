@@ -65,6 +65,11 @@ REPRESENTATIVE = [
     "dedup_winnow_overlap",          # winnowing fingerprints (r6 batch 3)
     "er_blocked_part_names",         # blocked record linkage (r6 batch 3)
     "text_tfidf_top_terms",          # per-doc keyword extraction (r6 batch 3)
+    "fin_ohlc_daily_bars",           # one-aggregate OHLC bars (r6 batch 4)
+    "sketch_cms_heavy_hitters",      # relational count-min sketch (r6 batch 4)
+    "basket_brand_pairs_lift",       # capped basket association (r6 batch 4)
+    "fin_rolling_corr_view_click",   # rolling bivariate moments (r6 batch 5)
+    "fs_point_in_time_join",         # leakage-free PIT feature join (r6 batch 6)
 ]
 
 

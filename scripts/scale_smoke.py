@@ -43,7 +43,14 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=20, help="corpus blowup factor")
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--uncapped-tier", action="store_true")
+    ap.add_argument(
+        "--stages",
+        default=None,
+        help="comma-separated substrings: run only stages whose name matches "
+        "one (frame setup still runs; unmatched stages are skipped)",
+    )
     args = ap.parse_args()
+    stage_filter = [s for s in (args.stages or "").split(",") if s]
 
     from pyspark.sql import functions as F
 
@@ -82,6 +89,8 @@ def main() -> None:
     n = corpus.count()
 
     def stage(name, fn):
+        if stage_filter and not any(s in name for s in stage_filter):
+            return
         t0 = time.perf_counter()
         rows = fn()
         print(
@@ -651,6 +660,40 @@ def main() -> None:
     stage(
         f"basket_pairs_{n_bk}items",
         lambda: basket_pairs(big_baskets, "l_orderkey", "p_brand").count(),
+    )
+
+    # Round-6 batches 5/6: rolling-corr spine (flat — calendar-sized),
+    # leakage-free point-in-time join (one user_id shuffle of the union),
+    # hashing-trick featurizer (expression-only per-row cost).
+    from aws_etl_fiap_spark.operators.features import (
+        feature_hashing,
+        point_in_time_join,
+    )
+
+    def _pit():
+        feats = (
+            big_ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_clicks"))
+            .select(
+                "user_id",
+                F.date_add("day", 1).cast("timestamp_ntz").alias("ts"),
+                "n_clicks",
+            )
+        )
+        labels = big_ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+        )
+        return point_in_time_join(
+            feats, labels, key="user_id", ts_col="ts",
+            feature_vals=["n_clicks"],
+            label_cols=["event_id", "purchase_value"], tiebreak="event_id",
+        ).count()
+
+    stage(f"pit_feature_join_{n_ev}ev", _pit)
+    stage(
+        f"feature_hashing_{n}docs",
+        lambda: feature_hashing(corpus, "doc_id", "text", n_dims=64).count(),
     )
     spark.stop()
 

