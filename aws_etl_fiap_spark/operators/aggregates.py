@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.functions.parity import dec_avg, dec_sum, round_half_up
@@ -100,3 +100,32 @@ def equi_width_histogram(
         .withColumn("bucket_lo", F.lit(lo) + F.col("bucket").cast("double") * F.lit(width))
         .withColumn("bucket_hi", F.lit(lo) + (F.col("bucket") + F.lit(1)).cast("double") * F.lit(width))
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+) -> DataFrame:
+    """2-D skyline: rows not dominated by any other (dominator has <=
+    ``minimize``, >= ``maximize``, strict in at least one).
+
+    Sort-free-of-raw-data shape: reduce to one best (max ``maximize``)
+    row per distinct ``minimize`` value, take the running max of that
+    best over ascending ``minimize`` (a window over the DISTINCT-VALUE
+    frame, not the raw table), and keep rows that strictly beat every
+    cheaper group's best.  Raw data pays one groupBy shuffle; the window
+    runs over |distinct minimize values| rows.  Ties on both dimensions
+    are mutually non-dominating and all survive (hence the join back on
+    (minimize, maximize) rather than a per-group top-1).
+    """
+    best = df.groupBy(minimize).agg(F.max(maximize).alias("__best"))
+    w = Window.orderBy(minimize).rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        best.withColumn("__prev_max", F.max("__best").over(w))
+        .filter(
+            F.col("__prev_max").isNull() | (F.col("__best") > F.col("__prev_max"))
+        )
+        .select(minimize, F.col("__best").alias(maximize))
+    )
+    return df.join(frontier, [minimize, maximize]).select(*df.columns)

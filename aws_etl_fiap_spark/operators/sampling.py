@@ -244,3 +244,22 @@ def balanced_class_sample(
         .filter(F.col("__rn") <= F.col("__m"))
         .select(*df.columns)
     )
+
+
+def bottom_k_sample(df: DataFrame, id_col: str, k: int, salt: str = "bottomk") -> DataFrame:
+    """Bottom-k sample: the ``k`` rows with the smallest portable hash of
+    (salt, id) — a uniform sample that is MERGEABLE: the bottom-k of a
+    union is the bottom-k of the per-partition bottom-ks, so executors
+    reduce locally and the driver-side state is k rows no matter the
+    input volume (Spark's TakeOrdered does exactly this).  Like
+    :func:`deterministic_sample` it is engine-re-derivable (DuckDB twin:
+    ORDER BY md5 LIMIT k) and stable across runs/partitionings; unlike
+    it, the sample size is EXACT rather than proportional, which is what
+    hold-out evaluation sets specify."""
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("__k", key)
+        .orderBy("__k", id_col)
+        .limit(k)
+        .drop("__k")
+    )

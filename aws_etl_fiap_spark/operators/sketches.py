@@ -100,3 +100,73 @@ def sql_cms_bucket(seed_expr: str, key_expr: str, width: int) -> str:
         "':', CAST(" + key_expr + " AS VARCHAR))), 1, 15)) AS BIGINT)"
     )
     return f"(({h}) % {width} + {width}) % {width}"
+
+
+def bloom_build(
+    df: DataFrame,
+    key: str,
+    n_bits: int = 2048,
+    n_hashes: int = 3,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Bloom filter of ``df[key]`` as a (word, bits) frame — the membership
+    sketch expressed relationally, like :func:`cms_build`.
+
+    Each key sets ``n_hashes`` bit positions in an ``n_bits`` bitmap; the
+    bitmap is stored as 32-bit words inside BIGINTs (32, not 64, keeps
+    every mask positive — ``1 << 63`` wraps negative in Spark and errors
+    in other engines, so the sign bit is never used).  Build is one
+    map-side-combined ``bit_or`` aggregate over the exploded (key, seed)
+    stream; output is at most ``n_bits / 32`` rows regardless of input
+    volume, and two filters merge by bitwise-OR on word — the same
+    mergeable-summary contract as the count-min sketch.
+    """
+    if n_bits % 32:
+        raise ValueError("n_bits must be a multiple of 32")
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    pos = F.pmod(
+        _bucket(F.col("seed"), F.col("__k"), n_bits, hash_family), F.lit(n_bits)
+    )
+    return (
+        df.select(F.col(key).alias("__k"))
+        .select(seeds, "__k")
+        .select((pos / 32).cast("int").alias("word"), (pos % 32).cast("int").alias("bit"))
+        # F.shiftleft takes a literal int shift; the SQL form shifts by a column
+        .select("word", F.expr("shiftleft(CAST(1 AS BIGINT), bit)").alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    keys: DataFrame,
+    bloom: DataFrame,
+    key: str,
+    n_bits: int = 2048,
+    n_hashes: int = 3,
+    hash_family: str = "portable",
+) -> DataFrame:
+    """Test each key against a built filter: a key passes iff ALL its
+    ``n_hashes`` bit positions are set.  The filter (<= n_bits/32 rows)
+    broadcasts; a probe coordinate landing on an absent word row means an
+    all-zero word, hence the coalesce-to-0 before the bit test.  No false
+    negatives by construction (the gate the registered query verifies
+    exactly); false-positive rate falls out of the bitmap density."""
+    probes = keys.select(F.col(key)).select(
+        key, F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    )
+    pos = F.pmod(
+        _bucket(F.col("seed"), F.col(key), n_bits, hash_family), F.lit(n_bits)
+    )
+    probes = probes.select(
+        key,
+        (pos / 32).cast("int").alias("word"),
+        (pos % 32).cast("int").alias("bit"),
+    )
+    hit = F.expr("shiftright(coalesce(bits, CAST(0 AS BIGINT)), bit) % 2 = 1")
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(key, hit.alias("hit"))
+        .groupBy(key)
+        .agg(F.bool_and("hit").alias("passed"))
+    )

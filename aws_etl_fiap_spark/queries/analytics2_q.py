@@ -217,3 +217,38 @@ def profile_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "bucket", "bucket_lo", "bucket_hi", "n_rows", "sum_value", "min_value", "max_value"
     )
+
+
+@query(
+    "pareto_parts_price_size",
+    oracle="""
+WITH best AS (
+    SELECT p_retailprice, MAX(p_size) AS p_size FROM part GROUP BY p_retailprice
+),
+fr AS (
+    SELECT p_retailprice, p_size,
+           MAX(p_size) OVER (ORDER BY p_retailprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+    FROM best
+),
+keep AS (
+    SELECT p_retailprice, p_size FROM fr WHERE prev IS NULL OR p_size > prev
+)
+SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+FROM part p JOIN keep USING (p_retailprice, p_size)
+""",
+)
+def pareto_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT A-EXT] 2-D skyline (operators/aggregates.pareto_frontier_2d):
+    parts not dominated on (cheaper price, larger size) — the classic
+    skyline/Pareto-frontier DB operator.  Raw rows pay one groupBy to the
+    per-price best; the dominance scan is a running-max window over the
+    DISTINCT-price frame only; survivors join back so both-dimension ties
+    all surface.  Selections and integer/double comparisons only — no
+    arithmetic, exact-hash trivial."""
+    from aws_etl_fiap_spark.operators.aggregates import pareto_frontier_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    return pareto_frontier_2d(part, "p_retailprice", "p_size")

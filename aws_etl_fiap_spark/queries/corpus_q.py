@@ -489,3 +489,25 @@ def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonical.alias("canonical"),
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "corpus_bottomk_sample",
+    oracle="""
+SELECT doc_id, lang, source FROM documents
+ORDER BY md5(CONCAT('bottomk', ':', CAST(doc_id AS VARCHAR))), doc_id
+LIMIT 100
+""",
+)
+def corpus_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north-star curation] Exact-size mergeable hold-out sample
+    (operators/sampling.bottom_k_sample): the 100 docs with the smallest
+    portable hash — per-partition bottom-ks merge to the global bottom-k
+    (Spark's TakeOrdered), so driver state is k rows at any corpus size,
+    and the same 100 ids fall out of any engine, any partitioning, any
+    run.  The exact-count complement to the proportional hash-bucket
+    sampler (corpus_sample_10pct)."""
+    from aws_etl_fiap_spark.operators.sampling import bottom_k_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return bottom_k_sample(docs, "doc_id", 100)

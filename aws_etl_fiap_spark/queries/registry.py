@@ -281,6 +281,13 @@ DEFERRED_R6: tuple[str, ...] = (
     "text_feature_hashing",
     "corpus_balanced_sample",
     "graph_triangle_brands",
+    # -- batch-7 round-6 additions (same saturated-window rule): bloom
+    # membership sketch as relational bitmap data (exact-oracled incl.
+    # its false-positive count), exact-size mergeable bottom-k hold-out
+    # sampling, and the classic 2-D skyline operator: --
+    "sketch_bloom_membership",
+    "corpus_bottomk_sample",
+    "pareto_parts_price_size",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,

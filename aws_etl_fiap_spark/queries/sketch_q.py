@@ -138,3 +138,80 @@ def sketch_hll_merge_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return grp_viol.unionByName(global_viol)
+
+
+_BLOOM_BITS = 2048
+_BLOOM_K = 3
+
+_POS = sql_cms_bucket("seed", "k", _BLOOM_BITS)
+
+
+@query(
+    "sketch_bloom_membership",
+    oracle=f"""
+WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders),
+seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS seed),
+upd AS (SELECT seed, {_POS} AS pos FROM members CROSS JOIN seeds),
+words AS (
+    SELECT CAST(pos // 32 AS INT) AS word,
+           bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+    FROM upd GROUP BY word
+),
+probes AS (SELECT c_custkey AS k FROM customer),
+pcoord AS (
+    SELECT k, CAST(pos // 32 AS INT) AS word, CAST(pos % 32 AS INT) AS bit
+    FROM (SELECT k, {_POS} AS pos FROM probes CROSS JOIN seeds)
+),
+ptest AS (
+    SELECT k, bool_and(((COALESCE(bits, 0) >> bit) % 2) = 1) AS passed
+    FROM pcoord LEFT JOIN words USING (word) GROUP BY k
+),
+ann AS (
+    SELECT p.k, p.passed, (m.k IS NOT NULL) AS is_member
+    FROM ptest p LEFT JOIN members m ON m.k = p.k
+)
+SELECT COUNT(*) AS n_probed,
+       COUNT(CASE WHEN is_member THEN 1 END) AS n_members,
+       COUNT(CASE WHEN passed THEN 1 END) AS n_passed,
+       COUNT(CASE WHEN passed AND NOT is_member THEN 1 END) AS n_false_positives,
+       COUNT(CASE WHEN is_member AND NOT passed THEN 1 END) AS n_false_negatives
+FROM ann
+""",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.4 scale path] Bloom filter as relational data
+    (operators/sketches.bloom_build/bloom_probe): the ordering-customer
+    key set compresses to a 2048-bit bitmap (<= 64 word rows, one
+    map-side-combined bit_or aggregate, bitwise-OR mergeable across
+    partitions); every customer key then probes the broadcast filter.
+    Output is the one-row confusion summary — n_false_negatives MUST be 0
+    (the bloom guarantee, hash-verified), and the false-positive count is
+    itself exact because the portable md5 hashing lets DuckDB rebuild the
+    identical bitmap in SQL.  Complements the Catalyst runtime-bloom gate
+    (test_scale_ops) with an explicitly materializable, storable filter."""
+    from aws_etl_fiap_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    probes = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    bloom = bloom_build(members, "k", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K)
+    tested = bloom_probe(probes, bloom, "k", n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K)
+    ann = tested.join(
+        members.withColumn("is_member", F.lit(True)), "k", "left"
+    ).select("k", "passed", F.coalesce("is_member", F.lit(False)).alias("is_member"))
+    return ann.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.count(F.when(F.col("is_member"), F.lit(1))).alias("n_members"),
+        F.count(F.when(F.col("passed"), F.lit(1))).alias("n_passed"),
+        F.count(F.when(F.col("passed") & ~F.col("is_member"), F.lit(1))).alias(
+            "n_false_positives"
+        ),
+        F.count(F.when(F.col("is_member") & ~F.col("passed"), F.lit(1))).alias(
+            "n_false_negatives"
+        ),
+    )

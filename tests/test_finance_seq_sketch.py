@@ -339,3 +339,90 @@ def test_triangle_counts_match_bruteforce_model(spark):
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
     out = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+# ------------------------------------------------- bloom/bottomk/skyline (batch 7)
+
+def test_bloom_no_false_negatives_even_when_dense(spark, sf_smoke):
+    from aws_etl_fiap_spark.operators.sketches import bloom_build, bloom_probe
+
+    members = (
+        load_table(spark, sf_smoke, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    # deliberately tiny filter: dense bitmap, many false positives — the
+    # no-false-negative guarantee must hold regardless
+    bloom = bloom_build(members, "k", n_bits=256, n_hashes=3)
+    assert bloom.count() <= 8  # 256 bits / 32-bit words
+    probes = load_table(spark, sf_smoke, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    tested = bloom_probe(probes, bloom, "k", n_bits=256, n_hashes=3).toPandas()
+    member_ids = {r["k"] for r in members.collect()}
+    probed_members = tested[tested["k"].isin(member_ids)]
+    assert len(probed_members) > 0
+    assert probed_members["passed"].all()  # zero false negatives
+
+
+def test_bloom_merge_is_bitwise_or(spark, sf_smoke):
+    from aws_etl_fiap_spark.operators.sketches import bloom_build
+
+    keys = (
+        load_table(spark, sf_smoke, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    a = keys.filter(F.col("k") % 2 == 0)
+    b = keys.filter(F.col("k") % 2 != 0)
+    whole = bloom_build(keys, "k", n_bits=512).toPandas()
+    merged = (
+        bloom_build(a, "k", n_bits=512)
+        .unionByName(bloom_build(b, "k", n_bits=512))
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .toPandas()
+    )
+    assert whole.sort_values("word").reset_index(drop=True).equals(
+        merged.sort_values("word").reset_index(drop=True)
+    )
+
+
+def test_bottom_k_is_mergeable_subset(spark, sf_smoke):
+    from aws_etl_fiap_spark.operators.sampling import bottom_k_sample
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id")
+    s50 = {r["doc_id"] for r in bottom_k_sample(docs, "doc_id", 50).collect()}
+    s100 = {r["doc_id"] for r in bottom_k_sample(docs, "doc_id", 100).collect()}
+    assert len(s50) == 50 and len(s100) == 100
+    assert s50 < s100  # bottom-k grows monotonically: no resample churn
+    # merge property: bottom-k of two halves' bottom-ks == global bottom-k
+    h1 = bottom_k_sample(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", 50)
+    h2 = bottom_k_sample(docs.filter(F.col("doc_id") % 2 != 0), "doc_id", 50)
+    merged = {
+        r["doc_id"]
+        for r in bottom_k_sample(h1.unionByName(h2), "doc_id", 50).collect()
+    }
+    assert merged == s50
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_smoke):
+    from aws_etl_fiap_spark.operators.aggregates import pareto_frontier_2d
+
+    part = load_table(spark, sf_smoke, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    got = pareto_frontier_2d(part, "p_retailprice", "p_size").toPandas()
+    pdf = part.toPandas()
+    rows = list(pdf.itertuples(index=False))
+
+    def dominated(r):
+        return any(
+            (o.p_retailprice <= r.p_retailprice and o.p_size >= r.p_size)
+            and (o.p_retailprice < r.p_retailprice or o.p_size > r.p_size)
+            for o in rows
+        )
+
+    expect = {r.p_partkey for r in rows if not dominated(r)}
+    assert set(got["p_partkey"]) == expect
+    assert len(expect) > 0

@@ -372,3 +372,63 @@ def test_er_blocking_joins_vocabulary_not_rows(spark, sf_correctness):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "levenshtein" in plan
     assert shuffle_count(plan) == 0, plan
+
+
+# ---------------------------------------------------------- r6 batches 4-7
+
+def test_vwap_dimension_broadcasts_single_fact_shuffle(spark, sf_correctness):
+    plan = physical_plan(spark, sf_correctness, "fin_vwap_brand_month")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert shuffle_count(plan) == 1  # the (brand, month) aggregate only
+
+
+def test_ohlc_registered_query_single_aggregate(spark, sf_correctness):
+    plan = physical_plan(spark, sf_correctness, "fin_ohlc_daily_bars")
+    assert "Window" not in plan
+    assert shuffle_count(plan) == 1
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_correctness):
+    plan = physical_plan(spark, sf_correctness, "sketch_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # probe + exact join both broadcastable
+
+
+def test_basket_pairs_no_shuffle_join_in_pair_generation(spark, sf_correctness):
+    """The combination-explode rework must keep pair counting join-free:
+    any equi-join in the plan is one of the broadcast measure joins, never
+    a shuffle join of the item table against itself."""
+    plan = physical_plan(spark, sf_correctness, "basket_brand_pairs_lift")
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "Generate explode" in plan  # the expression-generated combinations
+
+
+def test_pit_join_single_user_shuffle_no_probe_join(spark, sf_correctness):
+    """Union + running-last: the label side must NOT probe-join the feature
+    table; the only joins would be broadcast (there are none), and the
+    union reaches one user_id window sort."""
+    plan = physical_plan(spark, sf_correctness, "fs_point_in_time_join")
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan and "Window" in plan
+
+
+def test_bloom_filter_state_is_bounded_and_broadcast(spark, sf_correctness):
+    plan = physical_plan(spark, sf_correctness, "sketch_bloom_membership")
+    assert "BroadcastHashJoin" in plan  # probe side joins the tiny filter
+    # the 12M-row-capable build reduces via partial bit_or before its shuffle
+    assert "partial_bit_or" in plan.lower() or "bit_or" in plan.lower()
+
+
+def test_pareto_window_runs_on_distinct_value_frame(spark, sf_correctness):
+    """The skyline window must sort only the per-price best frame (post-
+    aggregate), never the raw part table: exactly one aggregate shuffle
+    feeds the window's range exchange."""
+    plan = physical_plan(spark, sf_correctness, "pareto_parts_price_size")
+    assert "Window" in plan
+    # aggregate before window: the window's child chain contains the partial
+    # aggregate of the per-price best (max over p_size#NN)
+    assert re.search(r"partial_max\(p_size#\d+\)", plan)
+    # and the raw table rejoins the tiny frontier via broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
