@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_etl_fiap_spark.functions.parity import round_half_up
+
 #: Embedding dimensionality of the driver's `embeddings` table (TESTDATA.md).
 EMBED_DIM = 64
 
@@ -712,3 +714,56 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int = EMBED_DIM)
 
     parts = df.select(vec_col).mapInPandas(acc, "i int, j int, partial double")
     return parts.groupBy("i", "j").agg(F.sum("partial").alias("g"))
+
+
+def power_iteration_pc1(
+    gram: DataFrame, dim: int, iters: int = 2, scale: int = 6
+) -> DataFrame:
+    """Dominant principal direction of a Gram matrix by power iteration —
+    the distributed-PCA step after gram_matrix: pc1 of X^T X is the top
+    right-singular vector of X (the whitening / low-rank-projection axis
+    for corpus embeddings).
+
+    ``gram`` is the (i, j, g) cell frame with g already rounded to a fixed
+    decimal scale (gram_matrix + round_half_up) so both engines start from
+    identical doubles.  Each iteration is relational and exact:
+
+    - y_i = SUM_j round9(g_ij * x_j) accumulated as 1e9-scaled BIGINT —
+      products of identical doubles are identical IEEE doubles, the 1e9
+      scaling keeps FLOOR exact while |g*x| <= ~9e6 (gram cells grow ~n,
+      so renormalize the gram upstream beyond that), and the integer sum
+      is order-independent;
+    - max-normalize: x'_j = round6(y_j / max_i |y_i|) — one BIGINT max,
+      one correctly-rounded divide (bigint->double casts are IEEE
+      round-to-nearest in both engines).
+
+    With x0 = ones the whole trajectory is deterministic, so a DuckDB
+    re-derivation of the same closed form is bit-identical and the driver
+    hash verifies real linear algebra.  Scale shape: the data-sized work
+    happened in gram_matrix; iterations touch only dim^2 cells (tiny,
+    broadcast joins) regardless of corpus size.  Output: (j, pc1).
+    """
+    spark = gram.sparkSession
+    x = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"), F.lit(1.0).alias("x")
+    )
+    for _ in range(iters):
+        y = (
+            gram.join(F.broadcast(x), "j")
+            .select(
+                "i",
+                F.floor((F.col("g") * F.col("x")) * 1e9 + 0.5)
+                .cast("long")
+                .alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").alias("y"))
+        )
+        m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+        x = y.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("j"),
+            round_half_up(
+                F.col("y").cast("double") / F.col("m").cast("double"), scale
+            ).alias("x"),
+        )
+    return x.select("j", F.col("x").alias("pc1"))

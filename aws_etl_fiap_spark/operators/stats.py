@@ -172,3 +172,133 @@ def welch_z_test(
         round_half_up(mean("a") - mean("b"), scale).alias("mean_diff"),
         round_half_up(z, scale).alias("z_stat"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust per-group outlier detection via the median absolute deviation
+    (reference parity: the robust sibling of the Tukey-fence audit in
+    queries/quality_q.events_quantile_outliers; complements SURVEY §2.4's
+    exact-percentile family).
+
+    Median and MAD both use PERCENTILE_DISC semantics (the smallest data
+    element with cumulative distribution >= 0.5), so every intermediate is
+    a real data element — cross-engine exact with DuckDB ``quantile_disc``.
+    The deviation ``|x - median|`` is a single IEEE subtract of identical
+    doubles, hence itself bit-identical, and the fence
+    ``k * consistency * mad`` is pure double arithmetic.
+
+    Scale shape: two shuffles of the (group, value) projection (one per
+    quantile pass — exact MAD is inherently two-pass) with the tiny
+    per-group median/MAD frames BROADCAST back between passes; the final
+    count is a conditional aggregate on the already-annotated stream, not
+    a third pass.  At 100 TB swap percentile_disc for percentile_approx to
+    collapse to sketches; this operator pins the exact anchor.
+    Output: (group, median, mad, n_rows, n_outliers).
+    """
+    v = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    med = v.groupBy("g").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY x)").alias("median")
+    )
+    dev = v.join(F.broadcast(med), "g").withColumn(
+        "d", F.abs(F.col("x") - F.col("median"))
+    )
+    mad = dev.groupBy("g", "median").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d)").alias("mad")
+    )
+    fence = F.lit(k) * F.lit(consistency) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), ["g", "median"])
+        .groupBy("g", "median", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("d") > fence, F.lit(1))).alias("n_outliers"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "median",
+            "mad",
+            "n_rows",
+            "n_outliers",
+        )
+    )
+
+
+def modal_value(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Exact per-group mode with a deterministic tiebreak (smallest value
+    among the tied-max counts) — the categorical survivorship/imputation
+    primitive (SURVEY §2.4/§2.5: grouped count + ranked window compose).
+
+    One shuffle builds the (group, value) count grid; the argmax is a
+    row_number over that GRID (cardinality = distinct pairs, not rows), so
+    the window never sees the raw stream.  Output: (group, mode, n_mode).
+    """
+    grid = (
+        df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("g").orderBy(F.col("n").desc(), F.col("v").asc())
+    return (
+        grid.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("v").alias("mode"),
+            F.col("n").alias("n_mode"),
+        )
+    )
+
+
+def trailing_zscore(
+    spine: DataFrame,
+    order_col: str,
+    value_col: str,
+    n_rows: int,
+    min_n: int = 3,
+    scale: int = 6,
+) -> DataFrame:
+    """Trailing-frame anomaly z-score over an ordered (usually calendar)
+    spine: each row is scored against the mean/std of the PRECEDING
+    ``n_rows`` rows — current row excluded, the standard leakage-free
+    self-baseline for time-series anomaly detection.
+
+    Parity discipline (same as rolling_corr): values fix to integer cents
+    once, frame sums are exact BIGINT, population variance comes from the
+    ``(n*s2 - s1^2) / n^2`` closed form, and the only doubles are the
+    final correctly-rounded divide + sqrt.  Rows with fewer than ``min_n``
+    baseline points score NULL (try_divide also NULLs a zero-variance
+    baseline, matching DuckDB).
+
+    The unpartitioned window is over the AGGREGATED spine (rows = buckets,
+    not events) — volume-independent at any corpus size, same argument as
+    the gap-fill spine.  Output: spine columns + (n_baseline, z_score,
+    is_anomaly).
+    """
+    frame = Window.orderBy(order_col).rowsBetween(-n_rows, -1)
+    xc = _cents(F.col(value_col))
+    scored = (
+        spine.withColumn("xc", xc)
+        .withColumn("n_baseline", F.count("xc").over(frame))
+        .withColumn("s1", F.sum("xc").over(frame))
+        .withColumn("s2", F.sum(F.col("xc") * F.col("xc")).over(frame))
+    )
+    n = F.col("n_baseline")
+    mean_c = F.col("s1").cast("double") / n
+    var_c = (n * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
+        n * n
+    ).cast("double")
+    z = F.when(
+        n >= min_n,
+        F.try_divide(F.col("xc").cast("double") - mean_c, F.sqrt(var_c)),
+    )
+    return scored.select(
+        *[F.col(c) for c in spine.columns],
+        n.alias("n_baseline"),
+        round_half_up(z, scale).alias("z_score"),
+        F.when(z.isNotNull(), (F.abs(z) > 3.0).cast("int")).alias("is_anomaly"),
+    )

@@ -288,6 +288,15 @@ DEFERRED_R6: tuple[str, ...] = (
     "sketch_bloom_membership",
     "corpus_bottomk_sample",
     "pareto_parts_price_size",
+    # -- batch-8 round-6 additions (same saturated-window rule): the
+    # robust-statistics + distributed-linear-algebra pack — MAD fence
+    # outliers, exact per-group mode, leakage-free trailing z-score
+    # anomaly detection, and power-iteration PC1 over the distributed
+    # Gram matrix: --
+    "stat_mad_value_outliers",
+    "stat_modal_weekday_type",
+    "events_anomaly_zscore_daily",
+    "sim_power_iteration_pc1",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,

@@ -322,3 +322,59 @@ def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     g = gram_matrix(emb, "embedding", 64)
     return g.select("i", "j", round_half_up("g", 6).alias("g"))
+
+
+@query(
+    "sim_power_iteration_pc1",
+    oracle="""
+WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS v FROM embeddings),
+g AS (
+    SELECT t1.i AS i, t2.j AS j,
+           FLOOR(SUM(e.v[t1.i + 1] * e.v[t2.j + 1]) * 1000000.0 + 0.5) / 1000000.0 AS g
+    FROM e, range(0, 64) t1(i), range(0, 64) t2(j)
+    GROUP BY 1, 2
+),
+x0 AS (SELECT j, CAST(1.0 AS DOUBLE) AS x FROM range(0, 64) t(j)),
+y1 AS (
+    SELECT g.i AS i,
+           CAST(SUM(CAST(FLOOR((g.g * x0.x) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM g JOIN x0 ON g.j = x0.j GROUP BY g.i
+),
+m1 AS (SELECT MAX(ABS(y)) AS m FROM y1),
+x1 AS (
+    SELECT y1.i AS j,
+           FLOOR((CAST(y1.y AS DOUBLE) / CAST(m1.m AS DOUBLE)) * 1000000.0 + 0.5)
+               / 1000000.0 AS x
+    FROM y1, m1
+),
+y2 AS (
+    SELECT g.i AS i,
+           CAST(SUM(CAST(FLOOR((g.g * x1.x) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+    FROM g JOIN x1 ON g.j = x1.j GROUP BY g.i
+),
+m2 AS (SELECT MAX(ABS(y)) AS m FROM y2)
+SELECT CAST(y2.i AS INT) AS j,
+       FLOOR((CAST(y2.y AS DOUBLE) / CAST(m2.m AS DOUBLE)) * 1000000.0 + 0.5)
+           / 1000000.0 AS pc1
+FROM y2, m2
+""",
+)
+def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Dominant principal direction of the embedding corpus by TWO
+    max-normalized power iterations over the distributed Gram matrix
+    (operators/similarity.power_iteration_pc1): the data-sized pass is
+    gram_matrix's BLAS partials; the iterations are relational on the
+    dim^2 cell frame (broadcast joins, 1e9-scaled exact-BIGINT dot
+    products, correctly-rounded normalizing divides), so DuckDB re-derives
+    the identical trajectory from x0 = ones and the driver hash verifies
+    real distributed PCA, not a rounded approximation."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.similarity import (
+        gram_matrix,
+        power_iteration_pc1,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = gram_matrix(emb, "embedding", 64)
+    g6 = g.select("i", "j", round_half_up("g", 6).alias("g"))
+    return power_iteration_pc1(g6, dim=64, iters=2)

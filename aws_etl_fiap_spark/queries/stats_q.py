@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 from aws_etl_fiap_spark.functions.parity import round_half_up, sql_round_half_up
 from aws_etl_fiap_spark.operators.stats import (
     chi2_independence,
+    mad_outliers,
+    modal_value,
     rolling_corr,
+    trailing_zscore,
     welch_z_test,
 )
 from aws_etl_fiap_spark.queries.registry import query
@@ -291,3 +294,110 @@ def profile_user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("le").alias("last_event_type"),
         F.max("lpv").alias("last_purchase_value"),
     )
+
+
+@query(
+    "stat_mad_value_outliers",
+    oracle="""
+WITH med AS (
+    SELECT event_type, quantile_disc(value, 0.5) AS median
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, m.median, ABS(e.value - m.median) AS d
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type, median, quantile_disc(d, 0.5) AS mad
+    FROM dev GROUP BY event_type, median
+)
+SELECT d.event_type, d.median, a.mad,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN d.d > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * a.mad
+             THEN 1 END) AS n_outliers
+FROM dev d JOIN mad a ON d.event_type = a.event_type AND d.median = a.median
+GROUP BY d.event_type, d.median, a.mad
+""",
+)
+def stat_mad_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT A-EXT] Robust per-type outlier counts via the median absolute
+    deviation (operators/stats.mad_outliers): PERCENTILE_DISC median, then
+    PERCENTILE_DISC of |x - median| (both real data elements, cross-engine
+    exact), then the 3 * 1.4826 * MAD fence — the heavy-tail-safe sibling
+    of the Tukey gate.  Two shuffles of the (type, value) projection with
+    tiny per-type frames broadcast back between passes."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return mad_outliers(ev, "event_type", "value")
+
+
+@query(
+    "stat_modal_weekday_type",
+    oracle=f"""
+WITH grid AS (
+    SELECT event_type, CAST(isodow({_TS}) - 1 AS INT) AS wd, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT event_type, wd, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, wd ASC) AS rn
+    FROM grid
+)
+SELECT event_type, wd AS mode, n AS n_mode FROM r WHERE rn = 1
+""",
+)
+def stat_modal_weekday_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT A-EXT + W-EXT] Exact per-type modal ISO weekday with a
+    deterministic smallest-value tiebreak (operators/stats.modal_value):
+    one shuffle to the (type, weekday) count grid, argmax via row_number
+    over the GRID — the categorical imputation/survivorship primitive.
+    Spark weekday() (0=Monday) == DuckDB isodow()-1 (stat_chi2 parity)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("weekday(ts)").alias("wd")
+    )
+    return modal_value(ev, "event_type", "wd")
+
+
+@query(
+    "events_anomaly_zscore_daily",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST({_TS} AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+),
+c AS (
+    SELECT day, total, CAST(FLOOR(total * 100.0 + 0.5) AS BIGINT) AS xc FROM daily
+),
+m AS (
+    SELECT day, total, xc,
+           COUNT(xc) OVER w AS n,
+           CAST(SUM(xc) OVER w AS BIGINT) AS s1,
+           CAST(SUM(xc * xc) OVER w AS BIGINT) AS s2
+    FROM c WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+    SELECT day, total, n,
+           CASE WHEN n >= 3 THEN
+               (CAST(xc AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+               / NULLIF(SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)), 0)
+           END AS zv
+    FROM m
+)
+SELECT day, total, n AS n_baseline,
+       FLOOR(zv * 1000000.0 + 0.5) / 1000000.0 AS z_score,
+       CASE WHEN zv IS NOT NULL THEN CAST(ABS(zv) > 3.0 AS INT) END AS is_anomaly
+FROM z
+""",
+)
+def events_anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT W-EXT] Leakage-free time-series anomaly detection: each day's
+    total traded value scores against the mean/std of the PRECEDING 7 days
+    (current row excluded — operators/stats.trailing_zscore), |z| > 3
+    flags the anomaly.  Integer-cents frame moments keep the closed form
+    exact until one divide + sqrt; the unpartitioned window runs over the
+    CALENDAR spine (rows = days), volume-independent at any corpus size."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total")
+    )
+    return trailing_zscore(daily, "day", "total", n_rows=7, min_n=3)
