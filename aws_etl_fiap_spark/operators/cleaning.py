@@ -106,3 +106,30 @@ def snapshot_diff(
     return joined.select(*out_keys, change.alias("change_type")).filter(
         F.col("change_type") != "unchanged"
     )
+
+
+def column_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Deequ-style one-scan column profiler: per column the row count,
+    null count, and EXACT distinct count, in long (column-per-row) format
+    — the completeness/uniqueness analyzer a data-quality layer runs
+    before trusting a feed (sibling of audit_checks' rule audit).
+
+    Single aggregate over one scan; the multiple countDistinct aggregates
+    plan Spark's Expand (one stream duplicate per distinct column — the
+    standard multi-distinct strategy, map-side partial-combined), then a
+    stack() unpivots the 1-row wide result.  At 100 TB swap
+    approx_count_distinct for the Expand-free sketch plan; this pins the
+    exact anchor.  Output: (column_name, n_rows, n_nulls, n_distinct).
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs.append(F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in columns)
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(columns)}, {stack_args}) AS (column_name, n_nulls, n_distinct)"
+        ),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")

@@ -137,3 +137,39 @@ def basket_pairs(
             scale,
         ).alias("lift"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    key: str,
+    state: str,
+    order_by: list[str],
+    length: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k most frequent length-``length`` state paths (consecutive
+    per-key n-grams of the event sequence) — clickstream path mining, the
+    n-gram generalization of transition_matrix.
+
+    One shuffle on the key builds the lead() chain (``order_by`` must be a
+    TOTAL order within the key or the chain is nondeterministic), the
+    count grid aggregates paths, and the top-k is a row_number over the
+    GRID under the total (count DESC, path ASC) order.  Output:
+    (path, n_occurrences, rank).
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_by])
+    steps = [F.col(state)] + [
+        F.lead(state, i).over(w) for i in range(1, length)
+    ]
+    chained = df.select(F.concat_ws(">", *steps).alias("path"), steps[-1].alias("last"))
+    grid = (
+        chained.filter(F.col("last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    rank_w = Window.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+    return (
+        grid.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= k)
+        .select("path", "n_occurrences", "rank")
+    )

@@ -15,6 +15,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     events_q,
     features_q,
     finance_q,
+    geo_q,
     graph_q,
     joins_q,
     linkage_q,

@@ -431,3 +431,37 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reached_stage"),
         )
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, COUNT(*) AS n_rows,
+       COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("dq_profile_orders", oracle=_PROFILE_ORACLE)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT A-EXT] Deequ-style column profiler over orders
+    (operators/cleaning.column_profile): per column the row count, null
+    count, and EXACT distinct count from ONE scan — the multi-distinct
+    aggregate plans Spark's Expand (stream duplicated per profiled column,
+    map-side partial-combined), then stack() unpivots the 1-row wide
+    result to tall (column_name, n_rows, n_nulls, n_distinct).  The
+    completeness/uniqueness audit a pipeline runs before trusting a feed;
+    at 100 TB swap approx_count_distinct for the Expand-free sketch
+    plan."""
+    from aws_etl_fiap_spark.operators.cleaning import column_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return column_profile(orders, list(_PROFILE_COLS))

@@ -297,6 +297,13 @@ DEFERRED_R6: tuple[str, ...] = (
     "stat_modal_weekday_type",
     "events_anomaly_zscore_daily",
     "sim_power_iteration_pc1",
+    # -- batch-9 round-6 additions (same saturated-window rule): the
+    # spatial blocking join (grid-cell radius pairs vs an O(n^2) oracle),
+    # the Deequ-style one-scan column profiler, and clickstream 3-step
+    # path mining: --
+    "geo_radius_pairs_customers",
+    "dq_profile_orders",
+    "seq_top_paths_3",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,

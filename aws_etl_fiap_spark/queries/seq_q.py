@@ -7,7 +7,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from aws_etl_fiap_spark.functions.parity import sql_round_half_up
-from aws_etl_fiap_spark.operators.sequences import basket_pairs, transition_matrix
+from aws_etl_fiap_spark.operators.sequences import (
+    basket_pairs,
+    top_paths,
+    transition_matrix,
+)
 from aws_etl_fiap_spark.queries.registry import query
 from aws_etl_fiap_spark.sources.readers import load_table
 
@@ -103,3 +107,43 @@ def basket_brand_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_basket=_MAX_BASKET,
         min_pair_count=_MIN_PAIR,
     )
+
+
+@query(
+    "seq_top_paths_3",
+    oracle=f"""
+WITH s AS (
+    SELECT event_type,
+           LEAD(event_type, 1) OVER w AS s2,
+           LEAD(event_type, 2) OVER w AS s3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY {_TS}, event_id)
+),
+grid AS (
+    SELECT event_type || '>' || s2 || '>' || s3 AS path,
+           COUNT(*) AS n_occurrences
+    FROM s WHERE s3 IS NOT NULL GROUP BY 1
+)
+SELECT path, n_occurrences, path_rank
+FROM (
+    SELECT path, n_occurrences,
+           ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, path ASC) AS path_rank
+    FROM grid
+)
+WHERE path_rank <= 10
+""",
+)
+def seq_top_paths_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT W-EXT] Clickstream path mining: the 10 most frequent
+    consecutive 3-step event-type paths across all user sessions
+    (operators/sequences.top_paths) — the n-gram generalization of the
+    Markov transition matrix.  One shuffle on user_id builds the double
+    lead() chain under the unique (ts, event_id) order; the top-k is a
+    row_number over the path-count GRID (at most |types|^3 rows) under
+    the total (count DESC, path ASC) order."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return top_paths(
+        ev, "user_id", "event_type", ["ts", "event_id"], length=3, k=10
+    ).withColumnRenamed("rank", "path_rank")
