@@ -374,3 +374,41 @@ def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_correctnes
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_prunes_fact_scan(spark, sf_correctness, tmp_path):
+    """Dynamic partition pruning (Spark >= 3.0): joining a partitioned fact
+    on its partition column against a SELECTIVE dim must inject a
+    dynamicpruning subquery into the fact scan's PartitionFilters — the
+    fact directories for non-matching keys are never read.  At 100 TB this
+    is the star-schema workhorse: the dim filter is only known at runtime,
+    yet the fact scan still skips whole partitions."""
+    li = load_table(spark, sf_correctness, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "li_dpp")
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(path)
+    fact = spark.read.parquet(path)
+    # The session disables partition-type inference (Hive/Glue string
+    # convention), so the read-back partition column is STRING — the dim
+    # key must match exactly or the cast blocks DPP.  DPP also requires a
+    # SELECTIVE predicate on the dim side (an unfiltered dim never
+    # triggers the pruning subquery).
+    dim = (
+        spark.range(1990, 2000)
+        .select(
+            F.col("id").cast("string").alias("ship_year"),
+            F.col("id").alias("yr"),
+        )
+        .filter(F.col("yr").isin(1995, 1996))
+    )
+    joined = fact.join(F.broadcast(dim), "ship_year").groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
+    rows = {r["yr"]: r["n"] for r in joined.collect()}
+    expected = {
+        y: li.filter(F.col("ship_year") == y).count() for y in (1995, 1996)
+    }
+    assert rows == expected
