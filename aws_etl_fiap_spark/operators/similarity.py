@@ -742,7 +742,14 @@ def power_iteration_pc1(
     hash verifies real linear algebra.  Scale shape: the data-sized work
     happened in gram_matrix; iterations touch only dim^2 cells (tiny,
     broadcast joins) regardless of corpus size.  Output: (j, pc1).
+
+    The cell frame is eagerly localCheckpoint-ed first: the iteration DAG
+    references ``gram`` once per iteration (plus the max), and without
+    truncating the lineage Spark would recompute the full corpus-sized
+    gram pass for each reference (measured 4x at 40k vectors in the 20x
+    smoke); dim^2 cells are driver-small at any corpus size.
     """
+    gram = gram.localCheckpoint(eager=True)
     spark = gram.sparkSession
     x = spark.range(dim).select(
         F.col("id").cast("int").alias("j"), F.lit(1.0).alias("x")
@@ -767,3 +774,112 @@ def power_iteration_pc1(
             ).alias("x"),
         )
     return x.select("j", F.col("x").alias("pc1"))
+
+
+def _quantize6(vec: Column) -> Column:
+    """Round every coordinate to 6 dp half-up — the fixed-point anchor that
+    makes centroid MEANS exactly decimal-summable (raw floats have
+    unbounded decimal expansions; their double sums are partition-order
+    dependent and would break cross-engine verification)."""
+    return F.transform(vec, lambda x: F.floor(x * 1e6 + 0.5) / 1e6)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 1,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Distributed Lloyd k-means with a fully deterministic, cross-engine
+    exact trajectory: ``iters`` update rounds from a fixed init (the k
+    vectors with the smallest ids), then a final assignment, reporting
+    per-cluster sizes and inertia.
+
+    Why every step is exact (so a DuckDB re-derivation bit-matches):
+
+    - coordinates quantize to 6 dp once (:func:`_quantize6`);
+    - squared distance = ``v.v - 2*v.c + c.c`` with each dot the
+      sequential fold that DuckDB's list_dot_product reproduces
+      bit-for-bit (see :func:`dot`);
+    - argmin = MIN over (dist, cid) structs — lexicographic, so ties
+      break to the smallest cluster id deterministically, and the
+      aggregate is map-side combinable (no per-vector window shuffle);
+    - centroid update = exact DECIMAL(38,6) per-dimension sums divided by
+      the member count — order-independent, one (cid, dim) shuffle of
+      grid-sized cardinality after the posexplode;
+    - inertia = per-row distances rounded to 6 dp, decimal-summed.
+
+    Scale shape: assignment fans each vector out k ways against the
+    BROADCAST centroid frame and combines map-side; the update shuffles
+    (k x dim) cells; nothing driver-sized ever materializes.  Output:
+    (cluster_id, n_members, inertia).
+    """
+    q = df.select(
+        F.col(id_col).alias("vid"), _quantize6(as_double(vec_col)).alias("q")
+    )
+    w_init = Window.orderBy("vid")
+    # Each centroid frame is k rows — eagerly localCheckpoint it so the
+    # next round's lineage doesn't re-run the previous round's full
+    # assignment + update (the multiplicative-DAG trap; measured 14s -> 4s
+    # at 2k vectors).  The corpus-sized ``q`` stays lazy: its recompute is
+    # one scan + transform per assignment, the honest cost at any scale.
+    cents = (
+        q.orderBy("vid")
+        .limit(k)
+        .select((F.row_number().over(w_init) - 1).alias("cid"), F.col("q").alias("cvec"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        # v.v once per ROW and c.c once per CENTROID (not per pair), and
+        # the per-pair v.c as the statically-unrolled codegen fold (the
+        # single unrolled dot this plan carries — see dot()'s janino
+        # note).  Identical adds/multiplies in identical order as the
+        # all-HOF form, so values are unchanged — only the fanned-out
+        # per-pair cost drops to one dot.
+        qv = q.withColumn("vv", dot(F.col("q"), F.col("q")))
+        cc = cents_df.withColumn("cc", dot(F.col("cvec"), F.col("cvec")))
+        dist = (
+            F.col("vv")
+            - 2.0 * dot(F.col("q"), F.col("cvec"), dim)
+            + F.col("cc")
+        )
+        scored = qv.crossJoin(F.broadcast(cc)).select(
+            "vid", "q", F.struct(dist.alias("dist"), F.col("cid").alias("cid")).alias("s")
+        )
+        best = scored.groupBy("vid", "q").agg(F.min("s").alias("m"))
+        return best.select(
+            "vid", "q", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        means = (
+            assigned.select("cid", F.posexplode("q").alias("i", "v"))
+            .groupBy("cid", "i")
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
+        )
+        cents = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        ).localCheckpoint(eager=True)
+
+    final = assign(cents)
+    return (
+        final.select(
+            "cid", (F.floor(F.col("dist") * 1e6 + 0.5) / 1e6).alias("d6")
+        )
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("d6").cast("decimal(38,6)")).cast("double").alias("inertia"),
+        )
+    )

@@ -378,3 +378,75 @@ def sim_power_iteration_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gram_matrix(emb, "embedding", 64)
     g6 = g.select("i", "j", round_half_up("g", 6).alias("g"))
     return power_iteration_pc1(g6, dim=64, iters=2)
+
+
+_KM_DIST = (
+    "list_dot_product({v}, {v}) - 2.0 * list_dot_product({v}, {c})"
+    " + list_dot_product({c}, {c})"
+)
+
+
+@query(
+    "sim_kmeans_lloyd",
+    oracle=f"""
+WITH qv AS (
+    SELECT vec_id AS vid,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> FLOOR(x * 1000000.0 + 0.5) / 1000000.0) AS q
+    FROM embeddings
+),
+c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid, q AS cvec
+    FROM (SELECT vid, q FROM qv ORDER BY vid LIMIT 8)
+),
+s0 AS (
+    SELECT qv.vid, qv.q, c0.cid,
+           {_KM_DIST.format(v='qv.q', c='c0.cvec')} AS dist
+    FROM qv CROSS JOIN c0
+),
+a0 AS (
+    SELECT vid, q, cid, dist FROM (
+        SELECT vid, q, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM s0
+    ) WHERE rn = 1
+),
+m1 AS (
+    SELECT cid, r.i AS i,
+           CAST(SUM(CAST(q[r.i + 1] AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+    FROM a0 CROSS JOIN range(0, 64) r(i)
+    GROUP BY cid, r.i
+),
+c1 AS (SELECT cid, list(m ORDER BY i) AS cvec FROM m1 GROUP BY cid),
+s1 AS (
+    SELECT qv.vid, c1.cid,
+           {_KM_DIST.format(v='qv.q', c='c1.cvec')} AS dist
+    FROM qv CROSS JOIN c1
+),
+a1 AS (
+    SELECT vid, cid, dist FROM (
+        SELECT vid, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM s1
+    ) WHERE rn = 1
+)
+SELECT cid AS cluster_id, COUNT(*) AS n_members,
+       CAST(SUM(CAST(FLOOR(dist * 1000000.0 + 0.5) / 1000000.0
+                     AS DECIMAL(38,6))) AS DOUBLE) AS inertia
+FROM a1 GROUP BY cid
+""",
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed Lloyd k-means, k=8, one exact update round from a
+    deterministic init (the 8 smallest vec_ids), then a final assignment
+    (operators/similarity.kmeans_lloyd): 6dp-quantized coordinates, the
+    bit-exact sequential-fold squared distances, map-side-combinable
+    MIN-struct argmin (no per-vector window), exact DECIMAL centroid
+    means, and decimal-summed inertia — the whole iterative-ML trajectory
+    re-derived by DuckDB and hash-verified, not just smoke-tested.
+    Assignment broadcasts the k-row centroid frame; the update shuffles
+    (k x dim) cells."""
+    from aws_etl_fiap_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=1, dim=64)

@@ -695,6 +695,73 @@ def main() -> None:
         f"feature_hashing_{n}docs",
         lambda: feature_hashing(corpus, "doc_id", "text", n_dims=64).count(),
     )
+
+    # Round-6 batches 8/9: MAD two-pass over the 20x event stream (two
+    # shuffles of the projection, tiny fences broadcast back), grid-cell
+    # radius join over 20x distinct points (cell-local candidates only),
+    # and power-iteration PC1 over the 20x embedding corpus (the
+    # data-sized pass is gram_matrix's partition partials; the iterations
+    # touch dim^2 cells regardless of K).
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.geo import grid_radius_pairs, synth_points
+    from aws_etl_fiap_spark.operators.similarity import (
+        gram_matrix,
+        power_iteration_pc1,
+    )
+    from aws_etl_fiap_spark.operators.stats import mad_outliers
+
+    stage(
+        f"mad_outliers_{n_ev}ev",
+        lambda: mad_outliers(
+            big_ev.select("event_type", "value"), "event_type", "value"
+        ).count(),
+    )
+
+    cust = load_table(spark, args.sf, "customer").select("c_custkey")
+    big_pts = (
+        synth_points(
+            cust.crossJoin(copies).select(
+                (F.col("c_custkey") + F.col("copy") * 10_000_000).alias(
+                    "c_custkey"
+                )
+            ),
+            "c_custkey",
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_pts = big_pts.count()
+    stage(
+        f"geo_radius_pairs_{n_pts}pts",
+        lambda: grid_radius_pairs(big_pts, radius_km=2.0).count(),
+    )
+
+    big_emb = (
+        emb.crossJoin(copies)
+        .select(
+            (F.col("vec_id") + F.col("copy") * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    n_emb = big_emb.count()
+
+    def _pc1():
+        g = gram_matrix(big_emb, "embedding", 64)
+        g6 = g.select("i", "j", round_half_up("g", 6).alias("g"))
+        return power_iteration_pc1(g6, dim=64, iters=2).count()
+
+    stage(f"power_iteration_pc1_{n_emb}vecs", _pc1)
+
+    from aws_etl_fiap_spark.operators.similarity import kmeans_lloyd
+
+    stage(
+        f"kmeans_lloyd_{n_emb}vecs",
+        lambda: kmeans_lloyd(
+            big_emb, "embedding", "vec_id", k=8, iters=1, dim=64
+        ).count(),
+    )
     spark.stop()
 
 
