@@ -1,0 +1,126 @@
+"""Property tests for the batch-8/9/10 operators: the geo blocking join
+must equal brute force on adversarial point sets (boundary cells), the
+k-means trajectory must be partition-count invariant (the exactness claims
+are about ORDER-independence — this is the direct falsifier), and the
+trailing z-score must be leakage-free (current row excluded from its own
+baseline)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.operators.geo import grid_radius_pairs, synth_points
+from aws_etl_fiap_spark.operators.similarity import kmeans_lloyd
+from aws_etl_fiap_spark.operators.stats import (
+    mad_outliers,
+    modal_value,
+    trailing_zscore,
+)
+from aws_etl_fiap_spark.sources.readers import load_table
+
+
+def test_grid_radius_pairs_equals_bruteforce_including_boundaries(spark):
+    """Points planted ON cell boundaries (x = multiples of the radius) and
+    just inside/outside the radius: the blocking join must reproduce the
+    exact brute-force pair set — a missed neighbor cell or an off-by-one
+    in the 3x3 fanout shows up here."""
+    pts = [
+        # a cross of boundary-sitters around the (10, 10) cell corner
+        (1, 50.0, 50.0),
+        (2, 55.0, 50.0),   # exactly radius away (<= keeps it)
+        (3, 50.0, 55.0),
+        (4, 54.9, 50.0),
+        (5, 45.1, 50.0),
+        (6, 50.0, 44.9),
+        (7, 57.6, 50.0),   # > radius from 1, < radius from 2
+        (8, 0.0, 0.0),     # plane corner
+        (9, 4.0, 3.0),     # 5.0 exactly from corner (3-4-5)
+        (10, 999.9, 999.9),
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {
+        (r.id_a, r.id_b)
+        for r in grid_radius_pairs(df, radius_km=5.0).collect()
+    }
+    want = set()
+    for i, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[i + 1 :]:
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= 25.0:
+                want.add((min(ia, ib), max(ia, ib)))
+    assert got == want
+
+
+def test_synth_points_positions_are_stable_3dp(spark, sf_correctness):
+    """Synthesized coordinates are exact milli-km grid positions in
+    [0, 1000) — the parity precondition for the IEEE distance claims."""
+    cust = load_table(spark, sf_correctness, "customer").select("c_custkey")
+    rows = synth_points(cust, "c_custkey").limit(200).collect()
+    for r in rows:
+        for v in (r.x, r.y):
+            assert 0.0 <= v < 1000.0
+            assert v == round(v * 1000.0) / 1000.0
+
+
+def test_kmeans_lloyd_partition_count_invariant(spark, sf_correctness):
+    """The exactness argument is order-independence (decimal sums,
+    MIN-struct argmin): re-partitioning the input must not move a single
+    member or an inertia bit."""
+    emb = load_table(spark, sf_correctness, "embeddings")
+    a = {
+        r.cluster_id: (r.n_members, r.inertia)
+        for r in kmeans_lloyd(emb, k=4, iters=1).collect()
+    }
+    b = {
+        r.cluster_id: (r.n_members, r.inertia)
+        for r in kmeans_lloyd(emb.repartition(7), k=4, iters=1).collect()
+    }
+    assert a == b
+    assert sum(n for n, _ in a.values()) == emb.count()
+
+
+def test_trailing_zscore_excludes_current_row(spark):
+    """A flat baseline followed by a spike: the spike's own value must not
+    contaminate its baseline (variance 0 -> NULL z under try_divide), and
+    the row AFTER the spike must see the spike in ITS baseline."""
+    days = [(f"2024-01-{d:02d}", 100.0) for d in range(1, 9)]
+    days.append(("2024-01-09", 1000.0))
+    days.append(("2024-01-10", 100.0))
+    df = spark.createDataFrame(days, "day string, total double").select(
+        F.col("day").cast("date").alias("day"), "total"
+    )
+    rows = {
+        str(r.day): r
+        for r in trailing_zscore(df, "day", "total", n_rows=7, min_n=3).collect()
+    }
+    spike = rows["2024-01-09"]
+    assert spike.z_score is None  # zero-variance baseline, spike excluded
+    after = rows["2024-01-10"]
+    assert after.n_baseline == 7
+    assert after.z_score is not None and after.z_score < 0  # spike inflated mean
+    assert rows["2024-01-02"].z_score is None  # < min_n baseline rows
+
+
+def test_mad_outliers_invariants(spark, sf_correctness):
+    """MAD >= 0, outliers <= rows, and a constant group has MAD 0 with no
+    outliers."""
+    ev = load_table(spark, sf_correctness, "events").select("event_type", "value")
+    const = spark.createDataFrame(
+        [("const", 7.0)] * 50, "event_type string, value double"
+    )
+    out = {
+        r.event_type: r
+        for r in mad_outliers(ev.unionByName(const), "event_type", "value").collect()
+    }
+    for r in out.values():
+        assert r.mad >= 0.0
+        assert 0 <= r.n_outliers <= r.n_rows
+    assert out["const"].mad == 0.0
+    assert out["const"].n_outliers == 0
+
+
+def test_modal_value_tiebreak_is_smallest(spark):
+    pdf = pd.DataFrame({"g": ["a"] * 4, "v": [3, 3, 1, 1]})
+    df = spark.createDataFrame(pdf)
+    row = modal_value(df, "g", "v").collect()[0]
+    assert (row.mode, row.n_mode) == (1, 2)
