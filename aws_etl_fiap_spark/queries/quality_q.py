@@ -450,6 +450,57 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
 )
 
 
+@query(
+    "diag_key_skew_lineitem",
+    oracle="""
+WITH grid AS (
+    SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       MAX(c) AS max_key_rows,
+       quantile_disc(c, 0.5) AS p50_key_rows,
+       quantile_disc(c, 0.99) AS p99_key_rows,
+       FLOOR((CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)) * 1000000.0 + 0.5)
+           / 1000000.0 AS top_key_share
+FROM grid
+""",
+)
+def diag_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.11 diagnostics] Shuffle-key skew profile for lineitem's join
+    key: per-key row counts reduce to a grid in one map-side-combinable
+    shuffle, then key-count quantiles (PERCENTILE_DISC — exact data
+    elements), the max, and the hottest key's share of all rows — the
+    numbers that decide between a plain shuffle join, AQE skew splitting,
+    and the salting recipe (operators/skew.py).  The profile the r6 AQE
+    skew smoke reads off ad hoc, as a first-class one-row query."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    grid = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return grid.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+        # percentile_disc returns DOUBLE in Spark but BIGINT in DuckDB over
+        # an integer column; the picked elements are exact key counts, so
+        # the long cast is lossless and aligns the schemas.
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("p50_key_rows"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("p99_key_rows"),
+        (
+            F.floor(
+                (F.max("c").cast("double") / F.sum("c").cast("double")) * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("top_key_share"),
+    )
+
+
 @query("dq_profile_orders", oracle=_PROFILE_ORACLE)
 def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT A-EXT] Deequ-style column profiler over orders

@@ -304,10 +304,11 @@ DEFERRED_R6: tuple[str, ...] = (
     "geo_radius_pairs_customers",
     "dq_profile_orders",
     "seq_top_paths_3",
-    # -- batch-10 round-6 addition (same saturated-window rule):
+    # -- batch-10 round-6 additions (same saturated-window rule):
     # distributed Lloyd k-means with a deterministic exact-oracled
-    # trajectory: --
+    # trajectory, and the shuffle-key skew diagnostic profile: --
     "sim_kmeans_lloyd",
+    "diag_key_skew_lineitem",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
