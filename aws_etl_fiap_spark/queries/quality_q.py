@@ -451,6 +451,58 @@ _PROFILE_ORACLE = "\nUNION ALL\n".join(
 
 
 @query(
+    "events_user_ltv_profile",
+    oracle="""
+WITH u AS (
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS ltv
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       quantile_disc(ltv, 0.1) AS p10_ltv,
+       quantile_disc(ltv, 0.5) AS p50_ltv,
+       quantile_disc(ltv, 0.9) AS p90_ltv,
+       MAX(ltv) AS max_ltv,
+       FLOOR((CAST(SUM(CAST(ltv AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*))
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_ltv
+FROM u
+""",
+)
+def events_user_ltv_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT A-EXT] Two-level aggregation (agg-of-agg): per-user lifetime
+    purchase value (exact decimal sums — the entity rollup), then the
+    DISTRIBUTION over users: exact discrete percentiles, max, and a
+    parity-safe mean.  The plan shape matters at scale: level 1 shuffles
+    on user_id with map-side combine, level 2 reduces the user frame
+    (rows = users, not events) to one row — the cohort-economics primitive
+    (LTV, tenure, engagement histograms) every growth pipeline runs."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("ltv")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY ltv)").alias("p10_ltv"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ltv)").alias("p50_ltv"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY ltv)").alias("p90_ltv"),
+        F.max("ltv").alias("max_ltv"),
+        (
+            F.floor(
+                (
+                    F.sum(F.col("ltv").cast("decimal(38,2)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("avg_ltv"),
+    )
+
+
+@query(
     "diag_key_skew_lineitem",
     oracle="""
 WITH grid AS (

@@ -309,6 +309,7 @@ DEFERRED_R6: tuple[str, ...] = (
     # trajectory, and the shuffle-key skew diagnostic profile: --
     "sim_kmeans_lloyd",
     "diag_key_skew_lineitem",
+    "events_user_ltv_profile",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
