@@ -196,3 +196,107 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "join_interval_overlap_promo",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+marked AS (
+    SELECT *,
+        CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+    SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+),
+sess AS (
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM islands GROUP BY user_id, session_id
+),
+pw AS (
+    SELECT promo_day,
+           CAST(promo_day AS TIMESTAMP) + INTERVAL 12 HOUR AS wstart,
+           CAST(promo_day AS TIMESTAMP) + INTERVAL 14 HOUR AS wend
+    FROM (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS promo_day
+          FROM events)
+),
+cand AS (
+    SELECT pw.promo_day,
+           GREATEST(0, date_diff('microsecond',
+                                 GREATEST(s.session_start, pw.wstart),
+                                 LEAST(s.session_end, pw.wend))) AS overlap_us
+    FROM sess s JOIN pw
+      ON pw.promo_day BETWEEN CAST(s.session_start AS DATE)
+                          AND CAST(s.session_end AS DATE)
+)
+SELECT promo_day,
+       COUNT(*) AS n_candidate_sessions,
+       COUNT(CASE WHEN overlap_us > 0 THEN 1 END) AS n_overlapping,
+       CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us
+FROM cand GROUP BY promo_day
+""",
+)
+def join_interval_overlap_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.3 temporal] Interval-overlap join: user activity sessions
+    (the gaps-and-islands frame, reused from events_islands_sessionize)
+    against a daily 12:00-14:00 promo window calendar — candidates via
+    day-binning (each session EXPLODES into the dates it covers, so a
+    midnight-spanning session still meets every day's window exactly
+    once), then the exact microsecond overlap
+    ``greatest(0, least(ends) - greatest(starts))`` on the NTZ axis.
+    Scale shape: the session stream joins the BROADCAST calendar on the
+    day key — no shuffle beyond sessionization itself and the final
+    per-day rollup; overlap math is expression-only."""
+    from aws_etl_fiap_spark.queries.analytics2_q import events_islands_sessionize
+
+    sess = events_islands_sessionize(spark, sf_dir).select(
+        "session_start", "session_end"
+    )
+    promo = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("promo_day"))
+        .distinct()
+        .select(
+            "promo_day",
+            F.expr(
+                "cast(promo_day as timestamp_ntz) + INTERVAL 12 HOURS"
+            ).alias("wstart"),
+            F.expr(
+                "cast(promo_day as timestamp_ntz) + INTERVAL 14 HOURS"
+            ).alias("wend"),
+        )
+    )
+    exploded = sess.withColumn(
+        "promo_day",
+        F.explode(
+            F.sequence(F.to_date("session_start"), F.to_date("session_end"))
+        ),
+    )
+    overlap = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(
+            "timestampdiff(MICROSECOND, greatest(session_start, wstart),"
+            " least(session_end, wend))"
+        ),
+    )
+    return (
+        exploded.join(F.broadcast(promo), "promo_day")
+        .select("promo_day", overlap.alias("overlap_us"))
+        .groupBy("promo_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_sessions"),
+            F.count(F.when(F.col("overlap_us") > 0, F.lit(1))).alias(
+                "n_overlapping"
+            ),
+            F.sum("overlap_us").alias("total_overlap_us"),
+        )
+    )

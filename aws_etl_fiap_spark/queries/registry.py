@@ -310,6 +310,7 @@ DEFERRED_R6: tuple[str, ...] = (
     "sim_kmeans_lloyd",
     "diag_key_skew_lineitem",
     "events_user_ltv_profile",
+    "join_interval_overlap_promo",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
