@@ -432,3 +432,34 @@ def test_pareto_window_runs_on_distinct_value_frame(spark, sf_correctness):
     assert re.search(r"partial_max\(p_size#\d+\)", plan)
     # and the raw table rejoins the tiny frontier via broadcast, not shuffle
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_geo_radius_join_is_cell_local_hash_join(spark, sf_correctness):
+    """The blocking join must be an equi-join on the cell keys — a
+    BroadcastNestedLoop/Cartesian here would mean the grid keys fell out
+    of the join condition and the operator degraded to all-pairs."""
+    plan = physical_plan(spark, sf_correctness, "geo_radius_pairs_customers")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_correctness):
+    """Both assignment passes fan the vector stream against the BROADCAST
+    k-row centroid frame (the crossJoin is the deliberate k-fanout, never
+    a shuffled join), and the argmin is the map-side-combinable min-struct
+    aggregate — partial_min before the vid exchange."""
+    plan = physical_plan(spark, sf_correctness, "sim_kmeans_lloyd")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert re.search(r"partial_min\(s#\d+\)", plan), plan
+
+
+def test_interval_overlap_broadcasts_calendar(spark, sf_correctness):
+    """The session stream joins the day-keyed promo calendar via broadcast
+    hash join — no shuffle beyond sessionization and the final day
+    rollup."""
+    plan = physical_plan(spark, sf_correctness, "join_interval_overlap_promo")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
