@@ -199,6 +199,95 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_nullsafe_status_dim",
+    oracle="""
+WITH f AS (
+    SELECT NULLIF(o_orderstatus, 'O') AS k, o_totalprice FROM orders
+),
+d AS (
+    SELECT DISTINCT NULLIF(o_orderstatus, 'O') AS k,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label
+    FROM orders
+)
+SELECT d.status_label,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(f.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+FROM f JOIN d ON f.k IS NOT DISTINCT FROM d.k
+GROUP BY d.status_label
+""",
+)
+def join_nullsafe_status_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.3] Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): a
+    nullable join key (status 'O' nulled out — the common
+    unknown-member-coded-as-NULL dimension case) joined so the NULL group
+    MATCHES the NULL dimension row instead of silently dropping — the
+    exact rows a plain equi-join would lose are the gate's point.  Still a
+    hash join (null-safe equality is hashable); dim broadcasts."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    f = orders.select(
+        F.expr("nullif(o_orderstatus, 'O')").alias("k"), "o_totalprice"
+    )
+    d = (
+        orders.select(F.expr("nullif(o_orderstatus, 'O')").alias("k"))
+        .distinct()
+        .select("k", F.coalesce(F.col("k"), F.lit("open")).alias("status_label"))
+    )
+    return (
+        f.join(F.broadcast(d), f["k"].eqNullSafe(d["k"]))
+        .groupBy("status_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "set_union_by_name_missing",
+    oracle="""
+WITH u AS (
+    SELECT o_orderkey AS k, o_totalprice AS amount, 'orders' AS src
+    FROM orders
+    UNION ALL BY NAME
+    SELECT l_orderkey AS k, l_extendedprice AS amount, 'lineitem' AS src,
+           l_quantity AS qty
+    FROM lineitem
+)
+SELECT src,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN qty IS NULL THEN 1 END) AS n_missing_qty,
+       CAST(SUM(CAST(amount AS DECIMAL(38,2))) AS DOUBLE) AS total_amount
+FROM u GROUP BY src
+""",
+)
+def set_union_by_name_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.7] Schema-mismatched union (unionByName with
+    allowMissingColumns / DuckDB UNION ALL BY NAME): two feeds with
+    different column sets align BY NAME and the absent column backfills
+    NULL — the multi-source concat (reference S2) generalized to drifted
+    schemas.  The NULL-backfill count per source pins the semantics."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("orders").alias("src"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_extendedprice").alias("amount"),
+        F.lit("lineitem").alias("src"),
+        F.col("l_quantity").alias("qty"),
+    )
+    u = orders.unionByName(li, allowMissingColumns=True)
+    return u.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("qty").isNull(), F.lit(1))).alias("n_missing_qty"),
+        dec_sum("amount", 2).alias("total_amount"),
+    )
+
+
+@query(
     "join_interval_overlap_promo",
     oracle="""
 WITH e AS (

@@ -311,6 +311,11 @@ DEFERRED_R6: tuple[str, ...] = (
     "diag_key_skew_lineitem",
     "events_user_ltv_profile",
     "join_interval_overlap_promo",
+    # -- batch-11 round-6 additions (same saturated-window rule): the
+    # null-handling semantics pair — null-safe equi-join and
+    # schema-drifted union-by-name with NULL backfill: --
+    "join_nullsafe_status_dim",
+    "set_union_by_name_missing",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
