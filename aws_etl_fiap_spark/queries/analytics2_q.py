@@ -16,6 +16,8 @@ from aws_etl_fiap_spark.functions.parity import dec_sum, sql_dec_sum
 from aws_etl_fiap_spark.queries.registry import query
 from aws_etl_fiap_spark.sources.readers import load_table
 
+_TS = "CAST(ts AS TIMESTAMP)"
+
 ORDER_STATUSES = ("F", "O", "P")
 
 
@@ -252,3 +254,94 @@ def pareto_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_brand", "p_retailprice", "p_size"
     )
     return pareto_frontier_2d(part, "p_retailprice", "p_size")
+
+
+@query(
+    "score_tree_segments_events",
+    oracle=f"""
+WITH s AS (
+    SELECT CASE
+        WHEN event_type = 'purchase' THEN
+            CASE WHEN value > 100.0 THEN 'purchase_high' ELSE 'purchase_low' END
+        WHEN isodow({_TS}) - 1 < 5 THEN
+            CASE WHEN event_type = 'click' THEN 'weekday_click'
+                 ELSE 'weekday_other' END
+        ELSE 'weekend' END AS segment,
+        value
+    FROM events
+)
+SELECT segment, COUNT(*) AS n_events,
+       {sql_dec_sum('value', 2)} AS total_value
+FROM s GROUP BY segment
+""",
+)
+def score_tree_segments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.10 alternative] Model inference WITHOUT a UDF: a depth-3
+    decision tree (the rule-based scorecard shape exported by tree
+    trainers) compiled to nested CASE expressions — whole-stage-codegen
+    JVM scoring, zero Python in the loop, identical branch semantics in
+    DuckDB.  The pattern that replaces row-at-a-time model UDFs for any
+    tree/rule model at 100 TB: one pruned scan, one aggregate."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    segment = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.when(F.col("value") > 100.0, "purchase_high").otherwise(
+                "purchase_low"
+            ),
+        )
+        .when(
+            F.expr("weekday(ts)") < 5,
+            F.when(F.col("event_type") == "click", "weekday_click").otherwise(
+                "weekday_other"
+            ),
+        )
+        .otherwise("weekend")
+    )
+    return (
+        ev.select(segment.alias("segment"), "value")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value", 2).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "text_top_sources_with_other",
+    oracle="""
+WITH grid AS (
+    SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+),
+r AS (
+    SELECT lang, source, n,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, source ASC) AS rn
+    FROM grid
+)
+SELECT lang,
+       CASE WHEN rn <= 2 THEN source ELSE 'other' END AS source_label,
+       CAST(SUM(n) AS BIGINT) AS n_docs
+FROM r
+GROUP BY lang, CASE WHEN rn <= 2 THEN source ELSE 'other' END
+""",
+)
+def text_top_sources_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT W-EXT] Top-k-plus-other reporting rollup: per language the two
+    largest sources keep their names, the tail collapses into 'other' —
+    the long-tail truncation every dashboard rollup needs.  The ranking
+    window runs over the (lang, source) COUNT GRID, never the raw
+    corpus; deterministic (count DESC, source ASC) tiebreak."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    grid = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("source").asc())
+    labeled = grid.withColumn("rn", F.row_number().over(w)).select(
+        "lang",
+        F.when(F.col("rn") <= 2, F.col("source")).otherwise("other").alias(
+            "source_label"
+        ),
+        "n",
+    )
+    return labeled.groupBy("lang", "source_label").agg(
+        F.sum("n").alias("n_docs")
+    )

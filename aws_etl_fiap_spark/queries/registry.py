@@ -316,6 +316,11 @@ DEFERRED_R6: tuple[str, ...] = (
     # schema-drifted union-by-name with NULL backfill: --
     "join_nullsafe_status_dim",
     "set_union_by_name_missing",
+    # -- batch-12 round-6 additions (same saturated-window rule): the
+    # UDF-free model-scoring scorecard (tree-as-CASE) and the
+    # top-k-plus-other reporting rollup: --
+    "score_tree_segments_events",
+    "text_top_sources_with_other",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
