@@ -321,6 +321,12 @@ DEFERRED_R6: tuple[str, ...] = (
     # top-k-plus-other reporting rollup: --
     "score_tree_segments_events",
     "text_top_sources_with_other",
+    # -- batch-13 round-6 additions (same saturated-window rule):
+    # closed-form distributed OLS training (normal equations in one
+    # aggregate, fitted coefficients hash-verified) and the rolling
+    # 7-day-active-users sliding-distinct metric: --
+    "ml_ols_closed_form_orders",
+    "events_rolling_wau_7d",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,

@@ -401,3 +401,134 @@ def events_anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total")
     )
     return trailing_zscore(daily, "day", "total", n_rows=7, min_n=3)
+
+
+# 3x3 Cramer solve over the normal-equation moments, shared between the
+# Spark expression builder and the SQL oracle renderer: A*beta = b with
+# A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], b = [sy,s1y,s2y].  All
+# moments are exact integers (or exact decimals); the determinants are
+# identical double arithmetic on identical inputs.
+_OLS_DETS = {
+    "det_a": "(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))",
+    "det_0": "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))",
+    "det_1": "(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))",
+    "det_2": "(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))",
+}
+
+
+@query(
+    "ml_ols_closed_form_orders",
+    oracle=f"""
+WITH r AS (
+    SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS yc,
+           CAST(isodow(o_orderdate) - 1 AS BIGINT) AS x1,
+           CAST(month(o_orderdate) AS BIGINT) AS x2
+    FROM orders
+),
+m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+           CAST(SUM(x1*x1) AS DOUBLE) AS s11, CAST(SUM(x1*x2) AS DOUBLE) AS s12,
+           CAST(SUM(x2*x2) AS DOUBLE) AS s22,
+           CAST(SUM(yc) AS DOUBLE) AS sy,
+           CAST(SUM(x1*yc) AS DOUBLE) AS s1y, CAST(SUM(x2*yc) AS DOUBLE) AS s2y,
+           CAST(SUM(CAST(yc AS DECIMAL(38,0)) * yc) AS DOUBLE) AS syy
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       FLOOR(({_OLS_DETS['det_0']} / {_OLS_DETS['det_a']}) / 100.0 * 1000000.0 + 0.5)
+           / 1000000.0 AS beta0,
+       FLOOR(({_OLS_DETS['det_1']} / {_OLS_DETS['det_a']}) / 100.0 * 1000000.0 + 0.5)
+           / 1000000.0 AS beta1,
+       FLOOR(({_OLS_DETS['det_2']} / {_OLS_DETS['det_a']}) / 100.0 * 1000000.0 + 0.5)
+           / 1000000.0 AS beta2,
+       FLOOR((1.0 - (syy - ({_OLS_DETS['det_0']} / {_OLS_DETS['det_a']}) * sy
+                         - ({_OLS_DETS['det_1']} / {_OLS_DETS['det_a']}) * s1y
+                         - ({_OLS_DETS['det_2']} / {_OLS_DETS['det_a']}) * s2y)
+                  / (syy - sy * sy / n)) * 1000000.0 + 0.5) / 1000000.0 AS r2
+FROM m
+""",
+)
+def ml_ols_closed_form_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed OLS TRAINING in one aggregate: 2-feature linear
+    regression (o_totalprice ~ weekday + month) by the closed-form normal
+    equations — nine exact integer moments from a single map-side-combined
+    pass (sum-of-squares of cents in exact DECIMAL), then a 3x3 Cramer
+    solve and the moment-form R^2 as pure double expressions on the 1-row
+    frame.  The expression-only answer to "fit a linear model at 100 TB":
+    no solver, no iterations, no Python — and DuckDB re-derives the
+    identical arithmetic, so the FITTED COEFFICIENTS are hash-verified."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderdate"
+    )
+    r = orders.select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("yc"),
+        F.expr("weekday(o_orderdate)").cast("long").alias("x1"),
+        F.month("o_orderdate").cast("long").alias("x2"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum("yc").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("yc")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("yc")).cast("double").alias("s2y"),
+        F.sum(F.col("yc").cast("decimal(38,0)") * F.col("yc"))
+        .cast("double")
+        .alias("syy"),
+    )
+    b0 = F.expr(f"{_OLS_DETS['det_0']} / {_OLS_DETS['det_a']}")
+    b1 = F.expr(f"{_OLS_DETS['det_1']} / {_OLS_DETS['det_a']}")
+    b2 = F.expr(f"{_OLS_DETS['det_2']} / {_OLS_DETS['det_a']}")
+    sse = F.col("syy") - b0 * F.col("sy") - b1 * F.col("s1y") - b2 * F.col("s2y")
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        round_half_up(b0 / 100.0, 6).alias("beta0"),
+        round_half_up(b1 / 100.0, 6).alias("beta1"),
+        round_half_up(b2 / 100.0, 6).alias("beta2"),
+        round_half_up(F.lit(1.0) - sse / sst, 6).alias("r2"),
+    )
+
+
+@query(
+    "events_rolling_wau_7d",
+    oracle=f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST({_TS} AS DATE) AS d FROM events
+),
+days AS (SELECT DISTINCT d FROM ud)
+SELECT days.d AS day, COUNT(DISTINCT ud.user_id) AS wau
+FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d
+""",
+)
+def events_rolling_wau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT A-EXT] Rolling 7-day active users (WAU): the sliding-window
+    DISTINCT metric that no map-side combine can fold.  The scale shape:
+    reduce to DISTINCT (user, day) first (one shuffle, grid-sized), each
+    active day EXPLODES into the <=7 window days it contributes to, a
+    broadcast semi-join drops targets past the calendar, and the final
+    distinct-count runs over (day, user) pairs — the raw event stream is
+    touched exactly once.  The DuckDB oracle re-derives it as the
+    inequality join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    ud = ev.distinct()
+    days = ud.select("d").distinct()
+    exploded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    )
+    in_calendar = exploded.join(
+        F.broadcast(days.select(F.col("d").alias("day"))), "day", "left_semi"
+    )
+    return in_calendar.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
