@@ -762,6 +762,33 @@ def main() -> None:
             big_emb, "embedding", "vec_id", k=8, iters=1, dim=64
         ).count(),
     )
+
+    # Rolling WAU at 20x: the sliding-distinct metric reduces to the
+    # DISTINCT (user, day) grid BEFORE the x7 explode, so the fanout pays
+    # grid cardinality (users x days), never event volume.
+    def _wau():
+        ud = big_ev.select(
+            "user_id", F.col("ts").cast("date").alias("d")
+        ).distinct()
+        days = ud.select("d").distinct()
+        exploded = ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+                "day"
+            ),
+        )
+        return (
+            exploded.join(
+                F.broadcast(days.select(F.col("d").alias("day"))),
+                "day",
+                "left_semi",
+            )
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias("wau"))
+            .count()
+        )
+
+    stage(f"rolling_wau_{n_ev}ev", _wau)
     spark.stop()
 
 
