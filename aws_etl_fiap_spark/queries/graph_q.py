@@ -13,6 +13,61 @@ from aws_etl_fiap_spark.sources.readers import load_table
 #: Supplier node ids are offset past the customer key space so the
 #: bipartite graph lives in one long id domain.
 SUPP_OFFSET = 10_000_000
+
+
+@query(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH raw AS (
+    SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + {SUPP_OFFSET} AS supp
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+    SELECT cust AS src, supp AS dst FROM raw
+    UNION ALL
+    SELECT supp AS src, cust AS dst FROM raw
+),
+deg AS (
+    SELECT src, CAST(src < {SUPP_OFFSET} AS INT) AS is_customer,
+           COUNT(*) AS degree
+    FROM edges GROUP BY src
+)
+SELECT is_customer, degree,
+       COUNT(*) AS n_nodes,
+       MIN(src) AS min_node_id
+FROM deg GROUP BY is_customer, degree
+""",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Degree distribution of the customer-supplier bipartite graph
+    (the same symmetrized edge list PageRank and the triangle counts run
+    on): per-node degree in one edge shuffle, then the (side, degree)
+    histogram — the first diagnostic of any graph workload (hub detection,
+    power-law check, partitioning strategy).  min_node_id per bucket makes
+    the row deterministic beyond counts.  Grid-sized output regardless of
+    graph size."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    raw = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + F.lit(SUPP_OFFSET)).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("cust").alias("src"), F.col("supp").alias("dst")).unionAll(
+        raw.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).select(
+        "src",
+        (F.col("src") < SUPP_OFFSET).cast("int").alias("is_customer"),
+        "degree",
+    )
+    return deg.groupBy("is_customer", "degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("src").alias("min_node_id"),
+    )
 PR_DAMPING = 0.85
 PR_ITERS = 3
 

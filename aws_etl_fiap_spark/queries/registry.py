@@ -327,6 +327,10 @@ DEFERRED_R6: tuple[str, ...] = (
     # 7-day-active-users sliding-distinct metric: --
     "ml_ols_closed_form_orders",
     "events_rolling_wau_7d",
+    # -- batch-14 round-6 addition (same saturated-window rule): the
+    # bipartite degree-distribution diagnostic over the shared edge
+    # list: --
+    "graph_degree_distribution",
 )
 
 #: The r5 window (== r4 window; CORRECTNESS_r05 graded exactly these 50,
