@@ -20,7 +20,7 @@ Scale notes baked into each shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.functions.parity import round_half_up
@@ -161,9 +161,18 @@ def top_paths(
     steps = [F.col(state)] + [
         F.lead(state, i).over(w) for i in range(1, length)
     ]
-    chained = df.select(F.concat_ws(">", *steps).alias("path"), steps[-1].alias("last"))
+    # F.concat (NOT concat_ws): concat_ws silently SKIPS null segments,
+    # emitting a shortened path when a mid-chain state is NULL; concat
+    # propagates NULL like SQL '||', so any-NULL windows yield a NULL path
+    # and the filter below drops them in both engines identically.
+    parts: list[Column] = []
+    for i, s in enumerate(steps):
+        if i:
+            parts.append(F.lit(">"))
+        parts.append(s)
+    chained = df.select(F.concat(*parts).alias("path"))
     grid = (
-        chained.filter(F.col("last").isNotNull())
+        chained.filter(F.col("path").isNotNull())
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )

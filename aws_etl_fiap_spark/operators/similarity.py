@@ -750,6 +750,20 @@ def power_iteration_pc1(
     smoke); dim^2 cells are driver-small at any corpus size.
     """
     gram = gram.localCheckpoint(eager=True)
+    # Loud precondition instead of silent parity decay: FLOOR(v*1e9 + 0.5)
+    # is exact only while |v|*1e9 < 2^53, i.e. |g*x| <= ~9.007e6.  x is
+    # max-normalized (|x| <= 1 after every iteration, and x0 = 1), so
+    # max|g| bounds every product.  Gram cells grow ~n with corpus size and
+    # nothing upstream caps them, so enforce here: the frame is dim^2
+    # cells (driver-small at any corpus size), a bounded one-row action.
+    lim = (2**53 - 1) / 1e9
+    max_g = gram.agg(F.max(F.abs(F.col("g"))).alias("m")).collect()[0]["m"]
+    if max_g is not None and max_g > lim:
+        raise ValueError(
+            f"power_iteration_pc1: max|gram cell| {max_g:.4g} exceeds the "
+            f"exact-BIGINT scaling bound {lim:.4g}; renormalize the gram "
+            "(divide by a deterministic power of 10) before iterating"
+        )
     spark = gram.sparkSession
     x = spark.range(dim).select(
         F.col("id").cast("int").alias("j"), F.lit(1.0).alias("x")

@@ -27,6 +27,20 @@ def _cents(x: Column) -> Column:
     return F.floor(x * 100.0 + 0.5).cast("long")
 
 
+def _prod_exact(a: Column, b: Column) -> Column:
+    """Exact product of two cents-BIGINT columns in DECIMAL(38,0).
+
+    BIGINT * BIGINT silently wraps in non-ANSI Spark above ~9.2e18 (real
+    for squared cents beyond |x| ~ 3e9), while the DuckDB oracles promote
+    to exact INT128 — a silently-wrong-only-on-Spark hazard.  Promoting
+    one side to DECIMAL(19,0) carries the product as DECIMAL(38,0): any
+    64-bit operand squares within 38 digits, so the product and its SUM
+    stay exact (matching the oracle), and a true DECIMAL overflow yields
+    NULL instead of a wrong value.
+    """
+    return a.cast("decimal(19,0)") * b.cast("decimal(19,0)")
+
+
 def rolling_corr(
     pair: DataFrame,
     order_col: str,
@@ -52,11 +66,12 @@ def rolling_corr(
     xc, yc = _cents(F.col(x)), _cents(F.col(y))
     n = F.count(F.lit(1)).over(w)
     sx, sy = F.sum(xc).over(w), F.sum(yc).over(w)
-    sxx, syy = F.sum(xc * xc).over(w), F.sum(yc * yc).over(w)
-    sxy = F.sum(xc * yc).over(w)
-    num = (n * sxy - sx * sy).cast("double")
-    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
-        (n * syy - sy * sy).cast("double")
+    sxx = F.sum(_prod_exact(xc, xc)).over(w)
+    syy = F.sum(_prod_exact(yc, yc)).over(w)
+    sxy = F.sum(_prod_exact(xc, yc)).over(w)
+    num = (n * sxy - _prod_exact(sx, sy)).cast("double")
+    den = F.sqrt((n * sxx - _prod_exact(sx, sx)).cast("double")) * F.sqrt(
+        (n * syy - _prod_exact(sy, sy)).cast("double")
     )
     # try_divide: a zero-variance window (always true at n=1) has den=0;
     # DuckDB's double division yields NULL there, and ANSI-mode Spark
@@ -139,7 +154,7 @@ def welch_z_test(
             .agg(
                 F.count(F.lit(1)).alias(f"n_{label}"),
                 F.sum(xc).alias(f"s1_{label}"),
-                F.sum(xc * xc).alias(f"s2_{label}"),
+                F.sum(_prod_exact(xc, xc)).alias(f"s2_{label}"),
             )
         )
 
@@ -156,7 +171,9 @@ def welch_z_test(
             F.col(f"s1_{label}"),
             F.col(f"s2_{label}"),
         )
-        return (n * s2 - s1 * s1).cast("double") / (n * n).cast("double") / 10000.0
+        return (n * s2 - _prod_exact(s1, s1)).cast("double") / (n * n).cast(
+            "double"
+        ) / 10000.0
 
     # try_divide: both-groups-constant data has a zero standard error;
     # NULL there matches DuckDB (ANSI Spark would raise).
@@ -242,7 +259,13 @@ def modal_value(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         df.groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("v"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("g").orderBy(F.col("n").desc(), F.col("v").asc())
+    # asc_nulls_last: Spark's bare asc() is NULLS FIRST, but SQL engines'
+    # ROW_NUMBER ... ORDER BY v ASC default to NULLS LAST — a NULL value
+    # group tied at the max count would otherwise resolve to different
+    # modes per engine.
+    w = Window.partitionBy("g").orderBy(
+        F.col("n").desc(), F.col("v").asc_nulls_last()
+    )
     return (
         grid.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -268,7 +291,9 @@ def trailing_zscore(
     self-baseline for time-series anomaly detection.
 
     Parity discipline (same as rolling_corr): values fix to integer cents
-    once, frame sums are exact BIGINT, population variance comes from the
+    once, frame sums are exact (BIGINT for s1, DECIMAL(38,0) for the
+    squared terms via _prod_exact — no 64-bit wrap), population variance
+    comes from the
     ``(n*s2 - s1^2) / n^2`` closed form, and the only doubles are the
     final correctly-rounded divide + sqrt.  Rows with fewer than ``min_n``
     baseline points score NULL (try_divide also NULLs a zero-variance
@@ -285,13 +310,15 @@ def trailing_zscore(
         spine.withColumn("xc", xc)
         .withColumn("n_baseline", F.count("xc").over(frame))
         .withColumn("s1", F.sum("xc").over(frame))
-        .withColumn("s2", F.sum(F.col("xc") * F.col("xc")).over(frame))
+        .withColumn(
+            "s2", F.sum(_prod_exact(F.col("xc"), F.col("xc"))).over(frame)
+        )
     )
     n = F.col("n_baseline")
     mean_c = F.col("s1").cast("double") / n
-    var_c = (n * F.col("s2") - F.col("s1") * F.col("s1")).cast("double") / (
-        n * n
-    ).cast("double")
+    var_c = (
+        n * F.col("s2") - _prod_exact(F.col("s1"), F.col("s1"))
+    ).cast("double") / (n * n).cast("double")
     z = F.when(
         n >= min_n,
         F.try_divide(F.col("xc").cast("double") - mean_c, F.sqrt(var_c)),

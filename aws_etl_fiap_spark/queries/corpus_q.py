@@ -228,9 +228,9 @@ streamed AS (
     FROM sized
 )
 SELECT lang,
-       (cum - n_tokens) // 2048 AS bin_id,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS sum_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
 FROM streamed
 GROUP BY lang, bin_id
 """,

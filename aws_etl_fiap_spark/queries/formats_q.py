@@ -149,7 +149,7 @@ def roundtrip_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT p_brand,
        COUNT(*) AS n_parts,
        {sql_dec_sum('p_retailprice', 2)} AS total_retail,
-       SUM(CAST(p_size AS BIGINT)) AS sum_size
+       CAST(SUM(p_size) AS BIGINT) AS sum_size
 FROM part
 GROUP BY p_brand
 """,
@@ -188,7 +188,7 @@ SELECT o_orderstatus,
        COUNT(*) AS n_orders,
        {sql_dec_sum('o_totalprice', 2)} AS total_price,
        COUNT(o_year) AS n_evolved_rows,
-       SUM(CAST(o_year AS BIGINT)) AS sum_year
+       CAST(SUM(o_year) AS BIGINT) AS sum_year
 FROM evolved
 GROUP BY o_orderstatus
 """,

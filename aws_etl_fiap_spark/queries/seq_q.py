@@ -122,7 +122,9 @@ WITH s AS (
 grid AS (
     SELECT event_type || '>' || s2 || '>' || s3 AS path,
            COUNT(*) AS n_occurrences
-    FROM s WHERE s3 IS NOT NULL GROUP BY 1
+    FROM s
+    WHERE event_type IS NOT NULL AND s2 IS NOT NULL AND s3 IS NOT NULL
+    GROUP BY 1
 )
 SELECT path, n_occurrences, path_rank
 FROM (

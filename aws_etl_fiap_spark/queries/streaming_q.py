@@ -314,7 +314,7 @@ final AS (
 SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
        o_orderstatus,
        COUNT(*) AS n_orders,
-       SUM(o_orderkey) AS key_sum,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
        {sql_dec_sum('o_totalprice', 2)} AS total_price
 FROM final
 GROUP BY 1, 2

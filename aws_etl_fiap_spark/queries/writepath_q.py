@@ -186,7 +186,7 @@ merged AS (
 SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
        o_orderstatus,
        COUNT(*) AS n_orders,
-       SUM(o_orderkey) AS key_sum,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
        {sql_dec_sum('o_totalprice', 2)} AS total_price
 FROM merged
 GROUP BY 1, 2
@@ -273,7 +273,7 @@ SELECT zv >> 16 AS z_bucket,
        COUNT(*) AS n_orders,
        MIN(zv) AS min_z,
        MAX(zv) AS max_z,
-       SUM(o_orderkey) AS key_sum
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM z GROUP BY 1
 """
 

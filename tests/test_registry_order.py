@@ -1,33 +1,34 @@
 """Driver-window ordering invariants.
 
-The round driver grades only the first 50 ``queries()`` entries (round-1
-evidence: CORRECTNESS_r01.json covered exactly the first 50 of 85).  These
-tests pin the ROTATION POLICY itself (registry.py's window comment), not a
-hand-copied family list — the round-4/round-5 red test failed precisely
-because it hardcoded "all tpch_/text_/media_ inside" after the policy had
-deliberately displaced four TPC-H entries:
+The round driver grades only the first 50 ``queries()`` entries (rounds 1-6
+evidence: every CORRECTNESS_r*.json covers exactly the first 50 in
+registration order).  These tests pin the ROTATION POLICY itself
+(registry.py's rotation section), not a hand-copied family list — the
+round-4/round-5 red test failed precisely because it hardcoded "all
+tpch_/text_/media_ inside" after the policy had deliberately displaced four
+TPC-H entries:
 
 * a query whose code or oracle changed this round occupies a graded slot;
-* the stalest entries (oldest green driver row) rotate in ahead of fresher
-  ones — for r6 that is tpch_q4/q6/q12/q14 (last green r2);
+* a query the driver FAILED last round occupies a graded slot;
+* remaining slots go stalest-first (never-graded, then oldest green row);
 * every registered query is accounted for: graded this round, green last
-  round, or an explicitly documented deferral (``DEFERRED_R6``);
-* deferrals never include changed code, and never exceed the window
-  overflow they exist to absorb.
+  round, or an explicitly documented deferral (``DEFERRED_R7``);
+* deferrals never include changed code or last round's failures, and never
+  exceed the window overflow they exist to absorb.
 """
 
 from aws_etl_fiap_spark.queries import registry
 
 DRIVER_WINDOW = 50
 
-#: r6: the entries whose latest green row predates round 3 — the stalest
-#: queries in the registry, displaced in r4 and owed a slot since.
-STALEST_R6 = (
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_shipping_priority_class",
-    "tpch_q14_promo_revenue",
-    "dedup_minhash_lsh",
+#: r7: the five round-6 driver hash failures — the only entries with a
+#: driver row but NO green row ever; they outrank everything.
+FAILED_R6 = (
+    "upsert_partitioned_merge",
+    "stream_upsert_merge_equiv",
+    "roundtrip_orc_scan",
+    "roundtrip_schema_evolution",
+    "corpus_pack_sequences",
 )
 
 
@@ -61,36 +62,36 @@ def test_window_is_exactly_full():
 
 def test_changed_queries_inside_driver_window():
     """Policy clause 1: changed implementation/oracle => graded slot."""
-    missing = [n for n in registry.CHANGED_R6 if n not in _window()]
+    missing = [n for n in registry.CHANGED_R7 if n not in _window()]
     assert not missing, f"changed-this-round queries outside window: {missing}"
 
 
-def test_stalest_queries_inside_driver_window():
-    """Policy clause 2: the oldest-evidence entries rotate in first."""
-    missing = [n for n in STALEST_R6 if n not in _window()]
-    assert not missing, f"stalest queries outside window: {missing}"
+def test_failed_queries_inside_driver_window():
+    """Policy clause 2: last round's driver failures re-enter immediately."""
+    missing = [n for n in FAILED_R6 if n not in _window()]
+    assert not missing, f"round-6 failures outside window: {missing}"
 
 
 def test_every_query_accounted_for():
-    """Policy clause 3: window + last round's green window + documented
+    """Policy clause 4: window + last round's graded window + documented
     deferrals must cover the whole registry — nothing goes silently
     ungraded."""
-    accounted = _window() | set(registry.R5_WINDOW) | set(registry.DEFERRED_R6)
+    accounted = _window() | set(registry.R6_WINDOW) | set(registry.DEFERRED_R7)
     missing = sorted(set(registry.REGISTRY) - accounted)
     assert not missing, f"queries with no grading account: {missing}"
 
 
 def test_deferrals_are_legitimate():
-    """Policy clause 4: deferrals absorb exactly the window overflow
-    (|eligible| - 50), never changed code, and never the stalest entries."""
-    deferred = set(registry.DEFERRED_R6)
+    """Deferrals absorb exactly the window overflow (|eligible| - 50),
+    never changed code, and never last round's failures."""
+    deferred = set(registry.DEFERRED_R7)
     assert not deferred & _window(), "deferred query occupies a window slot"
-    assert not deferred & set(registry.CHANGED_R6), "changed code deferred"
-    assert not deferred & set(STALEST_R6), "stalest entry deferred"
-    # Eligible for r6 grading: everything not sitting on a fresh r5 row,
-    # plus the changed r5-green entries that must re-enter.
-    eligible = (set(registry.REGISTRY) - set(registry.R5_WINDOW)) | set(
-        registry.CHANGED_R6
+    assert not deferred & set(registry.CHANGED_R7), "changed code deferred"
+    assert not deferred & set(FAILED_R6), "driver failure deferred"
+    # Eligible for r7 grading: everything not sitting on a fresh r6 row,
+    # plus the r6-graded entries that must re-enter (failures + changed).
+    eligible = (set(registry.REGISTRY) - set(registry.R6_WINDOW)) | set(
+        registry.CHANGED_R7
     )
     overflow = len(eligible) - DRIVER_WINDOW
     assert len(deferred) == overflow, (
@@ -99,12 +100,25 @@ def test_deferrals_are_legitimate():
     assert eligible - deferred == _window()
 
 
+def test_deferred_partition_is_consistent():
+    """The three documented deferral tiers partition DEFERRED_R7."""
+    tiers = (
+        set(registry.DEFERRED_R7_R3)
+        | set(registry.DEFERRED_R7_R5)
+        | set(registry.DEFERRED_R7_NEVER)
+    )
+    assert tiers == set(registry.DEFERRED_R7)
+    assert len(registry.DEFERRED_R7) == (
+        len(registry.DEFERRED_R7_R3)
+        + len(registry.DEFERRED_R7_R5)
+        + len(registry.DEFERRED_R7_NEVER)
+    )
+
+
 def test_every_window_entry_is_oracled():
     """A window slot spent on an oracle-less entry is a guaranteed
     err:no_oracle row (round-2 advice): all 50 graded entries must carry an
-    exact oracle.  As of r6 the whole registry is oracled (104/104 — the
-    former rows-only dedup_minhash_lsh now grades its pair set against the
-    portable family's SQL-derived set)."""
+    exact oracle.  As of r6 the whole registry is oracled."""
     from aws_etl_fiap_spark import queries  # noqa: F401
 
     oracles = registry.oracle_sql()
