@@ -303,3 +303,96 @@ def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("key_sum"),
         )
     )
+
+
+@query(
+    "acid_snapshot_isolation",
+    oracle=f"""
+WITH src AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+upd AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice
+    FROM src WHERE o_orderkey % 13 = 0
+),
+ins AS (
+    SELECT o_orderkey + 1000000 AS o_orderkey, o_orderstatus, o_totalprice
+    FROM src WHERE o_orderkey % 97 = 3
+),
+batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+del AS (
+    SELECT o_orderkey FROM src
+    WHERE o_orderkey % 89 = 7 AND o_orderkey % 13 <> 0
+),
+v2 AS (
+    SELECT * FROM batch
+    UNION ALL
+    SELECT * FROM src
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+      AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+),
+snaps AS (
+    SELECT 'v1' AS snap, o_orderstatus, o_orderkey, o_totalprice FROM src
+    UNION ALL
+    SELECT 'v2' AS snap, o_orderstatus, o_orderkey, o_totalprice FROM v2
+)
+SELECT snap, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       {sql_dec_sum('o_totalprice', 2)} AS total_price
+FROM snaps
+GROUP BY snap, o_orderstatus
+""",
+)
+def acid_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT S4-S6 extension] Snapshot isolation under the exact gate
+    (sources/snapshot.py — the manifest-log table format): seed a snapshot
+    table from orders (v1), PIN a reader on the v1 manifest, then commit a
+    file-granular copy-on-write MERGE (updates keys %13 with +1.00,
+    inserts %97==3 re-keyed +1M, deletes %89==7 disjoint from updates) to
+    produce v2 — and only THEN collect both readers.
+
+    The output aggregates the pinned v1 reader and a fresh latest reader
+    side by side; the oracle recomputes both states straight from orders.
+    A v1 reader that leaked post-commit files (lost isolation), a v1 row
+    surviving into v2 wrongly, or a merge that dropped/duplicated anything
+    hash-fails — the concurrent-reader consistency story the rename-swap
+    upsert cannot give.  Table lands under SPARK_GRAFT_SINK_DIR, both
+    aggregates are eagerly checkpointed before the per-run dir is
+    deleted."""
+    from aws_etl_fiap_spark.sources import snapshot as snap
+
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="acid_", dir=base)
+    path = os.path.join(tmp, "orders_snap")
+    try:
+        src = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        snap.create_table(spark, src, path, n_files=4)
+        pinned_v1 = snap.read_table(spark, path)  # resolves the v1 manifest
+        upd = src.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        )
+        ins = src.filter(F.col("o_orderkey") % 97 == 3).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000)
+        )
+        dels = src.filter(
+            (F.col("o_orderkey") % 89 == 7) & (F.col("o_orderkey") % 13 != 0)
+        ).select("o_orderkey")
+        snap.upsert(
+            spark, path, upd.unionByName(ins), ["o_orderkey"], deletes=dels
+        )
+        latest = snap.read_table(spark, path)  # resolves v2
+
+        def agg(df: DataFrame, label: str) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").alias("key_sum"),
+                dec_sum("o_totalprice", 2).alias("total_price"),
+            ).select(F.lit(label).alias("snap"), "*")
+
+        out = agg(pinned_v1, "v1").unionByName(agg(latest, "v2"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -142,3 +142,47 @@ def test_events_ts_instants_invariant_under_session_tz(spark, sf_smoke):
     assert tuple(base) == tuple(shifted_tz), (
         f"events instants drift with session tz: {base} vs {shifted_tz}"
     )
+
+
+def test_sink_file_layout_orc_and_parquet(spark, sf_smoke, tmp_path):
+    """Writer-fidelity layout assertions (round-6 verdict #6): pin the sink
+    FILE layout — file counts, ORC stripe counts, parquet row-group counts,
+    and footer-level row totals — independently of any read-back compare,
+    so a driver hash divergence on a roundtrip gate can be attributed to
+    the WRITER (layout/footer wrong) vs the COMPARATOR (values fetched or
+    typed differently; the r6 failures were all comparator-side HUGEINT
+    rendering).  pyarrow reads the footers directly — no Spark reader in
+    the loop."""
+    import glob
+
+    import pyarrow.orc as pa_orc
+    import pyarrow.parquet as pa_pq
+
+    from aws_etl_fiap_spark.sources.formats import write_orc
+
+    src = load_table(spark, sf_smoke, "orders")
+    n_src = src.count()
+
+    orc_path = str(tmp_path / "orders_orc_flat")
+    write_orc(src.repartition(8), orc_path)
+    orc_files = sorted(glob.glob(os.path.join(orc_path, "*.orc")))
+    assert len(orc_files) == 8, "one ORC file per writer task"
+    orc_rows = 0
+    for f in orc_files:
+        of = pa_orc.ORCFile(f)
+        assert of.nstripes >= 1
+        orc_rows += of.nrows
+    assert orc_rows == n_src, "ORC footers must account for every row"
+
+    pq_path = str(tmp_path / "orders_pq_flat")
+    src.repartition(4).write.parquet(pq_path)
+    pq_files = sorted(glob.glob(os.path.join(pq_path, "*.parquet")))
+    assert len(pq_files) == 4, "one parquet file per writer task"
+    pq_rows = 0
+    for f in pq_files:
+        pf = pa_pq.ParquetFile(f)
+        assert pf.metadata.num_row_groups >= 1
+        pq_rows += pf.metadata.num_rows
+    assert pq_rows == n_src, "parquet footers must account for every row"
+    # Schema survives in the footer (column set, not just row counts).
+    assert set(pa_pq.read_schema(pq_files[0]).names) == set(src.columns)

@@ -1,0 +1,137 @@
+"""Snapshot table format: isolation, time travel, copy-on-write merge
+granularity, commit conflicts, vacuum (sources/snapshot.py — the
+Delta/Iceberg-style manifest log over plain parquet)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.sources import snapshot as S
+
+
+def _orders(spark, sf_smoke):
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    return load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_create_and_read_roundtrip(spark, sf_smoke, tmp_path):
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    assert S.create_table(spark, src, path, n_files=4) == 1
+    assert S.current_version(spark, path) == 1
+    assert _rows(S.read_table(spark, path)) == _rows(src)
+    (h,) = S.history(spark, path)
+    assert h["version"] == 1 and h["op"] == "create"
+    assert len(h["files"]) == 4 and h["n_rows"] == src.count()
+
+
+def test_upsert_semantics_and_time_travel(spark, sf_smoke, tmp_path):
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src, path, n_files=4)
+
+    updates = (
+        src.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+    )
+    inserts = src.filter(F.col("o_orderkey") % 97 == 3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000)
+    )
+    dels = src.filter(
+        (F.col("o_orderkey") % 89 == 7) & (F.col("o_orderkey") % 13 != 0)
+    ).select("o_orderkey")
+    stats = S.upsert(
+        spark, path, updates.unionByName(inserts), ["o_orderkey"], deletes=dels
+    )
+    assert stats["new_version"] == 2
+
+    expect = (
+        src.filter(F.col("o_orderkey") % 13 != 0)
+        .join(dels, "o_orderkey", "left_anti")
+        .unionByName(updates)
+        .unionByName(inserts)
+    )
+    assert _rows(S.read_table(spark, path)) == _rows(expect)
+    # time travel: version 1 still reads the original table
+    assert _rows(S.read_table(spark, path, version=1)) == _rows(src)
+
+
+def test_reader_pinned_before_commit_is_isolated(spark, sf_smoke, tmp_path):
+    """The core ACID property: a reader that resolved its snapshot BEFORE a
+    concurrent merge commits must collect the pre-merge table, however late
+    the collect happens."""
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src, path, n_files=4)
+
+    pinned = S.read_table(spark, path)  # resolves the v1 manifest NOW
+    updates = src.withColumn("o_totalprice", F.col("o_totalprice") + F.lit(9.0))
+    S.upsert(spark, path, updates, ["o_orderkey"])
+    assert S.current_version(spark, path) == 2
+
+    assert _rows(pinned) == _rows(src)  # collected after the commit
+    assert _rows(S.read_table(spark, path)) == _rows(updates)
+
+
+def test_cow_rewrites_only_affected_files(spark, sf_smoke, tmp_path):
+    """File-granular copy-on-write: with a range-clustered layout, a
+    narrow-key batch rewrites a sliver of the files and carries the rest
+    by reference — the property that makes merge affordable at 100 TB."""
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    clustered = src.repartitionByRange(8, "o_orderkey")
+    S.create_table(spark, clustered, path, n_files=None)
+    lo, hi = 1, int(src.agg(F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY o_orderkey)")).first()[0])
+    updates = src.filter(F.col("o_orderkey").between(lo, hi)).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    stats = S.upsert(spark, path, updates, ["o_orderkey"])
+    assert stats["rewritten_files"] <= 2, stats
+    assert stats["carried_files"] >= 6, stats
+    # and the merge is still correct
+    expect = src.join(updates.select("o_orderkey"), "o_orderkey", "left_anti").unionByName(updates)
+    assert _rows(S.read_table(spark, path)) == _rows(expect)
+
+
+def test_commit_conflict_raises_and_leaves_winner_intact(spark, sf_smoke, tmp_path):
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src, path, n_files=2)
+    # Loser transaction: resolves base=1 and stages its new files FIRST...
+    m1 = S._read_manifest(spark, path, 1)
+    loser_files, loser_rows = S._stage_files(
+        spark, src.limit(10).withColumn("o_totalprice", F.lit(1.0)), path, 2, 1
+    )
+    # ...then a racing writer wins version 2 (carries v1's files forward).
+    S._commit(spark, path, 2, m1["files"], m1["n_rows"], op="merge")
+    with pytest.raises(S.CommitConflict):
+        S._commit(spark, path, 2, loser_files, loser_rows, op="merge")
+    # the winner's state is untouched; the loser's files are orphans
+    assert S.current_version(spark, path) == 2
+    assert _rows(S.read_table(spark, path)) == _rows(src)
+    swept = S.vacuum(spark, path, keep_last=1)
+    assert swept["deleted_files"] > 0  # the lost transaction's orphans
+    assert _rows(S.read_table(spark, path)) == _rows(src)
+
+
+def test_vacuum_drops_history_keeps_latest(spark, sf_smoke, tmp_path):
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src, path, n_files=2)
+    updates = src.withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
+    S.upsert(spark, path, updates, ["o_orderkey"])
+
+    swept = S.vacuum(spark, path, keep_last=1)
+    assert swept["dropped_manifests"] == 1
+    assert swept["deleted_files"] > 0
+    assert _rows(S.read_table(spark, path)) == _rows(updates)
+    with pytest.raises(FileNotFoundError):
+        S._read_manifest(spark, path, 1)
