@@ -87,7 +87,8 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
 
 
 def _commit(spark: SparkSession, path: str, version: int, files: list[str],
-            n_rows: int, op: str) -> None:
+            file_rows: dict[str, int], op: str,
+            stats: dict | None = None) -> None:
     """Atomic manifest commit: write temp, rename-without-overwrite into
     place.  A losing racer's rename fails (target exists) -> conflict."""
     hpath, fs = _fs(spark, path)
@@ -98,7 +99,9 @@ def _commit(spark: SparkSession, path: str, version: int, files: list[str],
         raise CommitConflict(f"version {version} already committed")
     tmp = hpath(f"{sdir}/_tmp_v{version:08d}.json")
     body = json.dumps(
-        {"version": version, "op": op, "files": sorted(files), "n_rows": n_rows}
+        {"version": version, "op": op, "files": sorted(files),
+         "n_rows": sum(file_rows.values()), "file_rows": file_rows,
+         "stats": stats or {}}
     ).encode("utf-8")
     stream = fs.create(tmp, True)
     try:
@@ -114,11 +117,15 @@ def _commit(spark: SparkSession, path: str, version: int, files: list[str],
 
 def _stage_files(
     spark: SparkSession, df: DataFrame, path: str, version: int, n_files: int | None
-) -> tuple[list[str], int]:
+) -> tuple[list[str], dict[str, int]]:
     """Write ``df`` as new immutable data files named ``v{N}-{i}.parquet``
     under data/ (via a staging dir + per-file renames — files must never be
     visible under a name a manifest could reference until fully written).
-    Returns (relative file names, row count from the parquet footers)."""
+    Returns (relative file names, per-file row counts).  Row counts come
+    from the parquet FOOTERS, never a scan — at 100 TB the metadata must
+    not cost a table read."""
+    import pyarrow.parquet as pq
+
     hpath, fs = _fs(spark, path)
     staging = path.rstrip("/") + f"/_staging_v{version:08d}"
     fs.delete(hpath(staging), True)
@@ -127,7 +134,7 @@ def _stage_files(
     ddir = _data_dir(path)
     fs.mkdirs(hpath(ddir))
     names: list[str] = []
-    n_rows = 0
+    file_rows: dict[str, int] = {}
     for st in sorted(fs.listStatus(hpath(staging)), key=lambda s: s.getPath().getName()):
         name = st.getPath().getName()
         if not name.endswith(".parquet"):
@@ -136,12 +143,48 @@ def _stage_files(
         if not fs.rename(st.getPath(), hpath(f"{ddir}/{target}")):
             raise IOError(f"staging rename failed for {name}")
         names.append(target)
+        file_rows[target] = int(pq.ParquetFile(f"{ddir}/{target}").metadata.num_rows)
     fs.delete(hpath(staging), True)
-    if names:
-        n_rows = int(
-            spark.read.parquet(*[f"{ddir}/{n}" for n in names]).count()
-        )
-    return names, n_rows
+    return names, file_rows
+
+
+def _file_stats(path: str, names: Sequence[str], cols: Sequence[str]) -> dict:
+    """Per-file [min, max] of ``cols`` from the parquet FOOTERS (pyarrow —
+    no data read): the Iceberg-style file-level stats a merge uses to prune
+    the candidate set without scanning the table.  Int and string columns
+    only; a column missing footer stats simply drops out of the dict (the
+    merge then falls back to scanning).  Local-filesystem paths (the
+    local[*] assumption documented on the write-path gates); on HDFS/object
+    stores swap in a pyarrow filesystem handle."""
+    import pyarrow.parquet as pq
+
+    ddir = _data_dir(path)
+    out: dict[str, dict[str, list]] = {}
+    for name in names:
+        try:
+            md = pq.ParquetFile(f"{ddir}/{name}").metadata
+        except OSError:
+            continue
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        per_col: dict[str, list] = {}
+        for col in cols:
+            if col not in schema_names:
+                continue
+            j = schema_names.index(col)
+            lo = hi = None
+            ok = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(j).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and lo is not None and isinstance(lo, (int, str)):
+                per_col[col] = [lo, hi]
+        if per_col:
+            out[name] = per_col
+    return out
 
 
 def current_version(spark: SparkSession, path: str) -> int:
@@ -159,11 +202,22 @@ def history(spark: SparkSession, path: str) -> list[dict]:
 
 
 def create_table(
-    spark: SparkSession, df: DataFrame, path: str, n_files: int = 8
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    n_files: int = 8,
+    stats_cols: Sequence[str] | None = None,
 ) -> int:
-    """Materialize ``df`` as version 1 of a snapshot table."""
-    files, n_rows = _stage_files(spark, df, path, 1, n_files)
-    _commit(spark, path, 1, files, n_rows, op="create")
+    """Materialize ``df`` as version 1 of a snapshot table.
+
+    ``stats_cols``: record per-file [min, max] footer stats for these
+    columns in the manifest — with the table clustered on them
+    (repartitionByRange upstream + ``n_files=None``), a later :func:`upsert`
+    prunes its candidate files by range overlap instead of scanning the
+    table (the Iceberg data-skipping shape; decisive at 100 TB)."""
+    files, file_rows = _stage_files(spark, df, path, 1, n_files)
+    stats = _file_stats(path, files, stats_cols) if stats_cols else {}
+    _commit(spark, path, 1, files, file_rows, op="create", stats=stats)
     return 1
 
 
@@ -223,15 +277,39 @@ def upsert(
             deletes.select(*kcols).distinct()
         ).distinct()
 
-    existing = spark.read.parquet(*[f"{ddir}/{n}" for n in manifest["files"]])
-    tagged = existing.withColumn("__file", F.input_file_name())
-    affected_rows = (
-        tagged.join(batch_keys, kcols, "left_semi")
-        .select("__file")
-        .distinct()
-        .limit(max_affected_files + 1)
-        .collect()
-    )
+    # Manifest-stats pruning (Iceberg data skipping): if every file carries
+    # footer [min, max] for the leading key column, files whose range
+    # cannot overlap the batch's key bounds are EXCLUDED from the
+    # affected-file scan entirely — merge cost tracks the touched key
+    # range, not the table size.  One driver-small bounds aggregate; the
+    # pruned-out files are provably unaffected, so correctness is intact
+    # even when the batch is scattered (then nothing prunes).
+    stats: dict = manifest.get("stats") or {}
+    key0 = kcols[0]
+    scan_files = list(manifest["files"])
+    if scan_files and all(key0 in stats.get(n, {}) for n in scan_files):
+        b = batch_keys.agg(
+            F.min(key0).alias("lo"), F.max(key0).alias("hi")
+        ).first()
+        if b["lo"] is not None:
+            scan_files = [
+                n
+                for n in scan_files
+                if not (stats[n][key0][1] < b["lo"] or stats[n][key0][0] > b["hi"])
+            ]
+
+    if scan_files:
+        existing = spark.read.parquet(*[f"{ddir}/{n}" for n in scan_files])
+        tagged = existing.withColumn("__file", F.input_file_name())
+        affected_rows = (
+            tagged.join(batch_keys, kcols, "left_semi")
+            .select("__file")
+            .distinct()
+            .limit(max_affected_files + 1)
+            .collect()
+        )
+    else:
+        affected_rows = []
     if len(affected_rows) > max_affected_files:
         raise ValueError(
             f"merge touches more than {max_affected_files} files; "
@@ -246,21 +324,28 @@ def upsert(
         merged = survivors.unionByName(updates.select(*survivors.columns))
     else:
         merged = updates
-    new_files, _ = _stage_files(
+    new_files, new_rows = _stage_files(
         spark, merged, path, base + 1,
         n_files or max(1, len(affected_names)),
     )
     carried = [n for n in manifest["files"] if n not in affected_names]
-    total = int(
-        spark.read.parquet(*[f"{ddir}/{n}" for n in carried + new_files]).count()
-    ) if (carried or new_files) else 0
-    _commit(spark, path, base + 1, carried + new_files, total, op="merge")
+    old_rows = manifest.get("file_rows") or {}
+    file_rows = {**{n: int(old_rows.get(n, 0)) for n in carried}, **new_rows}
+    stat_cols = sorted({c for per in stats.values() for c in per})
+    new_stats = {n: stats[n] for n in carried if n in stats}
+    if stat_cols:
+        new_stats.update(_file_stats(path, new_files, stat_cols))
+    _commit(
+        spark, path, base + 1, carried + new_files, file_rows,
+        op="merge", stats=new_stats,
+    )
     return {
         "base_version": base,
         "new_version": base + 1,
         "rewritten_files": len(affected_names),
         "carried_files": len(carried),
         "new_files": len(new_files),
+        "pruned_files": len(manifest["files"]) - len(scan_files),
     }
 
 

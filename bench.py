@@ -79,8 +79,19 @@ def main() -> None:
     spark = get_spark(app_name="aws_etl_fiap_spark-bench")
 
     names = [n for n in HEADLINE if n in REGISTRY]
+    bench_half = os.environ.get("SPARK_GRAFT_BENCH_HALF")
     if os.environ.get("SPARK_GRAFT_BENCH_ALL"):
-        names += [n for n in sorted(REGISTRY) if n not in names]
+        names += [n for n in REPRESENTATIVE if n in REGISTRY and n not in names]
+        rest = [n for n in sorted(REGISTRY) if n not in names]
+        if bench_half in ("0", "1"):
+            # Steady-state ROTATION (round-6 verdict #8): the registry has
+            # outgrown a full min-of-3 sweep per round, so the tail beyond
+            # headline+representatives splits into two deterministic halves
+            # (sorted-name parity) timed on alternating rounds — every
+            # family keeps a steady-state number at most two rounds old
+            # while the sweep wall-clock stays flat as the registry grows.
+            rest = [n for i, n in enumerate(rest) if i % 2 == int(bench_half)]
+        names += rest
     else:
         names += [n for n in REPRESENTATIVE if n in REGISTRY and n not in names]
 
@@ -120,6 +131,7 @@ def main() -> None:
         "queries_spread": spread,
         "steady_runs": n_steady,
         "cold_value": round(sum(cold[n] for n in names if n in HEADLINE), 4),
+        "bench_half": bench_half,
     }
     # The round driver records only a fixed-size TAIL of stdout; round 3's
     # single full-payload line outgrew it and the head (with "value") was
@@ -141,6 +153,7 @@ def main() -> None:
         "queries": timings,
         "steady_runs": n_steady,
         "cold_value": out["cold_value"],
+        "bench_half": bench_half,
         "full": "bench_full_latest.json",
     }
     print(json.dumps(compact))

@@ -251,6 +251,57 @@ def main() -> None:
     finally:
         shutil.rmtree(upsert_dir, ignore_errors=True)
 
+    # Snapshot-format CoW merge at K x (r7, sources/snapshot.py): seed a K x
+    # orders table range-clustered on the key into 64 immutable files, then
+    # merge a batch confined to a narrow key range.  Claims under test:
+    # (a) rewritten_files is a sliver of the manifest (file-granular CoW,
+    # not a table rewrite) and (b) merge cost tracks the affected files —
+    # compare snap_cow_merge sec against snap_seed_full_write.
+    from aws_etl_fiap_spark.sources import snapshot as snap_fmt
+
+    snap_dir = tempfile.mkdtemp(prefix="scale_snap_")
+    try:
+        orders = load_table(spark, args.sf, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        big_orders = orders.crossJoin(copies).select(
+            (F.col("o_orderkey") + F.col("copy") * 100_000_000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        snap_path = os.path.join(snap_dir, "orders_snap")
+        t0 = time.perf_counter()
+        snap_fmt.create_table(
+            spark,
+            big_orders.repartitionByRange(64, "o_orderkey"),
+            snap_path,
+            n_files=None,
+            stats_cols=["o_orderkey"],
+        )
+        n_seed = snap_fmt.read_table(spark, snap_path).count()
+        print(
+            json.dumps(
+                {"stage": "snap_seed_full_write", "rows": int(n_seed),
+                 "sec": round(time.perf_counter() - t0, 2)}
+            ),
+            flush=True,
+        )
+        narrow = big_orders.filter(F.col("o_orderkey") < 1000).withColumn(
+            "o_totalprice", F.lit(0.0)
+        )
+
+        def _run_snap_merge():
+            stats = snap_fmt.upsert(spark, snap_path, narrow, ["o_orderkey"])
+            assert stats["rewritten_files"] <= 4, stats
+            assert stats["carried_files"] >= 60, stats
+            # manifest-stats pruning: the affected-file scan must have
+            # SKIPPED nearly every file, not scanned-and-discarded them
+            assert stats["pruned_files"] >= 60, stats
+            return snap_fmt.read_table(spark, snap_path).count()
+
+        stage("snap_cow_merge_narrow", _run_snap_merge)
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+
     # ANN at K x: clone the embedding corpus the same way (clones share
     # vectors, so every bucket a query probes carries K x candidates — the
     # worst realistic case for bucketed ANN) and run SRP-LSH top-10.

@@ -82,13 +82,21 @@ def test_reader_pinned_before_commit_is_isolated(spark, sf_smoke, tmp_path):
 
 
 def test_cow_rewrites_only_affected_files(spark, sf_smoke, tmp_path):
-    """File-granular copy-on-write: with a range-clustered layout, a
-    narrow-key batch rewrites a sliver of the files and carries the rest
-    by reference — the property that makes merge affordable at 100 TB."""
+    """File-granular copy-on-write + manifest-stats pruning: with a
+    range-clustered layout and footer stats in the manifest, a narrow-key
+    batch PRUNES most files from the affected-file scan and rewrites a
+    sliver — the pair of properties that makes merge affordable at
+    100 TB."""
     src = _orders(spark, sf_smoke)
     path = str(tmp_path / "snap")
     clustered = src.repartitionByRange(8, "o_orderkey")
-    S.create_table(spark, clustered, path, n_files=None)
+    S.create_table(
+        spark, clustered, path, n_files=None, stats_cols=["o_orderkey"]
+    )
+    assert all(
+        "o_orderkey" in per
+        for per in S._read_manifest(spark, path, 1)["stats"].values()
+    )
     lo, hi = 1, int(src.agg(F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY o_orderkey)")).first()[0])
     updates = src.filter(F.col("o_orderkey").between(lo, hi)).withColumn(
         "o_totalprice", F.lit(0.0)
@@ -96,8 +104,40 @@ def test_cow_rewrites_only_affected_files(spark, sf_smoke, tmp_path):
     stats = S.upsert(spark, path, updates, ["o_orderkey"])
     assert stats["rewritten_files"] <= 2, stats
     assert stats["carried_files"] >= 6, stats
+    assert stats["pruned_files"] >= 6, stats  # skipped without scanning
     # and the merge is still correct
     expect = src.join(updates.select("o_orderkey"), "o_orderkey", "left_anti").unionByName(updates)
+    assert _rows(S.read_table(spark, path)) == _rows(expect)
+    # the merged version re-recorded stats for its new files: a SECOND
+    # narrow merge still prunes
+    again = S.upsert(
+        spark, path,
+        src.filter(F.col("o_orderkey").between(lo, hi)).withColumn(
+            "o_totalprice", F.lit(1.0)
+        ),
+        ["o_orderkey"],
+    )
+    assert again["pruned_files"] >= 6, again
+
+
+def test_scattered_batch_prunes_nothing_but_stays_correct(spark, sf_smoke, tmp_path):
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(
+        spark,
+        src.repartitionByRange(8, "o_orderkey"),
+        path,
+        n_files=None,
+        stats_cols=["o_orderkey"],
+    )
+    scattered = src.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    stats = S.upsert(spark, path, scattered, ["o_orderkey"])
+    assert stats["pruned_files"] == 0, stats  # bounds span the whole table
+    expect = src.join(
+        scattered.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(scattered)
     assert _rows(S.read_table(spark, path)) == _rows(expect)
 
 
@@ -111,7 +151,7 @@ def test_commit_conflict_raises_and_leaves_winner_intact(spark, sf_smoke, tmp_pa
         spark, src.limit(10).withColumn("o_totalprice", F.lit(1.0)), path, 2, 1
     )
     # ...then a racing writer wins version 2 (carries v1's files forward).
-    S._commit(spark, path, 2, m1["files"], m1["n_rows"], op="merge")
+    S._commit(spark, path, 2, m1["files"], m1["file_rows"], op="merge")
     with pytest.raises(S.CommitConflict):
         S._commit(spark, path, 2, loser_files, loser_rows, op="merge")
     # the winner's state is untouched; the loser's files are orphans
