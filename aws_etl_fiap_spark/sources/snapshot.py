@@ -88,7 +88,7 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
 
 def _commit(spark: SparkSession, path: str, version: int, files: list[str],
             file_rows: dict[str, int], op: str,
-            stats: dict | None = None) -> None:
+            stats: dict | None = None, merge_schema: bool = False) -> None:
     """Atomic manifest commit: write temp, rename-without-overwrite into
     place.  A losing racer's rename fails (target exists) -> conflict."""
     hpath, fs = _fs(spark, path)
@@ -101,7 +101,7 @@ def _commit(spark: SparkSession, path: str, version: int, files: list[str],
     body = json.dumps(
         {"version": version, "op": op, "files": sorted(files),
          "n_rows": sum(file_rows.values()), "file_rows": file_rows,
-         "stats": stats or {}}
+         "stats": stats or {}, "merge_schema": bool(merge_schema)}
     ).encode("utf-8")
     stream = fs.create(tmp, True)
     try:
@@ -235,7 +235,14 @@ def read_table(
     files = [f"{ddir}/{name}" for name in manifest["files"]]
     if not files:
         raise ValueError(f"version {v} has an empty file list")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if manifest.get("merge_schema"):
+        # This version holds files from before AND after an additive column
+        # evolution: merge the footers so old files surface the new columns
+        # as NULL.  The flag keeps the common case on the cheap
+        # single-footer path.
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def upsert(
@@ -246,6 +253,7 @@ def upsert(
     deletes: DataFrame | None = None,
     n_files: int | None = None,
     max_affected_files: int = 10_000,
+    allow_new_columns: bool = False,
 ) -> dict[str, int]:
     """File-granular copy-on-write MERGE: replace matching keys, insert new
     keys, drop ``deletes`` keys — rewriting ONLY the data files that hold
@@ -317,11 +325,30 @@ def upsert(
         )
     affected_names = {r["__file"].rsplit("/", 1)[-1] for r in affected_rows}
 
+    mixed_schema = bool(manifest.get("merge_schema"))
     if affected_names:
-        survivors = spark.read.parquet(
+        reader = spark.read
+        if mixed_schema:
+            reader = reader.option("mergeSchema", "true")
+        survivors = reader.parquet(
             *[f"{ddir}/{n}" for n in sorted(affected_names)]
         ).join(batch_keys, kcols, "left_anti")
-        merged = survivors.unionByName(updates.select(*survivors.columns))
+        extra = set(updates.columns) - set(survivors.columns)
+        if extra and not allow_new_columns:
+            # Refuse to SILENTLY drop the new columns — additive evolution
+            # must be asked for (Delta's mergeSchema write option).
+            raise ValueError(
+                f"updates carry new columns {sorted(extra)}; pass "
+                "allow_new_columns=True to evolve the table schema"
+            )
+        if extra:
+            # Additive evolution: survivors surface the new columns as
+            # NULL; files NOT rewritten keep the old schema, so the
+            # manifest is flagged and reads merge footers from here on.
+            merged = survivors.unionByName(updates, allowMissingColumns=True)
+            mixed_schema = True
+        else:
+            merged = survivors.unionByName(updates.select(*survivors.columns))
     else:
         merged = updates
     new_files, new_rows = _stage_files(
@@ -338,6 +365,7 @@ def upsert(
     _commit(
         spark, path, base + 1, carried + new_files, file_rows,
         op="merge", stats=new_stats,
+        merge_schema=mixed_schema and bool(carried),
     )
     return {
         "base_version": base,
@@ -376,3 +404,64 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> dict[str, int]
                 fs.delete(st.getPath(), False)
                 deleted += 1
     return {"dropped_manifests": dropped, "deleted_files": deleted}
+
+
+def compact(
+    spark: SparkSession, path: str, target_rows: int = 1_000_000
+) -> dict[str, int]:
+    """Small-file maintenance as a NEW VERSION (the Delta/Iceberg OPTIMIZE
+    shape): every file under ``target_rows`` is rewritten into
+    ``ceil(total_small / target_rows)`` consolidated files; right-sized
+    files carry over by reference.  Rows and values are untouched — only
+    the layout changes — and because compaction is just another commit,
+    pinned readers and time travel are unaffected until :func:`vacuum`.
+
+    This is the maintenance pass a merge-heavy snapshot table needs: every
+    CoW upsert adds a few files, and scan cost degrades with per-file
+    open/schedule overhead once they pile up (same economics as
+    writers.compact_partitions, but commit-versioned instead of
+    rename-swapped)."""
+    import math
+
+    base = current_version(spark, path)
+    manifest = _read_manifest(spark, path, base)
+    ddir = _data_dir(path)
+    file_rows: dict = manifest.get("file_rows") or {}
+    small = [
+        n for n in manifest["files"] if int(file_rows.get(n, 0)) < target_rows
+    ]
+    if len(small) <= 1:
+        return {
+            "new_version": base,
+            "compacted_files": 0,
+            "new_files": 0,
+            "carried_files": len(manifest["files"]),
+        }
+    n_out = max(
+        1, math.ceil(sum(int(file_rows[n]) for n in small) / target_rows)
+    )
+    reader = spark.read
+    if manifest.get("merge_schema"):
+        reader = reader.option("mergeSchema", "true")
+    merged = reader.parquet(*[f"{ddir}/{n}" for n in small])
+    new_files, new_rows = _stage_files(spark, merged, path, base + 1, n_out)
+    carried = [n for n in manifest["files"] if n not in small]
+    out_rows = {**{n: int(file_rows.get(n, 0)) for n in carried}, **new_rows}
+    stats: dict = manifest.get("stats") or {}
+    stat_cols = sorted({c for per in stats.values() for c in per})
+    new_stats = {n: stats[n] for n in carried if n in stats}
+    if stat_cols:
+        new_stats.update(_file_stats(path, new_files, stat_cols))
+    # Compacting EVERY file normalizes the schema (the rewrite emits the
+    # merged schema), so the flag clears; a partial compaction keeps it.
+    still_mixed = bool(manifest.get("merge_schema")) and bool(carried)
+    _commit(
+        spark, path, base + 1, carried + new_files, out_rows,
+        op="compact", stats=new_stats, merge_schema=still_mixed,
+    )
+    return {
+        "new_version": base + 1,
+        "compacted_files": len(small),
+        "new_files": len(new_files),
+        "carried_files": len(carried),
+    }

@@ -175,3 +175,67 @@ def test_vacuum_drops_history_keeps_latest(spark, sf_smoke, tmp_path):
     assert _rows(S.read_table(spark, path)) == _rows(updates)
     with pytest.raises(FileNotFoundError):
         S._read_manifest(spark, path, 1)
+
+
+def test_schema_evolution_additive_column(spark, sf_smoke, tmp_path):
+    """Additive evolution through merge: new columns must be ASKED for
+    (silent drop refused), evolved reads merge footers so un-rewritten
+    files surface NULL, and time travel still reads the old schema."""
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src.repartitionByRange(4, "o_orderkey"), path, n_files=None)
+
+    evolved = src.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_channel", F.lit("online")
+    )
+    with pytest.raises(ValueError, match="new columns"):
+        S.upsert(spark, path, evolved, ["o_orderkey"])
+
+    stats = S.upsert(
+        spark, path, evolved, ["o_orderkey"], allow_new_columns=True
+    )
+    assert stats["new_version"] == 2
+    cur = S.read_table(spark, path)
+    assert "o_channel" in cur.columns
+    got = {r["o_orderkey"]: r["o_channel"] for r in cur.collect()}
+    for k, v in got.items():
+        assert v == ("online" if k % 7 == 0 else None)
+    # rows and untouched values intact
+    assert cur.count() == src.count()
+    # time travel: v1 still has the pre-evolution schema
+    assert "o_channel" not in S.read_table(spark, path, version=1).columns
+
+
+def test_compact_consolidates_small_files(spark, sf_smoke, tmp_path):
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(
+        spark,
+        src.repartitionByRange(8, "o_orderkey"),
+        path,
+        n_files=None,
+        stats_cols=["o_orderkey"],
+    )
+    # Three narrow merges litter small files (CoW adds files per commit).
+    for lo in (1, 50, 100):
+        S.upsert(
+            spark, path,
+            src.filter(F.col("o_orderkey").between(lo, lo + 30)).withColumn(
+                "o_totalprice", F.lit(float(lo))
+            ),
+            ["o_orderkey"],
+        )
+    before = S._read_manifest(spark, path, S.current_version(spark, path))
+    pre_rows = _rows(S.read_table(spark, path))
+
+    stats = S.compact(spark, path, target_rows=10_000_000)  # everything small
+    assert stats["compacted_files"] == len(before["files"])
+    assert stats["new_files"] < len(before["files"])
+    after = S._read_manifest(spark, path, stats["new_version"])
+    assert after["op"] == "compact"
+    assert after["n_rows"] == before["n_rows"]
+    # values byte-identical; stats re-derived so merges keep pruning
+    assert _rows(S.read_table(spark, path)) == pre_rows
+    assert all("o_orderkey" in per for per in after["stats"].values())
+    # the pre-compaction version is still time-travel readable
+    assert _rows(S.read_table(spark, path, version=stats["new_version"] - 1)) == pre_rows
