@@ -113,12 +113,25 @@ def decode_png(data: bytes) -> np.ndarray:
         line = bytearray(raw[off + 1 : off + 1 + stride])
         if ftype == 0:
             pass
-        elif ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 1:  # Sub: out[i] = raw[i] + out[i-bpp] — per-lane
+            # prefix sum mod 256, vectorized (each of the bpp byte lanes is
+            # an independent cumsum)
+            arr = np.frombuffer(bytes(line), dtype=np.uint8).astype(np.int64)
+            lanes = arr.reshape(-1, bpp) if stride % bpp == 0 else None
+            if lanes is not None:
+                line = bytearray(
+                    (np.cumsum(lanes, axis=0) % 256)
+                    .astype(np.uint8)
+                    .reshape(-1)
+                    .tobytes()
+                )
+            else:  # defensive: stride is always w*bpp, but keep a fallback
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up: out = raw + prev_out — one vector add
+            arr = np.frombuffer(bytes(line), dtype=np.uint8).astype(np.int64)
+            parr = np.frombuffer(bytes(prev), dtype=np.uint8).astype(np.int64)
+            line = bytearray(((arr + parr) % 256).astype(np.uint8).tobytes())
         elif ftype == 3:  # Average
             for i in range(stride):
                 a = line[i - bpp] if i >= bpp else 0
