@@ -61,6 +61,10 @@ def _data_dir(path: str) -> str:
     return path.rstrip("/") + "/data"
 
 
+def _del_dir(path: str) -> str:
+    return path.rstrip("/") + "/_deletes"
+
+
 def _list_versions(spark: SparkSession, path: str) -> list[int]:
     hpath, fs = _fs(spark, path)
     sdir = hpath(_snap_dir(path))
@@ -88,7 +92,9 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
 
 def _commit(spark: SparkSession, path: str, version: int, files: list[str],
             file_rows: dict[str, int], op: str,
-            stats: dict | None = None, merge_schema: bool = False) -> None:
+            stats: dict | None = None, merge_schema: bool = False,
+            delete_files: list[str] | None = None,
+            n_deleted: int = 0) -> None:
     """Atomic manifest commit: write temp, rename-without-overwrite into
     place.  A losing racer's rename fails (target exists) -> conflict."""
     hpath, fs = _fs(spark, path)
@@ -101,7 +107,9 @@ def _commit(spark: SparkSession, path: str, version: int, files: list[str],
     body = json.dumps(
         {"version": version, "op": op, "files": sorted(files),
          "n_rows": sum(file_rows.values()), "file_rows": file_rows,
-         "stats": stats or {}, "merge_schema": bool(merge_schema)}
+         "stats": stats or {}, "merge_schema": bool(merge_schema),
+         "delete_files": sorted(delete_files or []),
+         "n_deleted": int(n_deleted)}
     ).encode("utf-8")
     stream = fs.create(tmp, True)
     try:
@@ -187,6 +195,68 @@ def _file_stats(path: str, names: Sequence[str], cols: Sequence[str]) -> dict:
     return out
 
 
+def _read_files(
+    spark: SparkSession,
+    path: str,
+    manifest: dict,
+    names: Sequence[str],
+    with_pos: bool = False,
+) -> DataFrame:
+    """Scan ``names`` from a manifest's file set with the manifest's read
+    semantics applied: footer merge when schemas are mixed, and LIVE rows
+    only — deletion-vector positions (merge-on-read deletes) are
+    anti-joined out on (file, row_index), with the DV side broadcast (DVs
+    are delete-sized, not table-sized).  ``with_pos=True`` keeps the
+    ``__fn``/``__ri`` position columns for callers that need them."""
+    ddir = _data_dir(path)
+    reader = spark.read
+    if manifest.get("merge_schema"):
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*[f"{ddir}/{n}" for n in names])
+    dvs = manifest.get("delete_files") or []
+    if dvs or with_pos:
+        df = df.withColumn("__fn", F.col("_metadata.file_name")).withColumn(
+            "__ri", F.col("_metadata.row_index")
+        )
+    if dvs:
+        dv = (
+            spark.read.parquet(*[f"{_del_dir(path)}/{n}" for n in dvs])
+            .select(
+                F.col("file_name").alias("__fn"),
+                F.col("row_index").alias("__ri"),
+            )
+            .distinct()
+        )
+        df = df.join(F.broadcast(dv), ["__fn", "__ri"], "left_anti")
+    if not with_pos and dvs:
+        df = df.drop("__fn", "__ri")
+    return df
+
+
+def _prune_by_stats(
+    manifest: dict, key0: str, batch_keys: DataFrame
+) -> list[str]:
+    """Iceberg data skipping: files whose manifest [min, max] for the
+    leading key column cannot overlap the batch's key bounds are provably
+    unaffected and excluded before any scan.  Falls back to the full list
+    when any file lacks stats (then nothing prunes, correctness intact)."""
+    stats: dict = manifest.get("stats") or {}
+    scan_files = list(manifest["files"])
+    if scan_files and all(key0 in stats.get(n, {}) for n in scan_files):
+        b = batch_keys.agg(
+            F.min(key0).alias("lo"), F.max(key0).alias("hi")
+        ).first()
+        if b["lo"] is not None:
+            scan_files = [
+                n
+                for n in scan_files
+                if not (
+                    stats[n][key0][1] < b["lo"] or stats[n][key0][0] > b["hi"]
+                )
+            ]
+    return scan_files
+
+
 def current_version(spark: SparkSession, path: str) -> int:
     versions = _list_versions(spark, path)
     if not versions:
@@ -231,18 +301,9 @@ def read_table(
     reads, even if it is collected much later."""
     v = version if version is not None else current_version(spark, path)
     manifest = _read_manifest(spark, path, v)
-    ddir = _data_dir(path)
-    files = [f"{ddir}/{name}" for name in manifest["files"]]
-    if not files:
+    if not manifest["files"]:
         raise ValueError(f"version {v} has an empty file list")
-    reader = spark.read
-    if manifest.get("merge_schema"):
-        # This version holds files from before AND after an additive column
-        # evolution: merge the footers so old files surface the new columns
-        # as NULL.  The flag keeps the common case on the cheap
-        # single-footer path.
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*files)
+    return _read_files(spark, path, manifest, manifest["files"])
 
 
 def upsert(
@@ -285,33 +346,19 @@ def upsert(
             deletes.select(*kcols).distinct()
         ).distinct()
 
-    # Manifest-stats pruning (Iceberg data skipping): if every file carries
-    # footer [min, max] for the leading key column, files whose range
-    # cannot overlap the batch's key bounds are EXCLUDED from the
-    # affected-file scan entirely — merge cost tracks the touched key
-    # range, not the table size.  One driver-small bounds aggregate; the
-    # pruned-out files are provably unaffected, so correctness is intact
-    # even when the batch is scattered (then nothing prunes).
+    # Manifest-stats pruning (Iceberg data skipping): merge cost tracks the
+    # touched key range, not the table size; pruned-out files are provably
+    # unaffected (a scattered batch simply prunes nothing).
     stats: dict = manifest.get("stats") or {}
-    key0 = kcols[0]
-    scan_files = list(manifest["files"])
-    if scan_files and all(key0 in stats.get(n, {}) for n in scan_files):
-        b = batch_keys.agg(
-            F.min(key0).alias("lo"), F.max(key0).alias("hi")
-        ).first()
-        if b["lo"] is not None:
-            scan_files = [
-                n
-                for n in scan_files
-                if not (stats[n][key0][1] < b["lo"] or stats[n][key0][0] > b["hi"])
-            ]
+    scan_files = _prune_by_stats(manifest, kcols[0], batch_keys)
 
     if scan_files:
-        existing = spark.read.parquet(*[f"{ddir}/{n}" for n in scan_files])
-        tagged = existing.withColumn("__file", F.input_file_name())
+        # LIVE rows only: rows already dropped by a deletion vector must
+        # not mark their file affected.
+        tagged = _read_files(spark, path, manifest, scan_files, with_pos=True)
         affected_rows = (
             tagged.join(batch_keys, kcols, "left_semi")
-            .select("__file")
+            .select("__fn")
             .distinct()
             .limit(max_affected_files + 1)
             .collect()
@@ -323,15 +370,14 @@ def upsert(
             f"merge touches more than {max_affected_files} files; "
             "this should be a table rewrite, not an upsert"
         )
-    affected_names = {r["__file"].rsplit("/", 1)[-1] for r in affected_rows}
+    affected_names = {r["__fn"] for r in affected_rows}
 
     mixed_schema = bool(manifest.get("merge_schema"))
     if affected_names:
-        reader = spark.read
-        if mixed_schema:
-            reader = reader.option("mergeSchema", "true")
-        survivors = reader.parquet(
-            *[f"{ddir}/{n}" for n in sorted(affected_names)]
+        # Survivors come from the LIVE view (DVs applied): the rewrite
+        # physically absorbs any deletion-vector rows in these files.
+        survivors = _read_files(
+            spark, path, manifest, sorted(affected_names)
         ).join(batch_keys, kcols, "left_anti")
         extra = set(updates.columns) - set(survivors.columns)
         if extra and not allow_new_columns:
@@ -366,6 +412,8 @@ def upsert(
         spark, path, base + 1, carried + new_files, file_rows,
         op="merge", stats=new_stats,
         merge_schema=mixed_schema and bool(carried),
+        delete_files=(manifest.get("delete_files") or []) if carried else [],
+        n_deleted=int(manifest.get("n_deleted") or 0) if carried else 0,
     )
     return {
         "base_version": base,
@@ -388,8 +436,11 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> dict[str, int]
         return {"dropped_manifests": 0, "deleted_files": 0}
     keep = versions[-max(1, keep_last):]
     referenced: set[str] = set()
+    referenced_dv: set[str] = set()
     for v in keep:
-        referenced.update(_read_manifest(spark, path, v)["files"])
+        m = _read_manifest(spark, path, v)
+        referenced.update(m["files"])
+        referenced_dv.update(m.get("delete_files") or [])
     dropped = 0
     for v in versions:
         if v not in keep:
@@ -401,6 +452,13 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> dict[str, int]
         for st in fs.listStatus(ddir):
             name = st.getPath().getName()
             if name.endswith(".parquet") and name not in referenced:
+                fs.delete(st.getPath(), False)
+                deleted += 1
+    dvdir = hpath(_del_dir(path))
+    if fs.exists(dvdir):
+        for st in fs.listStatus(dvdir):
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and name not in referenced_dv:
                 fs.delete(st.getPath(), False)
                 deleted += 1
     return {"dropped_manifests": dropped, "deleted_files": deleted}
@@ -440,10 +498,9 @@ def compact(
     n_out = max(
         1, math.ceil(sum(int(file_rows[n]) for n in small) / target_rows)
     )
-    reader = spark.read
-    if manifest.get("merge_schema"):
-        reader = reader.option("mergeSchema", "true")
-    merged = reader.parquet(*[f"{ddir}/{n}" for n in small])
+    # LIVE rows only: compaction physically absorbs deletion-vector rows
+    # for the files it rewrites (merge-on-read debt paid down here).
+    merged = _read_files(spark, path, manifest, small)
     new_files, new_rows = _stage_files(spark, merged, path, base + 1, n_out)
     carried = [n for n in manifest["files"] if n not in small]
     out_rows = {**{n: int(file_rows.get(n, 0)) for n in carried}, **new_rows}
@@ -458,10 +515,91 @@ def compact(
     _commit(
         spark, path, base + 1, carried + new_files, out_rows,
         op="compact", stats=new_stats, merge_schema=still_mixed,
+        delete_files=(manifest.get("delete_files") or []) if carried else [],
+        n_deleted=int(manifest.get("n_deleted") or 0) if carried else 0,
     )
     return {
         "new_version": base + 1,
         "compacted_files": len(small),
         "new_files": len(new_files),
         "carried_files": len(carried),
+    }
+
+
+def delete(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: Sequence[str],
+) -> dict[str, int]:
+    """MERGE-ON-READ delete (the Delta deletion-vector / Iceberg
+    positional-delete shape): record the (file, row_index) positions of
+    matching rows in a sidecar parquet under ``_deletes/`` and commit a
+    new version referencing it — ZERO data files are rewritten, so a
+    delete over a 100 TB table costs one pruned scan plus a delete-sized
+    write.  Readers anti-join the (broadcast) positions out at scan time;
+    the next :func:`upsert` or :func:`compact` that rewrites a file
+    physically absorbs its positions (copy-on-write pays the debt down).
+
+    Trade-off vs the CoW path (``upsert(deletes=...)``): delete commits
+    are cheap but every read pays the anti-join until compaction — the
+    standard merge-on-read economics, chosen per table by how
+    read-heavy it is.
+    """
+    base = current_version(spark, path)
+    manifest = _read_manifest(spark, path, base)
+    kcols = list(key_cols)
+    batch = keys.select(*kcols).distinct()
+    scan_files = _prune_by_stats(manifest, kcols[0], batch)
+    if scan_files:
+        live = _read_files(spark, path, manifest, scan_files, with_pos=True)
+        hits = live.join(batch, kcols, "left_semi").select(
+            F.col("__fn").alias("file_name"),
+            F.col("__ri").cast("long").alias("row_index"),
+        )
+    else:
+        hits = spark.createDataFrame([], "file_name string, row_index long")
+
+    # Stage the DV sidecar like a data file: never visible under a name a
+    # manifest could reference until fully written.
+    hpath, fs = _fs(spark, path)
+    staging = path.rstrip("/") + f"/_staging_dv_v{base + 1:08d}"
+    fs.delete(hpath(staging), True)
+    hits.write.mode("overwrite").parquet(staging)
+    dvdir = _del_dir(path)
+    fs.mkdirs(hpath(dvdir))
+    dv_names: list[str] = []
+    for st in sorted(
+        fs.listStatus(hpath(staging)), key=lambda s: s.getPath().getName()
+    ):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        target = f"v{base + 1:08d}-dv-{len(dv_names):05d}.parquet"
+        if not fs.rename(st.getPath(), hpath(f"{dvdir}/{target}")):
+            raise IOError(f"DV staging rename failed for {name}")
+        dv_names.append(target)
+    fs.delete(hpath(staging), True)
+
+    all_dvs = (manifest.get("delete_files") or []) + dv_names
+    n_deleted = 0
+    if all_dvs:
+        n_deleted = int(
+            spark.read.parquet(*[f"{dvdir}/{n}" for n in all_dvs])
+            .distinct()
+            .count()
+        )
+    _commit(
+        spark, path, base + 1, manifest["files"],
+        manifest.get("file_rows") or {},
+        op="delete", stats=manifest.get("stats") or {},
+        merge_schema=bool(manifest.get("merge_schema")),
+        delete_files=all_dvs, n_deleted=n_deleted,
+    )
+    return {
+        "base_version": base,
+        "new_version": base + 1,
+        "delete_files": len(dv_names),
+        "n_deleted_total": n_deleted,
+        "pruned_files": len(manifest["files"]) - len(scan_files),
     }

@@ -239,3 +239,95 @@ def test_compact_consolidates_small_files(spark, sf_smoke, tmp_path):
     assert all("o_orderkey" in per for per in after["stats"].values())
     # the pre-compaction version is still time-travel readable
     assert _rows(S.read_table(spark, path, version=stats["new_version"] - 1)) == pre_rows
+
+
+def test_merge_on_read_delete_rewrites_nothing(spark, sf_smoke, tmp_path):
+    """Deletion vectors: a delete commits a position sidecar and touches
+    ZERO data files; reads exclude the rows, time travel still sees them,
+    and stats pruning bounds the position scan."""
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(
+        spark,
+        src.repartitionByRange(8, "o_orderkey"),
+        path,
+        n_files=None,
+        stats_cols=["o_orderkey"],
+    )
+    m1 = S._read_manifest(spark, path, 1)
+    doomed = src.filter(F.col("o_orderkey").between(1, 100)).select("o_orderkey")
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+
+    stats = S.delete(spark, path, doomed, ["o_orderkey"])
+    assert stats["new_version"] == 2
+    assert stats["pruned_files"] >= 6, stats  # narrow range, stats pruning
+    m2 = S._read_manifest(spark, path, 2)
+    assert m2["files"] == m1["files"]  # zero data files rewritten
+    assert m2["n_deleted"] == n_doomed
+    assert m2["n_rows"] == m1["n_rows"]  # physical rows unchanged
+
+    live = S.read_table(spark, path)
+    assert live.count() == src.count() - n_doomed
+    assert live.filter(F.col("o_orderkey").between(1, 100)).count() == 0
+    # time travel: v1 still sees every row
+    assert S.read_table(spark, path, version=1).count() == src.count()
+
+    # a second delete accumulates
+    doomed2 = src.filter(F.col("o_orderkey").between(200, 260)).select("o_orderkey")
+    S.delete(spark, path, doomed2, ["o_orderkey"])
+    expect = src.join(
+        doomed.unionByName(doomed2), "o_orderkey", "left_anti"
+    )
+    assert _rows(S.read_table(spark, path)) == _rows(expect)
+
+
+def test_upsert_after_delete_respects_and_absorbs_dvs(spark, sf_smoke, tmp_path):
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(
+        spark,
+        src.repartitionByRange(8, "o_orderkey"),
+        path,
+        n_files=None,
+        stats_cols=["o_orderkey"],
+    )
+    doomed = src.filter(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+    S.delete(spark, path, doomed, ["o_orderkey"])
+
+    # update a disjoint key set: deleted rows must stay gone, including in
+    # the files the merge rewrites (their DV positions are absorbed)
+    updates = src.filter(F.col("o_orderkey") % 7 == 3).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    S.upsert(spark, path, updates, ["o_orderkey"])
+    expect = (
+        src.join(doomed, "o_orderkey", "left_anti")
+        .join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(updates.join(doomed, "o_orderkey", "left_anti"))
+    )
+    # note: updates for deleted keys would RE-INSERT them (replace-by-key
+    # semantics); the % 7 == 3 batch overlaps % 11 == 0, so carve those out
+    reinserted = updates.join(doomed, "o_orderkey", "left_semi")
+    expect = expect.unionByName(reinserted)
+    assert _rows(S.read_table(spark, path)) == _rows(expect)
+
+
+def test_compact_absorbs_deletion_vectors(spark, sf_smoke, tmp_path):
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src, path, n_files=6)
+    doomed = src.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    S.delete(spark, path, doomed, ["o_orderkey"])
+    live_before = _rows(S.read_table(spark, path))
+
+    stats = S.compact(spark, path, target_rows=10_000_000)  # rewrite all
+    m = S._read_manifest(spark, path, stats["new_version"])
+    assert m["delete_files"] == []  # debt fully paid down
+    assert m["n_deleted"] == 0
+    assert m["n_rows"] == src.count() - doomed.count()  # physically gone
+    assert _rows(S.read_table(spark, path)) == live_before
+
+    swept = S.vacuum(spark, path, keep_last=1)
+    assert swept["deleted_files"] > 0  # old data files AND the DV sidecars
+    assert _rows(S.read_table(spark, path)) == live_before
