@@ -211,6 +211,7 @@ DEFERRED_R7_NEVER: tuple[str, ...] = (
     "graph_degree_distribution",
     "text_top_sources_with_other",
     "acid_snapshot_isolation",
+    "acid_merge_on_read_delete",
 )
 
 DEFERRED_R7: tuple[str, ...] = (

@@ -396,3 +396,84 @@ def acid_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "acid_merge_on_read_delete",
+    oracle=f"""
+WITH src AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+doomed AS (
+    SELECT o_orderkey FROM src WHERE o_orderkey % 17 = 0
+),
+v2 AS (
+    SELECT * FROM src
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM doomed)
+),
+snaps AS (
+    SELECT 'v1' AS snap, o_orderstatus, o_orderkey, o_totalprice FROM src
+    UNION ALL
+    SELECT 'v2' AS snap, o_orderstatus, o_orderkey, o_totalprice FROM v2
+)
+SELECT snap, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       {sql_dec_sum('o_totalprice', 2)} AS total_price
+FROM snaps
+GROUP BY snap, o_orderstatus
+""",
+)
+def acid_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT S4-S6 extension] Merge-on-read DELETE under the exact gate
+    (sources/snapshot.delete — the deletion-vector path): seed a snapshot
+    table from orders (v1, range-clustered with manifest key stats), pin a
+    reader on v1, then commit a positional delete of keys %17 == 0 —
+    recording (file, row_index) sidecars, REWRITING ZERO DATA FILES (the
+    query raises if the v2 manifest's file list differs from v1's) — and
+    only then collect both readers.
+
+    The oracle recomputes both states from orders, so the DV anti-join at
+    scan time (broadcast positions), the pinned reader's isolation from
+    the delete commit, and the untouched-file guarantee are all inside the
+    verified loop.  Companion to acid_snapshot_isolation's copy-on-write
+    merge: together they pin both sides of the CoW/MoR trade-off."""
+    from aws_etl_fiap_spark.sources import snapshot as snap
+
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="acid_mor_", dir=base)
+    path = os.path.join(tmp, "orders_snap")
+    try:
+        src = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        snap.create_table(
+            spark,
+            src.repartitionByRange(4, "o_orderkey"),
+            path,
+            n_files=None,
+            stats_cols=["o_orderkey"],
+        )
+        pinned_v1 = snap.read_table(spark, path)
+        doomed = src.filter(F.col("o_orderkey") % 17 == 0).select("o_orderkey")
+        snap.delete(spark, path, doomed, ["o_orderkey"])
+        m1 = snap._read_manifest(spark, path, 1)
+        m2 = snap._read_manifest(spark, path, 2)
+        if m2["files"] != m1["files"]:
+            raise RuntimeError(
+                "merge-on-read delete rewrote data files: "
+                f"{m1['files']} -> {m2['files']}"
+            )
+        latest = snap.read_table(spark, path)
+
+        def agg(df: DataFrame, label: str) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").alias("key_sum"),
+                dec_sum("o_totalprice", 2).alias("total_price"),
+            ).select(F.lit(label).alias("snap"), "*")
+
+        out = agg(pinned_v1, "v1").unionByName(agg(latest, "v2"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
