@@ -331,3 +331,23 @@ def test_compact_absorbs_deletion_vectors(spark, sf_smoke, tmp_path):
     swept = S.vacuum(spark, path, keep_last=1)
     assert swept["deleted_files"] > 0  # old data files AND the DV sidecars
     assert _rows(S.read_table(spark, path)) == live_before
+
+
+def test_dv_anti_join_is_broadcast(spark, sf_smoke, tmp_path):
+    """Plan gate: the deletion-vector anti-join must BROADCAST the DV side
+    (positions are delete-sized, never table-sized) — a shuffled anti-join
+    here would tax every read of a 100 TB table with a full exchange."""
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src, path, n_files=4)
+    S.delete(
+        spark, path,
+        src.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey"),
+        ["o_orderkey"],
+    )
+    plan = (
+        S.read_table(spark, path)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
