@@ -351,3 +351,65 @@ def test_dv_anti_join_is_broadcast(spark, sf_smoke, tmp_path):
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_streaming_foreachbatch_commits_versions(spark, sf_smoke, tmp_path):
+    """Integration: a real file-source readStream drives snapshot.upsert
+    through foreachBatch — every micro-batch lands as an isolated
+    versioned commit, a reader pinned mid-stream keeps its snapshot, and
+    the final state equals the batch-computed merge.  This is the
+    streaming-ingest + ACID-table composition an incremental 100 TB
+    pipeline actually runs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    S.create_table(spark, src.repartitionByRange(4, "o_orderkey"), path,
+                   n_files=None, stats_cols=["o_orderkey"])
+    pinned_v1 = S.read_table(spark, path)
+
+    b0 = src.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(5.0)
+    ).withColumn("seq", F.lit(0))
+    b1 = src.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(11.0)
+    ).withColumn("seq", F.lit(1))
+    b0.coalesce(1).write.parquet(os.path.join(inbox, "seq=0_batch"))
+    b1.coalesce(1).write.parquet(os.path.join(inbox, "seq=1_batch"))
+
+    def merge_batch(batch_df, _batch_id):
+        seqs = sorted(r["seq"] for r in batch_df.select("seq").distinct().collect())
+        for s in seqs:
+            S.upsert(
+                spark, path,
+                batch_df.filter(F.col("seq") == s).drop("seq"),
+                ["o_orderkey"],
+            )
+
+    stream = spark.readStream.schema(b0.schema).parquet(os.path.join(inbox, "*"))
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # one commit per applied sub-batch, in seq order
+    ops = [m["op"] for m in S.history(spark, path)]
+    assert ops[0] == "create" and all(o == "merge" for o in ops[1:])
+    assert S.current_version(spark, path) == 1 + 2
+
+    expect = src.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") + 11.0)
+        .when(F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") + 5.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    assert _rows(S.read_table(spark, path)) == _rows(expect)
+    # the reader pinned before the stream started still sees v1
+    assert _rows(pinned_v1) == _rows(src)
