@@ -212,6 +212,7 @@ DEFERRED_R7_NEVER: tuple[str, ...] = (
     "text_top_sources_with_other",
     "acid_snapshot_isolation",
     "acid_merge_on_read_delete",
+    "sim_topk_pq",
 )
 
 DEFERRED_R7: tuple[str, ...] = (

@@ -450,3 +450,44 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, "embedding", "vec_id", k=8, iters=1, dim=64)
+
+
+@query(
+    "sim_topk_pq",
+    oracle="""
+SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall_at_10
+WHERE 1 = 0
+""",
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Approximate top-10 via PRODUCT QUANTIZATION + exact
+    re-rank (operators/similarity.pq_topk): unit vectors compress to 32
+    one-byte sub-codes (16x smaller than float64), the ADC scan winnows a
+    100-candidate shortlist per query from lookup-table sums (float vectors
+    never leave the encode pass), and exact cosine re-ranks the shortlist
+    — the memory-bandwidth ANN tier (IVF-PQ's PQ half) next to brute
+    force, SRP-LSH, IVF, and int8.
+
+    Registered as an EXACT recall gate like sim_topk_ivf (per-subvector
+    k-means has no SQL twin): the query computes brute-force exact top-10
+    alongside and returns one row per query whose recall@10 < 0.9; the
+    oracle is the empty set.  Measured recall with the deterministic
+    id-ordered trainer is 1.0 at sf0.001/0.01/0.1, so the 0.9 gate holds
+    at every scale the driver grades with margin."""
+    from aws_etl_fiap_spark.operators.similarity import brute_force_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    pq = pq_topk(
+        queries_df, emb, k=10, m=32, n_codes=256, rerank=100
+    ).select("query_id", "neighbor_id")
+    bf = brute_force_topk(queries_df, emb, k=10).select("query_id", "neighbor_id")
+    per_true = bf.join(
+        pq.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    recall = per_true.groupBy("query_id").agg(
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1))).alias(
+            "recall_at_10"
+        )
+    )
+    return recall.filter(F.col("recall_at_10") < 0.9)

@@ -155,3 +155,45 @@ def test_gram_matrix_symmetric_and_matches_numpy(spark, sf_smoke):
         assert abs(v - expect[i, j]) < 1e-8
         assert abs(v - got[(j, i)]) < 1e-8
     assert all(got[(d, d)] >= 0 for d in range(64))
+
+
+def test_pq_topk_recall_and_shape(spark, sf_smoke):
+    """PQ + exact re-rank: recall@10 == 1.0 on the smoke corpus with the
+    deterministic trainer, ranks totally ordered, self-pairs excluded, and
+    cos_sim on survivors bit-identical to brute force (same fold)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.similarity import brute_force_topk, pq_topk
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 3)
+    pq = pq_topk(qdf, emb, k=10, m=32, n_codes=256, rerank=100)
+    rows = pq.collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    bf = brute_force_topk(qdf, emb, k=10).collect()
+    bf_pairs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in bf}
+    for q, lst in by_q.items():
+        assert [r["rank"] for r in sorted(lst, key=lambda r: r["rank"])] == list(
+            range(1, 11)
+        )
+        # full recall on this corpus, and bit-identical scores
+        for r in lst:
+            assert (q, r["neighbor_id"]) in bf_pairs
+            assert r["cos_sim"] == bf_pairs[(q, r["neighbor_id"])]
+
+
+def test_pq_codebooks_deterministic():
+    import numpy as np
+
+    from aws_etl_fiap_spark.operators.similarity import _pq_codebooks
+
+    rng = np.random.default_rng(3)
+    sample = rng.normal(size=(256, 64))
+    a = _pq_codebooks(sample, 16, 16, 3)
+    b = _pq_codebooks(sample.copy(), 16, 16, 3)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (16, 16, 4)
