@@ -915,10 +915,13 @@ def _pq_codebooks(sample, m: int, k: int, iters: int):
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)
-            for c in range(k):
-                members = sub[assign == c]
-                if len(members):
-                    cents[c] = members.mean(axis=0)
+            # vectorized Lloyd update (no per-centroid Python loop):
+            # scatter-add member sums, divide by counts, keep empty cells
+            sums = np.zeros((k, dsub), dtype=np.float64)
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=k).astype(np.float64)
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]
         books[j] = cents
     return books
 
@@ -959,11 +962,18 @@ def pq_topk(
 
     def normed(df, idc):
         v = as_double(vec_col)
-        return df.select(
-            F.col(idc).cast("long").alias("__id"),
-            F.transform(
-                v, lambda x: F.try_divide(x, norm(as_double(vec_col)))
-            ).alias("__v"),
+        # Hoist the norm to its own column FIRST: embedding the O(dim)
+        # norm fold inside the per-element transform lambda would make the
+        # projection O(dim^2) per row (measured 5x on the 20x smoke).
+        return (
+            df.select(F.col(idc).cast("long").alias("__id"), v.alias("__raw"))
+            .withColumn("__n", norm(F.col("__raw")))
+            .select(
+                "__id",
+                F.transform(
+                    F.col("__raw"), lambda x: F.try_divide(x, F.col("__n"))
+                ).alias("__v"),
+            )
         )
 
     src = normed(corpus, corpus_id)
@@ -977,6 +987,10 @@ def pq_topk(
 
     def encode_gen(batches):
         bk = bc_books.value
+        # argmin_c ||s - c||^2 == argmin_c (||c||^2 - 2 s.c): the row norm
+        # is constant per row, so the assignment is one BLAS gemm + a
+        # broadcast add per subvector — no (batch, k, dsub) tensor.
+        c2 = (bk**2).sum(axis=2)  # (m, k)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -984,8 +998,7 @@ def pq_topk(
             codes = np.empty((len(mat), m), dtype=np.int32)
             for j in range(m):
                 sub = mat[:, j * dsub : (j + 1) * dsub]
-                d2 = ((sub[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = np.argmin(d2, axis=1)
+                codes[:, j] = np.argmin(c2[j][None, :] - 2.0 * (sub @ bk[j].T), axis=1)
             yield pd.DataFrame(
                 {"neighbor_id": pdf["__id"].values, "codes": list(codes)}
             )

@@ -86,12 +86,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # and lead the r8 schedule below.
 #
 # PRECOMPUTED SCHEDULE for the following rounds (stalest-first):
-#   r8: graph_degree_distribution + text_top_sources_with_other (the two
-#       never-graded deferrals) + all 44 r3-green entries (DEFERRED_R7_R3,
-#       then 4 rounds stale) + the 4 stalest r5-green entries;
-#   r9: the remaining 43 r5-green entries (DEFERRED_R7_R5) + the 7 stalest
+#   r8: the five never-graded deferrals (DEFERRED_R7_NEVER — two r6
+#       leftovers plus the three queries NEW in r7: the two acid gates and
+#       sim_topk_pq) + all 44 r3-green entries (DEFERRED_R7_R3, then 4
+#       rounds stale) + the stalest r5-green entry;
+#   r9: the remaining 46 r5-green entries (DEFERRED_R7_R5) + the 4 stalest
 #       r6-green entries;
-#   r10: the remaining 38 r6-green entries + the stalest r7-green entries —
+#   r10: the remaining 41 r6-green entries + the stalest r7-green entries —
 #       back to steady state.
 # Changed-code re-entries preempt tail slots of whichever round they land
 # in; the displaced tail shifts one round later.

@@ -325,6 +325,19 @@ def main() -> None:
         ).count(),
     )
 
+    # PQ + re-rank at K x (r7): the ADC scan touches every code but each
+    # row costs 32 LUT adds, not a 64-dim dot; claim = ~linear in corpus
+    # with a small constant, shortlist re-rank flat (|Q| x 100 rows).
+    from aws_etl_fiap_spark.operators.similarity import pq_topk
+
+    stage(
+        f"pq_topk_{n_vec}vec",
+        lambda: pq_topk(
+            big_emb.filter(F.col("vec_id") < 5), big_emb,
+            k=10, m=32, n_codes=256, rerank=100,
+        ).count(),
+    )
+
     # Round-6 additions: text scrubbing/repetition (expression-only — the
     # claim is flat per-row cost, so K x rows should cost ~K x one scan),
     # the salted big-big join (hot keys spread across salts as the fact
