@@ -413,3 +413,76 @@ def test_streaming_foreachbatch_commits_versions(spark, sf_smoke, tmp_path):
     assert _rows(S.read_table(spark, path)) == _rows(expect)
     # the reader pinned before the stream started still sees v1
     assert _rows(pinned_v1) == _rows(src)
+
+
+def test_model_based_random_op_sequences(spark, sf_smoke, tmp_path):
+    """Model-based check of the whole table-format surface: a seeded
+    random sequence of upsert / CoW-delete / MoR-delete / compact ops runs
+    against BOTH the snapshot table and a plain dict model; after every
+    commit the table must equal the model exactly, and at the end every
+    surviving historical version must still time-travel to the state the
+    model had at that commit.  One property run subsumes dozens of
+    hand-written interaction cases (e.g. MoR delete followed by CoW merge
+    of the same file, compact mid-history)."""
+    import random
+
+    rng = random.Random(20260814)
+    src = _orders(spark, sf_smoke).filter(F.col("o_orderkey") <= 2000)
+    rows = {r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+            for r in src.collect()}
+    path = str(tmp_path / "snap")
+    S.create_table(
+        spark,
+        src.repartitionByRange(4, "o_orderkey"),
+        path,
+        n_files=None,
+        stats_cols=["o_orderkey"],
+    )
+    model = dict(rows)
+    history_states = {1: dict(model)}
+
+    def df_of(key_vals):
+        return spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in key_vals],
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        )
+
+    all_keys = sorted(rows)
+    for step in range(8):
+        op = rng.choice(["upsert", "cow_delete", "mor_delete", "compact"])
+        if op == "upsert":
+            ks = rng.sample(all_keys, 40)
+            ins = [k + 1_000_000 + step * 10_000 for k in rng.sample(all_keys, 5)]
+            batch = [(k, (rows[k][0], round(rng.uniform(1, 9e4), 2))) for k in ks]
+            batch += [(k, ("N", float(k % 997))) for k in ins]
+            S.upsert(spark, path, df_of(batch), ["o_orderkey"])
+            model.update(dict(batch))
+        elif op == "cow_delete":
+            ks = [k for k in rng.sample(all_keys, 30) if k in model]
+            dels = spark.createDataFrame([(k,) for k in ks] or [(-1,)], "o_orderkey bigint")
+            S.upsert(spark, path, df_of([]).limit(0), ["o_orderkey"], deletes=dels)
+            for k in ks:
+                model.pop(k, None)
+        elif op == "mor_delete":
+            ks = [k for k in rng.sample(all_keys, 30) if k in model]
+            dels = spark.createDataFrame([(k,) for k in ks] or [(-1,)], "o_orderkey bigint")
+            S.delete(spark, path, dels, ["o_orderkey"])
+            for k in ks:
+                model.pop(k, None)
+        else:
+            S.compact(spark, path, target_rows=rng.choice([200, 10_000_000]))
+        v = S.current_version(spark, path)
+        history_states[v] = dict(model)
+        got = {
+            r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+            for r in S.read_table(spark, path).collect()
+        }
+        assert got == model, f"divergence after step {step} ({op}) at v{v}"
+
+    # every historical version still time-travels to its exact state
+    for v, state in history_states.items():
+        got = {
+            r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+            for r in S.read_table(spark, path, version=v).collect()
+        }
+        assert got == state, f"time travel to v{v} diverged"
