@@ -603,3 +603,57 @@ def delete(
         "n_deleted_total": n_deleted,
         "pruned_files": len(manifest["files"]) - len(scan_files),
     }
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED between two committed versions (the Delta CDF /
+    Iceberg changelog shape): every key inserted / updated / deleted
+    between ``v_from`` and ``v_to``, derived purely from the immutable
+    manifests — no change log is written on the write path.
+
+    File-pruned in the common case: data files are immutable and merges
+    rewrite whole files, so when the two versions' deletion-vector sets
+    are identical, every changed row lives in a file REMOVED from or ADDED
+    to the manifest — the diff joins only those files, never the carried
+    majority (a row that merely moved files with identical values
+    classifies as unchanged and is filtered by the null-safe compare).
+    When deletion vectors differ (merge-on-read deletes touch carried
+    files), the diff falls back to the two full pinned snapshots — still
+    manifest-isolated, just not file-pruned.
+
+    Output: key columns + change_type in {inserted, updated, deleted}
+    (operators/cleaning.snapshot_diff classification).
+    """
+    from aws_etl_fiap_spark.operators.cleaning import snapshot_diff
+
+    mf = _read_manifest(spark, path, v_from)
+    mt = _read_manifest(spark, path, v_to)
+    if compare_cols is None:
+        probe = _read_files(spark, path, mt, mt["files"][:1])
+        compare_cols = [c for c in probe.columns if c not in set(key_cols)]
+
+    same_dvs = set(mf.get("delete_files") or []) == set(mt.get("delete_files") or [])
+    if same_dvs:
+        removed = [n for n in mf["files"] if n not in set(mt["files"])]
+        added = [n for n in mt["files"] if n not in set(mf["files"])]
+        old_side = (
+            _read_files(spark, path, mf, removed)
+            if removed
+            else _read_files(spark, path, mf, mf["files"][:1]).filter(F.lit(False))
+        )
+        new_side = (
+            _read_files(spark, path, mt, added)
+            if added
+            else _read_files(spark, path, mt, mt["files"][:1]).filter(F.lit(False))
+        )
+    else:
+        old_side = _read_files(spark, path, mf, mf["files"])
+        new_side = _read_files(spark, path, mt, mt["files"])
+    return snapshot_diff(old_side, new_side, list(key_cols), list(compare_cols))

@@ -486,3 +486,57 @@ def test_model_based_random_op_sequences(spark, sf_smoke, tmp_path):
             for r in S.read_table(spark, path, version=v).collect()
         }
         assert got == state, f"time travel to v{v} diverged"
+
+
+def test_table_changes_cdf(spark, sf_smoke, tmp_path):
+    """Change data feed: the v1->v2 diff of a CoW merge yields exactly the
+    inserted/updated/deleted keys, reads ONLY removed+added files (carried
+    files pruned — checked via inputFiles), compaction diffs to empty, and
+    the MoR-delete fallback still classifies correctly."""
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(
+        spark,
+        src.repartitionByRange(8, "o_orderkey"),
+        path,
+        n_files=None,
+        stats_cols=["o_orderkey"],
+    )
+    lo, hi = 1, 120
+    upd = src.filter(F.col("o_orderkey").between(lo, hi)).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    ins = src.limit(3).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(9_000_000))
+    dels = src.filter(
+        F.col("o_orderkey").between(200, 240)
+    ).select("o_orderkey")
+    S.upsert(spark, path, upd.unionByName(ins), ["o_orderkey"], deletes=dels)
+
+    cdf = S.table_changes(spark, path, 1, 2, ["o_orderkey"])
+    got = {r["o_orderkey"]: r["change_type"] for r in cdf.collect()}
+    exp_upd = {r["o_orderkey"] for r in upd.collect()}
+    exp_ins = {r["o_orderkey"] for r in ins.collect()}
+    exp_del = {r["o_orderkey"] for r in dels.collect()}
+    assert {k for k, v in got.items() if v == "updated"} == exp_upd
+    assert {k for k, v in got.items() if v == "inserted"} == exp_ins
+    assert {k for k, v in got.items() if v == "deleted"} == exp_del
+
+    # file pruning: the diff plan touches only removed+added files
+    m1, m2 = S._read_manifest(spark, path, 1), S._read_manifest(spark, path, 2)
+    changed = (set(m1["files"]) ^ set(m2["files"]))
+    touched = {f.rsplit("/", 1)[-1] for f in cdf.inputFiles()}
+    assert touched <= changed, (touched, changed)
+    assert len(changed) < len(m2["files"]), "test needs carried files"
+
+    # compaction changes the layout, not the data: CDF must be empty
+    S.compact(spark, path, target_rows=10_000_000)
+    assert S.table_changes(spark, path, 2, 3, ["o_orderkey"]).count() == 0
+
+    # merge-on-read delete -> DV sets differ -> full-snapshot fallback
+    mor = src.filter(F.col("o_orderkey").between(300, 330)).select("o_orderkey")
+    S.delete(spark, path, mor, ["o_orderkey"])
+    cdf2 = S.table_changes(spark, path, 3, 4, ["o_orderkey"])
+    got2 = {r["o_orderkey"]: r["change_type"] for r in cdf2.collect()}
+    assert got2 == {
+        r["o_orderkey"]: "deleted" for r in mor.collect()
+    }
