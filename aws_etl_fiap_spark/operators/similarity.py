@@ -1080,3 +1080,178 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 6,
+    m: int = 32,
+    n_codes: int = 256,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 2048,
+    iters: int = 5,
+    rerank: int = 100,
+) -> DataFrame:
+    """IVF-PQ: the composed production ANN index — an IVF coarse quantizer
+    bounds the SCAN FRACTION (each query touches ~n_probe/n_cells of the
+    corpus) while residual product quantization bounds the BYTES PER ROW
+    (m one-byte codes instead of the float vector), and an exact cosine
+    re-rank of the shortlist restores top-k quality.  This is the
+    standard large-scale layout (IVFADC): neither ivf_topk (floats in the
+    probed cells) nor pq_topk (full code scan) alone gives both bounds.
+
+    Deterministic like its parts: id-ordered training sample, no RNG.
+    Index pass = ONE mapInPandas over the corpus emitting (cell, codes) —
+    codes quantize the RESIDUAL x - centroid(cell), the classic trick
+    that keeps codebook resolution where the data is.  Search: probes
+    broadcast-join the code frame on cell id, per-(query, cell) ADC
+    lookup tables score only in-cell codes with a per-partition
+    shortlist, and the broadcast shortlist pulls float vectors back for
+    the exact re-rank (cos_sim bit-identical to brute force)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+
+    def normed(df, idc):
+        v = as_double(vec_col)
+        return (
+            df.select(F.col(idc).cast("long").alias("__id"), v.alias("__raw"))
+            .withColumn("__n", norm(F.col("__raw")))
+            .select(
+                "__id",
+                F.transform(
+                    F.col("__raw"), lambda x: F.try_divide(x, F.col("__n"))
+                ).alias("__v"),
+            )
+        )
+
+    src = normed(corpus, corpus_id)
+    sample = np.array(
+        [r["__v"] for r in src.orderBy("__id").limit(train_rows).collect()],
+        dtype=np.float64,
+    )
+    cents = _spherical_kmeans(sample, n_cells, iters)
+    resid = sample - cents[np.argmax(sample @ cents.T, axis=1)]
+    books = _pq_codebooks(resid, m, n_codes, iters)
+    bc = spark.sparkContext.broadcast((cents, books))
+    dsub = books.shape[2]
+
+    def index_gen(batches):
+        c_mat, bk = bc.value
+        c2 = (bk**2).sum(axis=2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["__v"].tolist(), dtype=np.float64)
+            cell = np.argmax(mat @ c_mat.T, axis=1)
+            res = mat - c_mat[cell]
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for j in range(m):
+                sub = res[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = np.argmin(
+                    c2[j][None, :] - 2.0 * (sub @ bk[j].T), axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["__id"].values,
+                    "cell": cell.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    indexed = src.mapInPandas(
+        index_gen, "neighbor_id long, cell int, codes array<int>"
+    )
+
+    q_rows = normed(queries, query_id).collect()
+    q_ids = np.array([r["__id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["__v"] for r in q_rows], dtype=np.float64)
+    bc_q = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score_gen(batches):
+        c_mat, bk = bc.value
+        ids, mat = bc_q.value
+        probe = np.argsort(-(mat @ c_mat.T), axis=1)[:, :n_probe]
+        # LUT[q][cell] built lazily per probed (query, cell): squared L2
+        # from the query residual's subvectors to each code
+        luts: dict = {}
+
+        def lut(qi, cell):
+            key = (qi, cell)
+            if key not in luts:
+                qr = mat[qi] - c_mat[cell]
+                t = np.empty((m, bk.shape[1]), dtype=np.float64)
+                for j in range(m):
+                    qs = qr[j * dsub : (j + 1) * dsub]
+                    t[j] = ((qs[None, :] - bk[j]) ** 2).sum(axis=1)
+                luts[key] = t
+            return luts[key]
+
+        keep = max(k, rerank)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["cell"].to_numpy()
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            nid = pdf["neighbor_id"].to_numpy()
+            outq, outn, outd = [], [], []
+            for qi in range(len(ids)):
+                sel = np.isin(cells, probe[qi]) & (nid != ids[qi])
+                if not sel.any():
+                    continue
+                sc, sn = codes[sel], nid[sel]
+                scell = cells[sel]
+                adc = np.empty(len(sn), dtype=np.float64)
+                for cell in np.unique(scell):
+                    msk = scell == cell
+                    adc[msk] = lut(qi, int(cell))[
+                        np.arange(m)[None, :], sc[msk]
+                    ].sum(axis=1)
+                if len(adc) > keep:
+                    part = np.argpartition(adc, keep)[:keep]
+                    adc, sn = adc[part], sn[part]
+                outq.extend([ids[qi]] * len(sn))
+                outn.extend(sn.tolist())
+                outd.extend(adc.tolist())
+            yield pd.DataFrame(
+                {"query_id": outq, "neighbor_id": outn, "adc_dist": outd}
+            )
+
+    scored = indexed.mapInPandas(
+        score_gen, "query_id long, neighbor_id long, adc_dist double"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("__r", F.row_number().over(w_adc))
+        .filter(F.col("__r") <= max(k, rerank))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(query_id).cast("long").alias("query_id"),
+        as_double(vec_col).alias("__qv"),
+    )
+    cv = corpus.select(
+        F.col(corpus_id).cast("long").alias("neighbor_id"),
+        as_double(vec_col).alias("__cv"),
+    )
+    exact = (
+        cv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

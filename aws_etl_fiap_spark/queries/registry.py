@@ -86,12 +86,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # and lead the r8 schedule below.
 #
 # PRECOMPUTED SCHEDULE for the following rounds (stalest-first):
-#   r8: the five never-graded deferrals (DEFERRED_R7_NEVER — two r6
-#       leftovers plus the three queries NEW in r7: the two acid gates and
-#       sim_topk_pq) + all 44 r3-green entries (DEFERRED_R7_R3, then 4
-#       rounds stale) + the stalest r5-green entry;
-#   r9: the remaining 46 r5-green entries (DEFERRED_R7_R5) + the 4 stalest
-#       r6-green entries;
+#   r8: the six never-graded deferrals (DEFERRED_R7_NEVER — two r6
+#       leftovers plus the four queries NEW in r7: the two acid gates,
+#       sim_topk_pq, sim_topk_ivfpq) + all 44 r3-green entries
+#       (DEFERRED_R7_R3, then 4 rounds stale);
+#   r9: the 47 r5-green entries (DEFERRED_R7_R5) + the 3 stalest r6-green
+#       entries;
 #   r10: the remaining 41 r6-green entries + the stalest r7-green entries —
 #       back to steady state.
 # Changed-code re-entries preempt tail slots of whichever round they land
@@ -214,6 +214,7 @@ DEFERRED_R7_NEVER: tuple[str, ...] = (
     "acid_snapshot_isolation",
     "acid_merge_on_read_delete",
     "sim_topk_pq",
+    "sim_topk_ivfpq",
 )
 
 DEFERRED_R7: tuple[str, ...] = (

@@ -491,3 +491,42 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return recall.filter(F.col("recall_at_10") < 0.9)
+
+
+@query(
+    "sim_topk_ivfpq",
+    oracle="""
+SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS DOUBLE) AS recall_at_10
+WHERE 1 = 0
+""",
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Approximate top-10 via the composed IVF-PQ index
+    (operators/similarity.ivfpq_topk): the IVF coarse quantizer bounds the
+    scan FRACTION (6 of 16 cells probed per query) while residual product
+    quantization bounds the BYTES per scanned row (32 one-byte codes), and
+    exact cosine re-ranks the 100-candidate shortlist — the IVFADC layout
+    production vector stores run at 100 TB, where neither bound alone is
+    enough.
+
+    Registered as an EXACT recall gate like sim_topk_ivf/sim_topk_pq: one
+    violation row per query with recall@10 < 0.8 against brute force,
+    empty-set oracle.  Measured min recall with the deterministic trainer
+    is exactly 0.8 across sf0.001/0.01/0.1 (same floor as the IVF gate —
+    the coarse quantizer, not the PQ codes, is the binding constraint on
+    this near-random corpus), and determinism makes the bound stable."""
+    from aws_etl_fiap_spark.operators.similarity import brute_force_topk, ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    iq = ivfpq_topk(queries_df, emb, k=10).select("query_id", "neighbor_id")
+    bf = brute_force_topk(queries_df, emb, k=10).select("query_id", "neighbor_id")
+    per_true = bf.join(
+        iq.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    recall = per_true.groupBy("query_id").agg(
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1))).alias(
+            "recall_at_10"
+        )
+    )
+    return recall.filter(F.col("recall_at_10") < 0.8)

@@ -197,3 +197,33 @@ def test_pq_codebooks_deterministic():
     b = _pq_codebooks(sample.copy(), 16, 16, 3)
     np.testing.assert_array_equal(a, b)
     assert a.shape == (16, 16, 4)
+
+
+def test_ivfpq_topk_recall_gate(spark, sf_smoke):
+    """Composed IVF-PQ: recall@10 >= 0.8 per query on the smoke corpus,
+    ranks totally ordered, self excluded, survivor cos_sim bit-identical
+    to brute force."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 3)
+    rows = ivfpq_topk(qdf, emb, k=10).collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    bf = brute_force_topk(qdf, emb, k=10).collect()
+    bf_pairs = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in bf}
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, lst in by_q.items():
+        assert sorted(r["rank"] for r in lst) == list(range(1, 11))
+        hits = sum((q, r["neighbor_id"]) in bf_pairs for r in lst)
+        assert hits >= 8, f"recall@10 {hits}/10 for query {q}"
+        for r in lst:
+            if (q, r["neighbor_id"]) in bf_pairs:
+                assert r["cos_sim"] == bf_pairs[(q, r["neighbor_id"])]
