@@ -131,11 +131,19 @@ def _stage_files(
     visible under a name a manifest could reference until fully written).
     Returns (relative file names, per-file row counts).  Row counts come
     from the parquet FOOTERS, never a scan — at 100 TB the metadata must
-    not cost a table read."""
+    not cost a table read.
+
+    Names carry a per-transaction uuid token: two writers optimistically
+    staging the SAME target version must never collide on data-file names
+    (the losing transaction's files become unreferenced orphans for
+    vacuum, exactly like its manifest loss)."""
+    import uuid
+
     import pyarrow.parquet as pq
 
+    txn = uuid.uuid4().hex[:8]
     hpath, fs = _fs(spark, path)
-    staging = path.rstrip("/") + f"/_staging_v{version:08d}"
+    staging = path.rstrip("/") + f"/_staging_v{version:08d}_{txn}"
     fs.delete(hpath(staging), True)
     w = df.repartition(n_files) if n_files else df
     w.write.mode("overwrite").parquet(staging)
@@ -147,7 +155,7 @@ def _stage_files(
         name = st.getPath().getName()
         if not name.endswith(".parquet"):
             continue
-        target = f"v{version:08d}-{len(names):05d}.parquet"
+        target = f"v{version:08d}-{txn}-{len(names):05d}.parquet"
         if not fs.rename(st.getPath(), hpath(f"{ddir}/{target}")):
             raise IOError(f"staging rename failed for {name}")
         names.append(target)
@@ -562,8 +570,11 @@ def delete(
 
     # Stage the DV sidecar like a data file: never visible under a name a
     # manifest could reference until fully written.
+    import uuid
+
+    txn = uuid.uuid4().hex[:8]
     hpath, fs = _fs(spark, path)
-    staging = path.rstrip("/") + f"/_staging_dv_v{base + 1:08d}"
+    staging = path.rstrip("/") + f"/_staging_dv_v{base + 1:08d}_{txn}"
     fs.delete(hpath(staging), True)
     hits.write.mode("overwrite").parquet(staging)
     dvdir = _del_dir(path)
@@ -575,7 +586,7 @@ def delete(
         name = st.getPath().getName()
         if not name.endswith(".parquet"):
             continue
-        target = f"v{base + 1:08d}-dv-{len(dv_names):05d}.parquet"
+        target = f"v{base + 1:08d}-dv-{txn}-{len(dv_names):05d}.parquet"
         if not fs.rename(st.getPath(), hpath(f"{dvdir}/{target}")):
             raise IOError(f"DV staging rename failed for {name}")
         dv_names.append(target)
@@ -657,3 +668,37 @@ def table_changes(
         old_side = _read_files(spark, path, mf, mf["files"])
         new_side = _read_files(spark, path, mt, mt["files"])
     return snapshot_diff(old_side, new_side, list(key_cols), list(compare_cols))
+
+
+def upsert_with_retry(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    max_retries: int = 3,
+    **kwargs,
+) -> dict[str, int]:
+    """The standard optimistic-concurrency client loop around
+    :func:`upsert`: on :class:`CommitConflict` (another writer won the
+    version), re-resolve the new base and re-run the WHOLE transaction —
+    replace-by-key merges commute with other writers' commits only by
+    recomputing survivors against the new state, so a naive re-commit of
+    the stale file list would silently drop the winner's changes.  The
+    loser's staged files from failed attempts are never referenced by any
+    manifest and are swept by the next :func:`vacuum`.
+
+    Retries are bounded: livelock under sustained writer contention should
+    surface as an error (and a call for coarser batching), not spin.
+    """
+    last: CommitConflict | None = None
+    for attempt in range(max_retries + 1):
+        try:
+            out = upsert(spark, path, updates, key_cols, **kwargs)
+            out["attempts"] = attempt + 1
+            return out
+        except CommitConflict as ex:
+            last = ex
+    raise CommitConflict(
+        f"upsert lost {max_retries + 1} consecutive commit races on {path}; "
+        "reduce writer contention or batch coarser"
+    ) from last

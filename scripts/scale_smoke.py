@@ -328,13 +328,22 @@ def main() -> None:
     # PQ + re-rank at K x (r7): the ADC scan touches every code but each
     # row costs 32 LUT adds, not a 64-dim dot; claim = ~linear in corpus
     # with a small constant, shortlist re-rank flat (|Q| x 100 rows).
-    from aws_etl_fiap_spark.operators.similarity import pq_topk
+    from aws_etl_fiap_spark.operators.similarity import ivfpq_topk, pq_topk
 
     stage(
         f"pq_topk_{n_vec}vec",
         lambda: pq_topk(
             big_emb.filter(F.col("vec_id") < 5), big_emb,
             k=10, m=32, n_codes=256, rerank=100,
+        ).count(),
+    )
+
+    # Composed IVF-PQ at K x (r7): probes 6/16 cells AND moves 32 bytes
+    # per scanned row — should sit at or under the PQ full-code scan.
+    stage(
+        f"ivfpq_topk_{n_vec}vec",
+        lambda: ivfpq_topk(
+            big_emb.filter(F.col("vec_id") < 5), big_emb, k=10
         ).count(),
     )
 

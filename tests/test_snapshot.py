@@ -540,3 +540,44 @@ def test_table_changes_cdf(spark, sf_smoke, tmp_path):
     assert got2 == {
         r["o_orderkey"]: "deleted" for r in mor.collect()
     }
+
+
+def test_upsert_with_retry_recomputes_against_new_base(spark, sf_smoke, tmp_path, monkeypatch):
+    """OCC client loop: when a racing writer wins the version mid-commit,
+    the retry must RECOMPUTE the merge on the new base — the final state
+    holds BOTH writers' changes (a stale re-commit would drop the
+    winner's)."""
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src, path, n_files=2)
+
+    winner = src.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.lit(111.0)
+    )
+    real_commit = S._commit
+    state = {"raced": False}
+
+    def racing_commit(spark_, path_, version, files, file_rows, op, **kw):
+        if not state["raced"] and op == "merge":
+            state["raced"] = True
+            # the racing writer lands the SAME version number first
+            S.upsert(spark_, path_, winner, ["o_orderkey"])
+        return real_commit(spark_, path_, version, files, file_rows, op, **kw)
+
+    monkeypatch.setattr(S, "_commit", racing_commit)
+    loser = src.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.lit(222.0)
+    )
+    out = S.upsert_with_retry(spark, path, loser, ["o_orderkey"])
+    assert out["attempts"] == 2 and state["raced"]
+    monkeypatch.setattr(S, "_commit", real_commit)
+
+    got = {r["o_orderkey"]: r["o_totalprice"] for r in S.read_table(spark, path).collect()}
+    for r in src.collect():
+        k = r["o_orderkey"]
+        if k % 7 == 0:
+            assert got[k] == 222.0  # loser retried on the new base
+        elif k % 5 == 0:
+            assert got[k] == 111.0  # winner's changes survived
+        else:
+            assert got[k] == r["o_totalprice"]
