@@ -39,7 +39,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_MANIFEST_RE = re.compile(r"v(\d{8})\.json$")
+_MANIFEST_RE = re.compile(r"v(\d{8})\.json")
 
 
 class CommitConflict(RuntimeError):
@@ -72,7 +72,11 @@ def _list_versions(spark: SparkSession, path: str) -> list[int]:
         return []
     out = []
     for st in fs.listStatus(sdir):
-        m = _MANIFEST_RE.search(st.getPath().getName())
+        # fullmatch, not search: an IN-FLIGHT temp manifest
+        # (_tmp_v00000002_<txn>.json) must never be listed as a committed
+        # version — suffix matching would let a reader resolve a manifest
+        # that is still being written.
+        m = _MANIFEST_RE.fullmatch(st.getPath().getName())
         if m:
             out.append(int(m.group(1)))
     return sorted(out)
@@ -100,10 +104,14 @@ def _commit(spark: SparkSession, path: str, version: int, files: list[str],
     hpath, fs = _fs(spark, path)
     sdir = _snap_dir(path)
     fs.mkdirs(hpath(sdir))
+    import uuid
+
     final = hpath(f"{sdir}/v{version:08d}.json")
     if fs.exists(final):
         raise CommitConflict(f"version {version} already committed")
-    tmp = hpath(f"{sdir}/_tmp_v{version:08d}.json")
+    # Per-transaction temp name: two losers racing the same version must
+    # not clobber each other's half-written temp manifest.
+    tmp = hpath(f"{sdir}/_tmp_v{version:08d}_{uuid.uuid4().hex[:8]}.json")
     body = json.dumps(
         {"version": version, "op": op, "files": sorted(files),
          "n_rows": sum(file_rows.values()), "file_rows": file_rows,
@@ -647,7 +655,10 @@ def table_changes(
     mf = _read_manifest(spark, path, v_from)
     mt = _read_manifest(spark, path, v_to)
     if compare_cols is None:
-        probe = _read_files(spark, path, mt, mt["files"][:1])
+        # Schema-resolve over the FULL target file list (footers only, no
+        # data read): probing a single file could miss columns added by a
+        # schema evolution whose old-generation files sort first.
+        probe = _read_files(spark, path, mt, mt["files"])
         compare_cols = [c for c in probe.columns if c not in set(key_cols)]
 
     same_dvs = set(mf.get("delete_files") or []) == set(mt.get("delete_files") or [])

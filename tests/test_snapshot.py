@@ -581,3 +581,24 @@ def test_upsert_with_retry_recomputes_against_new_base(spark, sf_smoke, tmp_path
             assert got[k] == 111.0  # winner's changes survived
         else:
             assert got[k] == r["o_totalprice"]
+
+
+def test_inflight_temp_manifest_is_never_a_version(spark, sf_smoke, tmp_path):
+    """A half-written temp manifest (crashed or in-flight commit) must be
+    invisible to version listing and reads — suffix-matching the manifest
+    pattern would let a reader resolve an incomplete file."""
+    import os
+
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src, path, n_files=2)
+    sdir = os.path.join(path, "_snapshots")
+    # simulate a crashed commit: partial garbage under a temp name
+    with open(os.path.join(sdir, "_tmp_v00000002_deadbeef.json"), "w") as fh:
+        fh.write('{"version": 2, "files": [')  # truncated JSON
+    assert S.current_version(spark, path) == 1
+    assert _rows(S.read_table(spark, path)) == _rows(src)
+    # and the next real commit still lands as version 2
+    S.upsert(spark, path, src.limit(5).withColumn("o_totalprice", F.lit(1.0)),
+             ["o_orderkey"])
+    assert S.current_version(spark, path) == 2
