@@ -965,9 +965,14 @@ def pq_topk(
         # Hoist the norm to its own column FIRST: embedding the O(dim)
         # norm fold inside the per-element transform lambda would make the
         # projection O(dim^2) per row (measured 5x on the 20x smoke).
+        # Zero-norm vectors are dropped, not poisoned: try_divide would
+        # turn every element NULL, which crashes the numpy conversion in
+        # the encoder; a zero vector has no defined cosine neighbors
+        # anyway (brute_force scores it NULL).
         return (
             df.select(F.col(idc).cast("long").alias("__id"), v.alias("__raw"))
             .withColumn("__n", norm(F.col("__raw")))
+            .filter(F.col("__n") > 0)
             .select(
                 "__id",
                 F.transform(
@@ -1120,9 +1125,14 @@ def ivfpq_topk(
 
     def normed(df, idc):
         v = as_double(vec_col)
+        # Zero-norm vectors are dropped, not poisoned: try_divide would
+        # turn every element NULL, which crashes the numpy conversion in
+        # the encoder; a zero vector has no defined cosine neighbors
+        # anyway (brute_force scores it NULL).
         return (
             df.select(F.col(idc).cast("long").alias("__id"), v.alias("__raw"))
             .withColumn("__n", norm(F.col("__raw")))
+            .filter(F.col("__n") > 0)
             .select(
                 "__id",
                 F.transform(

@@ -412,6 +412,19 @@ def upsert(
         else:
             merged = survivors.unionByName(updates.select(*survivors.columns))
     else:
+        # Insert-only batch: no file is rewritten, but the schema contract
+        # still applies — probe the manifest schema (footers only) so new
+        # columns are refused/flagged exactly like the rewrite path, not
+        # silently forked into the new files.
+        probe = _read_files(spark, path, manifest, manifest["files"])
+        extra = set(updates.columns) - set(probe.columns)
+        if extra and not allow_new_columns:
+            raise ValueError(
+                f"updates carry new columns {sorted(extra)}; pass "
+                "allow_new_columns=True to evolve the table schema"
+            )
+        if extra:
+            mixed_schema = True
         merged = updates
     new_files, new_rows = _stage_files(
         spark, merged, path, base + 1,

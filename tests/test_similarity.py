@@ -227,3 +227,21 @@ def test_ivfpq_topk_recall_gate(spark, sf_smoke):
         for r in lst:
             if (q, r["neighbor_id"]) in bf_pairs:
                 assert r["cos_sim"] == bf_pairs[(q, r["neighbor_id"])]
+
+
+def test_pq_and_ivfpq_tolerate_zero_vectors(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.similarity import ivfpq_topk, pq_topk
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings").limit(300)
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 64)], "vec_id bigint, embedding array<double>"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(zero)
+    qdf = corpus.filter(F.col("vec_id") < 3)
+    for fn in (pq_topk, ivfpq_topk):
+        rows = fn(qdf, corpus, k=5).collect()
+        assert rows, fn.__name__
+        assert all(r["neighbor_id"] != 999_999 for r in rows)

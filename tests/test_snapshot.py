@@ -602,3 +602,23 @@ def test_inflight_temp_manifest_is_never_a_version(spark, sf_smoke, tmp_path):
     S.upsert(spark, path, src.limit(5).withColumn("o_totalprice", F.lit(1.0)),
              ["o_orderkey"])
     assert S.current_version(spark, path) == 2
+
+
+def test_insert_only_batch_still_enforces_schema(spark, sf_smoke, tmp_path):
+    """An insert-only batch (no matching keys, so no file rewrites) with
+    new columns must be refused/flagged exactly like the rewrite path —
+    otherwise the new files silently fork the table schema."""
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src, path, n_files=2)
+    ins = src.limit(4).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(5_000_000)
+    ).withColumn("o_channel", F.lit("online"))
+    with pytest.raises(ValueError, match="new columns"):
+        S.upsert(spark, path, ins, ["o_orderkey"])
+    S.upsert(spark, path, ins, ["o_orderkey"], allow_new_columns=True)
+    assert S._read_manifest(spark, path, 2)["merge_schema"] is True
+    cur = S.read_table(spark, path)
+    got = {r["o_orderkey"]: r["o_channel"] for r in cur.collect()}
+    assert sum(v == "online" for v in got.values()) == 4
+    assert cur.count() == src.count() + 4
