@@ -67,6 +67,11 @@ def png_meta(data: bytes) -> tuple[int, int, int]:
     for ctype, body in _chunks(data):
         if ctype != b"IHDR":
             raise PngFormatError("first chunk is not IHDR")
+        if len(body) != 13:
+            # a short body with a self-consistent CRC must not escape as
+            # struct.error — every malformed-input path raises the one
+            # exception type the poison-row catches know about
+            raise PngFormatError(f"IHDR body is {len(body)} bytes, not 13")
         w, h, depth, color, comp, filt, interlace = struct.unpack(
             ">IIBBBBB", body
         )
@@ -100,7 +105,10 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = b"".join(body for ctype, body in _chunks(data) if ctype == b"IDAT")
     if not idat:
         raise PngFormatError("no IDAT data")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as ex:  # corrupt-but-CRC-consistent stream
+        raise PngFormatError(f"IDAT inflate failed: {ex}") from ex
     stride = w * nch
     if len(raw) != h * (stride + 1):
         raise PngFormatError("decompressed size mismatch")

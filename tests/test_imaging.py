@@ -186,3 +186,58 @@ def test_property_resize_pixels_come_from_source(h, w, nh, nw, seed):
     src_pixels = {tuple(p) for p in img.reshape(-1, 3)}
     assert all(tuple(p) in src_pixels for p in out.reshape(-1, 3))
     np.testing.assert_array_equal(out, imaging.resize_nearest(img, nw, nh))
+
+
+def _chunk_raw(ctype, body):
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def test_short_ihdr_with_valid_crc_raises_png_error():
+    data = b"\x89PNG\r\n\x1a\n" + _chunk_raw(b"IHDR", b"\x00" * 10)
+    with pytest.raises(imaging.PngFormatError, match="IHDR body"):
+        imaging.png_meta(data)
+
+
+def test_corrupt_idat_with_recomputed_crc_raises_png_error():
+    """Garbage IDAT whose CRC is self-consistent must surface as
+    PngFormatError (not zlib.error) so the Spark poison-row catches see
+    it."""
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk_raw(b"IHDR", ihdr)
+        + _chunk_raw(b"IDAT", b"\x13\x37" * 20)  # not a zlib stream
+        + _chunk_raw(b"IEND", b"")
+    )
+    with pytest.raises(imaging.PngFormatError, match="inflate"):
+        imaging.decode_png(data)
+
+
+def test_resize_media_degrades_on_crc_consistent_garbage(spark):
+    import struct
+
+    from aws_etl_fiap_spark.operators.multimodal import resize_media
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk_raw(b"IHDR", ihdr)
+        + _chunk_raw(b"IDAT", b"\x13\x37" * 20)
+        + _chunk_raw(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [(1, "image/png", bytearray(bad))],
+        "media_id bigint, mime string, payload binary",
+    )
+    (row,) = resize_media(df, 4, 4).collect()
+    assert row["ok"] is False and row["payload"] is None
