@@ -49,6 +49,11 @@ def _chunks(data: bytes):
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise PngFormatError("truncated chunk body")
+        if pos + 12 + length > len(data):
+            # a payload cut inside the 4-byte CRC field must not escape as
+            # struct.error (not a ValueError subclass — it would sail past
+            # the poison-row catches in multimodal and kill the whole job)
+            raise PngFormatError("truncated chunk trailer")
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise PngFormatError(f"bad CRC in {ctype!r} chunk")

@@ -907,6 +907,13 @@ def _pq_codebooks(sample, m: int, k: int, iters: int):
     import numpy as np
 
     n, dim = sample.shape
+    if dim % m != 0:
+        # the slicing below covers exactly m*dsub dims; a remainder would
+        # be silently ignored in BOTH encoding and ADC scoring and recall
+        # would degrade with no error — refuse loudly instead
+        raise ValueError(
+            f"PQ requires m to divide the vector dim: dim={dim}, m={m}"
+        )
     dsub = dim // m
     books = np.empty((m, k, dsub), dtype=np.float64)
     for j in range(m):

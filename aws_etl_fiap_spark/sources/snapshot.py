@@ -454,12 +454,30 @@ def upsert(
     }
 
 
-def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> dict[str, int]:
+def vacuum(
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 1,
+    retain_seconds: float = 7 * 24 * 3600.0,
+) -> dict[str, int]:
     """Drop manifests older than the newest ``keep_last`` and delete every
     data file no kept manifest references (including orphans from lost
     commit races).  This is the ONLY operation that removes data files —
-    until it runs, every historical version stays readable."""
+    until it runs, every historical version stays readable.
+
+    ``retain_seconds`` is the concurrent-writer safety window (Delta's
+    VACUUM retention threshold): a writer stages its data files into
+    ``data/`` BEFORE its manifest commit, so an unreferenced file is
+    either a lost-race orphan or an IN-FLIGHT transaction's staged file —
+    indistinguishable by reference alone.  Files whose modification time
+    is younger than the window are kept; a shorter window than your
+    longest-running writer risks deleting files a transaction is about to
+    commit (corrupting that version for every reader).  Pass ``0`` only
+    when no writer can be concurrent (tests, single-writer maintenance)."""
+    import time
+
     hpath, fs = _fs(spark, path)
+    cutoff_ms = (time.time() - max(0.0, retain_seconds)) * 1000.0
     versions = _list_versions(spark, path)
     if not versions:
         return {"dropped_manifests": 0, "deleted_files": 0}
@@ -476,11 +494,15 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> dict[str, int]
             fs.delete(hpath(f"{_snap_dir(path)}/v{v:08d}.json"), False)
             dropped += 1
     deleted = 0
+    retained = 0
     ddir = hpath(_data_dir(path))
     if fs.exists(ddir):
         for st in fs.listStatus(ddir):
             name = st.getPath().getName()
             if name.endswith(".parquet") and name not in referenced:
+                if st.getModificationTime() >= cutoff_ms:
+                    retained += 1  # possibly an in-flight writer's stage
+                    continue
                 fs.delete(st.getPath(), False)
                 deleted += 1
     dvdir = hpath(_del_dir(path))
@@ -488,9 +510,16 @@ def vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> dict[str, int]
         for st in fs.listStatus(dvdir):
             name = st.getPath().getName()
             if name.endswith(".parquet") and name not in referenced_dv:
+                if st.getModificationTime() >= cutoff_ms:
+                    retained += 1
+                    continue
                 fs.delete(st.getPath(), False)
                 deleted += 1
-    return {"dropped_manifests": dropped, "deleted_files": deleted}
+    return {
+        "dropped_manifests": dropped,
+        "deleted_files": deleted,
+        "retained_recent_files": retained,
+    }
 
 
 def compact(
@@ -691,7 +720,34 @@ def table_changes(
     else:
         old_side = _read_files(spark, path, mf, mf["files"])
         new_side = _read_files(spark, path, mt, mt["files"])
-    return snapshot_diff(old_side, new_side, list(key_cols), list(compare_cols))
+
+    # Align across a schema-evolution boundary: the v_from side's files may
+    # predate an added column (their manifest has merge_schema=False), so a
+    # bare select of compare_cols would fail to resolve on old_side.  NULL-
+    # pad the missing column instead of dropping it from the compare — a
+    # key whose only change is the added column's value must classify as
+    # updated, not unchanged.
+    types = {f.name: f.dataType for f in new_side.schema.fields}
+    types.update(
+        {f.name: f.dataType for f in old_side.schema.fields if f.name not in types}
+    )
+    need = list(key_cols) + [c for c in compare_cols if c not in key_cols]
+    missing = [c for c in need if c not in types]
+    if missing:
+        raise KeyError(f"compare_cols absent from both versions: {missing}")
+
+    def _pad(df: DataFrame) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(c) if c in have else F.lit(None).cast(types[c]).alias(c)
+                for c in need
+            ]
+        )
+
+    return snapshot_diff(
+        _pad(old_side), _pad(new_side), list(key_cols), list(compare_cols)
+    )
 
 
 def upsert_with_retry(

@@ -51,6 +51,32 @@ def test_corrupt_crc_rejected():
         imaging.decode_png(bytes(data))
 
 
+def test_truncated_crc_trailer_rejected():
+    # Cut the payload INSIDE a chunk's 4-byte CRC field: the body slice is
+    # complete, so only the trailer unpack sees short input — this must
+    # surface as PngFormatError (a ValueError the poison-row catches in
+    # multimodal know about), never a bare struct.error that would kill
+    # the whole job on one bad payload (round-7 ADVICE).
+    data = imaging.encode_png(_img(4, 4, 3))
+    for cut in (1, 2, 3, 4):  # every partial-trailer length
+        with pytest.raises(imaging.PngFormatError, match="trailer"):
+            imaging.decode_png(data[: len(data) - cut])
+
+
+def test_truncated_crc_is_poison_row_not_job_kill():
+    # The integration-level claim: a truncated payload degrades to a
+    # poison row in extract_features, it does not raise out of the UDF.
+    from aws_etl_fiap_spark.operators import imaging as im
+
+    data = im.encode_png(_img(4, 4, 3))
+    try:
+        im.decode_png(data[:-2])
+    except (NotImplementedError, ValueError) as ex:
+        assert isinstance(ex, im.PngFormatError)
+    else:  # pragma: no cover
+        raise AssertionError("truncated trailer did not raise")
+
+
 def test_not_png_rejected():
     with pytest.raises(imaging.PngFormatError):
         imaging.png_meta(b"\x13\x37" * 16)

@@ -199,6 +199,20 @@ def test_pq_codebooks_deterministic():
     assert a.shape == (16, 16, 4)
 
 
+def test_pq_codebooks_reject_indivisible_m():
+    # dim % m != 0 would silently drop the trailing dims from BOTH encode
+    # and ADC scoring (recall degrades with no error) — must refuse loudly
+    # (round-7 ADVICE).
+    import numpy as np
+    import pytest as _pt
+
+    from aws_etl_fiap_spark.operators.similarity import _pq_codebooks
+
+    sample = np.zeros((32, 60))
+    with _pt.raises(ValueError, match="divide"):
+        _pq_codebooks(sample, 16, 8, 1)
+
+
 def test_ivfpq_topk_recall_gate(spark, sf_smoke):
     """Composed IVF-PQ: recall@10 >= 0.8 per query on the smoke corpus,
     ranks totally ordered, self excluded, survivor cos_sim bit-identical

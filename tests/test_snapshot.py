@@ -157,7 +157,7 @@ def test_commit_conflict_raises_and_leaves_winner_intact(spark, sf_smoke, tmp_pa
     # the winner's state is untouched; the loser's files are orphans
     assert S.current_version(spark, path) == 2
     assert _rows(S.read_table(spark, path)) == _rows(src)
-    swept = S.vacuum(spark, path, keep_last=1)
+    swept = S.vacuum(spark, path, keep_last=1, retain_seconds=0)
     assert swept["deleted_files"] > 0  # the lost transaction's orphans
     assert _rows(S.read_table(spark, path)) == _rows(src)
 
@@ -169,7 +169,7 @@ def test_vacuum_drops_history_keeps_latest(spark, sf_smoke, tmp_path):
     updates = src.withColumn("o_totalprice", F.col("o_totalprice") + F.lit(2.0))
     S.upsert(spark, path, updates, ["o_orderkey"])
 
-    swept = S.vacuum(spark, path, keep_last=1)
+    swept = S.vacuum(spark, path, keep_last=1, retain_seconds=0)
     assert swept["dropped_manifests"] == 1
     assert swept["deleted_files"] > 0
     assert _rows(S.read_table(spark, path)) == _rows(updates)
@@ -328,7 +328,7 @@ def test_compact_absorbs_deletion_vectors(spark, sf_smoke, tmp_path):
     assert m["n_rows"] == src.count() - doomed.count()  # physically gone
     assert _rows(S.read_table(spark, path)) == live_before
 
-    swept = S.vacuum(spark, path, keep_last=1)
+    swept = S.vacuum(spark, path, keep_last=1, retain_seconds=0)
     assert swept["deleted_files"] > 0  # old data files AND the DV sidecars
     assert _rows(S.read_table(spark, path)) == live_before
 
@@ -540,6 +540,71 @@ def test_table_changes_cdf(spark, sf_smoke, tmp_path):
     assert got2 == {
         r["o_orderkey"]: "deleted" for r in mor.collect()
     }
+
+
+def test_vacuum_retention_spares_recent_orphans(spark, sf_smoke, tmp_path):
+    """The concurrent-writer safety window (round-7 ADVICE): an in-flight
+    transaction stages data files before its manifest commit, so a vacuum
+    with the default retention must NOT delete fresh unreferenced files —
+    the in-flight commit then lands intact.  retain_seconds=0 (single-
+    writer maintenance) still sweeps them."""
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src, path, n_files=2)
+
+    # Simulate an in-flight writer: files staged+renamed into data/, no
+    # manifest yet (exactly the state between _stage_files and _commit).
+    inflight_files, inflight_rows = S._stage_files(
+        spark, src.limit(7).withColumn("o_totalprice", F.lit(42.0)), path, 2, 1
+    )
+
+    swept = S.vacuum(spark, path, keep_last=1)  # default 7-day window
+    assert swept["deleted_files"] == 0
+    assert swept["retained_recent_files"] >= len(inflight_files), swept
+
+    # the in-flight transaction commits successfully after the vacuum
+    m1 = S._read_manifest(spark, path, 1)
+    carried = [f for f in m1["files"]]
+    S._commit(
+        spark, path, 2, carried + inflight_files,
+        {**m1["file_rows"], **inflight_rows}, op="merge",
+    )
+    assert S.read_table(spark, path).count() == src.count() + 7
+
+    # and a zero-window vacuum still removes true orphans
+    orphans, _ = S._stage_files(spark, src.limit(3), path, 3, 1)
+    swept0 = S.vacuum(spark, path, keep_last=1, retain_seconds=0)
+    assert swept0["deleted_files"] >= len(orphans)
+
+
+def test_table_changes_spans_schema_evolution(spark, sf_smoke, tmp_path):
+    """CDF across an additive-evolution commit (round-7 ADVICE): default
+    compare_cols derive from the NEW snapshot, whose added column the old
+    generation's files lack — the old side must NULL-pad it, classify the
+    touched keys as updated, and not raise an unresolved-column error."""
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap")
+    S.create_table(
+        spark, src.repartitionByRange(6, "o_orderkey"), path,
+        n_files=None, stats_cols=["o_orderkey"],
+    )
+    evolved = src.filter(F.col("o_orderkey").between(1, 90)).withColumn(
+        "o_channel", F.lit("online")
+    )
+    S.upsert(spark, path, evolved, ["o_orderkey"], allow_new_columns=True)
+
+    cdf = S.table_changes(spark, path, 1, 2, ["o_orderkey"])
+    got = {r["o_orderkey"]: r["change_type"] for r in cdf.collect()}
+    exp = {r["o_orderkey"] for r in evolved.collect()}
+    # every touched key gained a non-null o_channel -> updated; nothing else
+    assert {k for k, v in got.items() if v == "updated"} == exp
+    assert set(got.values()) <= {"updated"}
+
+    # explicit compare_cols absent from both versions fail loudly
+    with pytest.raises(KeyError, match="absent"):
+        S.table_changes(
+            spark, path, 1, 2, ["o_orderkey"], compare_cols=["nope"]
+        ).collect()
 
 
 def test_upsert_with_retry_recomputes_against_new_base(spark, sf_smoke, tmp_path, monkeypatch):
