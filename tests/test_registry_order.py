@@ -1,6 +1,6 @@
 """Driver-window ordering invariants.
 
-The round driver grades only the first 50 ``queries()`` entries (rounds 1-6
+The round driver grades only the first 50 ``queries()`` entries (rounds 1-7
 evidence: every CORRECTNESS_r*.json covers exactly the first 50 in
 registration order).  These tests pin the ROTATION POLICY itself
 (registry.py's rotation section), not a hand-copied family list — the
@@ -12,7 +12,7 @@ TPC-H entries:
 * a query the driver FAILED last round occupies a graded slot;
 * remaining slots go stalest-first (never-graded, then oldest green row);
 * every registered query is accounted for: graded this round, green last
-  round, or an explicitly documented deferral (``DEFERRED_R7``);
+  round, or an explicitly documented deferral (``DEFERRED_R8``);
 * deferrals never include changed code or last round's failures, and never
   exceed the window overflow they exist to absorb.
 """
@@ -21,15 +21,8 @@ from aws_etl_fiap_spark.queries import registry
 
 DRIVER_WINDOW = 50
 
-#: r7: the five round-6 driver hash failures — the only entries with a
-#: driver row but NO green row ever; they outrank everything.
-FAILED_R6 = (
-    "upsert_partitioned_merge",
-    "stream_upsert_merge_equiv",
-    "roundtrip_orc_scan",
-    "roundtrip_schema_evolution",
-    "corpus_pack_sequences",
-)
+#: r8: CORRECTNESS_r07.json is all-green — no failures to re-enter.
+FAILED_R7: tuple = ()
 
 
 def _names():
@@ -62,21 +55,21 @@ def test_window_is_exactly_full():
 
 def test_changed_queries_inside_driver_window():
     """Policy clause 1: changed implementation/oracle => graded slot."""
-    missing = [n for n in registry.CHANGED_R7 if n not in _window()]
+    missing = [n for n in registry.CHANGED_R8 if n not in _window()]
     assert not missing, f"changed-this-round queries outside window: {missing}"
 
 
 def test_failed_queries_inside_driver_window():
     """Policy clause 2: last round's driver failures re-enter immediately."""
-    missing = [n for n in FAILED_R6 if n not in _window()]
-    assert not missing, f"round-6 failures outside window: {missing}"
+    missing = [n for n in FAILED_R7 if n not in _window()]
+    assert not missing, f"round-7 failures outside window: {missing}"
 
 
 def test_every_query_accounted_for():
     """Policy clause 4: window + last round's graded window + documented
     deferrals must cover the whole registry — nothing goes silently
     ungraded."""
-    accounted = _window() | set(registry.R6_WINDOW) | set(registry.DEFERRED_R7)
+    accounted = _window() | set(registry.R7_WINDOW) | set(registry.DEFERRED_R8)
     missing = sorted(set(registry.REGISTRY) - accounted)
     assert not missing, f"queries with no grading account: {missing}"
 
@@ -84,14 +77,14 @@ def test_every_query_accounted_for():
 def test_deferrals_are_legitimate():
     """Deferrals absorb exactly the window overflow (|eligible| - 50),
     never changed code, and never last round's failures."""
-    deferred = set(registry.DEFERRED_R7)
+    deferred = set(registry.DEFERRED_R8)
     assert not deferred & _window(), "deferred query occupies a window slot"
-    assert not deferred & set(registry.CHANGED_R7), "changed code deferred"
-    assert not deferred & set(FAILED_R6), "driver failure deferred"
-    # Eligible for r7 grading: everything not sitting on a fresh r6 row,
-    # plus the r6-graded entries that must re-enter (failures + changed).
-    eligible = (set(registry.REGISTRY) - set(registry.R6_WINDOW)) | set(
-        registry.CHANGED_R7
+    assert not deferred & set(registry.CHANGED_R8), "changed code deferred"
+    assert not deferred & set(FAILED_R7), "driver failure deferred"
+    # Eligible for r8 grading: everything not sitting on a fresh r7 row,
+    # plus the r7-graded entries that must re-enter (failures + changed).
+    eligible = (set(registry.REGISTRY) - set(registry.R7_WINDOW)) | set(
+        registry.CHANGED_R8
     )
     overflow = len(eligible) - DRIVER_WINDOW
     assert len(deferred) == overflow, (
@@ -101,17 +94,17 @@ def test_deferrals_are_legitimate():
 
 
 def test_deferred_partition_is_consistent():
-    """The three documented deferral tiers partition DEFERRED_R7."""
+    """The three documented deferral tiers partition DEFERRED_R8."""
     tiers = (
-        set(registry.DEFERRED_R7_R3)
-        | set(registry.DEFERRED_R7_R5)
-        | set(registry.DEFERRED_R7_NEVER)
+        set(registry.DEFERRED_R8_R5)
+        | set(registry.DEFERRED_R8_R6)
+        | set(registry.DEFERRED_R8_NEVER)
     )
-    assert tiers == set(registry.DEFERRED_R7)
-    assert len(registry.DEFERRED_R7) == (
-        len(registry.DEFERRED_R7_R3)
-        + len(registry.DEFERRED_R7_R5)
-        + len(registry.DEFERRED_R7_NEVER)
+    assert tiers == set(registry.DEFERRED_R8)
+    assert len(registry.DEFERRED_R8) == (
+        len(registry.DEFERRED_R8_R5)
+        + len(registry.DEFERRED_R8_R6)
+        + len(registry.DEFERRED_R8_NEVER)
     )
 
 
