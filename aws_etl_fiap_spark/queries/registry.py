@@ -195,7 +195,9 @@ DEFERRED_R8_R6: tuple[str, ...] = (
 #: Queries REGISTERED in round 8 (window already saturated by the
 #: never-graded + r3-stale burn-down): exact-oracled locally from day one,
 #: FIRST picks of the r9 window.
-DEFERRED_R8_NEVER: tuple[str, ...] = ()
+DEFERRED_R8_NEVER: tuple[str, ...] = (
+    "mv_incremental_refresh",
+)
 
 DEFERRED_R8: tuple[str, ...] = (
     DEFERRED_R8_R5 + DEFERRED_R8_R6 + DEFERRED_R8_NEVER

@@ -477,3 +477,126 @@ def acid_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle=f"""
+WITH src AS (
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+),
+upd AS (
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           o_totalprice + 2.0 AS o_totalprice
+    FROM src WHERE o_orderkey % 19 = 0
+),
+ins AS (
+    SELECT o_orderkey + 2000000 AS o_orderkey, o_orderstatus,
+           o_orderpriority, o_totalprice
+    FROM src WHERE o_orderkey % 101 = 5
+),
+batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+del AS (
+    SELECT o_orderkey FROM src
+    WHERE o_orderkey % 73 = 11 AND o_orderkey % 19 <> 0
+),
+v2 AS (
+    SELECT * FROM batch
+    UNION ALL
+    SELECT * FROM src
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+      AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+)
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       {sql_dec_sum('o_totalprice', 2)} AS total_price
+FROM v2
+GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT S4-S6 extension] Incremental materialized-view maintenance
+    under the exact gate (operators/incremental.py over the
+    sources/snapshot.py manifest log): seed a snapshot table from orders
+    (v1), bootstrap the rollup state with ``full_agg_state``, commit a CoW
+    merge (updates %19 +2.00, inserts %101==5 re-keyed +2M, deletes %73==11
+    disjoint from updates) producing v2, then roll the state forward with
+    ``incremental_agg_refresh`` — which reads ONLY the files the commit
+    removed/added (the query RAISES if the delta scan touched a carried
+    file), never the carried majority.
+
+    The returned frame is the REFRESHED STATE, presented per parity rules
+    (decimal accumulators rendered once); the oracle recomputes the v2
+    rollup from orders directly — a delta that dropped/double-counted a
+    row, missed a moved file, or lost exactness to float summation
+    hash-fails.  At 100 TB this is the difference between a full
+    scan+shuffle per refresh and work proportional to one commit."""
+    from aws_etl_fiap_spark.operators.incremental import (
+        full_agg_state,
+        incremental_agg_refresh,
+    )
+    from aws_etl_fiap_spark.sources import snapshot as snap
+
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="mv_", dir=base)
+    path = os.path.join(tmp, "orders_snap")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    sums = {"key_sum": ("o_orderkey", 0), "total_price": ("o_totalprice", 2)}
+    try:
+        src = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        snap.create_table(
+            spark,
+            src.repartitionByRange(6, "o_orderkey"),
+            path,
+            n_files=None,
+            stats_cols=["o_orderkey"],
+        )
+        state1 = full_agg_state(
+            snap.read_table(spark, path), keys, sums
+        ).localCheckpoint(eager=True)
+
+        upd = src.filter(F.col("o_orderkey") % 19 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(2.0)
+        )
+        ins = src.filter(F.col("o_orderkey") % 101 == 5).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(2_000_000)
+        )
+        dels = src.filter(
+            (F.col("o_orderkey") % 73 == 11) & (F.col("o_orderkey") % 19 != 0)
+        ).select("o_orderkey")
+        snap.upsert(
+            spark, path, upd.unionByName(ins), ["o_orderkey"], deletes=dels
+        )
+
+        state2 = incremental_agg_refresh(
+            spark, path, state1, 1, 2, keys, sums
+        )
+        # Prune proof, in the verified loop: the delta may read only files
+        # the commit removed or added, never the carried majority.
+        m1 = snap._read_manifest(spark, path, 1)
+        m2 = snap._read_manifest(spark, path, 2)
+        changed = set(m1["files"]) ^ set(m2["files"])
+        old_side, new_side = snap.changed_sides(spark, path, 1, 2)
+        touched = {
+            f.rsplit("/", 1)[-1]
+            for side in (old_side, new_side)
+            for f in side.inputFiles()
+        }
+        if not touched <= changed:
+            raise RuntimeError(
+                f"delta scan touched carried files: {touched - changed}"
+            )
+        out = state2.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_rows",
+            F.col("key_sum").cast("long").alias("key_sum"),
+            F.col("total_price").cast("double").alias("total_price"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -666,6 +666,45 @@ def delete(
     }
 
 
+def changed_sides(
+    spark: SparkSession, path: str, v_from: int, v_to: int
+) -> tuple[DataFrame, DataFrame]:
+    """The two row sets a version diff has to look at: (old_side,
+    new_side), FILE-PRUNED when possible — data files are immutable and
+    merges rewrite whole files, so when the two versions' deletion-vector
+    sets are identical, every changed row lives in a file REMOVED from or
+    ADDED to the manifest and the diff reads only those, never the carried
+    majority.  When DV sets differ (merge-on-read deletes touch carried
+    files) it falls back to the two full pinned snapshots.
+
+    Rows that merely moved files with identical values appear on BOTH
+    sides and must cancel downstream (the CDF's null-safe compare, the
+    incremental-refresh +/- delta) — callers rely on that symmetry.
+    Shared by :func:`table_changes` and
+    :mod:`aws_etl_fiap_spark.operators.incremental`."""
+    mf = _read_manifest(spark, path, v_from)
+    mt = _read_manifest(spark, path, v_to)
+    same_dvs = set(mf.get("delete_files") or []) == set(mt.get("delete_files") or [])
+    if same_dvs:
+        removed = [n for n in mf["files"] if n not in set(mt["files"])]
+        added = [n for n in mt["files"] if n not in set(mf["files"])]
+        old_side = (
+            _read_files(spark, path, mf, removed)
+            if removed
+            else _read_files(spark, path, mf, mf["files"][:1]).filter(F.lit(False))
+        )
+        new_side = (
+            _read_files(spark, path, mt, added)
+            if added
+            else _read_files(spark, path, mt, mt["files"][:1]).filter(F.lit(False))
+        )
+        return old_side, new_side
+    return (
+        _read_files(spark, path, mf, mf["files"]),
+        _read_files(spark, path, mt, mt["files"]),
+    )
+
+
 def table_changes(
     spark: SparkSession,
     path: str,
@@ -703,23 +742,7 @@ def table_changes(
         probe = _read_files(spark, path, mt, mt["files"])
         compare_cols = [c for c in probe.columns if c not in set(key_cols)]
 
-    same_dvs = set(mf.get("delete_files") or []) == set(mt.get("delete_files") or [])
-    if same_dvs:
-        removed = [n for n in mf["files"] if n not in set(mt["files"])]
-        added = [n for n in mt["files"] if n not in set(mf["files"])]
-        old_side = (
-            _read_files(spark, path, mf, removed)
-            if removed
-            else _read_files(spark, path, mf, mf["files"][:1]).filter(F.lit(False))
-        )
-        new_side = (
-            _read_files(spark, path, mt, added)
-            if added
-            else _read_files(spark, path, mt, mt["files"][:1]).filter(F.lit(False))
-        )
-    else:
-        old_side = _read_files(spark, path, mf, mf["files"])
-        new_side = _read_files(spark, path, mt, mt["files"])
+    old_side, new_side = changed_sides(spark, path, v_from, v_to)
 
     # Align across a schema-evolution boundary: the v_from side's files may
     # predate an added column (their manifest has merge_schema=False), so a
