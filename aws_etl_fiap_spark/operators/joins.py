@@ -111,3 +111,90 @@ def star_join(
         dim = F.broadcast(dim) if broadcast_dims else dim
         out = out.join(dim, cond)
     return out
+
+
+def bloom_prefiltered_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join reduction via a broadcast Bloom filter ([EXT]; the
+    runtime-filter pattern Spark's AQE applies to some plans, made
+    explicit and composable): build a Bloom filter over the BUILD side's
+    join keys, pre-filter the PROBE side with it BEFORE the join's
+    shuffle, then run the real join — which removes the false positives,
+    so the result is EXACTLY the plain join (no false negatives by
+    construction; the oracle gate verifies equality, not approximation).
+
+    Why it matters at 100 TB: a shuffle join moves the entire probe side
+    even when only a sliver of it matches a selective build side.  The
+    Bloom filter costs one map-side-combined ``bit_or`` aggregate over
+    the build keys (<= n_bits/32 rows, broadcast once) and turns the
+    probe-side shuffle volume into ``|matches| + fp_rate * |probe|``.
+
+    Plan shape (all gated in tests/test_plan_quality.py): the membership
+    test is ``n_hashes`` chained BROADCAST joins on the word column plus a
+    codegen'd bit test — no explode, no groupBy, NO SHUFFLE on the probe
+    side before the filter; the word frame broadcasts once per hash.  The
+    keys hash with xxhash64 (JVM codegen) — Bloom CONTENT never reaches
+    the result, so cross-engine hash portability is unnecessary here.
+    """
+    from aws_etl_fiap_spark.operators.sketches import bloom_build
+
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            "bloom prefiltering preserves semantics only for inner/left_semi "
+            f"joins, got {how!r}"
+        )
+    keys = list(on)
+    composite = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    bkeys = build.select(
+        F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys]).alias(
+            "__bk"
+        )
+    )
+    # Built ONCE and lineage-cut: the words frame is referenced by every
+    # per-hash membership join below, and without the checkpoint each
+    # reference would re-run the bit_or aggregate over the build side —
+    # n_hashes passes instead of one.  The frame is bounded by n_bits/32
+    # rows (the sketch contract), never by data volume.
+    words = bloom_build(
+        bkeys, "__bk", n_bits=n_bits, n_hashes=n_hashes, hash_family="fast"
+    ).localCheckpoint(eager=True)
+
+    filtered = probe.withColumn("__pk", composite)
+    pass_cols = []
+    for seed in range(n_hashes):
+        pos = F.pmod(
+            F.xxhash64(F.lit(str(seed)), F.col("__pk")), F.lit(n_bits)
+        )
+        w = words.select(
+            F.col("word").alias(f"__w{seed}"), F.col("bits").alias(f"__b{seed}")
+        )
+        filtered = filtered.withColumn(
+            f"__word{seed}", (pos / 32).cast("int")
+        ).withColumn(f"__bit{seed}", (pos % 32).cast("int"))
+        filtered = filtered.join(
+            F.broadcast(w),
+            filtered[f"__word{seed}"] == w[f"__w{seed}"],
+            "left",
+        )
+        pass_cols.append(
+            F.expr(
+                f"shiftright(coalesce(__b{seed}, CAST(0 AS BIGINT)), "
+                f"__bit{seed}) % 2 = 1"
+            )
+        )
+    cond = pass_cols[0]
+    for c in pass_cols[1:]:
+        cond = cond & c
+    scratch = ["__pk"] + [
+        c
+        for seed in range(n_hashes)
+        for c in (f"__word{seed}", f"__bit{seed}", f"__w{seed}", f"__b{seed}")
+    ]
+    filtered = filtered.filter(cond).drop(*scratch)
+    return filtered.join(build, keys, how)

@@ -389,3 +389,51 @@ def join_interval_overlap_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("overlap_us").alias("total_overlap_us"),
         )
     )
+
+
+@query(
+    "join_bloom_prefiltered",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+       {sql_dec_sum('l_extendedprice', 2)} AS revenue
+FROM lineitem
+JOIN (
+    SELECT o_orderkey
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 5 = 0
+) sel ON l_orderkey = sel.o_orderkey
+GROUP BY l_returnflag
+""",
+)
+def join_bloom_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.3] Bloom-prefiltered join (operators/joins.py
+    bloom_prefiltered_join): a selective orders slice joins lineitem, but
+    the probe side is reduced by a broadcast Bloom filter BEFORE the
+    join's shuffle — at 100 TB the shuffle carries |matches| plus the
+    false-positive residue instead of the whole fact table.
+
+    The oracle is the PLAIN join: prefiltering must be invisible in the
+    result (no false negatives by construction; false positives are
+    removed by the real join), so any row the filter wrongly dropped or
+    the plumbing duplicated hash-fails.  The membership test itself is
+    plan-gated in tests/test_plan_quality.py: chained broadcast joins, no
+    probe-side shuffle before the filter."""
+    from aws_etl_fiap_spark.operators.joins import bloom_prefiltered_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 5 == 0)
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    joined = bloom_prefiltered_join(li, sel, ["l_orderkey"], n_bits=1 << 18)
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("key_sum"),
+        dec_sum("l_extendedprice", 2).alias("revenue"),
+    )

@@ -197,6 +197,7 @@ DEFERRED_R8_R6: tuple[str, ...] = (
 #: FIRST picks of the r9 window.
 DEFERRED_R8_NEVER: tuple[str, ...] = (
     "mv_incremental_refresh",
+    "join_bloom_prefiltered",
 )
 
 DEFERRED_R8: tuple[str, ...] = (
