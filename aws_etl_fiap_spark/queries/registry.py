@@ -198,6 +198,7 @@ DEFERRED_R8_R6: tuple[str, ...] = (
 DEFERRED_R8_NEVER: tuple[str, ...] = (
     "mv_incremental_refresh",
     "join_bloom_prefiltered",
+    "text_index_search",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -562,3 +562,76 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "text_index_search",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE list_contains(list_filter(string_split_regex(lower(text),
+          '[^a-z0-9]+'), x -> x <> ''), 'customer')
+  AND list_contains(list_filter(string_split_regex(lower(text),
+          '[^a-z0-9]+'), x -> x <> ''), 'spark')
+  AND list_contains(list_filter(string_split_regex(lower(text),
+          '[^a-z0-9]+'), x -> x <> ''), 'vector')
+""",
+)
+def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Conjunctive keyword search THROUGH an inverted index
+    (operators/textindex.py): build the (term, doc_id) postings table,
+    materialize it partitioned by term-hash bucket, answer
+    'spark AND vector AND customer' from the pruned postings scan, and
+    fetch the matching documents by id — the raw text column is never
+    scanned at query time.
+
+    The oracle is the direct predicate on the raw text (same tokenizer,
+    DuckDB string_split_regex twin), so a posting lost in the build, a
+    bucket mispruned on read, or an intersection miscount hash-fails.
+    The query RAISES if the postings scan read any bucket directory
+    outside the query terms' buckets — the file-skipping claim is inside
+    the verified loop.  At 100 TB: postings read ~ the three terms'
+    document frequencies; one doc_id-keyed shuffle; the documents table
+    is touched only by the final id-join on the hit list."""
+    import os
+    import shutil
+    import tempfile
+
+    from aws_etl_fiap_spark.operators.textindex import (
+        conjunctive_search,
+        read_postings_for,
+        write_inverted_index,
+    )
+
+    terms = ["spark", "vector", "customer"]
+    n_buckets = 16
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="textidx_", dir=base)
+    path = os.path.join(tmp, "postings")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        write_inverted_index(
+            docs, path, layout="bucket", n_buckets=n_buckets
+        )
+        postings = read_postings_for(
+            spark, path, terms, layout="bucket", n_buckets=n_buckets
+        )
+        # File-skipping proof, in the verified loop: the postings scan must
+        # carry a folded partition filter on bucket (inputFiles() reflects
+        # the pre-pruning analyzed plan, so the executed plan is the only
+        # honest witness).
+        import re as _re
+
+        plan = postings._jdf.queryExecution().executedPlan().toString()
+        pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if not pf or not _re.search(r"bucket#\d+[^\[\]]* IN \(", pf.group(1)):
+            raise RuntimeError(
+                f"postings scan is not bucket-pruned: {pf and pf.group(0)}"
+            )
+        hits = conjunctive_search(postings, terms)
+        out = hits.join(docs, "doc_id").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

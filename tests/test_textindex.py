@@ -1,0 +1,92 @@
+"""Inverted text index (operators/textindex.py): build/search correctness
+against a direct text predicate, both layouts, and the pruning contract."""
+
+import pyspark.sql.functions as F
+
+from aws_etl_fiap_spark.operators.textindex import (
+    build_postings,
+    conjunctive_search,
+    read_postings_for,
+    sql_contains_all_terms,
+    write_inverted_index,
+)
+from aws_etl_fiap_spark.sources.readers import load_table
+
+TERMS = ["spark", "vector", "customer"]
+
+
+def _direct_hits(docs, terms):
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(toks, t.lower())
+    return {r[0] for r in docs.filter(cond).select("doc_id").collect()}
+
+
+def test_postings_search_equals_direct_predicate(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    hits = conjunctive_search(build_postings(docs), TERMS)
+    assert {r[0] for r in hits.collect()} == _direct_hits(docs, TERMS)
+
+
+def test_postings_are_per_doc_distinct(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    p = build_postings(docs)
+    assert p.count() == p.distinct().count()
+
+
+def test_both_layouts_roundtrip(spark, sf_smoke, tmp_path):
+    docs = load_table(spark, sf_smoke, "documents")
+    want = _direct_hits(docs, TERMS)
+    for layout in ("term", "bucket"):
+        path = str(tmp_path / f"idx_{layout}")
+        write_inverted_index(docs, path, layout=layout, n_buckets=8)
+        postings = read_postings_for(
+            spark, path, TERMS, layout=layout, n_buckets=8
+        )
+        hits = conjunctive_search(postings, TERMS)
+        assert {r[0] for r in hits.collect()} == want, layout
+
+
+def test_bucket_scan_is_partition_pruned(spark, sf_smoke, tmp_path):
+    import re
+
+    docs = load_table(spark, sf_smoke, "documents")
+    path = str(tmp_path / "idx")
+    write_inverted_index(docs, path, layout="bucket", n_buckets=16)
+    postings = read_postings_for(spark, path, TERMS, "bucket", 16)
+    plan = postings._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and re.search(r"bucket#\d+[^\[\]]* IN \(", pf.group(1)), plan
+    # and the residual term predicate reaches the parquet reader
+    assert "In(term, " in plan
+
+
+def test_duplicate_and_case_insensitive_terms(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    p = build_postings(docs)
+    a = {r[0] for r in conjunctive_search(p, ["Spark", "spark"]).collect()}
+    b = {r[0] for r in conjunctive_search(p, ["spark"]).collect()}
+    assert a == b
+
+
+def test_sql_twin_matches_spark_tokenizer(spark, sf_smoke):
+    import duckdb
+
+    docs = load_table(spark, sf_smoke, "documents")
+    want = _direct_hits(docs, TERMS)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    got = {
+        r[0]
+        for r in con.execute(
+            "SELECT doc_id FROM documents WHERE "
+            + sql_contains_all_terms("text", TERMS)
+        ).fetchall()
+    }
+    assert got == want
