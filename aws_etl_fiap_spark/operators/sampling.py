@@ -263,3 +263,100 @@ def bottom_k_sample(df: DataFrame, id_col: str, k: int, salt: str = "bottomk") -
         .limit(k)
         .drop("__k")
     )
+
+
+def quota_plan_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    quotas: DataFrame,
+    id_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """EXACT per-stratum sample against an EXPLICIT quota frame
+    (``strata_cols`` + a ``quota`` long column): the ``quota`` smallest
+    rows of each stratum under the portable order ``(md5(salt:id), id)``.
+    The per-stratum mechanics are :func:`stratified_quota_sample`'s
+    two-level order-statistic refinement (bucket counts -> boundary
+    bucket -> ROW_NUMBER only inside the boundary bucket), but the quota
+    comes from the caller — the hook for mixture recipes
+    (:func:`temperature_mix_quotas`) and any externally-specified
+    per-domain budget.  Strata absent from ``quotas`` contribute nothing;
+    quotas larger than the stratum take the whole stratum."""
+    hexw = 2  # first hash byte -> 256 refinement buckets
+    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    keyed = df.withColumn("__k", key).withColumn(
+        "__b", F.conv(F.substring("__k", 1, hexw), 16, 10).cast("int")
+    )
+    counts = keyed.groupBy(*strata_cols, "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = Window.partitionBy(*strata_cols).orderBy("__b")
+    plan = (
+        counts.join(
+            F.broadcast(quotas.select(*strata_cols, F.col("quota").cast("long").alias("__quota"))),
+            strata_cols,
+        )
+        .withColumn("__cum", F.sum("__n").over(w))
+        .withColumn("__before", F.col("__cum") - F.col("__n"))
+        .withColumn(
+            "__take",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("__n"), F.col("__quota") - F.col("__before")),
+            ),
+        )
+        .filter(F.col("__take") > 0)
+        .select(*strata_cols, "__b", "__n", "__take")
+    )
+    marked = keyed.join(F.broadcast(plan), [*strata_cols, "__b"])
+    whole = marked.filter(F.col("__take") == F.col("__n"))
+    boundary = marked.filter(F.col("__take") < F.col("__n"))
+    wb = Window.partitionBy(*strata_cols, "__b").orderBy("__k", id_col)
+    partial = (
+        boundary.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= F.col("__take"))
+        .drop("__rn")
+    )
+    out_cols = df.columns
+    return whole.select(*out_cols).unionByName(partial.select(*out_cols))
+
+
+def temperature_mix_quotas(
+    df: DataFrame, stratum_col: str, budget: int, score_scale: int = 10**9
+) -> DataFrame:
+    """Per-stratum quotas for TEMPERATURE-FLATTENED domain mixing at
+    alpha = 0.5 (the multilingual-corpus rebalancing recipe: sample
+    domain d with probability proportional to ``n_d ** alpha``, which
+    up-weights small domains relative to raw proportions): quota_d =
+    round(budget * sqrt(n_d) / sum_e sqrt(n_e)), capped at n_d.
+
+    Bit-reproducibility across engines (the oracle gate hashes the
+    SELECTED ROWS): sqrt is IEEE-correctly-rounded everywhere, but a sum
+    of doubles depends on summation order — so each sqrt score is
+    half-up-quantized onto an integer grid (``score_scale`` parts) FIRST
+    and all shares are computed with exact integer arithmetic
+    (``(2*budget*s + t) div (2*t)`` is round-half-up of ``budget*s/t``
+    without ever leaving BIGINT).  Alpha is fixed at 1/2 because
+    ``pow(x, a)`` for general a is NOT correctly rounded and diverges
+    between libm implementations; other rationals would need nested
+    roots.  One aggregate over strata (KB-sized), one scalar total,
+    broadcast back — nothing touches the corpus."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    scored = counts.withColumn(
+        "__s",
+        F.floor(F.sqrt(F.col("__n")) * float(score_scale) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    total = scored.agg(F.sum("__s").cast("long").alias("__t"))
+    return (
+        scored.crossJoin(F.broadcast(total))
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("__n"),
+                F.expr(f"(2 * CAST({budget} AS BIGINT) * __s + __t) div (2 * __t)"),
+            ).cast("long"),
+        )
+        .select(stratum_col, "__n", "quota")
+    )

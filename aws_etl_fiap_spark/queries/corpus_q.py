@@ -511,3 +511,60 @@ def corpus_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return bottom_k_sample(docs, "doc_id", 100)
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle="""
+WITH counts AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+scored AS (
+    SELECT lang, n,
+           CAST(FLOOR(SQRT(n) * 1000000000.0 + 0.5) AS BIGINT) AS s
+    FROM counts
+),
+tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM scored),
+quota AS (
+    SELECT lang,
+           LEAST(n, (2 * CAST(200 AS BIGINT) * s + t) // (2 * t)) AS quota
+    FROM scored, tot
+),
+ranked AS (
+    SELECT doc_id, lang, source, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CONCAT('tmix', ':', CAST(doc_id AS VARCHAR))),
+                        doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT r.doc_id, r.lang, r.source, r.n_chars
+FROM ranked r JOIN quota q ON r.lang = q.lang
+WHERE r.rn <= q.quota
+""",
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Temperature-flattened domain mixing (operators/sampling.py
+    temperature_mix_quotas + quota_plan_sample): per-language quotas
+    proportional to sqrt(n_lang) — the alpha=0.5 rebalancing recipe that
+    up-weights low-resource languages relative to raw proportions — then
+    an exact quota draw per language under the portable (md5, id) order.
+
+    The oracle recomputes quotas AND the selected row set with a plain
+    ROW_NUMBER window, so the integer-exact share arithmetic (no
+    float-summation-order hazard; see the operator docstring) and the
+    two-level refinement's set-equality to the naive window are both
+    inside the hash gate.  At 100 TB: quota math runs on a KB-sized
+    stratum frame; rank work is bucket-pruned to each language's single
+    boundary bucket."""
+    from aws_etl_fiap_spark.operators.sampling import (
+        quota_plan_sample,
+        temperature_mix_quotas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    quotas = temperature_mix_quotas(docs, "lang", budget=200)
+    return quota_plan_sample(docs, ["lang"], quotas, "doc_id", salt="tmix")

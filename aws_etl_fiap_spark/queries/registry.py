@@ -199,6 +199,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "mv_incremental_refresh",
     "join_bloom_prefiltered",
     "text_index_search",
+    "corpus_temperature_mix",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

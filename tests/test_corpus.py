@@ -213,3 +213,76 @@ def test_cluster_split_no_leakage_and_ratio(spark, sf_correctness):
     assert n == 500
     assert 0.7 <= counts["train"] / n <= 0.9
     assert counts["val"] > 0 and counts["test"] > 0
+
+
+# ----------------------------------------------- temperature mixing --
+
+
+def test_temperature_quotas_flatten_and_cap(spark, sf_smoke):
+    import pyspark.sql.functions as F
+
+    from aws_etl_fiap_spark.operators.sampling import temperature_mix_quotas
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    q = {r["lang"]: (r["__n"], r["quota"]) for r in
+         temperature_mix_quotas(docs, "lang", budget=100).collect()}
+    total_docs = sum(n for n, _ in q.values())
+    for lang, (n, quota) in q.items():
+        assert 0 <= quota <= n, (lang, n, quota)
+    # flattening: the dominant stratum's share of the mix is SMALLER than
+    # its share of the corpus; the smallest stratum's share is LARGER
+    big = max(q, key=lambda k: q[k][0])
+    small = min(q, key=lambda k: q[k][0])
+    tot_quota = sum(qq for _, qq in q.values())
+    if q[big][0] != q[small][0]:  # only meaningful under skew
+        assert q[big][1] / tot_quota < q[big][0] / total_docs
+        assert q[small][1] / tot_quota > q[small][0] / total_docs
+    # rounding keeps the draw within one doc per stratum of the budget
+    assert abs(tot_quota - 100) <= len(q)
+
+
+def test_quota_plan_sample_equals_naive_window(spark, sf_smoke):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from aws_etl_fiap_spark.operators.sampling import (
+        quota_plan_sample,
+        temperature_mix_quotas,
+    )
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    quotas = temperature_mix_quotas(docs, "lang", budget=150)
+    got = quota_plan_sample(docs, ["lang"], quotas, "doc_id", salt="tmix")
+
+    key = F.md5(F.concat_ws(":", F.lit("tmix"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    naive = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .join(quotas.select("lang", "quota"), "lang")
+        .filter(F.col("__rn") <= F.col("quota"))
+        .select(*docs.columns)
+    )
+    assert sorted(map(str, got.collect())) == sorted(map(str, naive.collect()))
+
+
+def test_quota_plan_sample_missing_and_oversized_strata(spark, sf_smoke):
+    import pyspark.sql.functions as F
+
+    from aws_etl_fiap_spark.operators.sampling import quota_plan_sample
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "lang")
+    spark_q = docs.sparkSession.createDataFrame(
+        [("en", 1_000_000), ("fr", 2)], "lang string, quota long"
+    )  # en quota exceeds the stratum; other langs absent entirely
+    got = quota_plan_sample(docs, ["lang"], spark_q, "doc_id")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert by_lang == {"en": n_en, "fr": 2}
