@@ -427,3 +427,66 @@ def bigram_pmi(
     return scored.select(
         "w1", "w2", "c_ab", F.log(p_ab / (p_a * p_b)).alias("pmi")
     )
+
+
+def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite rule-based quality filter with PER-RULE provenance (the
+    Gopher/MassiveText-style document gate, public recipe: keep a document
+    only if every heuristic passes, and record WHICH rules failed so
+    curation can audit its losses by reason):
+
+    - ``short``       n_words < 25
+    - ``word_len``    mean word length outside [3.9, 4.6]
+    - ``few_stop``    zero distinct English stopwords
+    - ``repetitive``  most frequent word > 12% of all words
+
+    Everything is a single codegen'd projection — no shuffle, no UDF; the
+    repetition scan is O(vocab x words) per document inside the row, which
+    beats an explode + per-doc groupBy (a corpus-sized shuffle) for the
+    bounded per-document vocabularies real text has.  ``failed`` is the
+    comma-joined sorted rule list (empty string = keep) so downstream
+    rollups can group by failure signature without array-type hashing
+    hazards."""
+    toks = F.split(F.col(text_col), " ")
+    n_words = F.size(toks)
+    mwl = (
+        F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast(
+            "double"
+        )
+        / n_words
+    )
+    stop_distinct = F.size(
+        F.filter(
+            F.array_distinct(toks), lambda x: x.isin(*LID_STOPWORDS["en"])
+        )
+    )
+    top_ratio = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda x: F.size(F.filter(toks, lambda y: y == x)),
+            )
+        ).cast("double")
+        / n_words
+    )
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mwl)
+        .withColumn("stop_distinct", stop_distinct)
+        .withColumn("top_word_ratio", top_ratio)
+    )
+    rules = [
+        ("few_stop", F.col("stop_distinct") < 1),
+        ("repetitive", F.col("top_word_ratio") > 0.12),
+        ("short", F.col("n_words") < 25),
+        (
+            "word_len",
+            (F.col("mean_word_len") < 3.9) | (F.col("mean_word_len") > 4.6),
+        ),
+    ]  # alphabetical: `failed` joins in deterministic order
+    failed = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return out.withColumn("failed", failed).withColumn(
+        "keep", F.col("failed") == ""
+    )

@@ -200,6 +200,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "join_bloom_prefiltered",
     "text_index_search",
     "corpus_temperature_mix",
+    "text_gopher_rules",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

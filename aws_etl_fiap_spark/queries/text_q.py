@@ -635,3 +635,54 @@ def text_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS l, text FROM documents
+),
+m AS (
+    SELECT doc_id,
+           len(l) AS n_words,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(l)
+               AS mean_word_len,
+           len(list_filter(list_distinct(l),
+               x -> x IN ('the','of','and','to','in','is','that','for',
+                          'with','on'))) AS stop_distinct,
+           CAST(list_max(list_transform(list_distinct(l),
+               x -> len(list_filter(l, y -> y = x)))) AS DOUBLE) / len(l)
+               AS top_word_ratio
+    FROM t
+),
+r AS (
+    SELECT *,
+        concat_ws(',',
+            CASE WHEN stop_distinct < 1 THEN 'few_stop' END,
+            CASE WHEN top_word_ratio > 0.12 THEN 'repetitive' END,
+            CASE WHEN n_words < 25 THEN 'short' END,
+            CASE WHEN mean_word_len < 3.9 OR mean_word_len > 4.6
+                 THEN 'word_len' END
+        ) AS failed
+    FROM m
+)
+SELECT doc_id, n_words, mean_word_len, top_word_ratio, failed,
+       failed = '' AS keep
+FROM r
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gopher-style composite quality gate with per-rule provenance
+    (operators/text.gopher_quality_rules): four heuristics — length, mean
+    word length band, stopword presence, repetition — evaluated in one
+    codegen'd projection, emitting the failure signature per document so
+    curation losses are auditable by reason.  Zero shuffle; the oracle
+    recomputes every rule and the joined signature in DuckDB."""
+    from aws_etl_fiap_spark.operators.text import gopher_quality_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_quality_rules(docs, "text").select(
+        "doc_id", "n_words", "mean_word_len", "top_word_ratio", "failed",
+        "keep",
+    )

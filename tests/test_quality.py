@@ -288,3 +288,44 @@ def test_tfidf_top_terms_hand_computed(spark):
     assert rows[(1, "the")] == (3, 3.0, 2)
     # doc 3: 'bird' (tf=2, doc-specific) outranks 'the' (tf=1)
     assert rows[(3, "bird")][2] == 1 and rows[(3, "the")][2] == 2
+
+
+# --------------------------------------------------- gopher rules --
+
+
+def test_gopher_rules_signature_and_keep(spark):
+    import pyspark.sql.functions as F
+
+    from aws_etl_fiap_spark.operators.text import gopher_quality_rules
+
+    rows = [
+        # long, good word-length, has stopwords, varied -> keeps
+        (1, " ".join(["the"] + [f"w{i:03d}" for i in range(40)])),
+        # short word soup, no stopwords, repetitive
+        (2, "spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_rules(df).collect()}
+    assert got[1]["keep"] is True and got[1]["failed"] == ""
+    assert got[2]["keep"] is False
+    assert set(got[2]["failed"].split(",")) == {
+        "few_stop", "repetitive", "short",
+    }
+
+
+def test_gopher_rules_failed_order_is_sorted(spark):
+    from aws_etl_fiap_spark.operators.text import gopher_quality_rules
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    (r,) = gopher_quality_rules(df).collect()
+    parts = r["failed"].split(",")
+    assert parts == sorted(parts)
+
+
+def test_gopher_rules_is_projection_only(spark, sf_smoke):
+    from aws_etl_fiap_spark.operators.text import gopher_quality_rules
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    df = gopher_quality_rules(load_table(spark, sf_smoke, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
