@@ -1,0 +1,78 @@
+"""Privacy-preserving release operators ([EXT]: the de-identification pass
+a training-data pipeline runs before a corpus leaves its trust boundary —
+complements operators/text.redact_pii, which scrubs IN-ROW identifiers;
+these enforce GROUP-level guarantees).
+
+k-anonymity (public Sweeney/Samarati model): a released row must be
+indistinguishable from at least k-1 others on its quasi-identifier tuple.
+Enforcement here is generalize-then-suppress:
+
+- :func:`generalize_band` coarsens a numeric quasi-identifier onto a fixed
+  grid (the standard value-generalization hierarchy step) as a pure
+  projection;
+- :func:`k_anonymize` drops every row whose quasi-identifier group has
+  fewer than k members.
+
+Spark shape: one groupBy on the quasi columns produces the (tiny)
+violating-group set; rows are filtered by a JOIN against it rather than a
+window count — the group-count frame is bounded by the quasi-space
+cardinality, broadcasts, and the corpus is never shuffled (a
+count-over-window would shuffle every row by quasi key).  The suppression
+summary (how many rows/groups were dropped) comes from the same count
+frame for free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def generalize_band(col: Column | str, width: float) -> Column:
+    """Left edge of the value's generalization band (floor onto a fixed
+    grid): 0 <= x < width -> 0, width <= x < 2*width -> width, ...
+    Exact for the fixed-point inputs this is meant for (money, ages)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.floor(c / F.lit(width)) * F.lit(width)).cast("double")
+
+
+def quasi_group_counts(df: DataFrame, quasi_cols: Sequence[str]) -> DataFrame:
+    """(quasi tuple, n) — the equivalence-class size frame k-anonymity is
+    defined over.  Bounded by the quasi-space cardinality, not rows."""
+    return df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+
+
+def k_anonymize(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Rows whose quasi-identifier group has >= k members; the rest are
+    suppressed.  The violating-group set is usually tiny (that is why the
+    rows are suppressible at all), so it broadcasts as an anti-join
+    probe; the retained majority streams through unshuffled."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qc = list(quasi_cols)
+    violators = quasi_group_counts(df, qc).filter(F.col("n") < k).select(*qc)
+    return df.join(F.broadcast(violators), qc, "left_anti")
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """One-row release audit: group/row totals, suppressed counts, and the
+    smallest surviving group (>= k by construction, or NULL if nothing
+    survives)."""
+    counts = quasi_group_counts(df, quasi_cols)
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0))
+        .cast("long")
+        .alias("suppressed_groups"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("suppressed_rows"),
+        F.min(F.when(F.col("n") >= k, F.col("n"))).alias("min_kept_group"),
+    )

@@ -568,3 +568,54 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     return column_profile(orders, list(_PROFILE_COLS))
+
+
+@query(
+    "privacy_k_anon_suppress",
+    oracle="""
+WITH banded AS (
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 2000.0) * 2000.0 AS DOUBLE) AS bal_band
+    FROM customer
+),
+counted AS (
+    SELECT *,
+           COUNT(*) OVER (
+               PARTITION BY c_nationkey, c_mktsegment, bal_band
+           ) AS grp_n
+    FROM banded
+)
+SELECT c_nationkey, c_mktsegment, bal_band,
+       COUNT(*) AS n,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+FROM counted
+WHERE grp_n >= 2
+GROUP BY c_nationkey, c_mktsegment, bal_band
+""",
+)
+def privacy_k_anon_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] k-anonymity release gate (operators/privacy.py): generalize
+    c_acctbal onto 2000-wide bands, suppress every row whose
+    (nation, segment, band) equivalence class has fewer than k=2 members,
+    and aggregate the released rows per class.  The oracle recomputes the
+    suppression with a window count, so the generalization grid, the
+    class-size computation, and the anti-join suppression (broadcast
+    violator set — the corpus itself is never shuffled for the filter)
+    are all inside the hash gate; key_sum pins row identity, catching a
+    join that dropped or duplicated members of a retained class."""
+    from aws_etl_fiap_spark.operators.privacy import (
+        generalize_band,
+        k_anonymize,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        generalize_band("c_acctbal", 2000.0).alias("bal_band"),
+    )
+    released = k_anonymize(cust, ["c_nationkey", "c_mktsegment", "bal_band"], k=2)
+    return released.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c_custkey").alias("key_sum"),
+    )

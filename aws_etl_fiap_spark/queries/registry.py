@@ -201,6 +201,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "text_index_search",
     "corpus_temperature_mix",
     "text_gopher_rules",
+    "privacy_k_anon_suppress",
 )
 
 DEFERRED_R8: tuple[str, ...] = (
