@@ -701,3 +701,74 @@ def winnow_overlap_pairs(
         .filter(F.col("overlap") >= threshold)
         .select("id_a", "id_b", "shared", "overlap")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 10,
+) -> DataFrame:
+    """C4/RefinedWeb-style CORPUS-LEVEL span deduplication: cut every
+    document into fixed, non-overlapping ``span_tokens``-token spans, keep
+    only each distinct span's FIRST occurrence under the total order
+    (id, span index), and rebuild documents from their surviving spans —
+    the sub-document tier of the dedup stack (exact/minhash/simhash
+    operate on whole documents; boilerplate repeats ACROSS documents that
+    are otherwise distinct, which is exactly what this removes from a web
+    corpus).
+
+    Output: (id, n_spans, kept_spans, dedup_text) — documents whose every
+    span was seen earlier come back with ``dedup_text = ''`` (drop
+    candidates for the caller).
+
+    Spark shape, two shuffles total and NO self-join: spans explode
+    inside the scan stage (narrow); first-occurrence selection is ONE
+    row_number window partitioned by span text (the span-keyed shuffle;
+    dup groups are small, so no skew pathology); the rebuild is ONE
+    groupBy(id) with an order-restoring array_sort — never a join back
+    against the corpus.  At 100 TB both exchanges carry the span stream,
+    and the span stream is the corpus, so cost is two linear shuffles —
+    the same bound as the C4 reference pipeline's line-dedup stage."""
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(span_tokens)).cast("int")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n_spans - 1, F.lit(0)), F.lit(1)
+    )
+    spans = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.cast("int").alias("idx"),
+            F.concat_ws(
+                " ", F.slice(toks, i * span_tokens + 1, span_tokens)
+            ).alias("span"),
+        ),
+    )
+    ex = df.select(F.col(id_col), F.explode(spans).alias("s")).select(
+        id_col, F.col("s.idx").alias("idx"), F.col("s.span").alias("span")
+    )
+    w = Window.partitionBy("span").orderBy(F.col(id_col).asc(), F.col("idx").asc())
+    kept = ex.withColumn("__rn", F.row_number().over(w))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("kept_spans"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct("idx", "span"),
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+            ).alias("dedup_text"),
+        )
+    )

@@ -610,3 +610,48 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = load_table(spark, sf_dir, "documents")
     return winnow_overlap_pairs(df, "doc_id", "text", threshold=0.5)
+
+
+@query(
+    "dedup_corpus_spans",
+    oracle="""
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+spans AS (
+    SELECT doc_id, idx,
+           array_to_string(l[idx*10+1 : idx*10+10], ' ') AS span
+    FROM (
+        SELECT doc_id, l,
+               unnest(range(CAST(ceil(len(l) / 10.0) AS INT))) AS idx
+        FROM words
+    )
+),
+marked AS (
+    SELECT doc_id, idx, span,
+           ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+    FROM spans
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_spans,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN span END, ' '
+                           ORDER BY idx), '') AS dedup_text
+FROM marked
+GROUP BY doc_id
+""",
+)
+def dedup_corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] C4-style corpus-level span dedup (operators/dedup.span_dedup):
+    10-token non-overlapping spans, first occurrence under (doc_id, idx)
+    wins, documents rebuilt from their surviving spans — the sub-document
+    boilerplate-removal tier the whole-document dedup family cannot
+    express.  Two linear shuffles, no self-join (one span-keyed
+    row_number, one doc-keyed rebuild).  The oracle recomputes the full
+    span stream, the first-occurrence choice, and the REBUILT TEXT
+    byte-for-byte, so span slicing, ordering, and reassembly are all
+    inside the hash gate."""
+    from aws_etl_fiap_spark.operators.dedup import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(docs, "doc_id", "text", span_tokens=10)

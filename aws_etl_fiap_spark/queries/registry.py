@@ -202,6 +202,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "corpus_temperature_mix",
     "text_gopher_rules",
     "privacy_k_anon_suppress",
+    "dedup_corpus_spans",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

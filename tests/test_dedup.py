@@ -295,3 +295,59 @@ def test_winnowing_density_and_short_doc_cutoff(spark):
     n_kgrams = 400 - 3 + 1
     assert 0 < n1 < n_kgrams // 2, f"fingerprint density off: {n1}/{n_kgrams}"
     assert not any(r.doc == 2 for r in rows)
+
+
+# ------------------------------------------------- span-level dedup --
+
+
+def test_span_dedup_removes_cross_doc_boilerplate(spark):
+    from aws_etl_fiap_spark.operators.dedup import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (1, boiler + " " + uniq_a),   # first occurrence of boiler: kept
+        (2, boiler + " " + uniq_b),   # boiler span removed, tail kept
+        (3, boiler),                  # fully duplicate -> empty rebuild
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in span_dedup(df).collect()}
+    assert got[1]["dedup_text"] == boiler + " " + uniq_a
+    assert got[1]["kept_spans"] == 2 and got[1]["n_spans"] == 2
+    assert got[2]["dedup_text"] == uniq_b
+    assert got[2]["kept_spans"] == 1 and got[2]["n_spans"] == 2
+    assert got[3]["dedup_text"] == "" and got[3]["kept_spans"] == 0
+
+
+def test_span_dedup_in_doc_repeats_collapse(spark):
+    from aws_etl_fiap_spark.operators.dedup import span_dedup
+
+    span = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(7, " ".join([span] * 3))], "doc_id long, text string"
+    )
+    (r,) = span_dedup(df).collect()
+    assert r["n_spans"] == 3 and r["kept_spans"] == 1
+    assert r["dedup_text"] == span
+
+
+def test_span_dedup_order_restored_and_short_tail(spark):
+    from aws_etl_fiap_spark.operators.dedup import span_dedup
+
+    words = [f"w{i}" for i in range(23)]  # 3 spans: 10, 10, 3 tokens
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    (r,) = span_dedup(df).collect()
+    assert r["n_spans"] == 3 and r["kept_spans"] == 3
+    assert r["dedup_text"] == " ".join(words)  # reassembly is order-exact
+
+
+def test_span_dedup_plan_has_no_self_join(spark, sf_smoke):
+    from aws_etl_fiap_spark.operators.dedup import span_dedup
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    df = span_dedup(load_table(spark, sf_smoke, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan  # window + regroup, never a join
