@@ -1272,3 +1272,109 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+    dim: int | None = None,
+    plane_family: str = "xxhash64",
+) -> DataFrame:
+    """SemDeDup-style embedding near-duplicate pruning: KEEP a row unless
+    some LOWER-id row within cosine >= ``threshold`` shares an SRP bucket
+    with it in at least one of ``n_tables`` hash tables (Abbas et al. 2023,
+    "SemDeDup", arXiv:2303.09540 — public knowledge; the cluster-then-prune
+    recipe re-expressed on the repo's multi-table SRP index instead of a
+    k-means partition, so candidate generation is the SAME bucketed
+    equi-join the ANN path uses).
+
+    Deterministic keep rule: drop the HIGHER id of every near-dup candidate
+    pair — a single pairwise predicate (not the order-dependent greedy
+    chain), so the kept set is well-defined independent of partitioning and
+    exactly re-derivable by the SQL oracle.
+
+    100 TB shape: corpus hashed once (linear), candidates from the
+    (table, bucket) equi-join — never all-pairs; scoring runs BEFORE the
+    dedup so only ids (not 64-double vectors) go through the wide
+    ``distinct`` shuffle; the final keep is one broadcast-able left_anti
+    join (dropped ids << corpus). More planes -> smaller buckets at scale;
+    recall per (threshold, tables, planes) is measured in
+    tests/test_similarity.py.
+    """
+    if plane_family == "portable":
+        planes = portable_planes_matrix(n_tables, n_planes, dim or EMBED_DIM)
+    else:
+        planes = srp_planes_matrix(df.sparkSession, n_tables, n_planes, dim or EMBED_DIM)
+    pin = plane_family == "portable"
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col), as_double(vec_col).alias("__v")
+    )
+    b = _np_buckets(src, id_col, "__v", planes, keep_vec=True, pin_add_order=pin)
+    a_side = b.select(
+        F.col(id_col).alias("__ida"), "table_id", "bucket", F.col("__v").alias("__va")
+    )
+    b_side = b.select(
+        F.col(id_col).alias("__idb"), "table_id", "bucket", F.col("__v").alias("__vb")
+    )
+    # Score within collisions, THEN distinct on the bare id: a pair found in
+    # several tables is scored more than once (64 fused mul-adds per extra
+    # hit) but the distinct shuffles 8-byte ids, not 512-byte vectors.
+    dropped = (
+        a_side.join(b_side, ["table_id", "bucket"])
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, id_col, "left_anti")
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-k
+    most-similar corpus vectors whose ``label_col`` DIFFERS from the
+    query's — the classic in-batch-negatives upgrade (pick negatives the
+    model currently confuses with positives).
+
+    Same 100 TB shape as :func:`brute_force_topk` (exact tier): the query
+    block broadcasts, the corpus never shuffles for the join, and the label
+    filter prunes pairs BEFORE scoring.  For corpus-scale query sets,
+    route candidate generation through :func:`lsh_bucket_topk` buckets and
+    apply the same label predicate — the semantics stay identical.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        as_double(vec_col).alias("__qv"),
+    ).withColumn("__qn", norm(F.col("__qv"), dim))
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(label_col).alias("neg_label"),
+        as_double(vec_col).alias("__cv"),
+    ).withColumn("__cn", norm(F.col("__cv"), dim))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neg_label") != F.col("query_label")),
+    ).withColumn(
+        "cos_sim",
+        cosine_prenormed(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"), dim),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "query_label", "neighbor_id", "neg_label", "cos_sim", "rank")
+    )

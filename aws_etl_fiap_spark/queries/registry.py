@@ -203,6 +203,8 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "text_gopher_rules",
     "privacy_k_anon_suppress",
     "dedup_corpus_spans",
+    "dedup_semdedup_embed",
+    "ann_hard_negatives",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

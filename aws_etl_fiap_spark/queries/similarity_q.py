@@ -530,3 +530,78 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return recall.filter(F.col("recall_at_10") < 0.8)
+
+
+@query(
+    "dedup_semdedup_embed",
+    oracle=f"""
+WITH planes(t, p, vec) AS (VALUES {_portable_planes_values()}),
+proj AS (
+    SELECT e.vec_id, pl.t, pl.p,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.vec) AS pr
+    FROM embeddings e CROSS JOIN planes pl
+),
+buckets AS (
+    SELECT vec_id, t,
+           CAST(SUM(CASE WHEN pr >= 0 THEN {_bucket_weight_case()}
+                ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY vec_id, t
+),
+dropped AS (
+    SELECT DISTINCT hb.vec_id AS vec_id
+    FROM buckets lb
+    JOIN buckets hb ON lb.t = hb.t AND lb.bucket = hb.bucket
+                   AND lb.vec_id < hb.vec_id
+    JOIN embeddings a ON a.vec_id = lb.vec_id
+    JOIN embeddings b ON b.vec_id = hb.vec_id
+    WHERE {_COS} >= 0.35
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+""",
+)
+def dedup_semdedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SemDeDup semantic dedup over the embedding corpus (Abbas et
+    al. 2023 recipe on the multi-table SRP index): a row is dropped when a
+    LOWER-id row with cosine >= 0.35 shares any of the 8x4 portable SRP
+    buckets with it; output is the KEPT set.  The whole pipeline —
+    md5-parity planes, bucketing, candidate join, sequential-fold cosine,
+    prune — is re-derived from first principles by the SQL oracle, and the
+    compared output is integer-only (vec_id, label), so the gate is exact.
+    The reference has no vector surface at all; north-star component (cf.
+    SURVEY.md section 2.13 dedup ladder)."""
+    from aws_etl_fiap_spark.operators.similarity import semdedup_keep
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_keep(
+        emb, "vec_id", "embedding", threshold=0.35, plane_family="portable"
+    ).select("vec_id", "label")
+
+
+@query(
+    "ann_hard_negatives",
+    oracle=f"""
+SELECT query_id, query_label, neighbor_id, neg_label, cos_sim, rank FROM (
+    SELECT a.vec_id AS query_id, a.label AS query_label,
+           b.vec_id AS neighbor_id, b.label AS neg_label,
+           {_COS} AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS} DESC, b.vec_id) AS rank
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id <> b.vec_id AND a.label <> b.label
+    WHERE a.vec_id < 8
+) WHERE rank <= 10
+""",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Contrastive-training hard-negative mining: for each query
+    vector (vec_id < 8), the 10 nearest-by-cosine corpus vectors with a
+    DIFFERENT label (operators/similarity.hard_negative_topk).  Exact tier
+    under the gate; the label predicate composes unchanged with the LSH /
+    IVF candidate generators for corpus-scale mining.  North-star
+    component — the reference has no vector surface."""
+    from aws_etl_fiap_spark.operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb.filter(F.col("vec_id") < 8), emb, k=10)

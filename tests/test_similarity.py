@@ -259,3 +259,31 @@ def test_pq_and_ivfpq_tolerate_zero_vectors(spark, sf_smoke):
         rows = fn(qdf, corpus, k=5).collect()
         assert rows, fn.__name__
         assert all(r["neighbor_id"] != 999_999 for r in rows)
+
+
+def test_semdedup_keep_drops_only_witnessed_rows(spark, sf_smoke):
+    """Every dropped id must have a LOWER-id bucket-mate with cosine >=
+    threshold (the drop rule's witness), and the drop must be non-trivial
+    on the smoke corpus (the threshold is tuned to bite)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.similarity import (
+        allpairs_cosine_pairs_blocked,
+        semdedup_keep,
+    )
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    kept = semdedup_keep(emb, threshold=0.35, plane_family="portable")
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    dropped = {r["vec_id"] for r in emb.select("vec_id").collect()} - kept_ids
+    assert 0 < len(dropped) < n // 2, (len(dropped), n)
+    # exact all-pairs >= threshold: every dropped id needs a lower-id witness
+    pairs = allpairs_cosine_pairs_blocked(emb, threshold=0.35).collect()
+    lower_witness = {}
+    for r in pairs:
+        lo, hi = sorted((r["id_a"], r["id_b"]))
+        lower_witness.setdefault(hi, set()).add(lo)
+    for d in dropped:
+        assert d in lower_witness, f"dropped {d} has no cos>=0.35 lower-id pair"
