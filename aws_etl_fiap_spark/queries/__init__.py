@@ -30,6 +30,7 @@ from aws_etl_fiap_spark.queries import (  # noqa: F401  (import for side effects
     tpch,
     tpch2,
     tpch3,
+    web_q,
     writepath_q,
 )
 from aws_etl_fiap_spark.queries.registry import REGISTRY, oracle_sql, queries

@@ -205,6 +205,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "dedup_corpus_spans",
     "dedup_semdedup_embed",
     "ann_hard_negatives",
+    "web_domain_policy_rollup",
 )
 
 DEFERRED_R8: tuple[str, ...] = (
