@@ -568,3 +568,78 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quotas = temperature_mix_quotas(docs, "lang", budget=200)
     return quota_plan_sample(docs, ["lang"], quotas, "doc_id", salt="tmix")
+
+
+_WTOK = "len(list_filter(regexp_split_to_array(text, '[^a-z0-9A-Z]+'), x -> x <> ''))"
+
+
+@query(
+    "corpus_length_bucket_pack",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, {_WTOK} AS n_tok FROM documents
+),
+bounds AS (
+    SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tok) AS q1,
+           percentile_disc(0.50) WITHIN GROUP (ORDER BY n_tok) AS q2,
+           percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tok) AS q3,
+           MAX(n_tok) AS gmax
+    FROM toks
+),
+b AS (
+    SELECT t.n_tok, bo.gmax,
+           CASE WHEN t.n_tok <= bo.q1 THEN 0
+                WHEN t.n_tok <= bo.q2 THEN 1
+                WHEN t.n_tok <= bo.q3 THEN 2
+                ELSE 3 END AS bucket
+    FROM toks t CROSS JOIN bounds bo
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(MAX(n_tok) AS BIGINT) AS bucket_max_tokens,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS wasted_bucketed,
+       CAST(COUNT(*) * MAX(gmax) - SUM(n_tok) AS BIGINT) AS wasted_global_pad
+FROM b
+GROUP BY bucket
+""",
+)
+def corpus_length_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Length-bucketed batch packing audit: bucket documents into
+    token-count quartiles (PERCENTILE_DISC boundaries — real data elements,
+    cross-engine exact) and report, per bucket, the padding waste of
+    padding to the BUCKET max versus padding every sequence to the GLOBAL
+    max — the quantified win of length bucketing, the standard batch-
+    assembly trick for sequence training.
+
+    100 TB shape: token counting is a codegen'd expression scan; the
+    quartile boundary aggregate reduces to ONE 4-value row that broadcasts
+    back (no second shuffle of the corpus by value); the rollup is a
+    4-group aggregate with map-side partials.  At extreme scale swap
+    percentile_disc for percentile_approx and the plan is unchanged."""
+    from aws_etl_fiap_spark.operators.text import word_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        word_token_count("text").cast("long").alias("n_tok")
+    )
+    bounds = toks.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tok)").alias("q1"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY n_tok)").alias("q2"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tok)").alias("q3"),
+        F.max("n_tok").alias("gmax"),
+    )
+    b = toks.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.when(F.col("n_tok") <= F.col("q1"), 0)
+        .when(F.col("n_tok") <= F.col("q2"), 1)
+        .when(F.col("n_tok") <= F.col("q3"), 2)
+        .otherwise(3),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("bucket_max_tokens"),
+        F.sum("n_tok").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")).alias("wasted_bucketed"),
+        (F.count(F.lit(1)) * F.max("gmax") - F.sum("n_tok")).alias("wasted_global_pad"),
+    )

@@ -206,6 +206,8 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "dedup_semdedup_embed",
     "ann_hard_negatives",
     "web_domain_policy_rollup",
+    "corpus_length_bucket_pack",
+    "stream_left_outer_join_equiv",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -574,3 +574,83 @@ def stream_multibatch_totals_equiv(spark: SparkSession, sf_dir: str) -> DataFram
         return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_left_outer_join_equiv",
+    oracle=f"""
+WITH wm AS (
+    SELECT LEAST((SELECT MAX({_TS}) FROM events WHERE event_type = 'click'),
+                 (SELECT MAX({_TS}) FROM events WHERE event_type = 'view'))
+           - INTERVAL 60 MINUTE AS w
+),
+m AS (
+    SELECT a.event_id AS click_id, b.event_id AS view_id, a.user_id
+    FROM events a JOIN events b ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND {_TS.replace('ts', 'b.ts')} >= {_TS.replace('ts', 'a.ts')}
+     AND {_TS.replace('ts', 'b.ts')} <= {_TS.replace('ts', 'a.ts')} + INTERVAL 60 MINUTE
+),
+u AS (
+    SELECT a.event_id AS click_id, CAST(NULL AS BIGINT) AS view_id, a.user_id
+    FROM events a, wm
+    WHERE a.event_type = 'click'
+      AND NOT EXISTS (
+          SELECT 1 FROM events b
+          WHERE b.user_id = a.user_id AND b.event_type = 'view'
+            AND {_TS.replace('ts', 'b.ts')} >= {_TS.replace('ts', 'a.ts')}
+            AND {_TS.replace('ts', 'b.ts')} <= {_TS.replace('ts', 'a.ts')}
+                + INTERVAL 60 MINUTE
+      )
+      AND {_TS.replace('ts', 'a.ts')} + INTERVAL 60 MINUTE < wm.w
+)
+SELECT * FROM m UNION ALL SELECT * FROM u
+""",
+)
+def stream_left_outer_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] STREAM-STREAM LEFT OUTER join behind the exact gate — the part
+    of streaming joins the inner-join gate cannot see: NULL-padded rows for
+    unmatched clicks are withheld until the other side's watermark proves no
+    match can still arrive, then emitted on state EVICTION.
+
+    The oracle re-derives the eviction rule from first principles: the
+    global watermark of a two-input join is the MIN of the per-input
+    watermarks (each max event time - 1h delay), and a buffered click whose
+    join horizon (ts + 60min) falls STRICTLY below that watermark is
+    evicted and emits its NULL row; clicks inside the final watermark
+    horizon stay in state forever (a finite run never emits them) — so the
+    batch twin is matched-pairs UNION unmatched-clicks-past-horizon.
+    Verified exact at sf0.01 (2004 rows = 30 matches + 1974 evictions).
+
+    100 TB/day shape: identical to the inner gate — watermarks bound both
+    state stores; eviction work rides the same state-store maintenance the
+    join already pays; no unbounded history cache."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("u_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withWatermark("ts_a", "1 hour")
+    )
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("u_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        .withWatermark("ts_b", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("u_a") == F.col("u_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 MINUTES")),
+        "leftOuter",
+    )
+    out = joined.select("click_id", "view_id", F.col("u_a").alias("user_id"))
+    return _run_to_table(out, spark, mode="append")
