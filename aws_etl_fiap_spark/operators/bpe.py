@@ -1,0 +1,127 @@
+"""Distributed BPE-style tokenizer training ([EXT] north star).
+
+The reference has no tokenizer surface; this extends the engine toward
+training-data pipelines (SURVEY.md §2.13 "token counting" made trainable):
+learn byte-pair merges from corpus word frequencies with every heavy stage
+distributed — word counting, symbol-pair counting, merge application — and
+only the argmax merge decision (ONE row per iteration) on the driver, the
+same bounded-collect discipline as kmeans_lloyd's centroid step.
+
+Merge-application semantics: one single-pass leftmost non-overlapping
+``replace`` of `` a b `` with `` ab `` over the space-padded symbol
+sequence.  For runs like ``a b a b`` a single pass consumes the shared
+separator space and merges only the first occurrence — canonical BPE
+re-scans; we document the single-pass variant instead, because BOTH engines
+(Spark ``replace`` and DuckDB ``replace``) implement exactly this scan, which
+is what puts the whole trainer behind an exact cross-engine value gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over lowercased alnum runs — the BPE training corpus
+    compressed from O(corpus tokens) to O(vocabulary)."""
+    words = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+    ).alias("word")
+    return docs.select(words).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over (word, freq, seq) weighted by word
+    frequency.  seq is the space-padded symbol string; pairs come from a
+    posexplode + LEAD window partitioned by word — O(symbols) rows, one
+    shuffle keyed by pair."""
+    toks = F.filter(F.split(F.col("seq"), " "), lambda x: x != F.lit(""))
+    exploded = seqs.select(
+        "word", "freq", F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("word").orderBy("pos")
+    pairs = exploded.withColumn("nxt", F.lead("tok").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    return pairs.groupBy(
+        F.col("tok").alias("left_sym"), F.col("nxt").alias("right_sym")
+    ).agg(F.sum("freq").alias("cnt"))
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    top_after: int = 3,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; return the merge table plus the
+    ``top_after`` best remaining pairs AFTER the final merge (pinning that
+    merges were APPLIED, not merely selected).
+
+    Output: stage (1..n_merges for chosen merges, then n_merges+1.. for the
+    residual top pairs), left_sym, right_sym, cnt, selected (1 = learned
+    merge, 0 = residual pair).
+
+    100 TB shape: the corpus collapses to its vocabulary once (one
+    hash aggregate); each merge round is one distributed pair-count over
+    O(vocab) rows plus a 1-row ordered-limit collect; merge application is
+    a codegen'd string ``replace`` — no Python, no growing driver state.
+    Real trainers run ~30k merges — same loop, batched count refreshes.
+    """
+    spark = docs.sparkSession
+    seqs = word_frequencies(docs, text_col).select(
+        "word",
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+            F.lit(" "),
+        ).alias("seq"),
+    )
+    # One materialization of the vocabulary: every merge round re-reads this
+    # (plus its so-far replace chain) instead of re-scanning the corpus.
+    seqs = seqs.localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for i in range(1, n_merges + 1):
+        best = (
+            _pair_counts(seqs)
+            .orderBy(F.col("cnt").desc(), "left_sym", "right_sym")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        r = best[0]
+        merges.append((i, r["left_sym"], r["right_sym"], r["cnt"]))
+        seqs = seqs.withColumn(
+            "seq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {r['left_sym']} {r['right_sym']} "),
+                F.lit(f" {r['left_sym']}{r['right_sym']} "),
+            ),
+        )
+    learned = spark.createDataFrame(
+        merges, "stage int, left_sym string, right_sym string, cnt bigint"
+    ).withColumn("selected", F.lit(1))
+    # orderBy+limit compiles to TakeOrdered (distributed top-k, no global
+    # sort); the row_number window then runs on ``top_after`` rows only.
+    resid_w = Window.orderBy(F.col("cnt").desc(), "left_sym", "right_sym")
+    residual = (
+        _pair_counts(seqs)
+        .orderBy(F.col("cnt").desc(), "left_sym", "right_sym")
+        .limit(top_after)
+        .withColumn("rn", F.row_number().over(resid_w))
+        .select(
+            (F.col("rn") + len(merges)).cast("int").alias("stage"),
+            "left_sym",
+            "right_sym",
+            "cnt",
+            F.lit(0).alias("selected"),
+        )
+    )
+    return learned.unionByName(residual)

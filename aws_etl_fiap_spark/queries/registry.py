@@ -208,6 +208,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "web_domain_policy_rollup",
     "corpus_length_bucket_pack",
     "stream_left_outer_join_equiv",
+    "text_bpe_train_merges",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -686,3 +686,85 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "mean_word_len", "top_word_ratio", "failed",
         "keep",
     )
+
+
+def _bpe_oracle(n_merges: int = 3, top_after: int = 3) -> str:
+    """Unrolled DuckDB twin of operators/bpe.bpe_train_merges: each merge
+    round is a pair-count CTE, a 1-row argmax CTE, and a replace() CTE —
+    the same single-pass leftmost-non-overlapping merge semantics both
+    engines share (see operators/bpe.py module docstring)."""
+    parts = [
+        """WITH words AS (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS w FROM documents)
+    GROUP BY w
+),
+s0 AS (
+    SELECT word, freq,
+           ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS seq
+    FROM words
+)"""
+    ]
+    for k in range(n_merges + 1):
+        parts.append(f""",
+p{k} AS (
+    SELECT a AS left_sym, b AS right_sym, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM (
+        SELECT word, freq, tok AS a,
+               LEAD(tok) OVER (PARTITION BY word ORDER BY pos) AS b
+        FROM (
+            SELECT word, freq, generate_subscripts(toks, 1) AS pos,
+                   unnest(toks) AS tok
+            FROM (SELECT word, freq,
+                         list_filter(string_split(seq, ' '), x -> x <> '') AS toks
+                  FROM s{k})
+        )
+    ) WHERE b IS NOT NULL
+    GROUP BY a, b
+)""")
+        if k == n_merges:
+            break
+        parts.append(f""",
+b{k} AS (
+    SELECT left_sym, right_sym, cnt FROM p{k}
+    ORDER BY cnt DESC, left_sym, right_sym LIMIT 1
+),
+s{k + 1} AS (
+    SELECT word, freq,
+           replace(seq,
+               ' ' || (SELECT left_sym FROM b{k}) || ' '
+                   || (SELECT right_sym FROM b{k}) || ' ',
+               ' ' || (SELECT left_sym FROM b{k})
+                   || (SELECT right_sym FROM b{k}) || ' ') AS seq
+    FROM s{k}
+)""")
+    selects = [
+        f"SELECT CAST({k + 1} AS INTEGER) AS stage, left_sym, right_sym, cnt,"
+        f" CAST(1 AS INTEGER) AS selected FROM b{k}"
+        for k in range(n_merges)
+    ]
+    selects.append(f"""SELECT CAST({n_merges} + rn AS INTEGER), left_sym, right_sym, cnt,
+       CAST(0 AS INTEGER)
+FROM (SELECT left_sym, right_sym, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, left_sym, right_sym) AS rn
+      FROM p{n_merges})
+WHERE rn <= {top_after}""")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("text_bpe_train_merges", oracle=_bpe_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed BPE tokenizer training (operators/bpe.py): learn 3
+    byte-pair merges from corpus word frequencies, then pin the 3 best
+    REMAINING pairs after applying them — so the gate verifies selection
+    AND application.  Word counting, pair counting (posexplode + LEAD),
+    and merge application (codegen replace) are all distributed; only the
+    1-row argmax per round hits the driver (same bounded-collect rule as
+    kmeans_lloyd).  The DuckDB oracle unrolls the 3 rounds as CTE stages
+    with scalar-subquery argmaxes — both engines share the single-pass
+    leftmost-non-overlapping replace scan, making the whole trainer
+    exactly value-gated."""
+    from aws_etl_fiap_spark.operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(load_table(spark, sf_dir, "documents"))
