@@ -643,3 +643,114 @@ def corpus_length_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")).alias("wasted_bucketed"),
         (F.count(F.lit(1)) * F.max("gmax") - F.sum("n_tok")).alias("wasted_global_pad"),
     )
+
+
+_PMD5_TOK = "CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)"
+
+
+@query(
+    "corpus_dsir_weights",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, lang, {_PMD5_TOK} % 64 AS bucket FROM toks
+),
+raw_c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM bucketed GROUP BY bucket),
+tgt_c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM bucketed
+          WHERE lang = 'en' GROUP BY bucket),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS r_total,
+           CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS t_total
+    FROM bucketed
+),
+lr AS (
+    SELECT r.bucket,
+           ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE) / CAST(s.t_total + 64 AS DOUBLE))
+         - ln(CAST(r.cr + 1 AS DOUBLE) / CAST(s.r_total + 64 AS DOUBLE)) AS logratio
+    FROM raw_c r LEFT JOIN tgt_c t ON t.bucket = r.bucket CROSS JOIN tot s
+)
+SELECT b.doc_id, b.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       FLOOR(SUM(l.logratio) * 1000000.0 + 0.5) / 1000000.0 AS log_weight,
+       CAST(FLOOR(SUM(l.logratio) * 1000000.0 + 0.5) / 1000000.0 > 0.0
+            AS INTEGER) AS selected
+FROM bucketed b JOIN lr l ON l.bucket = b.bucket
+GROUP BY b.doc_id, b.lang
+""",
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169 —
+    public knowledge): score every document by its log importance weight
+    under bag-of-hashed-token models of a TARGET distribution (here the
+    'en' slice) vs the RAW corpus — hashed n-gram counts in 64 buckets
+    (portable md5 family, re-derived by the oracle), add-one smoothing,
+    per-doc sum of per-token log ratios.  ``selected`` flags docs that look
+    more target-like than raw; feeding the weights into
+    operators/sampling.weighted_poisson_sample completes the resampling.
+
+    100 TB shape: both bucket-count aggregates are map-side-combined over
+    the exploded corpus; the 64-row log-ratio table broadcasts back; no
+    shuffle carries more than (doc_id, bucket) pairs.  Rounded half-up to
+    6 dp on both engines (sum order + libm ln last-ulp, the surprisal
+    precedent); the selection flag derives from the ROUNDED value so both
+    engines flag identically."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.dedup import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    bucketed = toks.select(
+        "doc_id", "lang", (portable_hash60(F.col("tok")) % 64).alias("bucket")
+    ).localCheckpoint(eager=False)
+    raw_c = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_c = (
+        bucketed.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = bucketed.agg(
+        F.count(F.lit(1)).alias("r_total"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_total"),
+    )
+    lr = (
+        raw_c.join(tgt_c, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t_total") + 64).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("r_total") + 64).cast("double")
+                )
+            ).alias("logratio"),
+        )
+    )
+    rounded = round_half_up(F.sum("logratio"), 6)
+    return (
+        bucketed.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            rounded.alias("log_weight"),
+            (rounded > 0.0).cast("int").alias("selected"),
+        )
+    )

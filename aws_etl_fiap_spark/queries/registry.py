@@ -209,6 +209,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "corpus_length_bucket_pack",
     "stream_left_outer_join_equiv",
     "text_bpe_train_merges",
+    "corpus_dsir_weights",
 )
 
 DEFERRED_R8: tuple[str, ...] = (
