@@ -463,3 +463,46 @@ def test_interval_overlap_broadcasts_calendar(spark, sf_correctness):
     plan = physical_plan(spark, sf_correctness, "join_interval_overlap_promo")
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_semdedup_no_cartesian_and_anti_join(spark, sf_correctness):
+    """dedup_semdedup_embed: candidates come from the (table, bucket)
+    equi-join — NEVER a cross product — and the keep step is a left_anti
+    join against the (small) dropped set."""
+    plan = physical_plan(spark, sf_correctness, "dedup_semdedup_embed")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_hard_negatives_broadcasts_queries(spark, sf_correctness):
+    """ann_hard_negatives: the query block broadcasts; the corpus never
+    shuffles for the join (only the per-query top-k window exchanges)."""
+    plan = physical_plan(spark, sf_correctness, "ann_hard_negatives")
+    assert "BroadcastExchange" in plan
+    assert shuffle_count(plan) == 1, plan  # the rank window only
+
+
+def test_dsir_broadcasts_logratio_table(spark, sf_correctness):
+    """corpus_dsir_weights: the 64-row log-ratio table must broadcast back
+    onto the exploded corpus — a shuffle join here would re-shuffle every
+    token instance by bucket (the scale killer)."""
+    plan = physical_plan(spark, sf_correctness, "corpus_dsir_weights")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_length_bucket_broadcasts_bounds(spark, sf_correctness):
+    """corpus_length_bucket_pack: the quartile-boundary row broadcasts; the
+    corpus is never shuffled by value for bucketing."""
+    plan = physical_plan(spark, sf_correctness, "corpus_length_bucket_pack")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # token scan reads only the text column
+    scans = scan_lines(plan)
+    assert any("text" in s and "doc_id" not in s for s in scans), scans
+
+
+def test_web_rollup_no_join_for_blocklist(spark, sf_correctness):
+    """web_domain_policy_rollup: the blocklist is a literal predicate — the
+    plan must contain NO join at all (one expression scan + the rollup's
+    aggregate exchanges)."""
+    plan = physical_plan(spark, sf_correctness, "web_domain_policy_rollup")
+    assert "Join" not in plan, plan
