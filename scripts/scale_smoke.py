@@ -862,6 +862,31 @@ def main() -> None:
         )
 
     stage(f"rolling_wau_{n_ev}ev", _wau)
+
+    # SemDeDup at 20x: every clone is an exact near-dup of its base (same
+    # buckets, cosine 1.0), so the kept count must equal the 1x kept count
+    # at the same plane count — and planes SCALE with the corpus (2^10
+    # cells keeps buckets ~n/1024 rows per table) so the within-bucket
+    # quadratic stays bounded.  Run 1x first for the invariant readout.
+    from aws_etl_fiap_spark.operators.similarity import semdedup_keep
+
+    def _semdedup(df):
+        return lambda: semdedup_keep(
+            df, "vec_id", "embedding", threshold=0.35, n_planes=10
+        ).count()
+
+    stage(f"semdedup_keep_{emb.count()}vecs_1x", _semdedup(emb))
+    stage(f"semdedup_keep_{n_emb}vecs", _semdedup(big_emb))
+
+    # BPE at 20x: the corpus collapses to its VOCABULARY in one aggregate,
+    # and clones add no new words — so merge training cost is flat in the
+    # blowup factor (the word-count scan is the only corpus-linear stage).
+    from aws_etl_fiap_spark.operators.bpe import bpe_train_merges
+
+    stage(
+        f"bpe_3merges_{n}docs",
+        lambda: bpe_train_merges(corpus, n_merges=3).count(),
+    )
     spark.stop()
 
 
