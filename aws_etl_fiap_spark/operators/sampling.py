@@ -360,3 +360,58 @@ def temperature_mix_quotas(
         )
         .select(stratum_col, "__n", "quota")
     )
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    sum_col: str,
+    out: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running SUM of ``sum_col`` under a TOTAL order — the
+    budget-accounting sibling of ``ordered_global_index`` (same two-pass
+    range-partition scheme, same reason: ``SUM() OVER (ORDER BY ...)``
+    with no PARTITION BY funnels the whole table through one task).
+
+    Pass 1 range-partitions + sorts on the order columns and reduces ONE
+    per-partition subtotal to the driver (bounded by partition count);
+    pass 2 stamps ``prefix_offset + within-partition cumsum`` in a
+    streaming Arrow pass.  Identical to the single-reducer window form for
+    any total order; ``order_cols`` must include a unique tiebreaker.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    parts = parts.localCheckpoint(eager=True)
+    sums_per_pid = dict(
+        parts.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum(F.col(sum_col).cast("long")).alias("s"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += int(sums_per_pid.get(pid, 0) or 0)
+    bc = spark.sparkContext.broadcast(offsets)
+    out_schema = StructType(list(parts.schema.fields) + [StructField(out, LongType())])
+
+    def stamp(batches):
+        pid = TaskContext.get().partitionId()
+        seen = bc.value[pid]
+        for pdf in batches:
+            vals = pdf[sum_col].astype("int64")
+            run = vals.cumsum() + seen
+            seen += int(vals.sum())
+            pdf = pdf.copy()
+            pdf[out] = run.to_numpy()
+            yield pdf
+
+    return parts.mapInPandas(stamp, out_schema)

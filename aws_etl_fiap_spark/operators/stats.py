@@ -329,3 +329,67 @@ def trailing_zscore(
         round_half_up(z, scale).alias("z_score"),
         F.when(z.isNotNull(), (F.abs(z) > 3.0).cast("int")).alias("is_anomaly"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    is_current: Column,
+    bin_edges: tuple[float, ...],
+) -> DataFrame:
+    """[EXT] Population Stability Index drift monitor: bin ``value_col``
+    on FIXED edges, split rows into baseline vs current by the
+    ``is_current`` predicate, and emit one row per bin with both periods'
+    Laplace-smoothed shares and the bin's PSI contribution
+
+        psi_term = (p_base - p_cur) * ln(p_base / p_cur)
+
+    (sum of psi_term over bins is the classic PSI; > 0.25 = major drift).
+    The standard production data-drift gate between a training snapshot
+    and serving traffic.
+
+    Fixed edges (not quantiles) keep the whole operator ONE
+    map-side-combined aggregate over (bin, period) — bin cardinality rows
+    to the driver side of the plan, nothing resident — so at 100 TB it
+    costs a single scan.  Laplace add-one smoothing over the FULL bin
+    count (including bins only one period populates) makes every share
+    strictly positive, so ln never sees 0; shares are exact int ratios in
+    IEEE doubles, reproducible cross-engine.  Output: (bin, base_cnt,
+    cur_cnt, base_share, cur_share, psi_term — unrounded; callers round
+    the doubles for hashing).
+    """
+    n_bins = len(bin_edges) + 1
+    bin_idx: Column = F.lit(n_bins - 1)
+    for i, edge in reversed(list(enumerate(bin_edges))):
+        bin_idx = F.when(F.col(value_col) < F.lit(edge), F.lit(i)).otherwise(bin_idx)
+    cur = is_current.cast("int")
+    counts = (
+        df.select(bin_idx.cast("int").alias("bin"), cur.alias("cur"))
+        .groupBy("bin")
+        .agg(
+            F.sum(1 - F.col("cur")).cast("bigint").alias("base_cnt"),
+            F.sum("cur").cast("bigint").alias("cur_cnt"),
+        )
+        # The totals branch below re-reads these bin-cardinality rows; the
+        # lazy checkpoint shares the one aggregate instead of scanning the
+        # source twice (the "single scan" in the contract above).
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.agg(
+        F.sum("base_cnt").alias("n_base"), F.sum("cur_cnt").alias("n_cur")
+    )
+    withs = counts.crossJoin(F.broadcast(totals))
+    p_base = (F.col("base_cnt") + 1).cast("double") / (
+        F.col("n_base") + n_bins
+    ).cast("double")
+    p_cur = (F.col("cur_cnt") + 1).cast("double") / (
+        F.col("n_cur") + n_bins
+    ).cast("double")
+    return withs.select(
+        "bin",
+        "base_cnt",
+        "cur_cnt",
+        p_base.alias("base_share"),
+        p_cur.alias("cur_share"),
+        ((p_base - p_cur) * F.log(p_base / p_cur)).alias("psi_term"),
+    )

@@ -490,3 +490,88 @@ def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("failed", failed).withColumn(
         "keep", F.col("failed") == ""
     )
+
+
+def bigram_lm_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_bigram_count: int = 2,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """[EXT] Bigram language-model fluency scoring with stupid backoff —
+    the CCNet/KenLM-style quality signal one tier above unigram surprisal
+    (`text_unigram_surprisal`): per-document average negative log
+    likelihood under the corpus's own bigram model,
+
+        p(w2 | w1) = c(w1,w2) / c(w1)            if c(w1,w2) >= floor
+                   = backoff * c(w2) / N          otherwise (stupid backoff)
+
+    High avg NLL = disfluent token soup; low = fluent/boilerplate.  The
+    ``min_bigram_count`` floor is KenLM-style pruning: singleton bigrams
+    take the backoff path, which shrinks the bigram table by the long tail
+    — that is what keeps the count model broadcastable (at 100 TB the
+    pruned bigram table is O(frequent-bigram vocabulary), not O(corpus)).
+
+    Plan shape: two map-side-combined count aggregates (unigrams, pruned
+    bigrams); doc bigrams come from an expression-only zip_with (no
+    positional self-join); the count tables and the scalar total broadcast
+    back onto the exploded corpus — the corpus itself shuffles only into
+    the final per-document aggregate.  Output: (id, n_bigrams, avg_nll —
+    unrounded; callers round for cross-engine hashing).
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    uni = (
+        base.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bi = (
+        base.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                    F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_bigram_count)
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    doc_bi = base.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.size("__t") - 1),
+                F.slice(F.col("__t"), 2, F.size("__t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.w1", "p.w2")
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
+    scored = (
+        doc_bi.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_tok))
+    )
+    nll = F.when(
+        F.col("c_ab").isNotNull(),
+        -F.log(F.col("c_ab").cast("double") / F.col("c_w1").cast("double")),
+    ).otherwise(
+        -F.log(
+            F.lit(backoff) * F.col("c_w2").cast("double")
+            / F.col("n_tok").cast("double")
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum(nll) / F.count(F.lit(1))).alias("avg_nll"),
+    )

@@ -754,3 +754,78 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rounded > 0.0).cast("int").alias("selected"),
         )
     )
+
+
+@query(
+    "corpus_token_budget_select",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        CAST(len(list_filter(string_split(text, ' '),
+             x -> x IN ('the','of','and','to','in','is','that','for','with','on'))) AS DOUBLE) AS stop_hits,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_nonspace
+    FROM documents
+),
+q AS (
+    SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tokens,
+           least(n_tok / 100.0, 1.0) * 0.4
+             + least(stop_hits / n_tok * 5.0, 1.0) * 0.4
+             + CASE WHEN n_nonspace / n_tok >= 3.0 AND n_nonspace / n_tok <= 12.0
+                    THEN 0.2 ELSE 0.0 END AS quality
+    FROM t
+),
+tot AS (SELECT CAST(FLOOR(0.5 * CAST(SUM(n_tokens) AS BIGINT)) AS BIGINT) AS budget FROM q),
+sel AS (
+    SELECT source, n_tokens, quality,
+           CAST(SUM(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum
+    FROM q
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens,
+       FLOOR(MIN(quality) * 1000000.0 + 0.5) / 1000000.0 AS min_quality
+FROM sel CROSS JOIN tot
+WHERE cum <= budget
+GROUP BY source
+""",
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Data selection under a global token budget: rank documents by
+    the heuristic quality score (operators/text.quality_score, exact-IEEE
+    reproducible), keep the best docs whose INCLUSIVE running token count
+    stays within budget = floor(50% of corpus tokens) — the standard
+    greedy quality-vs-budget curation step before pre-training.
+
+    The running sum is operators/sampling.ordered_prefix_sum — the
+    range-partitioned two-pass prefix sum, NOT a single-reducer
+    ``SUM() OVER (ORDER BY ...)`` window — so selection parallelizes at
+    any corpus size (the oracle uses the window form; same total order:
+    quality DESC, doc_id tiebreak).  Output: per-source kept-doc count,
+    kept tokens, and the quality cutoff actually reached."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.sampling import ordered_prefix_sum
+    from aws_etl_fiap_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs, "text").select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
+    )
+    ranked = ordered_prefix_sum(
+        scored,
+        [F.col("quality").desc(), F.col("doc_id")],
+        "n_tokens",
+        out="cum",
+    )
+    budget = scored.agg(
+        F.floor(F.lit(0.5) * F.sum("n_tokens")).cast("long").alias("budget")
+    )
+    sel = ranked.crossJoin(F.broadcast(budget)).filter(F.col("cum") <= F.col("budget"))
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_tokens").alias("sel_tokens"),
+        round_half_up(F.min("quality"), 6).alias("min_quality"),
+    )

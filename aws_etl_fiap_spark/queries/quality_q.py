@@ -619,3 +619,66 @@ def privacy_k_anon_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("c_custkey").alias("key_sum"),
     )
+
+
+@query(
+    "dq_psi_value_drift",
+    oracle="""
+WITH binned AS (
+    SELECT CASE WHEN value < 5.0 THEN 0 WHEN value < 10.0 THEN 1
+                WHEN value < 20.0 THEN 2 WHEN value < 50.0 THEN 3
+                WHEN value < 100.0 THEN 4 WHEN value < 200.0 THEN 5
+                ELSE 6 END AS bin,
+           CASE WHEN EXTRACT(day FROM ts) > 15 THEN 1 ELSE 0 END AS cur
+    FROM events
+),
+counts AS (
+    SELECT bin,
+           CAST(SUM(1 - cur) AS BIGINT) AS base_cnt,
+           CAST(SUM(cur) AS BIGINT) AS cur_cnt
+    FROM binned GROUP BY bin
+),
+tot AS (
+    SELECT CAST(SUM(base_cnt) AS BIGINT) AS n_base,
+           CAST(SUM(cur_cnt) AS BIGINT) AS n_cur
+    FROM counts
+)
+SELECT bin, base_cnt, cur_cnt,
+       FLOOR(CAST(base_cnt + 1 AS DOUBLE) / CAST(n_base + 7 AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS base_share,
+       FLOOR(CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + 7 AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS cur_share,
+       FLOOR((CAST(base_cnt + 1 AS DOUBLE) / CAST(n_base + 7 AS DOUBLE)
+              - CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + 7 AS DOUBLE))
+             * ln((CAST(base_cnt + 1 AS DOUBLE) / CAST(n_base + 7 AS DOUBLE))
+                  / (CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + 7 AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS psi_term
+FROM counts CROSS JOIN tot
+""",
+)
+def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Population-Stability-Index drift gate
+    (operators/stats.psi_drift): events `value` binned on fixed edges
+    (5/10/20/50/100/200), baseline = days 1-15 vs current = days 16-30,
+    Laplace-smoothed shares, per-bin PSI contribution.  One
+    map-side-combined (bin, period) aggregate — a single scan at any
+    corpus size; shares are exact int ratios so only the final ln needs
+    the 6 dp round."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.stats import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    out = psi_drift(
+        ev,
+        "value",
+        F.dayofmonth("ts") > 15,
+        (5.0, 10.0, 20.0, 50.0, 100.0, 200.0),
+    )
+    return out.select(
+        "bin",
+        "base_cnt",
+        "cur_cnt",
+        round_half_up("base_share", 6).alias("base_share"),
+        round_half_up("cur_share", 6).alias("cur_share"),
+        round_half_up("psi_term", 6).alias("psi_term"),
+    )

@@ -210,6 +210,9 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "stream_left_outer_join_equiv",
     "text_bpe_train_merges",
     "corpus_dsir_weights",
+    "text_bigram_lm_nll",
+    "dq_psi_value_drift",
+    "corpus_token_budget_select",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

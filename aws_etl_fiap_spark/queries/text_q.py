@@ -768,3 +768,57 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_fiap_spark.operators.bpe import bpe_train_merges
 
     return bpe_train_merges(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_bigram_lm_nll",
+    oracle="""
+WITH pos AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+uc AS (SELECT tok AS w, COUNT(*) AS c FROM pos GROUP BY tok),
+nt AS (SELECT COUNT(*) AS n_tok FROM pos),
+db AS (
+    SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+    FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+bc AS (
+    SELECT w1, w2, COUNT(*) AS c_ab FROM db GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+),
+scored AS (
+    SELECT db.doc_id,
+           CASE WHEN bc.c_ab IS NOT NULL
+                THEN -ln(CAST(bc.c_ab AS DOUBLE) / CAST(u1.c AS DOUBLE))
+                ELSE -ln(0.4 * CAST(u2.c AS DOUBLE) / CAST(nt.n_tok AS DOUBLE))
+           END AS nll
+    FROM db
+    LEFT JOIN bc ON bc.w1 = db.w1 AND bc.w2 = db.w2
+    JOIN uc u1 ON u1.w = db.w1
+    JOIN uc u2 ON u2.w = db.w2
+    CROSS JOIN nt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       FLOOR((SUM(nll) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll
+FROM scored GROUP BY doc_id
+""",
+)
+def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Bigram-LM fluency score (operators/text.bigram_lm_nll): the
+    CCNet/KenLM-style per-document average NLL under the corpus's own
+    bigram model with stupid backoff (alpha = 0.4) and KenLM-style
+    singleton pruning (floor 2 — pruned pairs take the backoff path, which
+    is also what keeps the bigram count table broadcast-small at scale).
+    Doc bigrams are expression-only (zip_with, no positional self-join);
+    rounded half-up to 6 dp on both engines (sum order + libm ln ulps)."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.text import bigram_lm_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_lm_nll(docs, min_bigram_count=2, backoff=0.4)
+    return scored.select(
+        "doc_id", "n_bigrams", round_half_up("avg_nll", 6).alias("avg_nll")
+    )

@@ -286,3 +286,44 @@ def test_quota_plan_sample_missing_and_oversized_strata(spark, sf_smoke):
     }
     n_en = docs.filter(F.col("lang") == "en").count()
     assert by_lang == {"en": n_en, "fr": 2}
+
+
+def test_ordered_prefix_sum_matches_window_form(spark):
+    """The two-pass running sum equals the single-reducer window form under
+    the same total order and actually spreads rows across partitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.sampling import ordered_prefix_sum
+
+    n = 5000
+    df = spark.range(n).select(
+        (F.col("id") * 7919 % n).alias("k"), (F.col("id") % 17 + 1).alias("w")
+    )
+    out = ordered_prefix_sum(df, ["k"], "w", out="run", num_partitions=16)
+    assert out.rdd.getNumPartitions() == 16
+    got = {r["k"]: r["run"] for r in out.collect()}
+    expect = {
+        r["k"]: r["run"]
+        for r in df.withColumn(
+            "run",
+            F.sum("w").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_token_budget_select_greedy_boundary(spark):
+    """The doc that would cross the budget is dropped; everything ranked
+    above it is kept (inclusive-cumsum semantics)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.sampling import ordered_prefix_sum
+
+    rows = [(i, 10) for i in range(10)]  # 100 tokens total, budget 50
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    ranked = ordered_prefix_sum(df, ["doc_id"], "n_tokens", out="cum", num_partitions=4)
+    kept = ranked.filter(F.col("cum") <= 50).collect()
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 3, 4]

@@ -506,3 +506,39 @@ def test_web_rollup_no_join_for_blocklist(spark, sf_correctness):
     aggregate exchanges)."""
     plan = physical_plan(spark, sf_correctness, "web_domain_policy_rollup")
     assert "Join" not in plan, plan
+
+
+def test_bigram_lm_all_count_tables_broadcast(spark, sf_correctness):
+    """text_bigram_lm_nll: the pruned bigram table, both unigram sides, and
+    the scalar total all broadcast back onto the exploded corpus — zero
+    shuffle joins (a shuffle join would re-key every corpus bigram
+    instance by word pair, the scale killer the KenL-style pruning floor
+    exists to avoid)."""
+    plan = physical_plan(spark, sf_correctness, "text_bigram_lm_nll")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+
+
+def test_psi_drift_single_scan_no_join_on_events(spark, sf_correctness):
+    """dq_psi_value_drift: fixed bin edges mean ONE map-side-combined
+    aggregate over the events scan; the only join is the bin-cardinality
+    totals broadcast."""
+    plan = physical_plan(spark, sf_correctness, "dq_psi_value_drift")
+    # The bin-count aggregate is lazily checkpointed and shared by both the
+    # per-bin branch and the totals branch, so the final plan holds at most
+    # one parquet scan (zero once the checkpoint substitutes ExistingRDD).
+    assert len(scan_lines(plan)) <= 1, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    for scan in scan_lines(plan):
+        assert "props" not in scan and "user_id" not in scan, scan
+
+
+def test_token_budget_no_global_window_and_budget_broadcast(spark, sf_correctness):
+    """corpus_token_budget_select: the running token sum must come from the
+    range-partitioned prefix-sum (checkpointed upstream of this plan — see
+    test_ordered_prefix_sum_matches_window_form for the distribution
+    property), NOT a single-reducer global window; the scalar budget
+    broadcasts."""
+    plan = physical_plan(spark, sf_correctness, "corpus_token_budget_select")
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan

@@ -124,3 +124,44 @@ def test_modal_value_tiebreak_is_smallest(spark):
     df = spark.createDataFrame(pdf)
     row = modal_value(df, "g", "v").collect()[0]
     assert (row.mode, row.n_mode) == (1, 2)
+
+
+def test_psi_drift_hand_checked(spark):
+    """Two bins, known counts: psi terms match the closed form (Laplace
+    add-one over the FULL bin count, including never-populated bins)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.stats import psi_drift
+
+    rows = [(1.0, 0)] * 8 + [(9.0, 0)] * 2 + [(1.0, 1)] * 4 + [(9.0, 1)] * 6
+    df = spark.createDataFrame(rows, "value double, period int")
+    out = psi_drift(df, "value", F.col("period") == 1, (5.0,))
+    got = {r["bin"]: r for r in out.collect()}
+    assert got[0]["base_cnt"] == 8 and got[0]["cur_cnt"] == 4
+    n_bins = 2
+    pb, pc = (8 + 1) / (10 + n_bins), (4 + 1) / (10 + n_bins)
+    assert abs(got[0]["psi_term"] - (pb - pc) * math.log(pb / pc)) < 1e-12
+    assert got[1]["base_cnt"] == 2 and got[1]["cur_cnt"] == 6
+    total_psi = sum(r["psi_term"] for r in got.values())
+    assert total_psi > 0
+
+
+def test_bigram_lm_nll_hand_checked(spark):
+    """Tiny corpus where every probability is a known ratio: seen bigrams
+    score c_ab/c_w1, pruned ones take the 0.4-backoff path."""
+    import math
+
+    from aws_etl_fiap_spark.operators.text import bigram_lm_nll
+
+    # 'a b' twice (seen, passes floor 2); 'b a' once (pruned -> backoff).
+    docs = [(1, "a b"), (2, "a b"), (3, "b a")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_nll(df).collect()}
+    # unigrams: a=3, b=3, N=6; bigram 'a b' c=2.
+    p_ab = 2 / 3  # c(a,b)/c(a)
+    assert abs(got[1]["avg_nll"] - (-math.log(p_ab))) < 1e-12
+    assert got[1]["n_bigrams"] == 1
+    p_backoff = 0.4 * 3 / 6  # 0.4 * c(a)/N
+    assert abs(got[3]["avg_nll"] - (-math.log(p_backoff))) < 1e-12
