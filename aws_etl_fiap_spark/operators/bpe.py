@@ -52,27 +52,12 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     ).agg(F.sum("freq").alias("cnt"))
 
 
-def bpe_train_merges(
-    docs: DataFrame,
-    text_col: str = "text",
-    n_merges: int = 3,
-    top_after: int = 3,
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges; return the merge table plus the
-    ``top_after`` best remaining pairs AFTER the final merge (pinning that
-    merges were APPLIED, not merely selected).
-
-    Output: stage (1..n_merges for chosen merges, then n_merges+1.. for the
-    residual top pairs), left_sym, right_sym, cnt, selected (1 = learned
-    merge, 0 = residual pair).
-
-    100 TB shape: the corpus collapses to its vocabulary once (one
-    hash aggregate); each merge round is one distributed pair-count over
-    O(vocab) rows plus a 1-row ordered-limit collect; merge application is
-    a codegen'd string ``replace`` — no Python, no growing driver state.
-    Real trainers run ~30k merges — same loop, batched count refreshes.
-    """
-    spark = docs.sparkSession
+def _train(docs: DataFrame, text_col: str, n_merges: int):
+    """Shared trainer core: returns (merge list, vocabulary frame with the
+    merge chain applied).  The corpus collapses to its vocabulary ONCE
+    (localCheckpoint); each round is one distributed pair-count plus a
+    1-row ordered-limit collect — the bounded-collect discipline of
+    kmeans_lloyd's centroid step."""
     seqs = word_frequencies(docs, text_col).select(
         "word",
         "freq",
@@ -82,8 +67,6 @@ def bpe_train_merges(
             F.lit(" "),
         ).alias("seq"),
     )
-    # One materialization of the vocabulary: every merge round re-reads this
-    # (plus its so-far replace chain) instead of re-scanning the corpus.
     seqs = seqs.localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for i in range(1, n_merges + 1):
@@ -105,6 +88,31 @@ def bpe_train_merges(
                 F.lit(f" {r['left_sym']}{r['right_sym']} "),
             ),
         )
+    return merges, seqs
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+    top_after: int = 3,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; return the merge table plus the
+    ``top_after`` best remaining pairs AFTER the final merge (pinning that
+    merges were APPLIED, not merely selected).
+
+    Output: stage (1..n_merges for chosen merges, then n_merges+1.. for the
+    residual top pairs), left_sym, right_sym, cnt, selected (1 = learned
+    merge, 0 = residual pair).
+
+    100 TB shape: the corpus collapses to its vocabulary once (one
+    hash aggregate); each merge round is one distributed pair-count over
+    O(vocab) rows plus a 1-row ordered-limit collect; merge application is
+    a codegen'd string ``replace`` — no Python, no growing driver state.
+    Real trainers run ~30k merges — same loop, batched count refreshes.
+    """
+    spark = docs.sparkSession
+    merges, seqs = _train(docs, text_col, n_merges)
     learned = spark.createDataFrame(
         merges, "stage int, left_sym string, right_sym string, cnt bigint"
     ).withColumn("selected", F.lit(1))
@@ -125,3 +133,58 @@ def bpe_train_merges(
         )
     )
     return learned.unionByName(residual)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Apply the trained merge table back to the corpus — tokenizer
+    APPLICATION, the read side of :func:`bpe_train_merges`: per document,
+    the BPE token count after ``n_merges`` learned merges, alongside the
+    pre-merge symbol (= character) count and the whitespace word count.
+
+    100 TB shape: encoding never touches document strings row-by-row — the
+    merge chain (a codegen'd ``replace`` cascade) runs over the DISTINCT
+    WORD vocabulary, yielding one ``(word, n_sym)`` row per word type;
+    documents reduce to ``(doc, word, cnt)`` occurrence counts (one hash
+    aggregate) and a word-keyed join (AQE broadcasts the vocabulary when
+    it is small; Zipf-hot words are per-doc collapsed first, so the probe
+    side carries distinct (doc, word) pairs, not raw token instances)
+    brings the per-type symbol count back for an exact per-doc total.
+
+    Output: (doc id, n_words, n_chars, n_bpe_tokens) — n_chars is the
+    token count a merge-free byte tokenizer would emit, so
+    n_chars - n_bpe_tokens is exactly the per-doc savings of the learned
+    merges.
+    """
+    _, seqs = _train(docs, text_col, n_merges)
+    vocab = seqs.select(
+        "word",
+        F.size(
+            F.filter(F.split(F.col("seq"), " "), lambda x: x != F.lit(""))
+        ).cast("long").alias("n_sym"),
+        F.length("word").cast("long").alias("n_char"),
+    )
+    words = F.explode(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != F.lit(""),
+        )
+    ).alias("word")
+    occ = (
+        docs.select(F.col(id_col), words)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        occ.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_char")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

@@ -213,6 +213,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "text_bigram_lm_nll",
     "dq_psi_value_drift",
     "corpus_token_budget_select",
+    "text_bpe_encode",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -753,6 +753,43 @@ WHERE rn <= {top_after}""")
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _bpe_encode_oracle(n_merges: int = 3) -> str:
+    """Unrolled DuckDB twin of operators/bpe.bpe_encode: the same
+    words/s0/p{k}/b{k}/s{k+1} merge-chain prefix as :func:`_bpe_oracle`,
+    then the per-word post-merge symbol count joins back onto per-doc word
+    occurrence counts."""
+    # Reuse the trainer oracle's prefix up to s{n_merges}: take everything
+    # before the final pair-count CTE p{n_merges} (encode never needs it).
+    full = _bpe_oracle(n_merges=n_merges)
+    prefix = full.split(f",\np{n_merges} AS (")[0]
+    return (
+        prefix
+        + f""",
+vocab AS (
+    SELECT word,
+           CAST(len(list_filter(string_split(seq, ' '), x -> x <> ''))
+                AS BIGINT) AS n_sym,
+           CAST(length(word) AS BIGINT) AS n_char
+    FROM s{n_merges}
+),
+occ AS (
+    SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text),
+                        '[^a-z0-9]+'), x -> x <> '')) AS w
+          FROM documents)
+    GROUP BY doc_id, w
+)
+SELECT occ.doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       CAST(SUM(cnt * n_char) AS BIGINT) AS n_chars,
+       CAST(SUM(cnt * n_sym) AS BIGINT) AS n_bpe_tokens
+FROM occ JOIN vocab USING (word)
+GROUP BY occ.doc_id
+"""
+    )
+
+
 @query("text_bpe_train_merges", oracle=_bpe_oracle())
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Distributed BPE tokenizer training (operators/bpe.py): learn 3
@@ -822,3 +859,19 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_bigrams", round_half_up("avg_nll", 6).alias("avg_nll")
     )
+
+
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Tokenizer APPLICATION (operators/bpe.bpe_encode):
+    apply the 3 learned BPE merges back to every document and return exact
+    per-doc token accounting — whitespace words, pre-merge symbols
+    (n_chars), and post-merge BPE tokens.  The merge chain runs over the
+    distinct-word vocabulary (codegen'd replace cascade, never per token
+    instance); docs reduce to (doc, word, cnt) and one word-keyed join
+    brings the symbol counts back — at 100 TB the corpus is scanned twice
+    (vocab build + occurrence count) and everything else is
+    vocabulary-sized."""
+    from aws_etl_fiap_spark.operators.bpe import bpe_encode
+
+    return bpe_encode(load_table(spark, sf_dir, "documents"))

@@ -44,3 +44,20 @@ def test_word_frequencies_lowercase_alnum_runs(spark):
     docs = spark.createDataFrame([("The cat, the CAT!  cat9",)], "text string")
     freqs = {r["word"]: r["freq"] for r in word_frequencies(docs).collect()}
     assert freqs == {"the": 2, "cat": 2, "cat9": 1}
+
+
+def test_bpe_encode_per_doc_accounting(spark):
+    """Encode with the 'low' corpus: after 3 merges ('l o'->'lo',
+    'lo w'->'low', 'low e'->'lowe'), per-word symbol counts are
+    low=1, lower=2 (lowe r), lowest=3 (lowe s t); doc totals follow
+    exactly, and n_chars is the merge-free symbol count."""
+    from aws_etl_fiap_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "low lowest")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bpe_encode(docs, n_merges=3).collect()}
+    d1, d2 = rows[1], rows[2]
+    assert (d1["n_words"], d1["n_chars"], d1["n_bpe_tokens"]) == (5, 20, 3 * 1 + 2 + 3)
+    assert (d2["n_words"], d2["n_chars"], d2["n_bpe_tokens"]) == (2, 9, 1 + 3)
