@@ -1,0 +1,105 @@
+"""Distributed iterative model TRAINING as aggregates ([EXT] north star).
+
+The reference has no ML surface; this extends the engine the same way
+kmeans_lloyd (operators/similarity.py) and ml_ols_closed_form (stats_q.py)
+do: the heavy per-row work is ONE map-side-combined aggregate per
+iteration, model state is a handful of scalars on the driver (broadcast
+back as literals), and every arithmetic step is engine-agnostic (quantized
+transcendentals + exact decimal sums) so the full training TRAJECTORY can
+be hash-verified against a DuckDB re-derivation — not just smoke-tested.
+
+Cross-engine determinism contract (shared with the oracle renderer in
+queries/stats_q.py):
+- the sigmoid is quantized to 12 dp (round-half-up) the moment it is
+  computed — libm/Math.exp differ in the last ulp, the quantization
+  absorbs it;
+- per-row gradient contributions are quantized to 9 dp and summed in
+  DECIMAL(38,9): exact, order-independent, identical on both engines;
+- weights are re-quantized to 12 dp after every update, so the literals
+  the next iteration broadcasts are the same doubles DuckDB's unrolled
+  CTE chain computes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import dec_sum, round_half_up
+
+
+def logreg_train_gd(
+    df: DataFrame,
+    label: Column,
+    features: list[Column],
+    lr: float = 1.5,
+    iters: int = 3,
+) -> DataFrame:
+    """Full-batch gradient-descent LOGISTIC REGRESSION — the distributed
+    shape of the fasttext-style quality-classifier training step every
+    large pre-training pipeline runs (label quality/domain, fit a linear
+    model, filter by predicted probability).
+
+    Each iteration is ONE aggregate over the feature frame computing the
+    d+1 gradient sums  g_k = sum((sigmoid(w.x) - y) * x_k)  plus the
+    incoming weights' training accuracy; the weight update
+    ``w_k <- r12(w_k - lr * (g_k / n))`` is driver-side scalar arithmetic
+    (the model is d+1 doubles — kilobytes at any corpus size).  The
+    feature frame is localCheckpoint'ed once, so training scans the corpus
+    once and every iteration re-reads the materialized (y, x1..xd) rows.
+
+    Returns one row per iteration: (iter, b0..bd after that update,
+    n_correct of those weights on the training frame) — the whole
+    trajectory, pinned.  ``iters + 1`` aggregates total (the extra pass
+    scores the final weights).
+    """
+    d = len(features)
+    feats = df.select(
+        label.cast("int").alias("y"),
+        *[c.cast("double").alias(f"x{i + 1}") for i, c in enumerate(features)],
+    )
+    feats = feats.localCheckpoint(eager=True)
+
+    def r12(v: float) -> float:
+        return math.floor(v * 1.0e12 + 0.5) / 1.0e12
+
+    w = [0.0] * (d + 1)
+    rows: list[list] = []
+    for it in range(1, iters + 2):
+        z: Column = F.lit(w[0])
+        for i in range(d):
+            z = z + F.lit(w[i + 1]) * F.col(f"x{i + 1}")
+        sigq = round_half_up(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)
+        err = sigq - F.col("y")
+        aggs = [
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(
+                F.when((sigq >= 0.5) == (F.col("y") == 1), 1).otherwise(0)
+            ).cast("bigint").alias("n_correct"),
+        ]
+        if it <= iters:
+            aggs.append(dec_sum(round_half_up(err, 9), 9).alias("g0"))
+            for i in range(d):
+                aggs.append(
+                    dec_sum(round_half_up(err * F.col(f"x{i + 1}"), 9), 9).alias(
+                        f"g{i + 1}"
+                    )
+                )
+        row = feats.agg(*aggs).collect()[0]
+        if it >= 2:
+            # this pass scored the PREVIOUS update's weights
+            rows[it - 2][-1] = int(row["n_correct"])
+        if it <= iters:
+            n = float(row["n"])
+            w = [r12(w[k] - lr * (float(row[f"g{k}"]) / n)) for k in range(d + 1)]
+            rows.append([it, *w, 0])
+    schema = (
+        "iter int, "
+        + ", ".join(f"b{k} double" for k in range(d + 1))
+        + ", n_correct bigint"
+    )
+    return df.sparkSession.createDataFrame(
+        [tuple(r) for r in rows], schema
+    )

@@ -214,6 +214,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "dq_psi_value_drift",
     "corpus_token_budget_select",
     "text_bpe_encode",
+    "ml_logreg_gd_lang",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -532,3 +532,104 @@ def events_rolling_wau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return in_calendar.groupBy("day").agg(
         F.countDistinct("user_id").alias("wau")
     )
+
+
+def _logreg_oracle(lr: float = 1.5, iters: int = 3) -> str:
+    """Unrolled DuckDB twin of operators/ml.logreg_train_gd: per iteration
+    one gradient CTE (decimal sums of 9dp-quantized contributions over the
+    12dp-quantized sigmoid) and one 1-row weight-update CTE; the extra
+    g{iters+1} pass scores the final weights — identical arithmetic to the
+    Spark trainer step for step."""
+    from aws_etl_fiap_spark.functions.parity import (
+        sql_dec_sum,
+        sql_round_half_up,
+    )
+
+    stop = "'the','of','and','to','in','is','that','for','with','on'"
+    parts = [
+        f"""WITH feats AS (
+    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           CAST(len(list_filter(string_split(text, ' '), x -> x IN ({stop})))
+                AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
+           least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 2.0) AS x2
+    FROM documents
+),
+w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
+              CAST(0.0 AS DOUBLE) AS b2)"""
+    ]
+    for k in range(1, iters + 2):
+        z = "b0 + b1 * x1 + b2 * x2"
+        sig = sql_round_half_up(f"1.0 / (1.0 + exp(-({z})))", 12)
+        gcols = [
+            "CAST(COUNT(*) AS DOUBLE) AS n",
+            f"CAST(SUM(CASE WHEN ({sig} >= 0.5) = (y = 1) THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_correct",
+        ]
+        if k <= iters:
+            gcols.append(f"{sql_dec_sum(sql_round_half_up(f'{sig} - y', 9), 9)} AS g0")
+            for i in (1, 2):
+                gcols.append(
+                    f"{sql_dec_sum(sql_round_half_up(f'({sig} - y) * x{i}', 9), 9)}"
+                    f" AS g{i}"
+                )
+        parts.append(
+            f""",
+g{k} AS (
+    SELECT {', '.join(gcols)}
+    FROM feats CROSS JOIN w{k - 1}
+)"""
+        )
+        if k <= iters:
+            upd = ", ".join(
+                f"{sql_round_half_up(f'b{j} - {lr} * (g{j} / n)', 12)} AS b{j}"
+                for j in range(3)
+            )
+            parts.append(f""",
+w{k} AS (SELECT {upd} FROM w{k - 1} CROSS JOIN g{k})""")
+    selects = [
+        f"SELECT CAST({k} AS INTEGER) AS iter, "
+        + ", ".join(
+            sql_round_half_up(f"b{j}", 6) + f" AS b{j}" for j in range(3)
+        )
+        + f", (SELECT n_correct FROM g{k + 1}) AS n_correct FROM w{k}"
+        for k in range(1, iters + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("ml_logreg_gd_lang", oracle=_logreg_oracle())
+def ml_logreg_gd_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Distributed LOGISTIC-REGRESSION training
+    (operators/ml.logreg_train_gd) — the fasttext-style quality/domain
+    classifier step of LLM data curation: predict lang='en' from the
+    stopword ratio and saturated length, 3 full-batch GD iterations at
+    lr=1.5.  Each iteration is one map-side-combined aggregate (d+1 exact
+    decimal gradient sums); the model is 3 driver-side doubles broadcast
+    back as literals; the 12dp sigmoid / 9dp contribution quantization
+    makes the whole TRAJECTORY (weights per iteration + training accuracy)
+    hash-identical to DuckDB's unrolled-CTE re-derivation."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.ml import logreg_train_gd
+    from aws_etl_fiap_spark.operators.text import LID_STOPWORDS, stopword_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    out = logreg_train_gd(
+        docs,
+        label=(F.col("lang") == "en"),
+        features=[
+            stopword_hits(toks, LID_STOPWORDS["en"]).cast("double") / n_tok,
+            F.least(n_tok / 100.0, F.lit(2.0)),
+        ],
+        lr=1.5,
+        iters=3,
+    )
+    return out.select(
+        "iter",
+        round_half_up("b0", 6).alias("b0"),
+        round_half_up("b1", 6).alias("b1"),
+        round_half_up("b2", 6).alias("b2"),
+        "n_correct",
+    )

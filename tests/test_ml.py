@@ -1,0 +1,41 @@
+"""Unit tests for distributed iterative trainers (operators/ml.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.operators.ml import logreg_train_gd
+
+
+def _r12(v):
+    return math.floor(v * 1.0e12 + 0.5) / 1.0e12
+
+
+def test_logreg_first_step_closed_form(spark):
+    """With w=0 the sigmoid is exactly 0.5 everywhere, so iteration 1 is
+    the closed form w_k = r12(-lr * mean((0.5 - y) * x_k))."""
+    rows = [(1, 2.0), (1, 3.0), (0, 0.5), (0, 1.0)]
+    df = spark.createDataFrame(rows, "y int, x double")
+    out = {r["iter"]: r for r in
+           logreg_train_gd(df, F.col("y") == 1, [F.col("x")], lr=2.0, iters=2).collect()}
+    g0 = sum(0.5 - y for y, _ in rows) / 4
+    g1 = sum((0.5 - y) * x for y, x in rows) / 4
+    assert out[1]["b0"] == _r12(-2.0 * g0)
+    assert out[1]["b1"] == _r12(-2.0 * g1)
+
+
+def test_logreg_learns_separable_data(spark):
+    """On linearly separable data the trajectory reaches perfect training
+    accuracy and the slope weight is positive."""
+    rows = [(0, float(v)) for v in (-3, -2, -1.5)] + [(1, float(v)) for v in (1.5, 2, 3)]
+    df = spark.createDataFrame(rows, "y int, x double")
+    out = sorted(
+        logreg_train_gd(df, F.col("y") == 1, [F.col("x")], lr=2.0, iters=3).collect(),
+        key=lambda r: r["iter"],
+    )
+    assert out[-1]["b1"] > 0
+    assert out[-1]["n_correct"] == len(rows)
+    # n_correct is evaluated with each iteration's OWN weights
+    assert all(r["n_correct"] <= len(rows) for r in out)
