@@ -887,6 +887,61 @@ def main() -> None:
         f"bpe_3merges_{n}docs",
         lambda: bpe_train_merges(corpus, n_merges=3).count(),
     )
+
+    # BPE ENCODE at 20x: the merge chain still runs on the (flat) vocab;
+    # the corpus-linear stages are the (doc, word, cnt) aggregate and the
+    # word-keyed join — cost should track rows, not pairs.
+    from aws_etl_fiap_spark.operators.bpe import bpe_encode
+
+    stage(
+        f"bpe_encode_{n}docs",
+        lambda: bpe_encode(corpus, n_merges=3).count(),
+    )
+
+    # Bigram LM at 20x: clones add frequency, not vocabulary — the pruned
+    # bigram table the scorer broadcasts is the SAME size as at 1x, so the
+    # per-doc scoring pass stays zero-shuffle-join and corpus-linear.
+    from aws_etl_fiap_spark.operators.text import bigram_lm_nll
+
+    stage(
+        f"bigram_lm_nll_{n}docs",
+        lambda: bigram_lm_nll(corpus).count(),
+    )
+
+    # Logistic-regression GD at 20x: 4 aggregates over a checkpointed
+    # feature frame; per-iteration cost is one corpus-linear scan, model
+    # state constant.
+    from aws_etl_fiap_spark.operators.ml import logreg_train_gd
+    from aws_etl_fiap_spark.operators.text import LID_STOPWORDS, stopword_hits
+
+    def _logreg():
+        toks = F.split(F.col("text"), " ")
+        n_tok = F.size(toks).cast("double")
+        labeled = corpus.withColumn("is_even", F.col("doc_id") % 2 == 0)
+        return logreg_train_gd(
+            labeled,
+            label=F.col("is_even"),
+            features=[
+                stopword_hits(toks, LID_STOPWORDS["en"]).cast("double") / n_tok,
+                F.least(n_tok / 100.0, F.lit(2.0)),
+            ],
+            iters=3,
+        ).count()
+
+    stage(f"logreg_gd3_{n}docs", _logreg)
+
+    # Token-budget prefix sum at 20x: two-pass range-partitioned running
+    # sum — pass 1 is a sort-free range exchange + per-partition subtotal
+    # (partition-count rows to the driver), pass 2 a streaming Arrow stamp.
+    from aws_etl_fiap_spark.operators.sampling import ordered_prefix_sum
+
+    def _prefix_sum():
+        scored = corpus.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
+        )
+        return ordered_prefix_sum(scored, ["doc_id"], "n_tok", out="cum").count()
+
+    stage(f"prefix_sum_{n}docs", _prefix_sum)
     spark.stop()
 
 
