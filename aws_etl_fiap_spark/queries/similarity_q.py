@@ -173,7 +173,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall.filter(F.col("recall_at_10") < 0.8)
 
 
-def _portable_planes_values() -> str:
+def _portable_planes_values(n_planes: int | None = None) -> str:
     """The portable SRP plane tensor as a SQL VALUES literal of
     (t, p, plane_vector) rows — derived from the SAME md5-parity formula the
     Spark operator uses (operators/similarity.portable_planes_matrix), so the
@@ -191,17 +191,18 @@ def _portable_planes_values() -> str:
         portable_planes_matrix,
     )
 
-    planes = portable_planes_matrix(N_TABLES, N_PLANES, EMBED_DIM)
+    n_planes = N_PLANES if n_planes is None else n_planes
+    planes = portable_planes_matrix(N_TABLES, n_planes, EMBED_DIM)
     return ",".join(
         "({t},{p},CAST([{vec}] AS DOUBLE[]))".format(
             t=t, p=p, vec=",".join(str(int(planes[t, p, d])) for d in range(EMBED_DIM))
         )
         for t in range(N_TABLES)
-        for p in range(N_PLANES)
+        for p in range(n_planes)
     )
 
 
-def _bucket_weight_case() -> str:
+def _bucket_weight_case(n_planes: int | None = None) -> str:
     """CASE expression mapping plane index p -> 2^p, generated from the
     N_PLANES constant (the previous hand-written CASE silently hardcoded 4
     planes and binned any other index as 8).  ELSE NULL: an out-of-range
@@ -209,7 +210,8 @@ def _bucket_weight_case() -> str:
     instead of silently mis-bucketing."""
     from aws_etl_fiap_spark.operators.similarity import N_PLANES
 
-    whens = " ".join(f"WHEN {p} THEN {1 << p}" for p in range(N_PLANES))
+    n_planes = N_PLANES if n_planes is None else n_planes
+    whens = " ".join(f"WHEN {p} THEN {1 << p}" for p in range(n_planes))
     return f"CASE p {whens} ELSE NULL END"
 
 
@@ -535,7 +537,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_semdedup_embed",
     oracle=f"""
-WITH planes(t, p, vec) AS (VALUES {_portable_planes_values()}),
+WITH planes(t, p, vec) AS (VALUES {_portable_planes_values(n_planes=6)}),
 proj AS (
     SELECT e.vec_id, pl.t, pl.p,
            list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.vec) AS pr
@@ -543,7 +545,7 @@ proj AS (
 ),
 buckets AS (
     SELECT vec_id, t,
-           CAST(SUM(CASE WHEN pr >= 0 THEN {_bucket_weight_case()}
+           CAST(SUM(CASE WHEN pr >= 0 THEN {_bucket_weight_case(n_planes=6)}
                 ELSE 0 END) AS BIGINT) AS bucket
     FROM proj GROUP BY vec_id, t
 ),
@@ -564,8 +566,11 @@ WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
 def dedup_semdedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] SemDeDup semantic dedup over the embedding corpus (Abbas et
     al. 2023 recipe on the multi-table SRP index): a row is dropped when a
-    LOWER-id row with cosine >= 0.35 shares any of the 8x4 portable SRP
-    buckets with it; output is the KEPT set.  The whole pipeline —
+    LOWER-id row with cosine >= 0.35 shares any of the 8x6 portable SRP
+    buckets with it; output is the KEPT set.  (6 planes/table, not the ANN
+    default 4: 2^6 cells sizes buckets to this corpus — with 2^4 the
+    candidate join carried ~1M pairs at sf0.1, the r8 bench outlier; true
+    near-dups at cosine ~1 collide in every table regardless.)  The whole pipeline —
     md5-parity planes, bucketing, candidate join, sequential-fold cosine,
     prune — is re-derived from first principles by the SQL oracle, and the
     compared output is integer-only (vec_id, label), so the gate is exact.
@@ -575,7 +580,8 @@ def dedup_semdedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_keep(
-        emb, "vec_id", "embedding", threshold=0.35, plane_family="portable"
+        emb, "vec_id", "embedding", threshold=0.35, n_planes=6,
+        plane_family="portable",
     ).select("vec_id", "label")
 
 

@@ -70,6 +70,11 @@ REPRESENTATIVE = [
     "basket_brand_pairs_lift",       # capped basket association (r6 batch 4)
     "fin_rolling_corr_view_click",   # rolling bivariate moments (r6 batch 5)
     "fs_point_in_time_join",         # leakage-free PIT feature join (r6 batch 6)
+    "text_bpe_encode",               # tokenizer application over the vocab (r8)
+    "text_bigram_lm_nll",            # broadcast-LM fluency scoring (r8)
+    "corpus_token_budget_select",    # two-pass prefix-sum selection (r8)
+    "dedup_semdedup_embed",          # SRP-bucketed embedding prune (r8)
+    "web_domain_policy_rollup",      # URL canonicalization rollup (r8)
 ]
 
 
