@@ -170,3 +170,125 @@ def bloom_probe(
         .groupBy(key)
         .agg(F.bool_and("hit").alias("passed"))
     )
+
+
+def mergeable_quantile_summary(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    k: int = 256,
+    emit: str = "violations",
+) -> DataFrame:
+    """[EXT] Mergeable epsilon-approximate QUANTILE summary with an exact
+    error-accounting gate — the fourth classic sketch next to count-min,
+    Bloom, and HLL (Manku/Rajagopalan/Lindsay-style stride sampling;
+    public-knowledge construction, no RNG, fully deterministic).
+
+    Build: each partition sorts its values (external sort, streamed) and
+    keeps the LAST row of every ``stride_p = ceil(n_p / k)`` block with the
+    block size as its weight — at most ``k`` weighted samples per
+    partition, so the merged summary is ``partitions x k`` rows: bounded
+    driver state at any corpus size, and summaries from different
+    partitions/machines/days merge by concatenation (the mergeability that
+    makes this the production shape for percentile dashboards over 100 TB).
+    The estimate for rank r is the first merged sample whose cumulative
+    weight reaches r; its true rank error is bounded by
+    B = sum_p stride_p <= n/k + P.
+
+    Gate: ONE distributed aggregate re-computes the EXACT rank of every
+    estimate (conditional sums in a single scan) and emits a row per
+    quantile whose |exact_rank - target_rank| exceeds 2B (the 2x absorbs
+    duplicate-value rank jumps).  Steady-state output: EMPTY, verified
+    against the empty-set oracle — the same violation-gate pattern as the
+    ANN recall gates.
+    """
+    import math
+
+    from pyspark import TaskContext
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    src = (
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .sortWithinPartitions("v")
+        .localCheckpoint(eager=True)
+    )
+    counts = dict(
+        src.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = sum(counts.values())
+    strides = {pid: max(1, math.ceil(c / k)) for pid, c in counts.items()}
+    bound = sum(strides.values())
+    bc = spark.sparkContext.broadcast((strides, counts))
+
+    out_schema = StructType(
+        [StructField("v", DoubleType()), StructField("w", LongType())]
+    )
+
+    def sample_gen(batches):
+        import pandas as pd
+
+        ctx = TaskContext.get()
+        strides_b, counts_b = bc.value
+        pid = ctx.partitionId()
+        stride = strides_b.get(pid, 1)
+        n_p = counts_b.get(pid, 0)
+        seen = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vals, weights = [], []
+            for v in pdf["v"].to_numpy():
+                seen += 1
+                if seen % stride == 0:
+                    vals.append(float(v))
+                    weights.append(stride)
+                elif seen == n_p:  # close the partial tail block
+                    vals.append(float(v))
+                    weights.append(n_p % stride)
+            if vals:
+                yield pd.DataFrame({"v": vals, "w": weights})
+
+    samples = sorted(
+        (r["v"], r["w"]) for r in src.mapInPandas(sample_gen, out_schema).collect()
+    )
+    ests = []
+    for p in probs:
+        target = max(1, math.ceil(p * n))
+        cum = 0
+        est = samples[-1][0] if samples else None
+        for v, w in samples:
+            cum += w
+            if cum >= target:
+                est = v
+                break
+        ests.append((float(p), target, est))
+
+    ranks = src.agg(
+        *[
+            F.sum((F.col("v") <= F.lit(e)).cast("long")).alias(f"r{i}")
+            for i, (_, _, e) in enumerate(ests)
+        ]
+    )
+    lits = spark.createDataFrame(
+        [(p, t, e, i) for i, (p, t, e) in enumerate(ests)],
+        "prob double, target_rank long, est double, idx int",
+    )
+    exact = F.when(F.col("idx") == 0, F.col("r0"))
+    for i in range(1, len(ests)):
+        exact = exact.when(F.col("idx") == i, F.col(f"r{i}"))
+    out = lits.crossJoin(F.broadcast(ranks)).select(
+        "prob",
+        "target_rank",
+        "est",
+        exact.alias("exact_rank"),
+        F.lit(2 * bound).cast("long").alias("bound"),
+    )
+    if emit == "estimates":
+        return out
+    return out.filter(
+        F.abs(F.col("exact_rank") - F.col("target_rank")) > F.col("bound")
+    )

@@ -215,6 +215,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "corpus_token_budget_select",
     "text_bpe_encode",
     "ml_logreg_gd_lang",
+    "sketch_quantile_mergeable",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

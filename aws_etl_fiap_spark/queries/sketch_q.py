@@ -215,3 +215,28 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_negatives"
         ),
     )
+
+
+@query(
+    "sketch_quantile_mergeable",
+    oracle="""
+SELECT CAST(NULL AS DOUBLE) AS prob, CAST(NULL AS BIGINT) AS target_rank,
+       CAST(NULL AS DOUBLE) AS est, CAST(NULL AS BIGINT) AS exact_rank,
+       CAST(NULL AS BIGINT) AS bound
+WHERE 1 = 0
+""",
+)
+def sketch_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Mergeable quantile summary over l_extendedprice
+    (operators/sketches.mergeable_quantile_summary): per-partition
+    deterministic stride sampling (<= k weighted rows per partition, no
+    RNG), concatenation-mergeable, estimates for
+    p25/p50/p75/p90/p99 with PROVABLE rank error <= sum_p ceil(n_p/k).
+    Registered as an exact empty-violation gate like the ANN recall gates:
+    one extra scan re-computes every estimate's exact rank and any
+    quantile off by more than 2x the bound becomes an output row; the
+    oracle is the empty set."""
+    from aws_etl_fiap_spark.operators.sketches import mergeable_quantile_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return mergeable_quantile_summary(li, "l_extendedprice", k=256)

@@ -426,3 +426,39 @@ def test_pareto_frontier_matches_bruteforce(spark, sf_smoke):
     expect = {r.p_partkey for r in rows if not dominated(r)}
     assert set(got["p_partkey"]) == expect
     assert len(expect) > 0
+
+
+def test_quantile_summary_exact_when_stride_is_one(spark):
+    """With k >= partition sizes the stride is 1, so the summary is the
+    full sorted multiset and every estimate is the exact ceil(p*n)-th
+    order statistic (and the violation gate is trivially empty)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.sketches import mergeable_quantile_summary
+
+    n = 1000
+    df = spark.range(n).select(((F.col("id") * 7919) % n).cast("double").alias("x"))
+    out = mergeable_quantile_summary(df, "x", probs=(0.5, 0.9), k=10_000)
+    assert out.count() == 0  # gate empty
+    ests = {
+        r["prob"]: r
+        for r in mergeable_quantile_summary(
+            df, "x", probs=(0.5, 0.9), k=10_000, emit="estimates"
+        ).collect()
+    }
+    # values are a permutation of 0..n-1: the ceil(p*n)-th order statistic
+    # is exactly p*n - 1
+    assert ests[0.5]["est"] == 499.0 and ests[0.5]["exact_rank"] == 500
+    assert ests[0.9]["est"] == 899.0 and ests[0.9]["exact_rank"] == 900
+
+
+def test_quantile_summary_bound_holds_under_coarse_k(spark):
+    """k=4 gives huge strides; the gate must STILL be empty because the
+    bound scales with the strides (the accounting, not luck)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.sketches import mergeable_quantile_summary
+
+    df = spark.range(5000).select((F.col("id") % 977).cast("double").alias("x"))
+    out = mergeable_quantile_summary(df, "x", k=4)
+    assert out.count() == 0
