@@ -318,3 +318,44 @@ def test_winnowing_reference_model_and_guarantee_property(spark):
         assert got[a] & got[b], "shared run must yield a shared fingerprint"
 
     prop()
+
+
+def test_ordered_cosine_accumulate_matches_duckdb_fold():
+    """The Arrow-batched dimension-ordered accumulate that scores SemDeDup
+    candidate pairs (operators/similarity._ordered_cosine_filter) must be
+    BIT-IDENTICAL to DuckDB's list_dot_product sequential fold for
+    arbitrary vectors — same adds, same order, no pairwise/BLAS
+    re-association."""
+    import numpy as np
+
+    duck = duckdb.connect()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.lists(free_doubles, min_size=8, max_size=8),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    def prop(vecs):
+        a = np.array(vecs, dtype=np.float64)
+        b = np.roll(a, 1, axis=0)
+        # the scorer's accumulation pattern, verbatim
+        ab = np.zeros(len(a))
+        for i in range(8):
+            ab += a[:, i] * b[:, i]
+        for row_a, row_b, got in zip(a, b, ab):
+            # bind as parameters (exact DOUBLE[] transfer) — a rendered
+            # decimal literal like 900719925.9921875 would parse as
+            # DECIMAL(16,7), whose >2^53 mantissa converts to double with
+            # DIFFERENT rounding than the decimal-string parse; parquet
+            # columns (the real oracle input) are binary doubles like the
+            # parameters here
+            want = duck.execute(
+                "SELECT list_dot_product(CAST(? AS DOUBLE[]), CAST(? AS DOUBLE[]))",
+                [[float(x) for x in row_a], [float(x) for x in row_b]],
+            ).fetchone()[0]
+            assert got == want or (got != got and want != want)
+
+    prop()
