@@ -149,6 +149,21 @@ def weighted_poisson_sample(
     )
 
 
+def _default_range_partitions(df: DataFrame) -> int:
+    """Partition count for the two-pass range schemes: the configured
+    shuffle parallelism, clamped to the INPUT's split count.  Output is
+    partition-count-independent (any total order gives the same result),
+    so this is latency-only: a vanilla 200-partition session over a
+    one-file scan would otherwise run hundreds of near-empty tasks per
+    pass (measured 8s at sf0.01); on a real cluster the input split count
+    meets/exceeds shuffle.partitions and the configured value wins."""
+    spark = df.sparkSession
+    return min(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        max(1, df.rdd.getNumPartitions()),
+    )
+
+
 def ordered_global_index(
     df: DataFrame,
     order_cols: list[str],
@@ -178,7 +193,7 @@ def ordered_global_index(
 
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        num_partitions = _default_range_partitions(df)
     parts = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
         *order_cols
     )
@@ -386,7 +401,7 @@ def ordered_prefix_sum(
 
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        num_partitions = _default_range_partitions(df)
     parts = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
         *order_cols
     )
