@@ -85,10 +85,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # relational-core entries, whose driver rows are now the registry's oldest
 # (4 rounds stale).  6 + 44 = exactly 50.
 #
-# PRECOMPUTED SCHEDULE for the following rounds (stalest-first):
-#   r9:  the 47 r5-green entries (DEFERRED_R8_R5) + the 3 stalest r6-green;
-#   r10: the remaining 42 r6-green + the stalest r7-green entries — back to
-#        steady state (every row <= 4 rounds old).
+# PRECOMPUTED SCHEDULE for the following rounds (never-graded first, then
+# stalest-first; amended late-r8 as the registry grew to 211):
+#   r9:  the 20 never-driver-graded round-8 additions (DEFERRED_R8_NEVER)
+#        + the 30 alphabetically-first r5-green entries (DEFERRED_R8_R5);
+#   r10: the remaining 17 r5-green + the 33 stalest r6-green;
+#   r11: the remaining 12 r6-green + the stalest r7/r8-green — steady
+#        state at ~4.2 rounds max staleness for a 212-query registry.
 # Changed-code re-entries preempt tail slots of whichever round they land
 # in; the displaced tail shifts one round later.  Queries NEW this round
 # append to DEFERRED_R8_NEVER (the window is saturated) and lead the r9

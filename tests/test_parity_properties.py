@@ -359,3 +359,37 @@ def test_ordered_cosine_accumulate_matches_duckdb_fold():
             assert got == want or (got != got and want != want)
 
     prop()
+
+
+def test_bpe_single_pass_replace_matches_duckdb(spark):
+    """The BPE merge step is a single-pass leftmost-non-overlapping
+    ``replace`` on both engines (operators/bpe.py module docstring) — the
+    assumption behind the whole trainer/encoder gate.  Drive random symbol
+    sequences (including overlapping-run pathologies like 'a b a b a')
+    through Spark F.replace and DuckDB replace and require identical
+    strings."""
+    duck = duckdb.connect()
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("ab"), min_size=1, max_size=8).map("".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def prop(words):
+        seqs = [" " + " ".join(w) + " " for w in ("".join(ws) for ws in [words])]
+        seq = seqs[0]
+        pat, rep = " a b ", " ab "
+        got = (
+            spark.range(1)
+            .select(F.replace(F.lit(seq), F.lit(pat), F.lit(rep)).alias("s"))
+            .collect()[0]["s"]
+        )
+        want = duck.execute(
+            "SELECT replace(?, ?, ?)", [seq, pat, rep]
+        ).fetchone()[0]
+        assert got == want
+
+    prop()
