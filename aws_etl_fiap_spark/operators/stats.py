@@ -359,12 +359,11 @@ def psi_drift(
     the doubles for hashing).
     """
     n_bins = len(bin_edges) + 1
-    bin_idx: Column = F.lit(n_bins - 1)
-    for i, edge in reversed(list(enumerate(bin_edges))):
-        bin_idx = F.when(F.col(value_col) < F.lit(edge), F.lit(i)).otherwise(bin_idx)
-    cur = is_current.cast("int")
     counts = (
-        df.select(bin_idx.cast("int").alias("bin"), cur.alias("cur"))
+        df.select(
+            psi_bin_expr(value_col, bin_edges).alias("bin"),
+            is_current.cast("int").alias("cur"),
+        )
         .groupBy("bin")
         .agg(
             F.sum(1 - F.col("cur")).cast("bigint").alias("base_cnt"),
@@ -375,6 +374,24 @@ def psi_drift(
         # source twice (the "single scan" in the contract above).
         .localCheckpoint(eager=False)
     )
+    return psi_from_counts(counts, n_bins)
+
+
+def psi_bin_expr(value_col: str, bin_edges: tuple[float, ...]) -> Column:
+    """Fixed-edge bin index expression shared by the batch and STREAMING
+    PSI paths (bin i = first edge the value is below; last bin open)."""
+    n_bins = len(bin_edges) + 1
+    bin_idx: Column = F.lit(n_bins - 1)
+    for i, edge in reversed(list(enumerate(bin_edges))):
+        bin_idx = F.when(F.col(value_col) < F.lit(edge), F.lit(i)).otherwise(bin_idx)
+    return bin_idx.cast("int")
+
+
+def psi_from_counts(counts: DataFrame, n_bins: int) -> DataFrame:
+    """Laplace-smoothed shares + per-bin PSI terms from a
+    (bin, base_cnt, cur_cnt) frame — the tiny tail of :func:`psi_drift`,
+    split out so a streaming aggregation can drain its counts into the
+    identical arithmetic (stream_psi_drift_equiv)."""
     totals = counts.agg(
         F.sum("base_cnt").alias("n_base"), F.sum("cur_cnt").alias("n_cur")
     )

@@ -621,9 +621,10 @@ def privacy_k_anon_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dq_psi_value_drift",
-    oracle="""
+#: Shared by the batch gate below and the STREAMING twin
+#: (queries/streaming_q.stream_psi_drift_equiv) — same bins, same Laplace
+#: smoothing, same 6dp rounding.
+PSI_ORACLE = """
 WITH binned AS (
     SELECT CASE WHEN value < 5.0 THEN 0 WHEN value < 10.0 THEN 1
                 WHEN value < 20.0 THEN 2 WHEN value < 50.0 THEN 3
@@ -654,8 +655,10 @@ SELECT bin, base_cnt, cur_cnt,
                   / (CAST(cur_cnt + 1 AS DOUBLE) / CAST(n_cur + 7 AS DOUBLE)))
              * 1000000.0 + 0.5) / 1000000.0 AS psi_term
 FROM counts CROSS JOIN tot
-""",
-)
+"""
+
+
+@query("dq_psi_value_drift", oracle=PSI_ORACLE)
 def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Population-Stability-Index drift gate
     (operators/stats.psi_drift): events `value` binned on fixed edges

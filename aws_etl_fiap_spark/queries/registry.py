@@ -87,11 +87,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #
 # PRECOMPUTED SCHEDULE for the following rounds (never-graded first, then
 # stalest-first; amended late-r8 as the registry grew to 211):
-#   r9:  the 20 never-driver-graded round-8 additions (DEFERRED_R8_NEVER)
-#        + the 30 alphabetically-first r5-green entries (DEFERRED_R8_R5);
-#   r10: the remaining 17 r5-green + the 33 stalest r6-green;
-#   r11: the remaining 12 r6-green + the stalest r7/r8-green — steady
-#        state at ~4.2 rounds max staleness for a 212-query registry.
+#   r9:  the 21 never-driver-graded round-8 additions (DEFERRED_R8_NEVER)
+#        + the 29 alphabetically-first r5-green entries (DEFERRED_R8_R5);
+#   r10: the remaining 18 r5-green + the 32 stalest r6-green;
+#   r11: the remaining 13 r6-green + the stalest r7/r8-green — steady
+#        state at ~4.3 rounds max staleness for a 213-query registry.
 # Changed-code re-entries preempt tail slots of whichever round they land
 # in; the displaced tail shifts one round later.  Queries NEW this round
 # append to DEFERRED_R8_NEVER (the window is saturated) and lead the r9
@@ -219,6 +219,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "text_bpe_encode",
     "ml_logreg_gd_lang",
     "sketch_quantile_mergeable",
+    "stream_psi_drift_equiv",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -654,3 +654,53 @@ def stream_left_outer_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = joined.select("click_id", "view_id", F.col("u_a").alias("user_id"))
     return _run_to_table(out, spark, mode="append")
+
+
+def _psi_oracle() -> str:
+    from aws_etl_fiap_spark.queries.quality_q import PSI_ORACLE
+
+    return PSI_ORACLE
+
+
+@query("stream_psi_drift_equiv", oracle=_psi_oracle())
+def stream_psi_drift_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT §2.9] STREAMING drift monitoring: the PSI (bin, period) counts
+    accumulate through a real Structured Streaming aggregation (the
+    production shape — drift dashboards watch serving traffic as a stream),
+    drain via AvailableNow, and feed the identical smoothing/ln arithmetic
+    as the batch gate (operators/stats.psi_from_counts).  Must hash-equal
+    dq_psi_value_drift's DuckDB oracle exactly: integer counts make the
+    streaming/batch equivalence bit-exact regardless of micro-batching.
+
+    The day-of-month split derives from the NTZ wall clock (cast under a
+    scoped-UTC analysis) so the gate is session-tz independent like the
+    batch path."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.stats import psi_bin_expr, psi_from_counts
+
+    edges = (5.0, 10.0, 20.0, 50.0, 100.0, 200.0)
+    ev = _stream_events(spark, sf_dir)
+    with _scoped_conf(spark, "spark.sql.session.timeZone", "UTC"):
+        ev = ev.withColumn("ts_ntz", F.col("ts").cast("timestamp_ntz"))
+        ev.schema  # force lazy analysis while the conf is in effect
+    counts = (
+        ev.select(
+            psi_bin_expr("value", edges).alias("bin"),
+            (F.dayofmonth("ts_ntz") > 15).cast("int").alias("cur"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(1 - F.col("cur")).cast("bigint").alias("base_cnt"),
+            F.sum("cur").cast("bigint").alias("cur_cnt"),
+        )
+    )
+    drained = _run_to_table(counts, spark)
+    out = psi_from_counts(drained, n_bins=len(edges) + 1)
+    return out.select(
+        "bin",
+        "base_cnt",
+        "cur_cnt",
+        round_half_up("base_share", 6).alias("base_share"),
+        round_half_up("cur_share", 6).alias("cur_share"),
+        round_half_up("psi_term", 6).alias("psi_term"),
+    )
