@@ -92,9 +92,26 @@ def decode_payload(mime: str, payload: bytes) -> list[float]:
                 f"decoder for {mime!r} requires Pillow, which is not "
                 "installed in this environment (PNG works without it)"
             ) from None
+    if mime in ("audio/wav", "audio/x-wav"):
+        import math
+
+        from aws_etl_fiap_spark.operators import audio as wav
+
+        st = wav.wav_stats(payload)
+        n = max(st["n_frames"], 1)
+        return [
+            st["sample_rate"] / 48000.0,
+            st["channels"] / 8.0,
+            min(n / 1_000_000.0, 1.0),
+            min(st["duration_ms"] / 60000.0, 1.0),
+            st["peak"] / 32768.0,
+            st["zero_cross"] / n,
+            math.sqrt(st["sum_sq"] / n) / 32768.0,
+            0.0,
+        ][:FEATURE_DIM]
     raise NotImplementedError(
         f"decoder for {mime!r} requires codec libraries (ffmpeg/librosa) "
-        "not present in this environment"
+        "not present in this environment (WAV/PCM16 decodes natively above)"
     )
 
 
@@ -280,4 +297,84 @@ def read_payload_files(spark, path: str) -> DataFrame:
         F.regexp_extract(F.col("path"), r"([0-9]{12})\.bin$", 1).cast("long").alias("media_id"),
         F.col("length").alias("n_bytes"),
         F.col("content").alias("payload"),
+    )
+
+
+def documents_as_wav(df: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Adapter: synthesize a REAL RIFF/WAVE PCM16 payload per document,
+    deterministically from its UTF-8 bytes —
+
+        s_i = ((b_i * 37 + i * 11) % 256 - 128) * 256      (i 1-based)
+
+    so the whole audio path (container encode -> parse -> sample math) runs
+    on genuine WAV bytes while staying SQL-re-derivable (the oracle rebuilds
+    the same samples from hex(encode(text))).  Arrow-batched; the payload
+    column is real enough to open in any audio tool."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_etl_fiap_spark.operators.audio import wav_encode
+
+    src = df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio/wav").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("raw"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for raw in pdf["raw"]:
+                b = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.int64)
+                i = np.arange(1, len(b) + 1, dtype=np.int64)
+                s = ((b * 37 + i * 11) % 256 - 128) * 256
+                payloads.append(wav_encode(s.astype(np.int16), sample_rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "mime": pdf["mime"].to_numpy(),
+                    "payload": payloads,
+                }
+            )
+
+    return src.mapInPandas(gen, "media_id long, mime string, payload binary")
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Decode WAV payloads (operators/audio.wav_decode — real RIFF chunk
+    walk) and emit the classic PCM stats per row; undecodable payloads
+    degrade to ok=false poison rows instead of failing the job (same policy
+    as extract_features).  sum_sq stays an exact BIGINT so RMS derivation
+    downstream is one correctly-rounded float op."""
+    import pandas as pd
+
+    from aws_etl_fiap_spark.operators.audio import WavFormatError, wav_stats
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    st = wav_stats(bytes(payload))
+                    rows.append((int(mid), True, st["sample_rate"], st["channels"],
+                                 st["n_frames"], st["duration_ms"], st["peak"],
+                                 st["zero_cross"], st["sum_sq"]))
+                except (WavFormatError, NotImplementedError):
+                    rows.append((int(mid), False, None, None, None, None, None,
+                                 None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "ok", "sample_rate", "channels", "n_frames",
+                         "duration_ms", "peak", "zero_cross", "sum_sq"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, ok boolean, sample_rate int, channels int, "
+        "n_frames long, duration_ms long, peak long, zero_cross long, "
+        "sum_sq long",
     )

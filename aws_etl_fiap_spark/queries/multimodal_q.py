@@ -196,3 +196,70 @@ def media_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return got.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "media_wav_stats",
+    oracle="""
+WITH bytes AS (
+    SELECT doc_id, i,
+           CAST('0x' || substr(hex(encode(text)), 2 * i - 1, 2) AS BIGINT) AS b
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, octet_length(encode(text)) + 1)) AS i
+          FROM documents)
+),
+pcm AS (
+    SELECT doc_id, i, ((b * 37 + i * 11) % 256 - 128) * 256 AS s
+    FROM bytes
+),
+stats AS (
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(abs(s)) AS BIGINT) AS peak,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN s * nxt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_cross
+    FROM (SELECT doc_id, i, s,
+                 LEAD(s) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+          FROM pcm) p
+    GROUP BY p.doc_id
+)
+SELECT doc_id AS media_id, TRUE AS ok,
+       CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+       n_frames,
+       CAST(n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+       peak, zero_cross,
+       FLOOR(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_frames AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS rms
+FROM stats
+""",
+)
+def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] REAL AUDIO CODEC under the exact gate: each
+    document's bytes synthesize a genuine RIFF/WAVE PCM16 payload
+    (operators/multimodal.documents_as_wav — a real 44-byte header any
+    audio tool opens), the engine parses it back with the dependency-free
+    chunk-walking decoder (operators/audio.wav_decode) and computes the
+    classic PCM stats; the DuckDB oracle re-derives every sample from
+    hex(encode(text)) with the same formula, so container round-trip AND
+    sample math are hash-verified.  RMS = one correctly-rounded
+    sqrt(exact_int / exact_int) per row, 6dp both sides."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.multimodal import audio_stats, documents_as_wav
+
+    media = documents_as_wav(load_table(spark, sf_dir, "documents"))
+    st = audio_stats(media)
+    return st.select(
+        "media_id",
+        "ok",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_ms",
+        "peak",
+        "zero_cross",
+        round_half_up(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_frames").cast("double")),
+            6,
+        ).alias("rms"),
+    )

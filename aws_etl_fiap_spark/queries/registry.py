@@ -86,12 +86,13 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # (4 rounds stale).  6 + 44 = exactly 50.
 #
 # PRECOMPUTED SCHEDULE for the following rounds (never-graded first, then
-# stalest-first; amended late-r8 as the registry grew to 211):
-#   r9:  the 21 never-driver-graded round-8 additions (DEFERRED_R8_NEVER)
-#        + the 29 alphabetically-first r5-green entries (DEFERRED_R8_R5);
-#   r10: the remaining 18 r5-green + the 32 stalest r6-green;
-#   r11: the remaining 13 r6-green + the stalest r7/r8-green — steady
-#        state at ~4.3 rounds max staleness for a 213-query registry.
+# stalest-first; amended late-r8 as the registry grew):
+#   r9:  ALL of DEFERRED_R8_NEVER (the never-driver-graded round-8
+#        additions) first, then alphabetically-first DEFERRED_R8_R5
+#        entries to fill the 50 slots;
+#   r10: the remaining r5-green, then the stalest r6-green fill;
+#   r11: the remaining r6-green + the stalest r7/r8-green — steady state
+#        at ~len(REGISTRY)/50 rounds max staleness.
 # Changed-code re-entries preempt tail slots of whichever round they land
 # in; the displaced tail shifts one round later.  Queries NEW this round
 # append to DEFERRED_R8_NEVER (the window is saturated) and lead the r9
@@ -220,6 +221,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "ml_logreg_gd_lang",
     "sketch_quantile_mergeable",
     "stream_psi_drift_equiv",
+    "media_wav_stats",
 )
 
 DEFERRED_R8: tuple[str, ...] = (
