@@ -115,3 +115,22 @@ def wav_stats(data: bytes) -> dict:
         "zero_cross": int((prod < 0).sum()),
         "sum_sq": int((mono * mono).sum()),
     }
+
+
+def wav_decimate(data: bytes, factor: int) -> bytes:
+    """Integer-factor downsample (keep every ``factor``-th frame, zero-order
+    hold — the alias-accepting fast path; a real pipeline would low-pass
+    first, which needs no new container logic) and re-encode at the reduced
+    rate.  Decode -> slice -> encode, so the output is again a genuine WAV
+    file; sample_rate must divide evenly (raise WavFormatError otherwise —
+    fractional resampling is interpolation, out of scope for the codec
+    tier)."""
+    if factor < 1:
+        raise WavFormatError(f"decimation factor must be >= 1, got {factor}")
+    sample_rate, channels, samples = wav_decode(data)
+    if sample_rate % factor != 0:
+        raise WavFormatError(
+            f"sample rate {sample_rate} not divisible by factor {factor}"
+        )
+    out = samples[::factor]
+    return wav_encode(out.reshape(-1), sample_rate // factor, channels=channels)

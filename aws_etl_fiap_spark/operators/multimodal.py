@@ -378,3 +378,38 @@ def audio_stats(df: DataFrame) -> DataFrame:
         "n_frames long, duration_ms long, peak long, zero_cross long, "
         "sum_sq long",
     )
+
+
+def decimate_audio(df: DataFrame, factor: int) -> DataFrame:
+    """Integer-factor audio downsample through the REAL codec
+    (operators/audio.wav_decimate: decode -> frame slice -> re-encode), the
+    audio sibling of resize_media: payload in, genuine lower-rate WAV
+    payload out, Arrow-batched, ok=false poison rows for undecodable
+    input."""
+    import pandas as pd
+
+    from aws_etl_fiap_spark.operators.audio import WavFormatError, wav_decimate
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, mimes, oks, payloads = [], [], [], []
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                ids.append(int(mid))
+                mimes.append(mime)
+                try:
+                    payloads.append(wav_decimate(bytes(payload), factor))
+                    oks.append(True)
+                except (WavFormatError, NotImplementedError):
+                    payloads.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {"media_id": ids, "mime": mimes, "ok": oks, "payload": payloads}
+            )
+
+    return df.select("media_id", "mime", "payload").mapInPandas(
+        run, "media_id long, mime string, ok boolean, payload binary"
+    )

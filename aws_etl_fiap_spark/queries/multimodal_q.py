@@ -263,3 +263,76 @@ def media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rms"),
     )
+
+
+@query(
+    "media_wav_resample",
+    oracle="""
+WITH bytes AS (
+    SELECT doc_id, i,
+           CAST('0x' || substr(hex(encode(text)), 2 * i - 1, 2) AS BIGINT) AS b
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, octet_length(encode(text)) + 1)) AS i
+          FROM documents)
+),
+pcm AS (
+    SELECT doc_id, i, ((b * 37 + i * 11) % 256 - 128) * 256 AS s
+    FROM bytes
+    WHERE i % 2 = 1
+),
+stats AS (
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(abs(s)) AS BIGINT) AS peak,
+           CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+           CAST(SUM(CASE WHEN s * nxt < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_cross
+    FROM (SELECT doc_id, i, s,
+                 LEAD(s) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+          FROM pcm) p
+    GROUP BY p.doc_id
+)
+SELECT doc_id AS media_id, TRUE AS ok,
+       CAST(4000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+       n_frames,
+       CAST(n_frames * 1000 // 4000 AS BIGINT) AS duration_ms,
+       peak, zero_cross,
+       FLOOR(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_frames AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS rms
+FROM stats
+""",
+)
+def media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Audio PROCESSING through the real codec: the WAV
+    corpus decimates 8 kHz -> 4 kHz (operators/audio.wav_decimate: decode,
+    keep every 2nd frame, RE-ENCODE a genuine lower-rate WAV), then the
+    stats pass decodes the NEW payloads — two full container round-trips
+    per row, all hash-verified against the SQL re-derivation of the kept
+    samples (1-based odd byte positions).  The decode->transform->encode
+    ->decode chain is exactly what a media curation pipeline runs per
+    clip at 100 TB; payloads stay inside the two Arrow stages, only
+    fixed-width stats shuffle."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.multimodal import (
+        audio_stats,
+        decimate_audio,
+        documents_as_wav,
+    )
+
+    media = documents_as_wav(load_table(spark, sf_dir, "documents"))
+    halved = decimate_audio(media, factor=2).filter(F.col("ok")).drop("ok")
+    st = audio_stats(halved)
+    return st.select(
+        "media_id",
+        "ok",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_ms",
+        "peak",
+        "zero_cross",
+        round_half_up(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_frames").cast("double")),
+            6,
+        ).alias("rms"),
+    )

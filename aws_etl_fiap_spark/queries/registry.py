@@ -222,6 +222,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "sketch_quantile_mergeable",
     "stream_psi_drift_equiv",
     "media_wav_stats",
+    "media_wav_resample",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -136,3 +136,22 @@ def test_audio_stats_poison_row_for_garbage(spark):
     )
     row = audio_stats(df).collect()[0]
     assert row["ok"] is False and row["n_frames"] is None
+
+
+def test_wav_decimate_keeps_every_other_frame():
+    s = np.array([10, 20, 30, 40, 50], dtype=np.int16)
+    sr, ch, back = wav_decode(
+        __import__(
+            "aws_etl_fiap_spark.operators.audio", fromlist=["wav_decimate"]
+        ).wav_decimate(wav_encode(s, 8000), 2)
+    )
+    assert sr == 4000 and ch == 1
+    assert np.array_equal(back[:, 0], [10, 30, 50])
+
+
+def test_wav_decimate_rejects_non_dividing_factor():
+    from aws_etl_fiap_spark.operators.audio import wav_decimate
+
+    data = wav_encode(np.array([1, 2, 3], dtype=np.int16), 8000)
+    with pytest.raises(WavFormatError):
+        wav_decimate(data, 3)
