@@ -104,7 +104,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #: - the two acid gates: snapshot.py took the round-7 ADVICE fixes (vacuum
 #:   retention window; CDF NULL-padding across schema evolution);
 #: - sim_topk_pq / sim_topk_ivfpq: the PQ codebook trainer gained the
-#:   m-divides-dim guard (round-7 ADVICE).
+#:   m-divides-dim guard (round-7 ADVICE) and, late-r8, the 2D-broadcast
+#:   distance rewrite (4.6x faster training — same Lloyd semantics, gates
+#:   re-verified exact in the driver-sim).  Every other query whose code
+#:   changed late-r8 (semdedup scorer/buckets, psi refactor, range-scheme
+#:   partition clamp with explicit num_partitions callers unaffected) is
+#:   r8-NEW and therefore never-graded — they lead the r9 window.
 CHANGED_R8: tuple[str, ...] = (
     "acid_snapshot_isolation",
     "acid_merge_on_read_delete",
