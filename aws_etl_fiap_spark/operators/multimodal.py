@@ -413,3 +413,45 @@ def decimate_audio(df: DataFrame, factor: int) -> DataFrame:
     return df.select("media_id", "mime", "payload").mapInPandas(
         run, "media_id long, mime string, ok boolean, payload binary"
     )
+
+
+def audio_energy_windows(df: DataFrame, window_frames: int = 256) -> DataFrame:
+    """Windowed PCM energy profile — the frame-batched shape every audio
+    featurizer (VAD, loudness normalization, silence trimming) runs: decode
+    once, slice the sample axis into fixed ``window_frames`` windows, emit
+    one row per (media, window) with frame count, peak, and the exact
+    integer sum of squares (RMS numerator).  One-to-many like frame_sample:
+    payloads die at this operator's input; only fixed-width window rows
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_etl_fiap_spark.operators.audio import WavFormatError, wav_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, widx, nf, peak, ssq = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _, _, samples = wav_decode(bytes(payload))
+                except (WavFormatError, NotImplementedError):
+                    continue  # poison rows contribute no windows
+                mono = samples[:, 0].astype(np.int64)
+                for w in range(0, len(mono), window_frames):
+                    chunk = mono[w : w + window_frames]
+                    ids.append(int(mid))
+                    widx.append(w // window_frames)
+                    nf.append(len(chunk))
+                    peak.append(int(np.abs(chunk).max()))
+                    ssq.append(int((chunk * chunk).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "window_idx": widx, "n_frames": nf,
+                 "peak": peak, "sum_sq": ssq}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, window_idx int, n_frames long, peak long, sum_sq long",
+    )

@@ -336,3 +336,57 @@ def media_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rms"),
     )
+
+
+@query(
+    "media_wav_energy_windows",
+    oracle="""
+WITH bytes AS (
+    SELECT doc_id, i,
+           CAST('0x' || substr(hex(encode(text)), 2 * i - 1, 2) AS BIGINT) AS b
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, octet_length(encode(text)) + 1)) AS i
+          FROM documents)
+),
+pcm AS (
+    SELECT doc_id, i, ((b * 37 + i * 11) % 256 - 128) * 256 AS s
+    FROM bytes
+)
+SELECT doc_id AS media_id,
+       CAST((i - 1) // 256 AS INTEGER) AS window_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(MAX(abs(s)) AS BIGINT) AS peak,
+       CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+       FLOOR(sqrt(CAST(SUM(s * s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS rms
+FROM pcm
+GROUP BY doc_id, (i - 1) // 256
+""",
+)
+def media_wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Windowed audio energy profile through the real
+    codec (operators/multimodal.audio_energy_windows): decode each WAV
+    payload once, emit one row per 256-frame window with frame count,
+    peak, exact sum of squares, and 6dp RMS — the VAD/loudness shape; the
+    oracle re-derives every window from the byte formula with
+    (i-1)//256 grouping, so window boundaries AND per-window math are
+    hash-verified."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.multimodal import (
+        audio_energy_windows,
+        documents_as_wav,
+    )
+
+    media = documents_as_wav(load_table(spark, sf_dir, "documents"))
+    win = audio_energy_windows(media, window_frames=256)
+    return win.select(
+        "media_id",
+        "window_idx",
+        "n_frames",
+        "peak",
+        "sum_sq",
+        round_half_up(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_frames").cast("double")),
+            6,
+        ).alias("rms"),
+    )

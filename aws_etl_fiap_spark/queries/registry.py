@@ -228,6 +228,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "stream_psi_drift_equiv",
     "media_wav_stats",
     "media_wav_resample",
+    "media_wav_energy_windows",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

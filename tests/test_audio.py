@@ -155,3 +155,19 @@ def test_wav_decimate_rejects_non_dividing_factor():
     data = wav_encode(np.array([1, 2, 3], dtype=np.int16), 8000)
     with pytest.raises(WavFormatError):
         wav_decimate(data, 3)
+
+
+def test_energy_windows_hand_checked(spark):
+    """3-frame windows over 7 samples: windows of 3, 3, 1 frames with
+    per-window peak/sum_sq."""
+    from aws_etl_fiap_spark.operators.multimodal import audio_energy_windows
+
+    s = np.array([1, -2, 3, 4, -5, 6, 7], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_encode(s, 8000)))], "media_id long, payload binary"
+    )
+    rows = {r["window_idx"]: r for r in audio_energy_windows(df, 3).collect()}
+    assert [rows[i]["n_frames"] for i in (0, 1, 2)] == [3, 3, 1]
+    assert rows[0]["peak"] == 3 and rows[0]["sum_sq"] == 1 + 4 + 9
+    assert rows[1]["peak"] == 6 and rows[1]["sum_sq"] == 16 + 25 + 36
+    assert rows[2]["peak"] == 7 and rows[2]["sum_sq"] == 49
