@@ -829,3 +829,45 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("sel_tokens"),
         round_half_up(F.min("quality"), 6).alias("min_quality"),
     )
+
+
+@query(
+    "corpus_epoch_shuffle",
+    oracle="""
+WITH epochs AS (
+    SELECT d.doc_id, e.epoch,
+           CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                || CAST(e.epoch AS VARCHAR)), 1, 15) AS BIGINT) AS skey
+    FROM documents d
+    CROSS JOIN (SELECT unnest([0, 1]) AS epoch) e
+)
+SELECT epoch, doc_id, skey,
+       CAST(ROW_NUMBER() OVER (ORDER BY epoch, skey, doc_id) - 1 AS BIGINT)
+           AS global_idx
+FROM epochs
+""",
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic EPOCH-SHUFFLED training order: every document
+    gets a per-epoch shuffle key from the portable 60-bit md5 hash
+    (operators/dedup.portable_hash60 — seeded by (doc_id, epoch), so epoch
+    1's order is a fresh permutation of epoch 0's, reproducible on ANY
+    engine and resumable from any offset), then a dense global index under
+    (epoch, key) via the two-pass range-partition scheme — the "shuffle the
+    corpus every epoch" step of a training-data loader, with NO
+    single-reducer window and no RNG state to checkpoint.  The oracle
+    re-derives keys AND the full permutation."""
+    from aws_etl_fiap_spark.operators.dedup import portable_hash60
+    from aws_etl_fiap_spark.operators.sampling import ordered_global_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.crossJoin(
+        spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    ).select(
+        "epoch",
+        "doc_id",
+        portable_hash60(
+            F.col("doc_id").cast("string"), F.col("epoch").cast("string")
+        ).alias("skey"),
+    )
+    return ordered_global_index(epochs, ["epoch", "skey", "doc_id"], out="global_idx")

@@ -229,6 +229,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "media_wav_stats",
     "media_wav_resample",
     "media_wav_energy_windows",
+    "corpus_epoch_shuffle",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -327,3 +327,24 @@ def test_token_budget_select_greedy_boundary(spark):
     ranked = ordered_prefix_sum(df, ["doc_id"], "n_tokens", out="cum", num_partitions=4)
     kept = ranked.filter(F.col("cum") <= 50).collect()
     assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 3, 4]
+
+
+def test_epoch_shuffle_is_fresh_permutation_per_epoch(spark, sf_smoke):
+    """Both epochs enumerate the same doc set with contiguous index
+    ranges, and epoch 1's within-epoch order is NOT epoch 0's (the
+    per-epoch hash seed actually reshuffles)."""
+    from aws_etl_fiap_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["corpus_epoch_shuffle"].spark(spark, sf_smoke).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append((r["global_idx"], r["doc_id"]))
+    assert set(by_epoch) == {0, 1}
+    n = len(by_epoch[0])
+    assert len(by_epoch[1]) == n
+    assert {d for _, d in by_epoch[0]} == {d for _, d in by_epoch[1]}
+    assert sorted(i for i, _ in by_epoch[0]) == list(range(n))
+    assert sorted(i for i, _ in by_epoch[1]) == list(range(n, 2 * n))
+    order0 = [d for _, d in sorted(by_epoch[0])]
+    order1 = [d for _, d in sorted(by_epoch[1])]
+    assert order0 != order1
