@@ -942,6 +942,31 @@ def main() -> None:
         return ordered_prefix_sum(scored, ["doc_id"], "n_tok", out="cum").count()
 
     stage(f"prefix_sum_{n}docs", _prefix_sum)
+
+    # Real-codec audio at scale: synthesize + parse a genuine WAV per doc
+    # (two Arrow passes over the corpus; payloads never shuffle — only the
+    # fixed-width stats rows leave the stats stage).
+    def _wav_stats():
+        from aws_etl_fiap_spark.operators.multimodal import (
+            audio_stats,
+            documents_as_wav,
+        )
+
+        return audio_stats(documents_as_wav(corpus)).filter(F.col("ok")).count()
+
+    stage(f"wav_synth_stats_{n}docs", _wav_stats)
+
+    # Mergeable quantile summary over the big shadow fact: driver state is
+    # partitions x k rows regardless of row count; the gate's exact-rank
+    # re-check is one extra scan.
+    def _quantiles():
+        from aws_etl_fiap_spark.operators.sketches import (
+            mergeable_quantile_summary,
+        )
+
+        return mergeable_quantile_summary(big_li, "l_extendedprice", k=256).count()
+
+    stage(f"quantile_summary_{big_li.count()}rows", _quantiles)
     spark.stop()
 
 
