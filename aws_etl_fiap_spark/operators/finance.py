@@ -160,3 +160,54 @@ def drawdown(
         round_half_up(F.try_divide(peak - v, peak), scale).alias("drawdown_pct"),
         round_half_up(F.try_divide(v, first) - 1.0, scale).alias("cum_return_pct"),
     )
+
+
+def ewma_volatility(
+    daily: DataFrame,
+    key: str,
+    order_col: str,
+    value: str,
+    lam: float = 0.94,
+    n_rows: int = 20,
+    scale: int = 8,
+) -> DataFrame:
+    """RiskMetrics-style EWMA volatility of the simple-return series of
+    ``value`` per key: ``sigma_t = sqrt(norm * sum_j lam^j * r_{t-j}^2)``
+    over the trailing ``n_rows`` returns, with the truncated-geometric
+    normalizer ``norm = (1-lam) / (1-lam^n_rows)`` so the weights sum to 1.
+
+    Parity design (the oracle re-derives the identical chain): the
+    ``lam^j`` weights and the normalizer are computed ONCE in driver
+    Python and embedded as double literals on both engines; the weighted
+    sum is a fixed-length left-associated chain of ``lag(r^2, j) * w_j``
+    terms, so every IEEE add happens in the same order everywhere; the
+    only rounding is the final half-up to ``scale``.  Rows with fewer than
+    ``n_rows`` trailing returns are suppressed (partial windows would need
+    per-row normalizers — a CASE ladder, not clearer, and rarely wanted).
+
+    Scale shape: one shuffle on the (already pre-aggregated) daily frame's
+    key, then a single window projection — the ``n_rows`` lags share one
+    sort, and no state beyond the frame is kept.
+    """
+    w = Window.partitionBy(key).orderBy(order_col)
+    d = F.col(value).cast("double")
+    prev = F.lag(d, 1).over(w)
+    # try_divide: NULL on a zero previous value, matching DuckDB's double
+    # semantics (ANSI Spark would raise); NULL returns are dropped.
+    with_ret = daily.select(
+        key, order_col, F.try_divide(d - prev, prev).alias("ret")
+    ).filter(F.col("ret").isNotNull())
+    r2 = with_ret.withColumn("r2", F.col("ret") * F.col("ret"))
+    acc: Column | None = None
+    for j in range(n_rows):
+        term = F.lag("r2", j).over(w) * F.lit(lam**j)
+        acc = term if acc is None else acc + term
+    norm = (1.0 - lam) / (1.0 - lam**n_rows)
+    out = r2.select(
+        key,
+        order_col,
+        "ret",
+        F.row_number().over(w).alias("__rn"),
+        round_half_up(F.sqrt(acc * F.lit(norm)), scale).alias("ewma_vol"),
+    )
+    return out.filter(F.col("__rn") >= n_rows).drop("__rn")

@@ -221,6 +221,64 @@ def pagerank(
     return ranks.select("id", "pr")
 
 
+def label_propagation_communities(
+    edges: DataFrame, a: str = "id_a", b: str = "id_b", iters: int = 2
+) -> DataFrame:
+    """Community detection by synchronous frequency label propagation
+    (Raghavan et al. 2007, "Near linear time algorithm to detect community
+    structures in large-scale networks") over an undirected graph given as
+    oriented distinct edges (``a < b``).
+
+    Start: every vertex labels itself.  Each round, every vertex adopts
+    the label occurring MOST OFTEN among its neighbors; ties break to the
+    smallest label.  Unlike the min-label rule (:func:`connected_components`,
+    which converges to one label per component), the frequency vote stops
+    at dense subgraph boundaries — the community structure.
+
+    Determinism contract (same stance as :func:`pagerank`): a FIXED round
+    count and synchronous updates with a total tie order make the result a
+    pure function of the edge list, so an unrolled SQL twin reproduces it
+    exactly — the asynchronous/randomized variants of the paper are not
+    oracle-able.  Scale shape: each round is one shuffle-join of the edge
+    list against the ~|V|-row label frame, a (vertex, label) count
+    aggregate, and a per-vertex argmax window over the (bounded) per-vertex
+    distinct-neighbor-label set; label frames localCheckpoint per round so
+    the plan stays flat.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = sym.count()
+    session = sym.sparkSession
+    default_parts = int(session.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_parts = max(1, min(default_parts, -(-n_edges // EDGES_PER_SHUFFLE_PARTITION)))
+    with scoped_conf(session, "spark.sql.shuffle.partitions", str(loop_parts)):
+        lbl = sym.select(F.col("src").alias("id")).distinct().withColumn(
+            "lab", F.col("id")
+        )
+        w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("lab").asc())
+        for _ in range(iters):
+            votes = (
+                sym.join(lbl, sym.dst == lbl.id)
+                .groupBy(F.col("src").alias("id"), "lab")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            prev = lbl
+            lbl = (
+                votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("id", "lab")
+                .localCheckpoint(eager=True)
+            )
+            _release_checkpoint_blocks(prev)
+    return lbl
+
+
 def triangle_counts(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
     """Per-node triangle participation counts over an undirected simple
     graph given as ORIENTED distinct edges (``a < b``, each undirected

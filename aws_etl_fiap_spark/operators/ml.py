@@ -103,3 +103,23 @@ def logreg_train_gd(
     return df.sparkSession.createDataFrame(
         [tuple(r) for r in rows], schema
     )
+
+
+def logreg_score(features: list[Column], weights: list[float]) -> Column:
+    """Predicted probability under FIXED weights — the inference half of
+    :func:`logreg_train_gd`, with the identical 12dp-quantized sigmoid so
+    a scored corpus is hash-reproducible across engines.  ``weights`` is
+    ``[b0, b1..bd]`` (the trainer's trajectory row); the model rides into
+    the plan as literals — a pure whole-stage-codegen projection, no join,
+    no shuffle, no state."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+
+    if len(weights) != len(features) + 1:
+        raise ValueError(
+            f"expected {len(features) + 1} weights (bias + one per feature), "
+            f"got {len(weights)}"
+        )
+    z: Column = F.lit(weights[0])
+    for i, c in enumerate(features):
+        z = z + F.lit(weights[i + 1]) * c.cast("double")
+    return round_half_up(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)

@@ -58,6 +58,35 @@ def k_anonymize(
     return df.join(F.broadcast(violators), qc, "left_anti")
 
 
+def l_diversify(
+    df: DataFrame, quasi_cols: Sequence[str], sensitive_col: str, k: int, l: int
+) -> DataFrame:
+    """Rows whose quasi-identifier group has >= k members AND >= l distinct
+    values of ``sensitive_col`` (distinct l-diversity, Machanavajjhala et
+    al. 2007 — the standard hardening of k-anonymity against homogeneity
+    attacks: a class where every member shares the sensitive value leaks it
+    even at k).
+
+    Same release shape as :func:`k_anonymize`: ONE groupBy over the quasi
+    columns computes (n, n_distinct_sensitive) per equivalence class —
+    bounded by the quasi-space cardinality, not rows — the violating-class
+    set broadcasts, and the corpus streams through a left_anti join
+    unshuffled."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    qc = list(quasi_cols)
+    classes = df.groupBy(*qc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(sensitive_col).alias("n_sens"),
+    )
+    violators = classes.filter(
+        (F.col("n") < k) | (F.col("n_sens") < l)
+    ).select(*qc)
+    return df.join(F.broadcast(violators), qc, "left_anti")
+
+
 def k_anonymity_report(
     df: DataFrame, quasi_cols: Sequence[str], k: int
 ) -> DataFrame:

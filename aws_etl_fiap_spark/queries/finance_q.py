@@ -174,3 +174,60 @@ def fin_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(dec_sum("value", 2).alias("daily_total"))
     return drawdown(daily, "event_type", "day", "daily_total")
+
+
+_EWMA_LAM = 0.94
+_EWMA_K = 20
+
+
+def _ewma_oracle(lam: float = _EWMA_LAM, k: int = _EWMA_K) -> str:
+    from aws_etl_fiap_spark.functions.parity import sql_round_half_up
+
+    chain = " + ".join(
+        f"LAG(r2, {j}) OVER w2 * {lam**j!r}" for j in range(k)
+    )
+    norm = (1.0 - lam) / (1.0 - lam**k)
+    vol = sql_round_half_up(f"SQRT(({chain}) * {norm!r})", 8)
+    return f"""
+WITH daily AS ({_DAILY_SQL}),
+r AS (
+    SELECT event_type, day,
+           (daily_total - LAG(daily_total) OVER w) / LAG(daily_total) OVER w
+               AS ret
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+r2f AS (
+    SELECT event_type, day, ret, ret * ret AS r2,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+    FROM r WHERE ret IS NOT NULL
+)
+SELECT event_type, day, ret, ewma_vol FROM (
+    SELECT event_type, day, ret, rn,
+           {vol} AS ewma_vol
+    FROM r2f
+    WINDOW w2 AS (PARTITION BY event_type ORDER BY day)
+) WHERE rn >= {k}
+"""
+
+
+@query("fin_ewma_vol_daily", oracle=_ewma_oracle())
+def fin_ewma_vol_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT W-EXT] RiskMetrics EWMA volatility (operators/finance.
+    ewma_volatility, lambda=0.94 over the trailing 20 returns) of the
+    per-type daily traded-value series — the decay-weighted vol estimate
+    quote warehouses run beside the equal-weight Bollinger sigma.  The
+    lam^j weights and normalizer are driver-computed double literals on
+    BOTH engines and the weighted sum is a fixed-order add chain of 20
+    lags sharing one window sort, so the only rounding anywhere is the
+    final half-up to 8dp."""
+    from aws_etl_fiap_spark.functions.parity import dec_sum
+    from aws_etl_fiap_spark.operators.finance import ewma_volatility
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(dec_sum("value", 2).alias("daily_total"))
+    return ewma_volatility(
+        daily, "event_type", "day", "daily_total", lam=_EWMA_LAM, n_rows=_EWMA_K
+    )

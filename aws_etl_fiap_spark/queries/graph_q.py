@@ -198,3 +198,78 @@ def graph_triangle_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_basket=_MAX_BASKET, min_pair_count=_MIN_PAIR,
     ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
     return triangle_counts(edges).withColumnRenamed("id", "brand")
+
+
+LPA_ITERS = 2
+
+
+def _lpa_oracle(iters: int = LPA_ITERS) -> str:
+    from aws_etl_fiap_spark.queries.seq_q import _MAX_BASKET, _MIN_PAIR
+
+    parts = [
+        f"""WITH items AS (
+    SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+sized AS (
+    SELECT bk, it FROM (
+        SELECT bk, it, COUNT(*) OVER (PARTITION BY bk) AS bk_size FROM items
+    ) WHERE bk_size <= {_MAX_BASKET}
+),
+edges AS (
+    SELECT a.it AS ea, b.it AS eb
+    FROM sized a JOIN sized b ON a.bk = b.bk AND a.it < b.it
+    GROUP BY a.it, b.it
+    HAVING COUNT(*) >= {_MIN_PAIR}
+),
+sym AS (
+    SELECT ea AS src, eb AS dst FROM edges
+    UNION
+    SELECT eb AS src, ea AS dst FROM edges
+),
+l0 AS (SELECT DISTINCT src AS id, src AS lab FROM sym)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+l{k} AS (
+    SELECT id, lab FROM (
+        SELECT s.src AS id, l.lab,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.src
+                   ORDER BY COUNT(*) DESC, l.lab ASC
+               ) AS rn
+        FROM sym s JOIN l{k - 1} l ON l.id = s.dst
+        GROUP BY s.src, l.lab
+    ) WHERE rn = 1
+)"""
+        )
+    return "".join(parts) + f"\nSELECT id AS brand, lab AS community FROM l{iters}"
+
+
+@query("graph_community_lpa_brands", oracle=_lpa_oracle())
+def graph_community_lpa_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Frequency label-propagation community detection
+    (operators/graph.label_propagation_communities) over the brand
+    co-occurrence graph — Raghavan et al.'s near-linear community
+    algorithm in its deterministic synchronous form: 2 fixed rounds, every
+    vertex adopts its neighbors' most frequent label, ties to the smallest.
+    Completes the graph family's structure ladder (components -> triangles
+    -> PageRank -> communities).  The oracle unrolls the identical rounds
+    in SQL; with string labels the tie order is the plain string order on
+    both engines."""
+    from aws_etl_fiap_spark.operators.graph import label_propagation_communities
+    from aws_etl_fiap_spark.operators.sequences import basket_pairs
+    from aws_etl_fiap_spark.queries.seq_q import _MAX_BASKET, _MIN_PAIR
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    edges = basket_pairs(
+        baskets, "l_orderkey", "p_brand",
+        max_basket=_MAX_BASKET, min_pair_count=_MIN_PAIR,
+    ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+    out = label_propagation_communities(edges, iters=LPA_ITERS)
+    return out.select(F.col("id").alias("brand"), F.col("lab").alias("community"))

@@ -621,6 +621,60 @@ def privacy_k_anon_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "privacy_l_diversity_release",
+    oracle="""
+WITH banded AS (
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000.0) * 1000.0 AS DOUBLE) AS bal_band
+    FROM customer
+),
+classes AS (
+    SELECT c_nationkey, bal_band,
+           COUNT(*) AS grp_n,
+           COUNT(DISTINCT c_mktsegment) AS grp_l
+    FROM banded
+    GROUP BY c_nationkey, bal_band
+)
+SELECT b.c_nationkey, b.bal_band,
+       COUNT(*) AS n,
+       CAST(COUNT(DISTINCT b.c_mktsegment) AS BIGINT) AS n_segments,
+       CAST(SUM(b.c_custkey) AS BIGINT) AS key_sum
+FROM banded b
+JOIN classes c
+  ON b.c_nationkey = c.c_nationkey AND b.bal_band = c.bal_band
+WHERE c.grp_n >= 3 AND c.grp_l >= 3
+GROUP BY b.c_nationkey, b.bal_band
+""",
+)
+def privacy_l_diversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distinct l-diversity release gate (operators/privacy.
+    l_diversify): generalize c_acctbal onto 1000-wide bands and release a
+    (nation, band) equivalence class only if it has >= k=3 members AND >=
+    l=3 distinct market segments — k-anonymity hardened against the
+    homogeneity attack (a class whose members all share the sensitive
+    value leaks it at any k).  Same 100 TB shape as the k-anon gate: one
+    bounded class aggregate, broadcast violator set, anti-join; the oracle
+    recomputes both thresholds from scratch and key_sum pins row identity
+    through the suppression join."""
+    from aws_etl_fiap_spark.operators.privacy import generalize_band, l_diversify
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        generalize_band("c_acctbal", 1000.0).alias("bal_band"),
+    )
+    released = l_diversify(
+        cust, ["c_nationkey", "bal_band"], "c_mktsegment", k=3, l=3
+    )
+    return released.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+    )
+
+
 #: Shared by the batch gate below and the STREAMING twin
 #: (queries/streaming_q.stream_psi_drift_equiv) — same bins, same Laplace
 #: smoothing, same 6dp rounding.

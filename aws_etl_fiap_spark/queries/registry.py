@@ -230,6 +230,10 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "media_wav_resample",
     "media_wav_energy_windows",
     "corpus_epoch_shuffle",
+    "privacy_l_diversity_release",
+    "graph_community_lpa_brands",
+    "fin_ewma_vol_daily",
+    "ml_logreg_score_filter",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -534,21 +534,24 @@ def events_rolling_wau_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _logreg_oracle(lr: float = 1.5, iters: int = 3) -> str:
-    """Unrolled DuckDB twin of operators/ml.logreg_train_gd: per iteration
-    one gradient CTE (decimal sums of 9dp-quantized contributions over the
-    12dp-quantized sigmoid) and one 1-row weight-update CTE; the extra
-    g{iters+1} pass scores the final weights — identical arithmetic to the
-    Spark trainer step for step."""
+def _logreg_ctes(lr: float = 1.5, iters: int = 3, with_id: bool = False) -> str:
+    """Unrolled DuckDB twin of operators/ml.logreg_train_gd's TRAJECTORY:
+    per iteration one gradient CTE (decimal sums of 9dp-quantized
+    contributions over the 12dp-quantized sigmoid) and one 1-row
+    weight-update CTE; the extra g{iters+1} pass scores the final weights —
+    identical arithmetic to the Spark trainer step for step.  Returns the
+    WITH-clause chain (feats, w0..w{iters}, g1..g{iters+1}); the training
+    and inference oracles compose their own final SELECT over it."""
     from aws_etl_fiap_spark.functions.parity import (
         sql_dec_sum,
         sql_round_half_up,
     )
 
     stop = "'the','of','and','to','in','is','that','for','with','on'"
+    id_col = "doc_id," if with_id else ""
     parts = [
         f"""WITH feats AS (
-    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+    SELECT {id_col} CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
            CAST(len(list_filter(string_split(text, ' '), x -> x IN ({stop})))
                 AS DOUBLE)
              / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
@@ -587,6 +590,14 @@ g{k} AS (
             )
             parts.append(f""",
 w{k} AS (SELECT {upd} FROM w{k - 1} CROSS JOIN g{k})""")
+    return "".join(parts)
+
+
+def _logreg_oracle(lr: float = 1.5, iters: int = 3) -> str:
+    """Training oracle: the full weight trajectory + per-iteration
+    accuracy (see :func:`_logreg_ctes`)."""
+    from aws_etl_fiap_spark.functions.parity import sql_round_half_up
+
     selects = [
         f"SELECT CAST({k} AS INTEGER) AS iter, "
         + ", ".join(
@@ -595,7 +606,35 @@ w{k} AS (SELECT {upd} FROM w{k - 1} CROSS JOIN g{k})""")
         + f", (SELECT n_correct FROM g{k + 1}) AS n_correct FROM w{k}"
         for k in range(1, iters + 1)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _logreg_ctes(lr, iters) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+#: Released-set size for the inference gate: a FIXED top-k (not a fixed
+#: probability cut) keeps the selection non-degenerate at every SF — the
+#: 3-iteration model's score range shifts with the corpus, so any absolute
+#: threshold is either empty or everything at some scale.
+_LOGREG_TOP_K = 100
+
+
+def _logreg_score_oracle(lr: float = 1.5, iters: int = 3) -> str:
+    """Inference oracle: re-derive the final weights through the identical
+    training CTEs, score every document with the same 12dp-quantized
+    sigmoid, and release the top-k under the (prob DESC, doc_id) total
+    order — the quality-ranked selection rule."""
+    from aws_etl_fiap_spark.functions.parity import sql_round_half_up
+
+    sig = sql_round_half_up("1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2)))", 12)
+    prob6 = sql_round_half_up("prob", 6)
+    return (
+        _logreg_ctes(lr, iters, with_id=True)
+        + f""",
+scored AS (
+    SELECT doc_id, y, {sig} AS prob
+    FROM feats CROSS JOIN w{iters}
+)
+SELECT doc_id, CAST(y AS INT) AS is_en, {prob6} AS en_prob
+FROM scored ORDER BY prob DESC, doc_id LIMIT {_LOGREG_TOP_K}"""
+    )
 
 
 @query("ml_logreg_gd_lang", oracle=_logreg_oracle())
@@ -632,4 +671,51 @@ def ml_logreg_gd_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up("b1", 6).alias("b1"),
         round_half_up("b2", 6).alias("b2"),
         "n_correct",
+    )
+
+
+@query("ml_logreg_score_filter", oracle=_logreg_score_oracle())
+def ml_logreg_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] The INFERENCE half of the quality-classifier loop:
+    train the en-language logistic model (identical trajectory to
+    ml_logreg_gd_lang), pull the final weights to the driver (3 doubles —
+    bounded at any corpus size), score the corpus as a pure literal
+    projection (operators/ml.logreg_score), and release the top-100 docs
+    under the (prob DESC, doc_id) total order — the fasttext-style
+    train-then-select pass LLM pipelines run over raw crawl, with a
+    quality-ranked quota instead of an absolute cut (the 3-iteration
+    model's score range shifts with corpus scale, so a fixed threshold
+    degenerates).  The limit runs as TakeOrderedAndProject (distributed
+    partial top-k — no single-reducer global window).  The oracle
+    re-derives the weights through the unrolled training CTEs and scores
+    with the same 12dp sigmoid, so the released id set AND the
+    probabilities are inside the hash gate."""
+    from aws_etl_fiap_spark.operators.ml import logreg_score, logreg_train_gd
+    from aws_etl_fiap_spark.operators.text import LID_STOPWORDS, stopword_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+
+    def feats() -> list:
+        return [
+            stopword_hits(toks, LID_STOPWORDS["en"]).cast("double") / n_tok,
+            F.least(n_tok / 100.0, F.lit(2.0)),
+        ]
+
+    trajectory = logreg_train_gd(
+        docs, label=(F.col("lang") == "en"), features=feats(), lr=1.5, iters=3
+    )
+    final = trajectory.orderBy(F.col("iter").desc()).first()
+    w = [final["b0"], final["b1"], final["b2"]]
+    prob = logreg_score(feats(), w)
+    return (
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").cast("int").alias("is_en"),
+            prob.alias("__prob"),
+        )
+        .orderBy(F.col("__prob").desc(), "doc_id")
+        .limit(_LOGREG_TOP_K)
+        .select("doc_id", "is_en", round_half_up("__prob", 6).alias("en_prob"))
     )

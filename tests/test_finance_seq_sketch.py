@@ -462,3 +462,38 @@ def test_quantile_summary_bound_holds_under_coarse_k(spark):
     df = spark.range(5000).select((F.col("id") % 977).cast("double").alias("x"))
     out = mergeable_quantile_summary(df, "x", k=4)
     assert out.count() == 0
+
+
+def test_ewma_volatility_matches_numpy(spark):
+    import math
+
+    from aws_etl_fiap_spark.operators.finance import ewma_volatility
+
+    lam, k = 0.94, 5
+    vals = [100.0, 102.0, 101.0, 105.0, 103.0, 104.0, 108.0, 107.0, 110.0]
+    rows = [("s", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, t int, px double")
+    out = {
+        r["t"]: r["ewma_vol"]
+        for r in ewma_volatility(df, "key", "t", "px", lam=lam, n_rows=k).collect()
+    }
+    rets = [(vals[i] - vals[i - 1]) / vals[i - 1] for i in range(1, len(vals))]
+    norm = (1.0 - lam) / (1.0 - lam**k)
+    # full windows only: first emitted row is the k-th return
+    assert sorted(out) == list(range(k, len(vals)))
+    for t in out:
+        ri = t - 1  # return index of row t
+        s = sum(lam**j * rets[ri - j] ** 2 for j in range(k))
+        expect = math.floor(math.sqrt(s * norm) * 1e8 + 0.5) / 1e8
+        assert abs(out[t] - expect) < 1e-12, (t, out[t], expect)
+
+
+def test_ewma_volatility_zero_prev_drops_row(spark):
+    from aws_etl_fiap_spark.operators.finance import ewma_volatility
+
+    rows = [("s", 0, 0.0), ("s", 1, 10.0), ("s", 2, 11.0), ("s", 3, 12.0)]
+    df = spark.createDataFrame(rows, "key string, t int, px double")
+    out = ewma_volatility(df, "key", "t", "px", lam=0.9, n_rows=2).collect()
+    # the 0 -> 10 return is NULL (try_divide) and dropped; two valid
+    # returns remain, so exactly one full-window row survives
+    assert [r["t"] for r in out] == [3]

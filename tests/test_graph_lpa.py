@@ -1,0 +1,60 @@
+"""Frequency label propagation (operators/graph.label_propagation_communities):
+deterministic synchronous semantics vs a brute-force driver simulation, and
+the community-boundary behavior that separates it from min-label components.
+"""
+
+from collections import Counter
+
+from aws_etl_fiap_spark.operators.graph import label_propagation_communities
+
+
+def _simulate(edges, iters):
+    """Reference synchronous LPA: most-frequent neighbor label, min tie."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {v: v for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v, nbrs in adj.items():
+            votes = Counter(lab[u] for u in nbrs)
+            top = max(votes.values())
+            nxt[v] = min(l for l, c in votes.items() if c == top)
+        lab = nxt
+    return lab
+
+
+def _run(spark, edges, iters):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = label_propagation_communities(df, iters=iters)
+    return {r["id"]: r["lab"] for r in out.collect()}
+
+
+def test_lpa_matches_reference_simulation(spark):
+    # two 4-cliques joined by a single bridge edge
+    clique1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = clique1 + clique2 + [(4, 10)]
+    for iters in (1, 2, 3):
+        assert _run(spark, edges, iters) == _simulate(edges, iters)
+
+
+def test_lpa_keeps_clique_communities_separate(spark):
+    """Min-label components would merge everything reachable; frequency
+    votes stop at the bridge — each clique keeps its own min label."""
+    clique1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = clique1 + clique2 + [(4, 10)]
+    lab = _run(spark, edges, 2)
+    assert {lab[v] for v in (1, 2, 3)} == {1}
+    assert {lab[v] for v in (11, 12, 13)} == {10}
+    assert lab[1] != lab[11]
+
+
+def test_lpa_string_labels_tie_to_smallest(spark):
+    edges = [("x", "y"), ("y", "z")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    out = {r["id"]: r["lab"] for r in label_propagation_communities(df, iters=1).collect()}
+    # y sees {x, z} -> min "x"; x and z each see only y
+    assert out == {"x": "y", "y": "x", "z": "y"}

@@ -39,3 +39,34 @@ def test_logreg_learns_separable_data(spark):
     assert out[-1]["n_correct"] == len(rows)
     # n_correct is evaluated with each iteration's OWN weights
     assert all(r["n_correct"] <= len(rows) for r in out)
+
+
+def test_logreg_score_matches_manual_sigmoid(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from aws_etl_fiap_spark.operators.ml import logreg_score
+
+    df = spark.createDataFrame([(0.5, 1.0), (2.0, -1.0)], "x1 double, x2 double")
+    w = [0.1, 0.2, -0.3]
+    got = [
+        r["p"]
+        for r in df.select(
+            logreg_score([F.col("x1"), F.col("x2")], w).alias("p")
+        ).collect()
+    ]
+    for (x1, x2), p in zip([(0.5, 1.0), (2.0, -1.0)], got):
+        z = w[0] + w[1] * x1 + w[2] * x2
+        expect = math.floor(1.0 / (1.0 + math.exp(-z)) * 1e12 + 0.5) / 1e12
+        assert p == expect
+
+
+def test_logreg_score_validates_weight_count(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from aws_etl_fiap_spark.operators.ml import logreg_score
+
+    with pytest.raises(ValueError):
+        logreg_score([F.lit(1.0)], [0.0])

@@ -93,3 +93,34 @@ def test_suppression_join_broadcasts_violators(spark, sf_smoke):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_l_diversity_suppresses_homogeneous_groups(spark):
+    from aws_etl_fiap_spark.operators.privacy import l_diversify
+
+    rows = [
+        # group A: 3 members, all one segment -> k ok, l=2 violated
+        (1, "A", "AUTO"), (2, "A", "AUTO"), (3, "A", "AUTO"),
+        # group B: 3 members, 2 segments -> released at k=2, l=2
+        (4, "B", "AUTO"), (5, "B", "BIKE"), (6, "B", "AUTO"),
+        # group C: 2 distinct segments but only 2 members -> k=3 violated
+        (7, "C", "AUTO"), (8, "C", "BIKE"),
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, seg string")
+    kept = l_diversify(df, ["grp"], "seg", k=2, l=2)
+    assert sorted(r["id"] for r in kept.collect()) == [4, 5, 6, 7, 8]
+    kept_k3 = l_diversify(df, ["grp"], "seg", k=3, l=2)
+    assert sorted(r["id"] for r in kept_k3.collect()) == [4, 5, 6]
+    # l=1 degenerates to plain k-anonymity
+    kept_l1 = l_diversify(df, ["grp"], "seg", k=2, l=1)
+    assert kept_l1.count() == 8
+
+
+def test_l_diversity_validates_params(spark):
+    from aws_etl_fiap_spark.operators.privacy import l_diversify
+
+    df = spark.createDataFrame([(1, "A", "x")], "id long, grp string, seg string")
+    with pytest.raises(ValueError):
+        l_diversify(df, ["grp"], "seg", k=0, l=2)
+    with pytest.raises(ValueError):
+        l_diversify(df, ["grp"], "seg", k=2, l=0)
