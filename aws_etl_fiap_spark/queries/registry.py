@@ -234,6 +234,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "graph_community_lpa_brands",
     "fin_ewma_vol_daily",
     "ml_logreg_score_filter",
+    "text_kn_bigram_nll",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -861,6 +861,73 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_kn_bigram_nll",
+    oracle="""
+WITH pos AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+db AS (
+    SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+    FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+types AS (SELECT w1, w2, COUNT(*) AS c_ab FROM db GROUP BY 1, 2),
+kept AS (SELECT * FROM types WHERE c_ab >= 2),
+ctx AS (SELECT w1, SUM(c_ab) AS c_ctx FROM types GROUP BY w1),
+n1f AS (SELECT w1, COUNT(*) AS n_follow FROM types GROUP BY w1),
+n1b AS (SELECT w2, COUNT(*) AS n_precede FROM types GROUP BY w2),
+bt AS (SELECT COUNT(*) AS n_types FROM types),
+scored AS (
+    SELECT db.doc_id,
+           -ln(
+             CASE WHEN kept.c_ab IS NOT NULL
+                  THEN (CAST(kept.c_ab AS DOUBLE) - 0.75)
+                       / CAST(ctx.c_ctx AS DOUBLE)
+                  ELSE 0.0 END
+             + (0.75 * CAST(n1f.n_follow AS DOUBLE)
+                     / CAST(ctx.c_ctx AS DOUBLE))
+               * CAST(n1b.n_precede AS DOUBLE)
+               / CAST(bt.n_types AS DOUBLE)
+           ) AS nll
+    FROM db
+    LEFT JOIN kept ON kept.w1 = db.w1 AND kept.w2 = db.w2
+    JOIN ctx ON ctx.w1 = db.w1
+    JOIN n1f ON n1f.w1 = db.w1
+    JOIN n1b ON n1b.w2 = db.w2
+    CROSS JOIN bt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       FLOOR((SUM(nll) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_nll_kn
+FROM scored GROUP BY doc_id
+""",
+)
+def text_kn_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Interpolated Kneser-Ney bigram fluency score
+    (operators/text.kn_bigram_nll) — the smoothing the CCNet/KenLM
+    quality-filter LMs actually ship, one rigor tier above
+    text_bigram_lm_nll's stupid backoff: discounted seen-bigram mass plus
+    the continuation distribution N1+(.,w2)/B, with KenLM-style pruning
+    (floor 2) keeping the broadcast probability table
+    frequent-vocabulary-sized.  The full bigram TYPE table reduces to
+    three vocab-sized count tables + one scalar before anything
+    broadcasts; the corpus shuffles exactly once (final per-doc
+    aggregate).  Rounded half-up to 6 dp on both engines (sum order +
+    libm ln ulps)."""
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+    from aws_etl_fiap_spark.operators.text import kn_bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = kn_bigram_nll(docs, min_bigram_count=2, discount=0.75)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        round_half_up("avg_nll", 6).alias("avg_nll_kn"),
+    )
+
+
 @query("text_bpe_encode", oracle=_bpe_encode_oracle())
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT north star] Tokenizer APPLICATION (operators/bpe.bpe_encode):

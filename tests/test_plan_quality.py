@@ -519,6 +519,17 @@ def test_bigram_lm_all_count_tables_broadcast(spark, sf_correctness):
     assert plan.count("BroadcastExchange") >= 3, plan
 
 
+def test_kn_bigram_all_count_tables_broadcast(spark, sf_correctness):
+    """text_kn_bigram_nll: the pruned bigram table, the three vocab-sized
+    KN count tables, and the scalar type total all broadcast back onto the
+    exploded corpus — zero shuffle joins, same invariant as the stupid-
+    backoff sibling (a shuffle join would re-key every corpus bigram
+    instance by word pair)."""
+    plan = physical_plan(spark, sf_correctness, "text_kn_bigram_nll")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 4, plan
+
+
 def test_psi_drift_single_scan_no_join_on_events(spark, sf_correctness):
     """dq_psi_value_drift: fixed bin edges mean ONE map-side-combined
     aggregate over the events scan; the only join is the bin-cardinality

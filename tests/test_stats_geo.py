@@ -165,3 +165,24 @@ def test_bigram_lm_nll_hand_checked(spark):
     assert got[1]["n_bigrams"] == 1
     p_backoff = 0.4 * 3 / 6  # 0.4 * c(a)/N
     assert abs(got[3]["avg_nll"] - (-math.log(p_backoff))) < 1e-12
+
+
+def test_kn_bigram_nll_hand_checked(spark):
+    """Tiny corpus where every KN term is a known ratio: a kept bigram gets
+    discounted mass + continuation, a pruned one continuation only."""
+    import math
+
+    from aws_etl_fiap_spark.operators.text import kn_bigram_nll
+
+    # bigram instances: 'a b' x2 (kept, floor 2), 'b a' x1 (pruned).
+    docs = [(1, "a b"), (2, "a b"), (3, "b a")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in kn_bigram_nll(df).collect()}
+    # types: (a,b) c=2, (b,a) c=1 -> B=2; c_ctx(a)=2, c_ctx(b)=1;
+    # N1+(a,.)=1, N1+(b,.)=1; N1+(.,b)=1, N1+(.,a)=1.
+    d = 0.75
+    p_ab = (2 - d) / 2 + (d * 1 / 2) * (1 / 2)  # seen + continuation
+    assert got[1]["n_bigrams"] == 1
+    assert abs(got[1]["avg_nll"] - (-math.log(p_ab))) < 1e-12
+    p_ba = 0.0 + (d * 1 / 1) * (1 / 2)  # pruned -> continuation only
+    assert abs(got[3]["avg_nll"] - (-math.log(p_ba))) < 1e-12
