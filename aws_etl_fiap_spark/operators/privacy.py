@@ -87,6 +87,57 @@ def l_diversify(
     return df.join(F.broadcast(violators), qc, "left_anti")
 
 
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    seed: str = "dp-v1",
+) -> DataFrame:
+    """Epsilon-DP histogram release (Dwork et al.'s Laplace mechanism for
+    counting queries, sensitivity 1): per-group counts plus Laplace(1/eps)
+    noise, with the noise draw DERANDOMIZED through the portable-md5 hash
+    of (seed, group key) so the release is reproducible across engines and
+    re-runs — the same seeded-mechanism discipline as the epoch-shuffle
+    and sampling operators (a re-run must not spend fresh privacy budget
+    by redrawing noise for the same release).
+
+    The draw: the 60-bit portable hash maps to u on a symmetric
+    (0, 1) grid of 10^6 steps (never exactly 0 — ln never sees 0), then
+    through the Laplace inverse CDF ``-b * sign(u - 1/2) *
+    ln(1 - 2*|u - 1/2|)``.  Only the noisy count is released (the true
+    count stays inside the plan), rounded to 6 dp for cross-engine
+    hashing.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus; the
+    hash/noise arithmetic runs on the group frame, which is bounded by the
+    group-space cardinality, not rows.  Pair with :func:`k_anonymize` /
+    :func:`l_diversify` for row releases; this is the aggregate-release
+    side of the privacy surface."""
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    from aws_etl_fiap_spark.operators.dedup import portable_hash60
+
+    gc = list(group_cols)
+    counts = df.groupBy(*gc).agg(F.count(F.lit(1)).alias("__n"))
+    u = (
+        (portable_hash60(F.lit(seed), *[F.col(c).cast("string") for c in gc])
+         % F.lit(1_000_000)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+
+    noisy = F.col("__n").cast("double") + noise
+    return counts.select(
+        *gc, round_half_up(noisy, 6).alias("noisy_count")
+    )
+
+
 def k_anonymity_report(
     df: DataFrame, quasi_cols: Sequence[str], k: int
 ) -> DataFrame:

@@ -675,6 +675,49 @@ def privacy_l_diversity_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "privacy_dp_noisy_counts",
+    oracle="""
+WITH counts AS (
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+),
+drawn AS (
+    SELECT c_nationkey, c_mktsegment, n,
+           (CAST(CAST('0x' || substr(md5(
+                'dp-v1' || ':' || CAST(c_nationkey AS VARCHAR)
+                        || ':' || c_mktsegment), 1, 15) AS BIGINT)
+                 % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+    FROM counts
+)
+SELECT c_nationkey, c_mktsegment,
+       FLOOR((CAST(n AS DOUBLE)
+              + (-1.0) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)))
+             * 1000000.0 + 0.5) / 1000000.0 AS noisy_count
+FROM drawn
+""",
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Epsilon-DP histogram release (operators/privacy.
+    dp_noisy_counts): per-(nation, segment) customer counts + Laplace(1/1.0)
+    noise, the aggregate-release side of the privacy surface (k-anon /
+    l-diversity gate ROW releases; the Laplace mechanism gates COUNT
+    releases).  The noise draw is derandomized through the portable-md5
+    hash of (seed, group key) — reproducible across engines and re-runs, so
+    a re-run cannot silently spend fresh privacy budget — and the true
+    count never leaves the plan.  One map-side-combined aggregate; all
+    noise arithmetic runs on the group-cardinality frame.  The oracle
+    re-derives the same uniform grid draw and inverse CDF, so the exact
+    released values are inside the hash gate."""
+    from aws_etl_fiap_spark.operators.privacy import dp_noisy_counts
+
+    cust = load_table(spark, sf_dir, "customer")
+    return dp_noisy_counts(
+        cust, ["c_nationkey", "c_mktsegment"], epsilon=1.0, seed="dp-v1"
+    )
+
+
 #: Shared by the batch gate below and the STREAMING twin
 #: (queries/streaming_q.stream_psi_drift_equiv) — same bins, same Laplace
 #: smoothing, same 6dp rounding.

@@ -235,6 +235,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "fin_ewma_vol_daily",
     "ml_logreg_score_filter",
     "text_kn_bigram_nll",
+    "privacy_dp_noisy_counts",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -124,3 +124,36 @@ def test_l_diversity_validates_params(spark):
         l_diversify(df, ["grp"], "seg", k=0, l=2)
     with pytest.raises(ValueError):
         l_diversify(df, ["grp"], "seg", k=2, l=0)
+
+
+def test_dp_noisy_counts_hand_checked(spark):
+    """The seeded Laplace draw is re-derivable in plain Python: md5 grid
+    uniform -> inverse CDF -> count + noise, rounded half-up at 6 dp."""
+    import hashlib
+    import math
+
+    from aws_etl_fiap_spark.operators.privacy import dp_noisy_counts
+
+    rows = [("a",)] * 5 + [("b",)] * 3
+    df = spark.createDataFrame(rows, "g string")
+    got = {
+        r["g"]: r["noisy_count"]
+        for r in dp_noisy_counts(df, ["g"], epsilon=2.0, seed="s").collect()
+    }
+    for g, n in (("a", 5), ("b", 3)):
+        h = int(hashlib.md5(f"s:{g}".encode()).hexdigest()[:15], 16)
+        u = ((h % 1_000_000) + 0.5) / 1_000_000.0
+        c = u - 0.5
+        noise = -(1.0 / 2.0) * math.copysign(1.0, c) * math.log(1.0 - 2.0 * abs(c))
+        want = math.floor((n + noise) * 1e6 + 0.5) / 1e6
+        assert got[g] == want, (g, got[g], want)
+
+
+def test_dp_noisy_counts_rejects_bad_epsilon(spark):
+    import pytest
+
+    from aws_etl_fiap_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([("a",)], "g string")
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
