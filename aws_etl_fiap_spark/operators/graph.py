@@ -279,6 +279,65 @@ def label_propagation_communities(
     return lbl
 
 
+def bfs_hops(
+    edges: DataFrame,
+    source_pred,
+    a: str = "id_a",
+    b: str = "id_b",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source breadth-first shortest-hop distances over an undirected
+    graph given as oriented distinct edges (``a < b``): every vertex
+    matching ``source_pred`` (a Column predicate over the vertex id) starts
+    at distance 0, and each of the ``max_hops`` synchronous rounds extends
+    the frontier by one hop — the reachability/radius primitive under
+    influence propagation, contamination-spread checks, and seed-set
+    expansion.  Vertices not reached within ``max_hops`` are absent from
+    the output (a bounded-horizon BFS, deliberately: the horizon is the
+    determinism contract the unrolled SQL twin reproduces).
+
+    Scale shape (same stance as :func:`label_propagation_communities`):
+    the symmetrized edge list localCheckpoints once; each round is one
+    shuffle-join of the edges against the CURRENT FRONTIER only (not the
+    whole reached set), a distinct, and an anti-join against the reached
+    set — frontier-sized work, the textbook distributed BFS.  Reached/
+    frontier frames localCheckpoint per round to keep plans flat."""
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = sym.count()
+    session = sym.sparkSession
+    default_parts = int(session.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop_parts = max(1, min(default_parts, -(-n_edges // EDGES_PER_SHUFFLE_PARTITION)))
+    with scoped_conf(session, "spark.sql.shuffle.partitions", str(loop_parts)):
+        nodes = sym.select(F.col("src").alias("id")).distinct()
+        frontier = (
+            nodes.filter(source_pred(F.col("id")))
+            .localCheckpoint(eager=True)
+        )
+        reached = frontier.withColumn("hops", F.lit(0))
+        for k in range(1, max_hops + 1):
+            cand = (
+                sym.join(frontier, sym.src == frontier.id)
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+            prev_frontier, prev_reached = frontier, reached
+            frontier = cand.join(
+                reached.select("id"), "id", "left_anti"
+            ).localCheckpoint(eager=True)
+            reached = reached.union(
+                frontier.withColumn("hops", F.lit(k))
+            ).localCheckpoint(eager=True)
+            _release_checkpoint_blocks(prev_frontier)
+            _release_checkpoint_blocks(prev_reached)
+    _release_checkpoint_blocks(sym)
+    return reached
+
+
 def triangle_counts(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
     """Per-node triangle participation counts over an undirected simple
     graph given as ORIENTED distinct edges (``a < b``, each undirected

@@ -247,6 +247,93 @@ l{k} AS (
     return "".join(parts) + f"\nSELECT id AS brand, lab AS community FROM l{iters}"
 
 
+BFS_HOPS = 3
+#: Seed set: all brands in the Brand#1x range — a multi-source BFS, the
+#: seed-expansion shape (not single-source).
+BFS_SEED_PREFIX = "Brand#1"
+
+
+def _bfs_oracle(hops: int = BFS_HOPS) -> str:
+    from aws_etl_fiap_spark.queries.seq_q import _MAX_BASKET, _MIN_PAIR
+
+    parts = [
+        f"""WITH items AS (
+    SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+sized AS (
+    SELECT bk, it FROM (
+        SELECT bk, it, COUNT(*) OVER (PARTITION BY bk) AS bk_size FROM items
+    ) WHERE bk_size <= {_MAX_BASKET}
+),
+edges AS (
+    SELECT a.it AS ea, b.it AS eb
+    FROM sized a JOIN sized b ON a.bk = b.bk AND a.it < b.it
+    GROUP BY a.it, b.it
+    HAVING COUNT(*) >= {_MIN_PAIR}
+),
+sym AS (
+    SELECT ea AS src, eb AS dst FROM edges
+    UNION
+    SELECT eb AS src, ea AS dst FROM edges
+),
+d0 AS (
+    SELECT DISTINCT src AS id, 0 AS hops FROM sym
+    WHERE src LIKE '{BFS_SEED_PREFIX}%'
+),
+f0 AS (SELECT id FROM d0)"""
+    ]
+    for k in range(1, hops + 1):
+        parts.append(
+            f""",
+c{k} AS (
+    SELECT DISTINCT s.dst AS id FROM sym s JOIN f{k - 1} f ON f.id = s.src
+),
+f{k} AS (SELECT id FROM c{k} WHERE id NOT IN (SELECT id FROM d{k - 1})),
+d{k} AS (
+    SELECT id, hops FROM d{k - 1}
+    UNION ALL
+    SELECT id, {k} AS hops FROM f{k}
+)"""
+        )
+    return (
+        "".join(parts)
+        + f"\nSELECT id AS brand, CAST(hops AS INT) AS hops FROM d{hops}"
+    )
+
+
+@query("graph_bfs_hops_brands", oracle=_bfs_oracle())
+def graph_bfs_hops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Multi-source bounded-horizon BFS (operators/graph.bfs_hops)
+    over the brand co-occurrence graph: every Brand#1x vertex starts at
+    hop 0 and the frontier extends {BFS_HOPS} synchronous rounds — the
+    reachability/seed-expansion primitive that completes the graph ladder
+    (components -> triangles -> PageRank -> communities -> distances).
+    Each round joins the edges against the CURRENT frontier only and
+    anti-joins the reached set, so per-round work is frontier-sized.  The
+    oracle unrolls the identical rounds; unreached-within-horizon vertices
+    are absent on both engines."""
+    from aws_etl_fiap_spark.operators.graph import bfs_hops
+    from aws_etl_fiap_spark.operators.sequences import basket_pairs
+    from aws_etl_fiap_spark.queries.seq_q import _MAX_BASKET, _MIN_PAIR
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    edges = basket_pairs(
+        baskets, "l_orderkey", "p_brand",
+        max_basket=_MAX_BASKET, min_pair_count=_MIN_PAIR,
+    ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+    out = bfs_hops(
+        edges,
+        lambda c: c.startswith(BFS_SEED_PREFIX),
+        max_hops=BFS_HOPS,
+    )
+    return out.select(F.col("id").alias("brand"), F.col("hops").cast("int").alias("hops"))
+
+
 @query("graph_community_lpa_brands", oracle=_lpa_oracle())
 def graph_community_lpa_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Frequency label-propagation community detection

@@ -236,6 +236,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "ml_logreg_score_filter",
     "text_kn_bigram_nll",
     "privacy_dp_noisy_counts",
+    "graph_bfs_hops_brands",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -58,3 +58,31 @@ def test_lpa_string_labels_tie_to_smallest(spark):
     out = {r["id"]: r["lab"] for r in label_propagation_communities(df, iters=1).collect()}
     # y sees {x, z} -> min "x"; x and z each see only y
     assert out == {"x": "y", "y": "x", "z": "y"}
+
+
+def test_bfs_hops_hand_checked(spark):
+    """Path graph a-b-c-d plus isolated edge x-y: seeds {a}, horizon 2 ->
+    a:0, b:1, c:2; d beyond horizon and x/y unreachable are absent."""
+    from aws_etl_fiap_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    out = bfs_hops(edges, lambda c: c == "a", max_hops=2)
+    got = {r["id"]: r["hops"] for r in out.collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_bfs_hops_multi_source_takes_min_distance(spark):
+    """Two seeds on one path: every vertex gets the hop count of the NEARER
+    seed (BFS layering, not per-seed distances)."""
+    from aws_etl_fiap_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "id_a string, id_b string",
+    )
+    out = bfs_hops(edges, lambda c: c.isin("a", "e"), max_hops=2)
+    got = {r["id"]: r["hops"] for r in out.collect()}
+    assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
