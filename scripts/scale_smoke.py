@@ -967,6 +967,48 @@ def main() -> None:
         return mergeable_quantile_summary(big_li, "l_extendedprice", k=256).count()
 
     stage(f"quantile_summary_{big_li.count()}rows", _quantiles)
+
+    # Kneser-Ney at 20x: same invariant as the stupid-backoff sibling —
+    # clones add frequency, not bigram TYPES, so the three vocab-sized KN
+    # count tables and the pruned probability table broadcast at the same
+    # size as 1x; scoring stays zero-shuffle-join and corpus-linear.
+    from aws_etl_fiap_spark.operators.text import kn_bigram_nll
+
+    stage(
+        f"kn_bigram_nll_{n}docs",
+        lambda: kn_bigram_nll(corpus).count(),
+    )
+
+    # BFS at scale: per-round cost is frontier-sized (edges join the
+    # CURRENT frontier only, not the reached set), so a horizon-3 sweep
+    # over a K-times basket volume costs ~3 frontier joins — basket pair
+    # generation (clone-offset orderkeys -> K x baskets) dominates, the
+    # BFS rounds themselves are flat.
+    def _bfs():
+        from aws_etl_fiap_spark.operators.graph import bfs_hops
+        from aws_etl_fiap_spark.operators.sequences import basket_pairs
+
+        part_b = load_table(spark, args.sf, "part").select("p_partkey", "p_brand")
+        li_pk = load_table(spark, args.sf, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        big_baskets = (
+            li_pk.crossJoin(copies)
+            .select(
+                (F.col("l_orderkey") + F.col("copy") * 100_000_000).alias(
+                    "l_orderkey"
+                ),
+                "l_partkey",
+            )
+            .join(F.broadcast(part_b), F.col("l_partkey") == F.col("p_partkey"))
+            .select("l_orderkey", "p_brand")
+        )
+        edges = basket_pairs(
+            big_baskets, "l_orderkey", "p_brand", max_basket=8, min_pair_count=3
+        ).select(F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b"))
+        return bfs_hops(edges, lambda c: c.startswith("Brand#1"), max_hops=3).count()
+
+    stage("bfs_hops3_bigfact", _bfs)
     spark.stop()
 
 
