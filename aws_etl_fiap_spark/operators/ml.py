@@ -123,3 +123,62 @@ def logreg_score(features: list[Column], weights: list[float]) -> Column:
     for i, c in enumerate(features):
         z = z + F.lit(weights[i + 1]) * c.cast("double")
     return round_half_up(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 12)
+
+
+def exact_auc(df: DataFrame, label: Column, score: Column) -> DataFrame:
+    """Exact ROC-AUC over a scored corpus by the Mann-Whitney rank-sum
+    identity with AVERAGE ranks for tied scores — the evaluation half of
+    the quality-classifier loop (train -> score -> filter needs a
+    held-out-quality number before anyone trusts the filter).
+
+        AUC = (sum_{positives} rank_i - P(P+1)/2) / (P * N)
+
+    Every intermediate is an INTEGER until one final double divide, so a
+    DuckDB re-derivation is bit-identical with no decimal/rounding
+    machinery: collapsing to the distinct-score frame makes the average
+    rank of a tie group ``cum_below + (n+1)/2`` — a half-integer — so the
+    doubled rank ``rank2 = 2*cum_below + n + 1`` is a BIGINT and
+    ``sum(npos * rank2)`` (DECIMAL(38,0), overflow-proof at any corpus
+    size) carries the whole statistic exactly.
+
+    Scale shape: one hash aggregate collapses N rows to the distinct-score
+    frame; the global rank comes from the range-partitioned two-pass
+    prefix sum (operators/sampling.ordered_prefix_sum — no single-reducer
+    window); one map-side-combined total ends it.  Nothing driver-sized
+    beyond the per-partition offset list.
+
+    Output: one row ``(auc, n_pos, n_neg)`` with ``auc`` rounded half-up
+    to 6 dp.
+    """
+    from aws_etl_fiap_spark.operators.sampling import ordered_prefix_sum
+
+    g = (
+        df.select(score.alias("score"), label.cast("int").alias("y"))
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").cast("long").alias("npos"),
+        )
+    )
+    r = ordered_prefix_sum(g, ["score"], "n", out="cum_n")
+    rank2 = (
+        F.lit(2) * (F.col("cum_n") - F.col("n")) + F.col("n") + F.lit(1)
+    ).cast("long")
+    t = r.select(
+        (F.col("npos").cast("decimal(38,0)") * rank2).alias("pr2"),
+        "npos",
+        "n",
+    ).agg(
+        F.sum("pr2").cast("decimal(38,0)").alias("s"),
+        F.sum("npos").cast("long").alias("p"),
+        F.sum("n").cast("long").alias("tot"),
+    )
+    sd = F.col("s").cast("double")
+    pd_ = F.col("p").cast("double")
+    nd = (F.col("tot") - F.col("p")).cast("double")
+    auc = (sd - pd_ * (pd_ + F.lit(1.0))) / (F.lit(2.0) * pd_ * nd)
+    return t.select(
+        round_half_up(auc, 6).alias("auc"),
+        F.col("p").alias("n_pos"),
+        (F.col("tot") - F.col("p")).cast("long").alias("n_neg"),
+    )

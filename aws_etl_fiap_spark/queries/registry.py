@@ -237,6 +237,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "text_kn_bigram_nll",
     "privacy_dp_noisy_counts",
     "graph_bfs_hops_brands",
+    "ml_auc_quality_classifier",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

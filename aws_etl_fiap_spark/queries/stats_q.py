@@ -719,3 +719,87 @@ def ml_logreg_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_LOGREG_TOP_K)
         .select("doc_id", "is_en", round_half_up("__prob", 6).alias("en_prob"))
     )
+
+
+def _logreg_auc_oracle(lr: float = 1.5, iters: int = 3) -> str:
+    """Evaluation oracle: re-derive the final weights through the identical
+    training CTEs, score every document with the same 12dp-quantized
+    sigmoid, and compute the exact tie-aware ROC-AUC by the all-integer
+    doubled-rank identity (see operators/ml.exact_auc): one final double
+    divide, everything before it BIGINT/DECIMAL(38,0)."""
+    from aws_etl_fiap_spark.functions.parity import sql_round_half_up
+
+    sig = sql_round_half_up("1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2)))", 12)
+    auc = (
+        "(CAST(s AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0))"
+        " / (2.0 * CAST(p AS DOUBLE) * CAST(tot - p AS DOUBLE))"
+    )
+    return (
+        _logreg_ctes(lr, iters)
+        + f""",
+scored AS (
+    SELECT {sig} AS score, y
+    FROM feats CROSS JOIN w{iters}
+),
+g AS (
+    SELECT score, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS npos
+    FROM scored GROUP BY score
+),
+r AS (
+    SELECT n, npos,
+           CAST(2 * (SUM(n) OVER (ORDER BY score) - n) + n + 1 AS BIGINT)
+             AS rank2
+    FROM g
+),
+t AS (
+    SELECT CAST(SUM(CAST(npos AS DECIMAL(38,0)) * rank2) AS DECIMAL(38,0))
+             AS s,
+           CAST(SUM(npos) AS BIGINT) AS p,
+           CAST(SUM(n) AS BIGINT) AS tot
+    FROM r
+)
+SELECT {sql_round_half_up(auc, 6)} AS auc,
+       p AS n_pos, CAST(tot - p AS BIGINT) AS n_neg
+FROM t"""
+    )
+
+
+@query("ml_auc_quality_classifier", oracle=_logreg_auc_oracle())
+def ml_auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] The EVALUATION leg of the quality-classifier loop:
+    exact tie-aware ROC-AUC (operators/ml.exact_auc) of the en-language
+    logistic model's 12dp probabilities against the true labels — the
+    number an LLM-data team reads before trusting a trained filter to gate
+    a 100 TB crawl.  Mann-Whitney rank-sum with AVERAGE ranks for ties,
+    all-integer doubled ranks until one final double divide (bit-identical
+    across engines with zero rounding machinery in the statistic itself);
+    the global rank uses the range-partitioned two-pass prefix sum, never
+    a single-reducer window, and the corpus collapses to the
+    distinct-score frame in one map-side-combined aggregate first."""
+    from aws_etl_fiap_spark.operators.ml import (
+        exact_auc,
+        logreg_score,
+        logreg_train_gd,
+    )
+    from aws_etl_fiap_spark.operators.text import LID_STOPWORDS, stopword_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+
+    def feats() -> list:
+        return [
+            stopword_hits(toks, LID_STOPWORDS["en"]).cast("double") / n_tok,
+            F.least(n_tok / 100.0, F.lit(2.0)),
+        ]
+
+    trajectory = logreg_train_gd(
+        docs, label=(F.col("lang") == "en"), features=feats(), lr=1.5, iters=3
+    )
+    final = trajectory.orderBy(F.col("iter").desc()).first()
+    w = [final["b0"], final["b1"], final["b2"]]
+    scored = docs.select(
+        logreg_score(feats(), w).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return exact_auc(scored, F.col("y"), F.col("score"))

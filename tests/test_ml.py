@@ -70,3 +70,55 @@ def test_logreg_score_validates_weight_count(spark):
 
     with pytest.raises(ValueError):
         logreg_score([F.lit(1.0)], [0.0])
+
+
+def _auc_df(spark, rows):
+    return spark.createDataFrame(rows, "score double, y int")
+
+
+def test_exact_auc_perfect_and_reverse(spark):
+    from aws_etl_fiap_spark.operators.ml import exact_auc
+
+    perfect = _auc_df(
+        spark, [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    )
+    out = exact_auc(perfect, F.col("y"), F.col("score")).collect()[0]
+    assert out["auc"] == 1.0 and out["n_pos"] == 2 and out["n_neg"] == 2
+
+    reverse = _auc_df(
+        spark, [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)]
+    )
+    assert exact_auc(reverse, F.col("y"), F.col("score")).collect()[0]["auc"] == 0.0
+
+
+def test_exact_auc_ties_use_average_ranks(spark):
+    from aws_etl_fiap_spark.operators.ml import exact_auc
+
+    # scores: 0.5 (pos), 0.5 (neg), 0.3 (neg) -> the tied pos/neg pair
+    # contributes 1/2; the (pos, 0.3-neg) pair contributes 1.
+    # AUC = (1 + 0.5) / (1 * 2) = 0.75.
+    df = _auc_df(spark, [(0.5, 1), (0.5, 0), (0.3, 0)])
+    assert exact_auc(df, F.col("y"), F.col("score")).collect()[0]["auc"] == 0.75
+
+
+def test_exact_auc_matches_sklearn_formula_on_random(spark):
+    from aws_etl_fiap_spark.operators.ml import exact_auc
+
+    # Seedless determinism: fixed pseudo-random rows; brute-force pairwise
+    # comparison (wins + half-ties over pos*neg pairs) is the definition.
+    rows = []
+    x = 7
+    for i in range(200):
+        x = (x * 1103515245 + 12345) % (2**31)
+        score = ((x >> 8) % 50) / 50.0  # coarse grid -> plenty of ties
+        y = 1 if ((x >> 3) % 3 == 0) else 0
+        rows.append((score, y))
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    wins = sum(1.0 for p in pos for q in neg if p > q)
+    ties = sum(1.0 for p in pos for q in neg if p == q)
+    expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    out = exact_auc(_auc_df(spark, rows), F.col("y"), F.col("score")).collect()[0]
+    # the operator releases auc rounded half-up to 6 dp
+    assert out["auc"] == math.floor(expect * 1e6 + 0.5) / 1e6
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
