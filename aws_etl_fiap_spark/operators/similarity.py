@@ -1437,3 +1437,103 @@ def hard_negative_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "query_label", "neighbor_id", "neg_label", "cos_sim", "rank")
     )
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 6,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point traversal) CORESET
+    selection — the diversity-sampling primitive of training-data
+    curation: pick the k points that minimize (2-approximately) the
+    maximum distance from any corpus point to its nearest selected
+    representative.  Dedup keeps one of each near-identical group;
+    k-center goes the other way and keeps the SPREAD.
+
+    Fully deterministic, cross-engine-exact trajectory (same contract as
+    :func:`kmeans_lloyd`): coordinates quantize to 6 dp once; squared
+    distance is ``v.v - 2*v.c + c.c`` with sequential-fold dots (bit-equal
+    to DuckDB ``list_dot_product``); the seed is the smallest id; each of
+    the k-1 rounds picks argmax of the min-distance-to-selected under the
+    (dist DESC, id ASC) total order via a single MAX over (d, -id, vec)
+    structs — map-side combinable, no window.  ``LEAST`` over per-center
+    distances equals the incremental running-min chain exactly.
+
+    Scale shape: each round is ONE aggregate over the corpus with all
+    selected centers riding in the plan as literals (k*dim doubles — the
+    only driver-side state, bounded by the model not the data); the final
+    assignment broadcasts the k-row center frame exactly like
+    kmeans_lloyd.  Output: one row per selected center —
+    ``(step, center_id, radius, n_assigned)`` where ``radius`` is the
+    covering distance the pick closed (NULL for the seed).
+    """
+    spark = df.sparkSession
+    q = df.select(
+        F.col(id_col).alias("vid"), _quantize6(as_double(vec_col)).alias("q")
+    )
+    first = q.orderBy("vid").limit(1).collect()[0]
+
+    def py_dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    centers: list[tuple] = [(0, int(first["vid"]), [float(x) for x in first["q"]], None)]
+    qv = q.withColumn("vv", dot(F.col("q"), F.col("q")))
+    for step in range(1, k):
+        dists = []
+        for _s, _cid, cvec, _r in centers:
+            carr = F.array(*[F.lit(x) for x in cvec])
+            # fold-form dots here: up to k-1 of them share one projection,
+            # so unrolling all of them would blow janino (see dot()).
+            dists.append(
+                F.col("vv") - 2.0 * dot(F.col("q"), carr) + F.lit(py_dot(cvec, cvec))
+            )
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        pick = (
+            qv.select(
+                F.struct(
+                    mind.alias("d"),
+                    (-F.col("vid")).alias("nid"),
+                    F.col("q").alias("q"),
+                ).alias("s")
+            )
+            .agg(F.max("s").alias("m"))
+            .collect()[0]["m"]
+        )
+        centers.append(
+            (step, int(-pick["nid"]), [float(x) for x in pick["q"]], float(pick["d"]))
+        )
+
+    cents = spark.createDataFrame(
+        centers, "step int, center_id long, cvec array<double>, radius double"
+    )
+    cc = cents.withColumn("cc", dot(F.col("cvec"), F.col("cvec")))
+    dist = F.col("vv") - 2.0 * dot(F.col("q"), F.col("cvec"), dim) + F.col("cc")
+    best = (
+        qv.crossJoin(F.broadcast(cc))
+        .select(
+            "vid",
+            F.struct(dist.alias("dist"), F.col("step").alias("step")).alias("s"),
+        )
+        .groupBy("vid")
+        .agg(F.min("s").alias("m"))
+    )
+    counts = best.groupBy(F.col("m.step").alias("step")).agg(
+        F.count(F.lit(1)).alias("n_assigned")
+    )
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+
+    return (
+        cents.join(counts, "step", "left")
+        .select(
+            "step",
+            "center_id",
+            round_half_up("radius", 6).alias("radius"),
+            F.coalesce("n_assigned", F.lit(0)).cast("long").alias("n_assigned"),
+        )
+    )

@@ -238,6 +238,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "privacy_dp_noisy_counts",
     "graph_bfs_hops_brands",
     "ml_auc_quality_classifier",
+    "sim_kcenter_coreset",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -611,3 +611,84 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return hard_negative_topk(emb.filter(F.col("vec_id") < 8), emb, k=10)
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    """Unrolled greedy k-center trajectory: c0 = smallest vid; each round
+    s computes the running min-distance m{s} (LEAST chain == recomputed
+    least, exactly) and picks argmax under (md DESC, vid ASC); the final
+    assignment re-scores every point against all k centers.  Distances
+    use the same list_dot_product identity as the kmeans oracle, so every
+    float op matches the Spark fold bit-for-bit."""
+    d = _KM_DIST
+    parts = [
+        f"""WITH qv AS (
+    SELECT vec_id AS vid,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> FLOOR(x * 1000000.0 + 0.5) / 1000000.0) AS q
+    FROM embeddings
+),
+c0 AS (SELECT vid, q FROM qv ORDER BY vid LIMIT 1),
+m1 AS (
+    SELECT qv.vid, qv.q, {d.format(v='qv.q', c='c0.q')} AS md
+    FROM qv CROSS JOIN c0
+)"""
+    ]
+    for s in range(1, k):
+        parts.append(
+            f""",
+c{s} AS (SELECT vid, q, md FROM m{s} ORDER BY md DESC, vid LIMIT 1)"""
+        )
+        if s < k - 1:
+            parts.append(
+                f""",
+m{s + 1} AS (
+    SELECT m{s}.vid, m{s}.q,
+           LEAST(m{s}.md, {d.format(v=f'm{s}.q', c=f'c{s}.q')}) AS md
+    FROM m{s} CROSS JOIN c{s}
+)"""
+            )
+    sels = ["SELECT 0 AS step, vid, q, CAST(NULL AS DOUBLE) AS radius FROM c0"] + [
+        f"SELECT {s} AS step, vid, q, md AS radius FROM c{s}" for s in range(1, k)
+    ]
+    parts.append(
+        f""",
+cents AS ({' UNION ALL '.join(sels)}),
+scored AS (
+    SELECT qv.vid, c.step, {d.format(v='qv.q', c='c.q')} AS dist
+    FROM qv CROSS JOIN cents c
+),
+assigned AS (
+    SELECT vid, step FROM (
+        SELECT vid, step,
+               ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dist, step) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+counts AS (
+    SELECT step, CAST(COUNT(*) AS BIGINT) AS n_assigned
+    FROM assigned GROUP BY step
+)
+SELECT cents.step AS step, cents.vid AS center_id,
+       FLOOR(cents.radius * 1000000.0 + 0.5) / 1000000.0 AS radius,
+       CAST(COALESCE(counts.n_assigned, 0) AS BIGINT) AS n_assigned
+FROM cents LEFT JOIN counts ON cents.step = counts.step"""
+    )
+    return "".join(parts)
+
+
+@query("sim_kcenter_coreset", oracle=_kcenter_oracle())
+def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Greedy k-center CORESET selection over the
+    embedding corpus (operators/similarity.kcenter_greedy): the
+    diversity-sampling counterpart to dedup — keep the k=6 most mutually
+    spread vectors (Gonzalez farthest-point, a 2-approximation of the
+    k-center optimum), reporting each pick's covering radius and how much
+    of the corpus it represents.  Every round is one map-side-combined
+    MAX over (min-dist, -id, vec) structs with the selected centers as
+    plan literals; the trajectory AND the final assignment census are
+    re-derived by DuckDB's unrolled CTE chain and hash-verified."""
+    from aws_etl_fiap_spark.operators.similarity import kcenter_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_greedy(emb, "embedding", "vec_id", k=6, dim=64)

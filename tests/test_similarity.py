@@ -287,3 +287,48 @@ def test_semdedup_keep_drops_only_witnessed_rows(spark, sf_smoke):
         lower_witness.setdefault(hi, set()).add(lo)
     for d in dropped:
         assert d in lower_witness, f"dropped {d} has no cos>=0.35 lower-id pair"
+
+
+def test_kcenter_greedy_hand_case(spark):
+    from aws_etl_fiap_spark.operators.similarity import kcenter_greedy
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [10.0, 0.0]),
+            (3, [0.1, 0.0]),
+            (4, [5.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["step"]: r
+        for r in kcenter_greedy(df, "embedding", "vec_id", k=3, dim=2).collect()
+    }
+    # seed = smallest id; then the farthest point (id 2, squared dist 100);
+    # then the farthest from {1,2} (id 4, min squared dist 25).
+    assert rows[0]["center_id"] == 1 and rows[0]["radius"] is None
+    assert rows[1]["center_id"] == 2 and rows[1]["radius"] == 100.0
+    assert rows[2]["center_id"] == 4 and rows[2]["radius"] == 25.0
+    # assignment census: ids 1 and 3 -> seed; 2 and 4 -> themselves.
+    assert rows[0]["n_assigned"] == 2
+    assert rows[1]["n_assigned"] == 1
+    assert rows[2]["n_assigned"] == 1
+
+
+def test_kcenter_greedy_radius_monotone_and_census_total(spark, sf_smoke):
+    from aws_etl_fiap_spark.operators.similarity import kcenter_greedy
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    out = kcenter_greedy(emb, "embedding", "vec_id", k=5, dim=64).collect()
+    n = emb.count()
+    radii = [r["radius"] for r in sorted(out, key=lambda r: r["step"])]
+    assert radii[0] is None
+    # greedy invariant: each pick closes the CURRENT largest gap, and the
+    # min-dist surface only shrinks as centers are added.
+    assert all(
+        radii[i] >= radii[i + 1] for i in range(1, len(radii) - 1)
+    ), radii
+    assert sum(r["n_assigned"] for r in out) == n
+    assert len({r["center_id"] for r in out}) == len(out)
