@@ -239,6 +239,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "graph_bfs_hops_brands",
     "ml_auc_quality_classifier",
     "sim_kcenter_coreset",
+    "ml_calibration_bins",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -803,3 +803,77 @@ def ml_auc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("int").alias("y"),
     )
     return exact_auc(scored, F.col("y"), F.col("score"))
+
+
+def _logreg_calibration_oracle(lr: float = 1.5, iters: int = 3) -> str:
+    """Reliability-diagram oracle: same trained weights + 12dp sigmoid,
+    10 fixed-width probability bins, exact decimal mean predicted prob vs
+    observed positive rate per bin."""
+    from aws_etl_fiap_spark.functions.parity import (
+        sql_dec_sum,
+        sql_round_half_up,
+    )
+
+    sig = sql_round_half_up("1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2)))", 12)
+    return (
+        _logreg_ctes(lr, iters)
+        + f""",
+scored AS (
+    SELECT LEAST(CAST(FLOOR(({sig}) * 1000.0) AS INTEGER), 999) AS bin,
+           {sig} AS score, y
+    FROM feats CROSS JOIN w{iters}
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_round_half_up(f"{sql_dec_sum('score', 12)} / COUNT(*)", 6)}
+         AS mean_pred,
+       {sql_round_half_up("CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / COUNT(*)", 6)}
+         AS frac_pos
+FROM scored GROUP BY bin"""
+    )
+
+
+@query("ml_calibration_bins", oracle=_logreg_calibration_oracle())
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Reliability diagram of the quality classifier:
+    bucket the 12dp predicted probabilities into 1000 fixed-width bins
+    (millibins — the trained model's score band is narrow, and a coarse
+    grid would collapse the diagram to one row) and
+    compare the exact decimal-summed mean prediction against the observed
+    positive rate per bin — the calibration check that decides whether a
+    trained filter's probability threshold MEANS anything before it gates
+    a corpus.  ONE map-side-combined aggregate over the scored scan (bins
+    are fixed-width expressions, not data-dependent quantiles — the same
+    any-scale shape as dq_psi_value_drift); no joins, no windows."""
+    from aws_etl_fiap_spark.functions.parity import dec_sum, round_half_up
+    from aws_etl_fiap_spark.operators.ml import logreg_score, logreg_train_gd
+    from aws_etl_fiap_spark.operators.text import LID_STOPWORDS, stopword_hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+
+    def feats() -> list:
+        return [
+            stopword_hits(toks, LID_STOPWORDS["en"]).cast("double") / n_tok,
+            F.least(n_tok / 100.0, F.lit(2.0)),
+        ]
+
+    trajectory = logreg_train_gd(
+        docs, label=(F.col("lang") == "en"), features=feats(), lr=1.5, iters=3
+    )
+    final = trajectory.orderBy(F.col("iter").desc()).first()
+    w = [final["b0"], final["b1"], final["b2"]]
+    score = logreg_score(feats(), w)
+    scored = docs.select(
+        F.least(F.floor(score * 1000.0).cast("int"), F.lit(999)).alias("bin"),
+        score.alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    cnt = F.count(F.lit(1))
+    return scored.groupBy("bin").agg(
+        cnt.cast("long").alias("n"),
+        round_half_up(dec_sum("score", 12) / cnt, 6).alias("mean_pred"),
+        round_half_up(
+            F.sum("y").cast("long").cast("double") / cnt, 6
+        ).alias("frac_pos"),
+    )

@@ -553,3 +553,24 @@ def test_token_budget_no_global_window_and_budget_broadcast(spark, sf_correctnes
     plan = physical_plan(spark, sf_correctness, "corpus_token_budget_select")
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_exact_auc_no_global_window_and_one_scan(spark, sf_correctness):
+    """ml_auc_quality_classifier: the global rank must come from the
+    range-partitioned prefix sum (no single-reducer Window anywhere in the
+    final plan), and the scored corpus collapses to the distinct-score
+    frame through ordinary hash aggregates."""
+    plan = physical_plan(spark, sf_correctness, "ml_auc_quality_classifier")
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_kcenter_assignment_broadcasts_centers(spark, sf_correctness):
+    """sim_kcenter_coreset: the final census fans the vector stream
+    against the BROADCAST k-row center frame (the crossJoin is the
+    deliberate k-fanout) and the argmin is the map-side-combinable
+    min-struct aggregate — same shape as the kmeans assignment gate."""
+    plan = physical_plan(spark, sf_correctness, "sim_kcenter_coreset")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert re.search(r"partial_min\(s#\d+\)", plan), plan
