@@ -1529,7 +1529,7 @@ def kcenter_greedy(
     from aws_etl_fiap_spark.functions.parity import round_half_up
 
     return (
-        cents.join(counts, "step", "left")
+        cents.join(F.broadcast(counts), "step", "left")
         .select(
             "step",
             "center_id",
