@@ -772,3 +772,98 @@ def span_dedup(
             ).alias("dedup_text"),
         )
     )
+
+
+def positional_shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """POSITIONAL (non-distinct) word n-grams as (doc, pos, shingle) rows —
+    the inverted index for exact shared-substring detection.  Same
+    Arrow-vectorized generator rationale as :func:`shingle_rows`; the
+    emitted strings are ``" ".join`` of ``split(" ")`` slices, so a SQL
+    positional re-derivation matches exactly.  Documents with < n tokens
+    emit nothing."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            docs, poss, grams = [], [], []
+            for doc, text in zip(pdf["doc"], pdf["text"]):
+                if text is None:
+                    continue
+                toks = text.split(" ")
+                for i in range(max(len(toks) - n + 1, 0)):
+                    docs.append(doc)
+                    poss.append(i)
+                    grams.append(" ".join(toks[i : i + n]))
+            yield pd.DataFrame({"doc": docs, "pos": poss, "shingle": grams})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(gen, "doc long, pos long, shingle string")
+
+
+def shared_run_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_tokens: int = 20,
+    max_gram_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """EXACT longest-shared-token-run pairs — the relational re-expression
+    of suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": remove verbatim repeated
+    spans >= 50 tokens across a corpus).  A suffix array is inherently
+    sequential; the equivalent distributed shape is an inverted POSITIONAL
+    index: every match of an L-gram between two documents lands on a
+    DIAGONAL (pa - pb), maximal verbatim overlaps are runs of CONSECUTIVE
+    positions within one (pair, diagonal) group (the classic
+    islands-and-gaps trick: ``pa - row_number()`` is constant inside a
+    run), and a run of R consecutive matching L-gram positions is a shared
+    substring of exactly R + L - 1 tokens.
+
+    Scale shape: the positional postings checkpoint once and feed both
+    join sides; the self-join carries 8-byte xxhash64 keys, not gram text
+    (collision needs two distinct grams with equal hash inside one joined
+    pair — ~2^-64 * pairs); posting lists are df-capped exactly like every
+    other fuzzy tier (``max_gram_df``) so one boilerplate sentence cannot
+    go quadratic; the run window partitions by (pair, diagonal) — key
+    cardinality tracks candidate volume, never a global window.  Output:
+    ``(doc_a, doc_b, max_shared_tokens)`` for pairs sharing a verbatim run
+    of at least ``min_tokens`` tokens.
+    """
+    shingled = (
+        positional_shingle_rows(df, id_col, text_col, n)
+        .select("doc", "pos", F.xxhash64("shingle").alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    bad = (
+        shingled.groupBy("sh")
+        .agg(F.count_distinct("doc").alias("__df"))
+        .filter(F.col("__df") > max_gram_df)
+        .select("sh")
+    )
+    postings = (
+        shingled
+        if max_gram_df is None
+        else shingled.join(F.broadcast(bad), "sh", "left_anti")
+    )
+    a = postings.withColumnsRenamed({"doc": "doc_a", "pos": "pa"}).alias("__ra")
+    b = postings.withColumnsRenamed({"doc": "doc_b", "pos": "pb"}).alias("__rb")
+    m = a.join(
+        b,
+        (F.col("__ra.sh") == F.col("__rb.sh")) & (F.col("doc_a") < F.col("doc_b")),
+    ).select("doc_a", "doc_b", "pa", "pb")
+    md = m.withColumn("diag", F.col("pa") - F.col("pb"))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = md.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    rl = runs.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        (F.count(F.lit(1)) + F.lit(n - 1)).cast("long").alias("run_tokens")
+    )
+    return (
+        rl.groupBy("doc_a", "doc_b")
+        .agg(F.max("run_tokens").alias("max_shared_tokens"))
+        .filter(F.col("max_shared_tokens") >= min_tokens)
+    )

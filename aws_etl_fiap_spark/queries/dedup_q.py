@@ -655,3 +655,66 @@ def dedup_corpus_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return span_dedup(docs, "doc_id", "text", span_tokens=10)
+
+
+_SUBSTR_L = 8
+_SUBSTR_MIN = 20
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+WITH toks AS (SELECT doc_id AS doc, string_split(text, ' ') AS t FROM documents),
+posx AS (
+    SELECT doc, t,
+           unnest(range(0, greatest(len(t) - {_SUBSTR_L} + 1, 0))) AS pos
+    FROM toks
+),
+pos AS (
+    SELECT doc, pos,
+           array_to_string(t[pos + 1 : pos + {_SUBSTR_L}], ' ') AS gram
+    FROM posx
+),
+caps AS (
+    SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc) AS c FROM pos GROUP BY gram
+    ) WHERE c > 1000
+),
+m AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, a.pos AS pa, b.pos AS pb
+    FROM pos a JOIN pos b ON a.gram = b.gram AND a.doc < b.doc
+    WHERE a.gram NOT IN (SELECT gram FROM caps)
+),
+runs AS (
+    SELECT doc_a, doc_b, pa - pb AS diag, pa,
+           pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+    FROM m
+),
+rl AS (
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) + {_SUBSTR_L} - 1 AS BIGINT) AS run_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, grp
+)
+SELECT doc_a, doc_b, MAX(run_tokens) AS max_shared_tokens
+FROM rl GROUP BY doc_a, doc_b
+HAVING MAX(run_tokens) >= {_SUBSTR_MIN}
+""",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Exact shared-substring pairs
+    (operators/dedup.shared_run_pairs): every document pair sharing a
+    VERBATIM run of >= 20 tokens, with the exact longest-run length — the
+    distributed re-expression of suffix-array substring dedup (Lee et al.
+    2021).  Positional 8-gram postings self-join on hashed grams
+    (df-capped), matches fall on diagonals, maximal runs are
+    consecutive-position islands; run of R matching grams = R + 7 shared
+    tokens.  The DuckDB oracle re-derives the identical positional index
+    from string_split and joins on the gram STRINGS — so the hash-join
+    shortcut is itself inside the gate."""
+    from aws_etl_fiap_spark.operators.dedup import shared_run_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shared_run_pairs(
+        docs, "doc_id", "text", n=_SUBSTR_L, min_tokens=_SUBSTR_MIN
+    )

@@ -240,6 +240,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "ml_auc_quality_classifier",
     "sim_kcenter_coreset",
     "ml_calibration_bins",
+    "dedup_exact_substring",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -351,3 +351,45 @@ def test_span_dedup_plan_has_no_self_join(spark, sf_smoke):
     df = span_dedup(load_table(spark, sf_smoke, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan  # window + regroup, never a join
+
+
+def test_shared_run_pairs_exact_lengths(spark):
+    from aws_etl_fiap_spark.operators.dedup import shared_run_pairs
+
+    # docs 1/2 share the verbatim 9-token run "c..k" (two consecutive
+    # 8-gram matches -> 2 + 7 = 9); docs 1/3 share only one 8-gram (8
+    # tokens); doc 4 shares nothing.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "x y c d e f g h i j k z"),
+            (3, "c d e f g h i j q r s t"),
+            (4, "m n o p q r s t u v w m2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["max_shared_tokens"]
+        for r in shared_run_pairs(df, "doc_id", "text", n=8, min_tokens=8).collect()
+    }
+    assert out[(1, 2)] == 9
+    assert out[(1, 3)] == 8
+    assert out[(2, 3)] == 8  # same c..j gram survives in doc 2
+    assert not any(4 in k for k in out)
+    # threshold excludes the single-gram overlaps
+    kept = shared_run_pairs(df, "doc_id", "text", n=8, min_tokens=9).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in kept} == {(1, 2)}
+
+
+def test_shared_run_pairs_interrupted_run_splits_islands(spark):
+    from aws_etl_fiap_spark.operators.dedup import shared_run_pairs
+
+    # One diverging token splits the overlap into two runs of 10 and 9
+    # tokens; the pair reports the LONGEST (10), not the sum.
+    a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 BREAKA u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    b = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 BREAKB u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    rows = shared_run_pairs(df, "doc_id", "text", n=8, min_tokens=8).collect()
+    assert len(rows) == 1 and rows[0]["max_shared_tokens"] == 10
