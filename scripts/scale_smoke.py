@@ -1009,6 +1009,74 @@ def main() -> None:
         return bfs_hops(edges, lambda c: c.startswith("Brand#1"), max_hops=3).count()
 
     stage("bfs_hops3_bigfact", _bfs)
+
+    # k-center at 20x: clones are EXACT duplicates, so the greedy
+    # trajectory (center ids and radii) is invariant — duplicates never
+    # change the min-dist surface, and the (dist DESC, id ASC) tie-break
+    # keeps picking the base ids (clone ids are offset upward).  Cost per
+    # round is one aggregate over the corpus with literal centers.
+    from aws_etl_fiap_spark.operators.similarity import kcenter_greedy
+
+    def _kcenter(df):
+        return lambda: kcenter_greedy(df, "embedding", "vec_id", k=6).count()
+
+    stage(f"kcenter_k6_{emb.count()}vecs_1x", _kcenter(emb))
+    stage(f"kcenter_k6_{n_emb}vecs", _kcenter(big_emb))
+
+    # Exact AUC at 20x: duplicating every (score, label) row K times
+    # multiplies P and N by K and leaves the rank-sum RATIO unchanged —
+    # the AUC is clone-invariant.  Labels derive from the BASE id so
+    # clones inherit their base's label.  One aggregate + the two-pass
+    # prefix sum over the (small) distinct-score frame.
+    from aws_etl_fiap_spark.operators.ml import exact_auc, logreg_score
+
+    def _auc(df):
+        toks = F.split(F.col("text"), " ")
+        n_tok = F.size(toks).cast("double")
+        score = logreg_score(
+            [F.least(n_tok / 100.0, F.lit(2.0))], [0.0, 1.5]
+        )
+        scored = df.select(
+            score.alias("score"),
+            ((F.col("doc_id") % 1_000_000) % 3 == 0).cast("int").alias("y"),
+        )
+        return lambda: exact_auc(
+            scored, F.col("y"), F.col("score")
+        ).collect()[0]["auc"]
+
+    def _auc_invariant():
+        auc1 = _auc(base)()
+        auc20 = _auc(corpus.select("doc_id", F.col("text")))()
+        # boilerplate shifts half the clones' scores, so compare on the
+        # UN-boilerplated clone corpus for the strict invariant.
+        plain = base.crossJoin(copies).select(
+            (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+            "text",
+        )
+        t0 = time.time()
+        auc20p = _auc(plain)()
+        print(json.dumps({
+            "stage": f"exact_auc_{n}docs", "sec": round(time.time() - t0, 2),
+            "auc_1x": auc1, "auc_20x_plain": auc20p, "auc_20x_boiler": auc20,
+            "invariant_holds": auc1 == auc20p,
+        }), flush=True)
+        return 1
+
+    stage(f"exact_auc_invariant_{n}docs", _auc_invariant)
+
+    # Exact substring pairs at 20x: output is the TRUE duplicate pair
+    # list, so cost is honestly quadratic in clone-group size (K^2 per
+    # base doc) — run on a fifth of the bases to keep the smoke bounded
+    # and report pair volume alongside wall time.  The df cap kills the
+    # boilerplate gram family exactly as in the jaccard tiers.
+    from aws_etl_fiap_spark.operators.dedup import shared_run_pairs
+
+    fifth = corpus.filter(F.col("doc_id") % 1_000_000 % 5 == 0)
+
+    stage(
+        "exact_substring_fifth20x",
+        lambda: shared_run_pairs(fifth, "doc_id", "text", n=8, min_tokens=20).count(),
+    )
     spark.stop()
 
 
