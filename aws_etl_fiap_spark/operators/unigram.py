@@ -1,0 +1,196 @@
+"""Unigram-LM (SentencePiece-style) subword segmentation ([EXT] north star).
+
+The third tokenizer family next to whitespace/regex counting (text.py) and
+BPE (bpe.py): Kudo 2018's unigram language model segments each word into
+the piece sequence with MAXIMUM likelihood under per-piece probabilities —
+here the frequency seed estimate over all substrings (the initialization
+step of SentencePiece's EM; the reference pipeline has no tokenizer at all,
+so this extends the engine the same way bpe.py does).
+
+Determinism / cross-engine contract (same strategy as operators/ml.py):
+
+- piece counts and the normalizer are exact BIGINT aggregates;
+- each piece cost quantizes to 9 dp (round-half-up) the moment the log is
+  taken — libm/Math.log may differ in the last ulp, the quantization
+  absorbs it;
+- the Viterbi DP is UNROLLED RELATIONALLY: ``best[i] = MIN over j of
+  (best[j] + cost(word[j..i]))`` as a min-STRUCT aggregate per position,
+  so ties on cost break to the FEWEST pieces deterministically, and every
+  candidate value is the same doubles added in the same order on both
+  engines — a DuckDB CTE chain re-derives the identical trajectory;
+- per-word NLL quantizes to 6 dp before the exact decimal doc-level sum.
+
+Scale shape: the corpus collapses to its word VOCABULARY in one
+aggregate; substring generation, the cost table, and all ``max_word_len``
+DP rounds run on vocab-sized frames (eagerly checkpointed per round, the
+BFS/LPA pattern); the only corpus-sized work is the vocabulary aggregate
+and the final word-keyed stats join against the broadcast (model-sized)
+best-segmentation table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_etl_fiap_spark.functions.parity import dec_sum, round_half_up
+
+#: Bounded-horizon contract: the DP unrolls to this many positions, and
+#: segmentation RAISES if the corpus contains a longer word — silent
+#: truncation would diverge from the oracle's unrolled CTE chain.
+MAX_WORD_LEN = 12
+MAX_PIECE_LEN = 6
+
+
+def _words(df: DataFrame, text_col: str) -> DataFrame:
+    return (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
+def _substrings(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """All (w, wcnt, j, L, piece) substring occurrences, start j 0-based."""
+    st = words.select(
+        "w", "wcnt", F.explode(F.sequence(F.lit(0), F.length("w") - 1)).alias("j")
+    )
+    sub = st.select(
+        "w",
+        "wcnt",
+        "j",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(max_piece_len), F.length("w") - F.col("j")),
+            )
+        ).alias("L"),
+    )
+    return sub.withColumn(
+        "piece", F.col("w").substr(F.col("j") + 1, F.col("L"))
+    )
+
+
+def unigram_piece_costs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = MAX_PIECE_LEN,
+    min_count: int = 2,
+) -> DataFrame:
+    """(piece, cnt, cost): frequency-estimated unigram piece model.
+
+    cnt = exact occurrences of the substring across the corpus (weighted
+    by word frequency); pieces below ``min_count`` are pruned EXCEPT
+    single characters (kept unconditionally so every word stays
+    segmentable); cost = round9(-ln(cnt / total)) with total summed over
+    the kept vocabulary."""
+    words = _words(df, text_col)
+    counts = (
+        _substrings(words, max_piece_len)
+        .groupBy("piece")
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
+    )
+    kept = counts.filter(
+        (F.col("cnt") >= min_count) | (F.length("piece") == 1)
+    )
+    tot = kept.agg(F.sum("cnt").cast("long").alias("total"))
+    return kept.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        round_half_up(
+            -F.log(F.col("cnt").cast("double") / F.col("total").cast("double")),
+            9,
+        ).alias("cost"),
+    )
+
+
+def unigram_segment_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = MAX_PIECE_LEN,
+    min_count: int = 2,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """Viterbi-optimal unigram segmentation statistics per document:
+    ``(doc_id, n_words, n_pieces, nll)`` where n_pieces is the total
+    piece count of the max-likelihood segmentation of every word instance
+    and nll is the exact decimal sum of the per-word 6dp-quantized
+    negative log-likelihoods.
+
+    Raises ``ValueError`` if any corpus word exceeds ``max_word_len``
+    (the unrolled-DP horizon — the determinism contract, like
+    graph.bfs_hops' fixed hop budget)."""
+    words = _words(df, text_col).localCheckpoint(eager=True)
+    over = words.filter(F.length("w") > max_word_len).count()
+    if over:
+        raise ValueError(
+            f"{over} words exceed max_word_len={max_word_len}; "
+            "raise the horizon to keep the DP exact"
+        )
+    costs = unigram_piece_costs(df, text_col, max_piece_len, min_count)
+    edges = (
+        _substrings(words, max_piece_len)
+        .join(costs.select("piece", "cost"), "piece")
+        .select("w", "j", (F.col("j") + F.col("L")).alias("i"), "cost")
+        .localCheckpoint(eager=True)
+    )
+
+    ball = words.select(
+        "w",
+        F.lit(0).alias("pos"),
+        F.lit(0.0).alias("cost"),
+        F.lit(0).alias("n"),
+    ).localCheckpoint(eager=True)
+    for i in range(1, max_word_len + 1):
+        e = edges.filter(F.col("i") == i).alias("__ue")
+        b = ball.alias("__ub")
+        cand = e.join(
+            b,
+            (F.col("__ue.w") == F.col("__ub.w"))
+            & (F.col("__ue.j") == F.col("__ub.pos")),
+        ).select(
+            F.col("__ue.w").alias("w"),
+            F.struct(
+                (F.col("__ub.cost") + F.col("__ue.cost")).alias("c"),
+                (F.col("__ub.n") + 1).alias("n"),
+            ).alias("s"),
+        )
+        bi = (
+            cand.groupBy("w")
+            .agg(F.min("s").alias("m"))
+            .select(
+                "w",
+                F.lit(i).alias("pos"),
+                F.col("m.c").alias("cost"),
+                F.col("m.n").alias("n"),
+            )
+        )
+        ball = ball.union(bi).localCheckpoint(eager=True)
+
+    best = (
+        ball.alias("__bb")
+        .join(
+            words.alias("__bw"),
+            (F.col("__bb.w") == F.col("__bw.w"))
+            & (F.col("__bb.pos") == F.length(F.col("__bw.w"))),
+        )
+        .select(
+            F.col("__bb.w").alias("w"),
+            F.col("__bb.n").alias("n"),
+            round_half_up(F.col("__bb.cost"), 6).alias("wnll"),
+        )
+    )
+    docw = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    return (
+        docw.join(F.broadcast(best), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n").cast("long").alias("n_pieces"),
+            dec_sum("wnll", 6).alias("nll"),
+        )
+    )

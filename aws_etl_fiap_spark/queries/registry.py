@@ -241,6 +241,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "sim_kcenter_coreset",
     "ml_calibration_bins",
     "dedup_exact_substring",
+    "text_unigram_lm_segment",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

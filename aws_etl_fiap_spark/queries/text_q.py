@@ -942,3 +942,104 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_etl_fiap_spark.operators.bpe import bpe_encode
 
     return bpe_encode(load_table(spark, sf_dir, "documents"))
+
+
+def _unigram_oracle(
+    max_piece_len: int = 6, min_count: int = 2, max_word_len: int = 12
+) -> str:
+    """Unrolled Viterbi re-derivation of the unigram-LM segmentation
+    (operators/unigram.py): vocab-sized substring counting, 9dp-quantized
+    piece costs, and one min-STRUCT DP CTE per word position — identical
+    doubles added in identical order, ties to the fewest pieces."""
+    from aws_etl_fiap_spark.functions.parity import (
+        sql_dec_sum,
+        sql_round_half_up,
+    )
+
+    cost9 = sql_round_half_up(
+        "-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))", 9
+    )
+    parts = [
+        f"""WITH words AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS wcnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) GROUP BY w
+),
+st AS (SELECT w, wcnt, unnest(range(0, length(w))) AS j FROM words),
+subs AS (
+    SELECT w, wcnt, j,
+           unnest(range(1, least({max_piece_len}, length(w) - j) + 1)) AS L
+    FROM st
+),
+counts AS (
+    SELECT substr(w, j + 1, L) AS piece, CAST(SUM(wcnt) AS BIGINT) AS cnt
+    FROM subs GROUP BY piece
+),
+kept AS (
+    SELECT piece, cnt FROM counts
+    WHERE cnt >= {min_count} OR length(piece) = 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM kept),
+costs AS (SELECT piece, {cost9} AS cost FROM kept CROSS JOIN tot),
+wedges AS MATERIALIZED (
+    SELECT s.w, s.j, s.j + s.L AS i, c.cost
+    FROM subs s JOIN costs c ON substr(s.w, s.j + 1, s.L) = c.piece
+),
+ball0 AS MATERIALIZED (
+    SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0.0 AS DOUBLE) AS cost,
+           0 AS n
+    FROM words
+)"""
+    ]
+    for i in range(1, max_word_len + 1):
+        parts.append(
+            f""",
+b{i} AS (
+    SELECT w, CAST({i} AS BIGINT) AS pos,
+           struct_extract(m, 'c') AS cost, struct_extract(m, 'n') AS n
+    FROM (
+        SELECT e.w, MIN({{'c': b.cost + e.cost, 'n': b.n + 1}}) AS m
+        FROM wedges e JOIN ball{i - 1} b ON b.w = e.w AND b.pos = e.j
+        WHERE e.i = {i} GROUP BY e.w
+    )
+),
+ball{i} AS MATERIALIZED (SELECT * FROM ball{i - 1} UNION ALL SELECT * FROM b{i})"""
+        )
+    parts.append(
+        f""",
+best AS (
+    SELECT b.w, b.n,
+           {sql_round_half_up('b.cost', 6)} AS wnll
+    FROM ball{max_word_len} b JOIN words wd
+      ON wd.w = b.w AND b.pos = length(wd.w)
+),
+docw AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(b.n) AS BIGINT) AS n_pieces,
+       {sql_dec_sum('b.wnll', 6)} AS nll
+FROM docw JOIN best b USING (w)
+GROUP BY doc_id"""
+    )
+    return "".join(parts)
+
+
+@query("text_unigram_lm_segment", oracle=_unigram_oracle())
+def text_unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Unigram-LM (SentencePiece-style) subword
+    segmentation (operators/unigram.py) — the THIRD tokenizer family next
+    to the BPE pair (train + encode): per document, the piece count and
+    negative log-likelihood of the Viterbi-optimal segmentation of every
+    word under the frequency-seeded unigram piece model (Kudo 2018's
+    initialization estimate).  The corpus collapses to its word
+    vocabulary once; substring counting, the 9dp-quantized cost table,
+    and all 12 unrolled DP rounds run on vocab-sized frames (min-STRUCT
+    argmin, ties to fewest pieces); the only corpus-sized passes are the
+    vocabulary aggregate and the final stats join against the broadcast
+    best-segmentation table.  DuckDB re-derives the ENTIRE trajectory —
+    counts, costs, DP, doc rollup — and the driver hash-verifies it."""
+    from aws_etl_fiap_spark.operators.unigram import unigram_segment_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_segment_stats(docs, "doc_id", "text")

@@ -1,0 +1,50 @@
+"""Unit tests for unigram-LM segmentation (operators/unigram.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def test_frequent_whole_word_segments_as_one_piece(spark):
+    from aws_etl_fiap_spark.operators.unigram import unigram_segment_stats
+
+    # One 6-char word repeated: every substring has count 3, so the
+    # single-piece segmentation (one cost) beats any split (sum of equal
+    # costs).  21 distinct substrings * count 3 -> total 63; cost =
+    # round9(-ln(3/63)) = round9(ln(21)).
+    df = spark.createDataFrame(
+        [(1, "abcdef abcdef abcdef")], "doc_id long, text string"
+    )
+    row = unigram_segment_stats(df).collect()[0]
+    assert row["n_words"] == 3
+    assert row["n_pieces"] == 3
+    cost = math.floor(math.log(21.0) * 1e9 + 0.5) / 1e9
+    wnll = math.floor(cost * 1e6 + 0.5) / 1e6
+    assert row["nll"] == pytest.approx(3 * wnll, abs=1e-9)
+
+
+def test_unseen_split_uses_char_fallback(spark):
+    from aws_etl_fiap_spark.operators.unigram import unigram_segment_stats
+
+    # "xy" occurs once -> the 2-gram is pruned (min_count=2) but single
+    # chars are kept unconditionally, so the word still segments (2
+    # pieces), while the repeated word stays 1 piece.
+    df = spark.createDataFrame(
+        [(1, "abab abab xy")], "doc_id long, text string"
+    )
+    row = unigram_segment_stats(df).collect()[0]
+    assert row["n_words"] == 3
+    # abab=1 piece twice, xy = x + y = 2 pieces
+    assert row["n_pieces"] == 2 * 1 + 2
+
+
+def test_word_over_horizon_raises(spark):
+    from aws_etl_fiap_spark.operators.unigram import unigram_segment_stats
+
+    df = spark.createDataFrame(
+        [(1, "a thirteenchars13")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_word_len"):
+        unigram_segment_stats(df).collect()
