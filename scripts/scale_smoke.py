@@ -1077,6 +1077,17 @@ def main() -> None:
         "exact_substring_fifth20x",
         lambda: shared_run_pairs(fifth, "doc_id", "text", n=8, min_tokens=20).count(),
     )
+
+    # Unigram-LM at 20x: clones scale every piece count AND the total by
+    # K, so cost = -ln(cnt/total) is invariant — the whole DP runs on the
+    # same vocab-sized frames as 1x and per-doc NLLs are unchanged.  The
+    # corpus-linear work is the vocabulary aggregate + the stats join.
+    from aws_etl_fiap_spark.operators.unigram import unigram_segment_stats
+
+    stage(
+        f"unigram_segment_{n}docs",
+        lambda: unigram_segment_stats(corpus, "doc_id", "text").count(),
+    )
     spark.stop()
 
 
