@@ -242,6 +242,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "ml_calibration_bins",
     "dedup_exact_substring",
     "text_unigram_lm_segment",
+    "acid_hidden_partition_prune",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -600,3 +600,111 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "acid_hidden_partition_prune",
+    oracle=f"""
+WITH src AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders
+),
+win AS (
+    SELECT * FROM src
+    WHERE o_orderdate >= TIMESTAMP '1996-11-15 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-02-16 00:00:00'
+),
+mf AS (
+    SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS INTEGER)
+             AS n_month_files_scanned
+    FROM src
+    WHERE o_orderdate >= TIMESTAMP '1996-11-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+),
+dfc AS (
+    SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS INTEGER)
+             AS n_day_files_scanned
+    FROM src
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-02-16 00:00:00'
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       {sql_dec_sum('o_totalprice', 2)} AS total_price,
+       n_month_files_scanned, n_day_files_scanned
+FROM win CROSS JOIN mf CROSS JOIN dfc
+GROUP BY o_orderstatus, n_month_files_scanned, n_day_files_scanned
+""",
+)
+def acid_hidden_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT S4-S6 extension] HIDDEN PARTITIONING with spec evolution under
+    the exact gate (sources/snapshot.append_partitioned /
+    read_table_pruned — the Iceberg flagship): pre-1997 orders commit
+    partitioned by month(o_orderdate), the 1997+ half commits under an
+    EVOLVED daily spec on the same column, and the boundary-spanning read
+    [1996-11-15, 1997-02-15] prunes month-files by month and day-files by
+    day from manifest metadata alone (one file per partition value by
+    construction — repartition on the hidden value before partitionBy).
+
+    The scanned-file census rides INSIDE the hash gate: the oracle
+    predicts exactly how many month files (distinct months with data in
+    Nov-Dec 1996) and day files (distinct days with data in
+    1997-01-01..02-15) a correct pruner must keep — prune too much and
+    the aggregate loses rows, prune too little and the census mismatches.
+    The row-level residual predicate is applied on top, the Iceberg
+    scan-plus-residual contract.  Table lands under SPARK_GRAFT_SINK_DIR;
+    output is eagerly checkpointed before the per-run dir is deleted."""
+    from aws_etl_fiap_spark.sources import snapshot as snap
+
+    base = os.environ.get("SPARK_GRAFT_SINK_DIR") or tempfile.gettempdir()
+    tmp = tempfile.mkdtemp(prefix="hidpart_", dir=base)
+    path = os.path.join(tmp, "orders_part")
+    try:
+        src = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        boundary = F.lit("1997-01-01").cast("timestamp")
+        snap.append_partitioned(
+            spark, src.filter(F.col("o_orderdate") < boundary),
+            path, "month", "o_orderdate",
+        )
+        # the daily-spec half covers H1-1997 only: the read window ends in
+        # February, and one-file-per-DAY over four more years would be
+        # ~1600 tiny files of data the gate never scans.
+        snap.append_partitioned(
+            spark,
+            src.filter(
+                (F.col("o_orderdate") >= boundary)
+                & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+            ),
+            path, "day", "o_orderdate",
+        )
+        pruned = snap.read_table_pruned(
+            spark, path, "o_orderdate", "1996-11-15", "1997-02-15"
+        )
+        man = snap._read_manifest(spark, path, 2)
+        scanned = {f.split("/")[-1] for f in pruned.inputFiles()}
+        n_m = sum(
+            1 for n in scanned
+            if man["partitions"][n]["transform"] == "month"
+        )
+        n_d = sum(
+            1 for n in scanned
+            if man["partitions"][n]["transform"] == "day"
+        )
+        out = (
+            pruned.filter(
+                (F.col("o_orderdate") >= F.lit("1996-11-15").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-02-16").cast("timestamp"))
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").alias("key_sum"),
+                dec_sum("o_totalprice", 2).alias("total_price"),
+            )
+            .withColumn("n_month_files_scanned", F.lit(n_m))
+            .withColumn("n_day_files_scanned", F.lit(n_d))
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -98,7 +98,7 @@ def _commit(spark: SparkSession, path: str, version: int, files: list[str],
             file_rows: dict[str, int], op: str,
             stats: dict | None = None, merge_schema: bool = False,
             delete_files: list[str] | None = None,
-            n_deleted: int = 0) -> None:
+            n_deleted: int = 0, extra: dict | None = None) -> None:
     """Atomic manifest commit: write temp, rename-without-overwrite into
     place.  A losing racer's rename fails (target exists) -> conflict."""
     hpath, fs = _fs(spark, path)
@@ -117,7 +117,7 @@ def _commit(spark: SparkSession, path: str, version: int, files: list[str],
          "n_rows": sum(file_rows.values()), "file_rows": file_rows,
          "stats": stats or {}, "merge_schema": bool(merge_schema),
          "delete_files": sorted(delete_files or []),
-         "n_deleted": int(n_deleted)}
+         "n_deleted": int(n_deleted), **(extra or {})}
     ).encode("utf-8")
     stream = fs.create(tmp, True)
     try:
@@ -805,3 +805,213 @@ def upsert_with_retry(
         f"upsert lost {max_retries + 1} consecutive commit races on {path}; "
         "reduce writer contention or batch coarser"
     ) from last
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning (Iceberg-style partition transforms + file pruning)
+#
+# Iceberg's flagship idea: the table declares TRANSFORMS of data columns
+# (month(ts), day(ts), bucket(n, key), identity(col)) and the format tracks
+# each data file's partition VALUE in table metadata — queries filter on the
+# DATA column and the reader prunes files from metadata alone, no directory
+# layout or partition column leaking into the schema.  The spec can EVOLVE:
+# every file records the transform it was written under, so a table can mix
+# month-partitioned history with day-partitioned recent commits and pruning
+# stays correct per file (files whose transform cannot prove disjointness
+# are simply scanned).  At 100 TB this is the difference between reading a
+# month and reading the table.
+# ---------------------------------------------------------------------------
+
+_PARTITION_TRANSFORMS = ("identity", "month", "day", "bucket")
+
+
+def _pv_expr(transform: str, col: str, arg: int | None) -> F.Column:
+    """The partition-value STRING for a row under a transform.  Strings are
+    the manifest-portable representation; month/day ISO strings compare
+    lexicographically in chronological order, which range pruning relies
+    on."""
+    if transform == "identity":
+        return F.col(col).cast("string")
+    if transform == "month":
+        return F.date_format(F.col(col), "yyyy-MM")
+    if transform == "day":
+        return F.date_format(F.col(col), "yyyy-MM-dd")
+    if transform == "bucket":
+        if not arg or arg < 1:
+            raise ValueError("bucket transform needs a positive bucket count")
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(arg)).cast("string")
+    raise ValueError(
+        f"unknown transform {transform!r}; supported: {_PARTITION_TRANSFORMS}"
+    )
+
+
+def append_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    transform: str,
+    col: str,
+    arg: int | None = None,
+) -> int:
+    """Commit ``df`` as new data files grouped by the HIDDEN partition value
+    ``transform(col)``; creates the table (version 1) if absent, appends a
+    new version otherwise.  Each new file's manifest entry records the
+    transform AND its value, so later reads prune by predicate-on-``col``
+    from metadata alone — and because the record is PER FILE, a later
+    append under a different transform (spec evolution) coexists with the
+    old files: pruning consults each file's own spec.
+
+    Files stage under the same write-invisibility protocol as
+    :func:`_stage_files` (staging dir + rename) but via ``partitionBy`` on
+    the computed value, so one staging leaf per partition value; small
+    partitions stay one file each."""
+    import uuid
+
+    hpath, fs = _fs(spark, path)
+    versions = _list_versions(spark, path)
+    version = (versions[-1] + 1) if versions else 1
+    txn = uuid.uuid4().hex[:8]
+    staging = path.rstrip("/") + f"/_staging_v{version:08d}_{txn}"
+    fs.delete(hpath(staging), True)
+    (
+        df.withColumn("__pv", _pv_expr(transform, col, arg))
+        .repartition("__pv")
+        .write.partitionBy("__pv")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    import pyarrow.parquet as pq
+
+    ddir = _data_dir(path)
+    fs.mkdirs(hpath(ddir))
+    names: list[str] = []
+    file_rows: dict[str, int] = {}
+    partitions: dict[str, dict] = {}
+    leaves = sorted(
+        (st for st in fs.listStatus(hpath(staging))
+         if st.isDirectory() and st.getPath().getName().startswith("__pv=")),
+        key=lambda s: s.getPath().getName(),
+    )
+    from urllib.parse import unquote
+
+    for leaf in leaves:
+        value = unquote(leaf.getPath().getName()[len("__pv="):])
+        parts = sorted(
+            (st for st in fs.listStatus(leaf.getPath())
+             if st.getPath().getName().endswith(".parquet")),
+            key=lambda s: s.getPath().getName(),
+        )
+        for st in parts:
+            target = f"v{version:08d}-{txn}-{len(names):05d}.parquet"
+            if not fs.rename(st.getPath(), hpath(f"{ddir}/{target}")):
+                raise IOError(f"staging rename failed for {value}")
+            names.append(target)
+            file_rows[target] = int(
+                pq.ParquetFile(f"{ddir}/{target}").metadata.num_rows
+            )
+            # coltype rides along so equality pruning can cast its literal
+            # to the column's exact type: xxhash64 is width-sensitive, so
+            # bucket(lit) must hash the same physical type as bucket(col).
+            partitions[target] = {
+                "transform": transform, "col": col,
+                "arg": arg, "value": value,
+                "coltype": df.schema[col].dataType.simpleString(),
+            }
+    fs.delete(hpath(staging), True)
+
+    if versions:
+        prev = _read_manifest(spark, path, versions[-1])
+        all_files = list(prev["files"]) + names
+        all_rows = {**prev.get("file_rows", {}), **file_rows}
+        all_parts = {**(prev.get("partitions") or {}), **partitions}
+        extra = {"partitions": all_parts}
+        _commit(
+            spark, path, version, all_files, all_rows, op="append",
+            stats=prev.get("stats") or {},
+            merge_schema=prev.get("merge_schema", False),
+            delete_files=prev.get("delete_files") or [],
+            n_deleted=prev.get("n_deleted", 0), extra=extra,
+        )
+    else:
+        _commit(
+            spark, path, version, names, file_rows, op="create",
+            extra={"partitions": partitions},
+        )
+    return version
+
+
+def _pv_bounds(transform: str, lo, hi) -> tuple[str, str]:
+    """Map a [lo, hi] predicate on the DATA column to partition-value
+    bounds.  month/day: ISO prefixes (lexicographic == chronological);
+    identity: the values as strings (callers must only range-prune
+    identity on STRING columns — numeric strings do not order)."""
+    lo_s, hi_s = str(lo), str(hi)
+    if transform == "month":
+        return lo_s[:7], hi_s[:7]
+    if transform == "day":
+        return lo_s[:10], hi_s[:10]
+    if transform == "identity":
+        return lo_s, hi_s
+    raise ValueError(f"range pruning unsupported for transform {transform!r}")
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with HIDDEN-PARTITION file pruning: keep only files
+    whose recorded partition value for a transform on ``col`` can overlap
+    ``[lo, hi]`` (or equal ``lo`` when ``hi`` is None; bucket transforms
+    prune on equality only).  Files with no partition record for ``col`` —
+    pre-partitioning history, a different column's spec, or compacted
+    rewrites — are ALWAYS kept: pruning may only drop provably-disjoint
+    files, never guess.  The caller still applies the row-level predicate;
+    pruning is metadata-level (the Iceberg scan-plus-residual contract)."""
+    v = version if version is not None else current_version(spark, path)
+    manifest = _read_manifest(spark, path, v)
+    parts: dict = manifest.get("partitions") or {}
+    keep: list[str] = []
+    for name in manifest["files"]:
+        rec = parts.get(name)
+        if not rec or rec.get("col") != col:
+            keep.append(name)
+            continue
+        t, val = rec["transform"], rec["value"]
+        if hi is None:
+            if t == "bucket":
+                # compute the literal's bucket through the SAME expression,
+                # cast to the column's recorded type (xxhash64 is
+                # width-sensitive: hashing an INT literal against a BIGINT
+                # column lands in the wrong bucket).
+                lit = F.lit(lo)
+                if rec.get("coltype"):
+                    lit = lit.cast(rec["coltype"])
+                b = (
+                    spark.range(1)
+                    .withColumn("k", lit)
+                    .select(_pv_expr("bucket", "k", rec["arg"]).alias("b"))
+                    .first()["b"]
+                )
+                if val == b:
+                    keep.append(name)
+            else:
+                plo, phi = _pv_bounds(t, lo, lo)
+                if plo <= val <= phi:
+                    keep.append(name)
+        else:
+            if t == "bucket":
+                keep.append(name)  # buckets cannot range-prune
+            else:
+                plo, phi = _pv_bounds(t, lo, hi)
+                if plo <= val <= phi:
+                    keep.append(name)
+    if not keep:
+        # a provably-empty scan still needs the schema: read one manifest
+        # file and return zero rows.
+        base = _read_files(spark, path, manifest, manifest["files"][:1])
+        return base.filter(F.lit(False))
+    return _read_files(spark, path, manifest, keep)

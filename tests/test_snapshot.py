@@ -687,3 +687,133 @@ def test_insert_only_batch_still_enforces_schema(spark, sf_smoke, tmp_path):
     got = {r["o_orderkey"]: r["o_channel"] for r in cur.collect()}
     assert sum(v == "online" for v in got.values()) == 4
     assert cur.count() == src.count() + 4
+
+
+def _orders(spark, sf_smoke):
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    return load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+
+def test_hidden_partition_month_prunes_files(spark, sf_smoke, tmp_path):
+    path = str(tmp_path / "snap")
+    src = _orders(spark, sf_smoke)
+    S.append_partitioned(spark, src, path, "month", "o_orderdate")
+    man = S._read_manifest(spark, path, 1)
+    n_months = len({p["value"] for p in man["partitions"].values()})
+    assert len(man["files"]) >= n_months > 3
+
+    pruned = S.read_table_pruned(
+        spark, path, "o_orderdate", "1995-01-01", "1995-03-31"
+    )
+    # metadata-level pruning: the scan plan holds only Q1-1995 files
+    scanned = [
+        f for f in pruned.inputFiles() if f.split("/")[-1] in man["files"]
+    ]
+    expect = {
+        n for n, p in man["partitions"].items()
+        if "1995-01" <= p["value"] <= "1995-03"
+    }
+    assert {f.split("/")[-1] for f in scanned} == expect
+    assert len(expect) < len(man["files"])
+    # scan + residual predicate == direct filter on the source
+    got = pruned.filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-03-31 23:59:59")
+    ).count()
+    want = src.filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-03-31 23:59:59")
+    ).count()
+    assert got == want > 0
+
+
+def test_hidden_partition_bucket_equality_prunes_to_one_bucket(
+    spark, sf_smoke, tmp_path
+):
+    path = str(tmp_path / "snap")
+    src = _orders(spark, sf_smoke)
+    S.append_partitioned(spark, src, path, "bucket", "o_orderkey", arg=8)
+    man = S._read_manifest(spark, path, 1)
+    assert len({p["value"] for p in man["partitions"].values()}) == 8
+
+    key = src.select("o_orderkey").first()["o_orderkey"]
+    pruned = S.read_table_pruned(spark, path, "o_orderkey", key)
+    scanned = {f.split("/")[-1] for f in pruned.inputFiles()}
+    assert len({man["partitions"][n]["value"] for n in scanned}) == 1
+    rows = pruned.filter(F.col("o_orderkey") == key).count()
+    assert rows == src.filter(F.col("o_orderkey") == key).count() == 1
+
+
+def test_partition_spec_evolution_prunes_per_file(spark, sf_smoke, tmp_path):
+    path = str(tmp_path / "snap")
+    src = _orders(spark, sf_smoke)
+    old = src.filter(F.col("o_orderdate") < "1997-01-01")
+    new = src.filter(F.col("o_orderdate") >= "1997-01-01")
+    S.append_partitioned(spark, old, path, "month", "o_orderdate")
+    # spec evolves: later commits partition DAILY on the same column
+    S.append_partitioned(spark, new, path, "day", "o_orderdate")
+    man = S._read_manifest(spark, path, 2)
+    transforms = {p["transform"] for p in man["partitions"].values()}
+    assert transforms == {"month", "day"}
+
+    # a range spanning the boundary prunes month-files by month and
+    # day-files by day, and the union equals the source filter
+    pruned = S.read_table_pruned(
+        spark, path, "o_orderdate", "1996-12-01", "1997-01-15"
+    )
+    got = pruned.filter(
+        F.col("o_orderdate").between("1996-12-01", "1997-01-15 23:59:59")
+    ).count()
+    want = src.filter(
+        F.col("o_orderdate").between("1996-12-01", "1997-01-15 23:59:59")
+    ).count()
+    assert got == want > 0
+    scanned = {f.split("/")[-1] for f in pruned.inputFiles()}
+    by_t = {"month": set(), "day": set()}
+    for n in scanned:
+        p = man["partitions"][n]
+        by_t[p["transform"]].add(p["value"])
+    assert by_t["month"] <= {"1996-12", "1997-01"}
+    assert all(v.startswith("1997-01-0") or v == "1997-01-15" or
+               v.startswith("1997-01-1") for v in by_t["day"])
+
+
+def test_pruning_keeps_files_without_partition_record(spark, sf_smoke, tmp_path):
+    path = str(tmp_path / "snap")
+    src = _orders(spark, sf_smoke)
+    # v1: UN-partitioned create (no partition records at all)
+    S.create_table(spark, src.filter(F.col("o_orderkey") % 2 == 0), path, n_files=2)
+    # v2: partitioned append of the other half
+    S.append_partitioned(
+        spark, src.filter(F.col("o_orderkey") % 2 == 1), path,
+        "month", "o_orderdate",
+    )
+    pruned = S.read_table_pruned(
+        spark, path, "o_orderdate", "1995-01-01", "1995-01-31"
+    )
+    got = pruned.filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-01-31 23:59:59")
+    ).count()
+    want = src.filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-01-31 23:59:59")
+    ).count()
+    # the un-recorded v1 files are always scanned (never guessed away)
+    man = S._read_manifest(spark, path, 2)
+    scanned = {f.split("/")[-1] for f in pruned.inputFiles()}
+    v1_files = {n for n in man["files"] if n not in man["partitions"]}
+    assert v1_files <= scanned
+    assert got == want > 0
+
+
+def test_pruned_read_empty_range_returns_schema_and_zero_rows(
+    spark, sf_smoke, tmp_path
+):
+    path = str(tmp_path / "snap")
+    src = _orders(spark, sf_smoke)
+    S.append_partitioned(spark, src, path, "month", "o_orderdate")
+    out = S.read_table_pruned(
+        spark, path, "o_orderdate", "1901-01-01", "1901-12-31"
+    )
+    assert out.count() == 0
+    assert set(out.columns) == set(src.columns)
