@@ -410,3 +410,61 @@ def psi_from_counts(counts: DataFrame, n_bins: int) -> DataFrame:
         p_cur.alias("cur_share"),
         ((p_base - p_cur) * F.log(p_base / p_cur)).alias("psi_term"),
     )
+
+
+def _rank2(df: DataFrame, col: str, out: str) -> DataFrame:
+    """Tie-aware DOUBLED average rank of ``col`` joined back onto every
+    row: collapse to the distinct-value frame, range-partitioned prefix
+    sum for the global cumulative count (no single-reducer window), then
+    ``rank2 = 2*cum_below + n + 1`` — a BIGINT carrying the half-integer
+    average rank exactly.  The distinct-value rank table broadcasts back
+    (value-cardinality-sized, not row-sized)."""
+    from aws_etl_fiap_spark.operators.sampling import ordered_prefix_sum
+
+    g = df.groupBy(col).agg(F.count(F.lit(1)).alias("__n"))
+    r = ordered_prefix_sum(g, [col], "__n", out="__cum")
+    r = r.select(
+        col,
+        (
+            F.lit(2) * (F.col("__cum") - F.col("__n")) + F.col("__n") + F.lit(1)
+        ).cast("long").alias(out),
+    )
+    return df.join(F.broadcast(r), col)
+
+
+def spearman_rho(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
+    """Exact tie-aware SPEARMAN rank correlation between two columns —
+    Pearson on average ranks, computed on DOUBLED ranks so every moment
+    is an exact integer (rank scaling cancels in the correlation):
+
+        rho = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    with Sx/Sy/Sxx/Syy/Sxy summed as DECIMAL(38,0) over BIGINT rank
+    products — order-independent and overflow-proof, so a DuckDB
+    re-derivation is bit-identical through the one final sqrt/divide.
+    Scale shape: two distinct-value rank tables (each via the two-pass
+    prefix sum) broadcast onto the rows; ONE map-side-combined moment
+    aggregate ends it.  Output: one row ``(rho, n)``; rho is NULL when
+    either column is constant (zero variance)."""
+    ranked = _rank2(_rank2(df.select(xcol, ycol), xcol, "__rx"), ycol, "__ry")
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d("__rx")).cast("decimal(38,0)").alias("sx"),
+        F.sum(d("__ry")).cast("decimal(38,0)").alias("sy"),
+        F.sum(d("__rx") * d("__rx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(d("__ry") * d("__ry")).cast("decimal(38,0)").alias("syy"),
+        F.sum(d("__rx") * d("__ry")).cast("decimal(38,0)").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = nd * sxy - sx * sy
+    den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return m.select(
+        round_half_up(
+            F.when(den > 0.0, num / den).otherwise(F.lit(None)), 6
+        ).alias("rho"),
+        "n",
+    )

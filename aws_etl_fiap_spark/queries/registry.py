@@ -243,6 +243,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "dedup_exact_substring",
     "text_unigram_lm_segment",
     "acid_hidden_partition_prune",
+    "stat_spearman_len_diversity",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -877,3 +877,74 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("long").cast("double") / cnt, 6
         ).alias("frac_pos"),
     )
+
+
+_SPEARMAN_MOM = """
+t AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(CAST(rx AS DECIMAL(38,0)) * CAST(rx AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS sxx,
+           CAST(SUM(CAST(ry AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS syy,
+           CAST(SUM(CAST(rx AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) AS sxy
+    FROM j
+)"""
+
+
+def _spearman_oracle() -> str:
+    from aws_etl_fiap_spark.functions.parity import sql_round_half_up
+
+    num = ("CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)")
+    den = ("sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+           " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))")
+    rho = f"CASE WHEN {den} > 0.0 THEN ({num}) / {den} END"
+    return f"""
+WITH m AS (
+    SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+    FROM documents
+),
+gx AS (SELECT x, COUNT(*) AS cn FROM m GROUP BY x),
+rx AS (
+    SELECT x, CAST(2 * (SUM(cn) OVER (ORDER BY x) - cn) + cn + 1 AS BIGINT)
+             AS rx
+    FROM gx
+),
+gy AS (SELECT y, COUNT(*) AS cn FROM m GROUP BY y),
+ry AS (
+    SELECT y, CAST(2 * (SUM(cn) OVER (ORDER BY y) - cn) + cn + 1 AS BIGINT)
+             AS ry
+    FROM gy
+),
+j AS (SELECT rx.rx, ry.ry FROM m JOIN rx USING (x) JOIN ry USING (y)),
+{_SPEARMAN_MOM}
+SELECT {sql_round_half_up(rho, 6)} AS rho, n FROM t"""
+
+
+@query("stat_spearman_len_diversity", oracle=_spearman_oracle())
+def stat_spearman_len_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact tie-aware SPEARMAN rank correlation
+    (operators/stats.spearman_rho) between document length (token count)
+    and lexical diversity (distinct-token count) — the monotonic-
+    association check quality teams run before trusting a linear
+    correlation on heavy-tailed corpus metrics.  Pearson over DOUBLED
+    average ranks: both rank tables come from the range-partitioned
+    two-pass prefix sum over distinct-VALUE frames (never a row-sized
+    window), all five moments are exact DECIMAL(38,0) integer sums, and
+    one final sqrt/divide produces rho — bit-identical on both engines
+    with no rounding machinery inside the statistic."""
+    from aws_etl_fiap_spark.operators.stats import spearman_rho
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = docs.select(
+        F.size(toks).cast("long").alias("x"),
+        F.size(F.array_distinct(toks)).cast("long").alias("y"),
+    )
+    return spearman_rho(m, "x", "y")

@@ -186,3 +186,36 @@ def test_kn_bigram_nll_hand_checked(spark):
     assert abs(got[1]["avg_nll"] - (-math.log(p_ab))) < 1e-12
     p_ba = 0.0 + (d * 1 / 1) * (1 / 2)  # pruned -> continuation only
     assert abs(got[3]["avg_nll"] - (-math.log(p_ba))) < 1e-12
+
+
+def test_spearman_perfect_monotone_and_reverse(spark):
+    from aws_etl_fiap_spark.operators.stats import spearman_rho
+
+    up = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 35), (4, 70)], "x long, y long"
+    )
+    assert spearman_rho(up, "x", "y").collect()[0]["rho"] == 1.0
+    down = spark.createDataFrame(
+        [(1, 70), (2, 35), (3, 20), (4, 10)], "x long, y long"
+    )
+    assert spearman_rho(down, "x", "y").collect()[0]["rho"] == -1.0
+
+
+def test_spearman_ties_match_scipy_definition(spark):
+    from aws_etl_fiap_spark.operators.stats import spearman_rho
+
+    # x: [1,2,2,3], y: [1,3,2,4] -> avg ranks x: [1, 2.5, 2.5, 4],
+    # y: [1,3,2,4]; Pearson of ranks = 0.9486832980505138 -> 6dp half-up.
+    df = spark.createDataFrame(
+        [(1, 1), (2, 3), (2, 2), (3, 4)], "x long, y long"
+    )
+    out = spearman_rho(df, "x", "y").collect()[0]
+    assert out["rho"] == 0.948683
+    assert out["n"] == 4
+
+
+def test_spearman_constant_column_is_null(spark):
+    from aws_etl_fiap_spark.operators.stats import spearman_rho
+
+    df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x long, y long")
+    assert spearman_rho(df, "x", "y").collect()[0]["rho"] is None
