@@ -12,8 +12,10 @@ hypothesis's per-example lifecycle.
 
 from __future__ import annotations
 
+import math
+
 import duckdb
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -391,5 +393,77 @@ def test_bpe_single_pass_replace_matches_duckdb(spark):
             "SELECT replace(?, ?, ?)", [seq, pat, rep]
         ).fetchone()[0]
         assert got == want
+
+    prop()
+
+
+def test_exact_auc_matches_pairwise_definition_property(spark):
+    from aws_etl_fiap_spark.operators.ml import exact_auc
+
+    pair = st.tuples(
+        st.integers(min_value=0, max_value=12).map(lambda g: g / 12.0),
+        st.booleans(),
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(pair, min_size=4, max_size=60))
+    def prop(rows):
+        pos = [s for s, y in rows if y]
+        neg = [s for s, y in rows if not y]
+        assume(pos and neg)
+        wins = sum(1.0 for p in pos for q in neg if p > q)
+        ties = sum(1.0 for p in pos for q in neg if p == q)
+        expect = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        df = spark.createDataFrame(
+            [(s, int(y)) for s, y in rows], "score double, y int"
+        )
+        got = exact_auc(df, F.col("y"), F.col("score")).collect()[0]["auc"]
+        assert got == math.floor(expect * 1e6 + 0.5) / 1e6
+
+    prop()
+
+
+def test_spearman_matches_rank_pearson_property(spark):
+    from aws_etl_fiap_spark.operators.stats import spearman_rho
+
+    pair = st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(pair, min_size=3, max_size=50))
+    def prop(rows):
+        xs = [x for x, _ in rows]
+        ys = [y for _, y in rows]
+        assume(len(set(xs)) > 1 and len(set(ys)) > 1)
+
+        def rank2(vals):
+            # doubled tie-aware average ranks, the operator's integers
+            return {
+                v: 2 * sum(1 for u in vals if u < v)
+                + sum(1 for u in vals if u == v) + 1
+                for v in set(vals)
+            }
+
+        rx, ry = rank2(xs), rank2(ys)
+        n = len(rows)
+        sx = sum(rx[x] for x in xs)
+        sy = sum(ry[y] for y in ys)
+        sxx = sum(rx[x] * rx[x] for x in xs)
+        syy = sum(ry[y] * ry[y] for y in ys)
+        sxy = sum(rx[x] * ry[y] for x, y in rows)
+        # mirror the operator's double arithmetic exactly
+        num = float(n) * float(sxy) - float(sx) * float(sy)
+        den = math.sqrt(
+            (float(n) * float(sxx) - float(sx) * float(sx))
+            * (float(n) * float(syy) - float(sy) * float(sy))
+        )
+        expect = (
+            math.floor((num / den) * 1e6 + 0.5) / 1e6 if den > 0.0 else None
+        )
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = spearman_rho(df, "x", "y").collect()[0]["rho"]
+        assert got == expect
 
     prop()
