@@ -689,7 +689,7 @@ def test_insert_only_batch_still_enforces_schema(spark, sf_smoke, tmp_path):
     assert cur.count() == src.count() + 4
 
 
-def _orders(spark, sf_smoke):
+def _orders_dated(spark, sf_smoke):
     from aws_etl_fiap_spark.sources.readers import load_table
 
     return load_table(spark, sf_smoke, "orders").select(
@@ -699,7 +699,7 @@ def _orders(spark, sf_smoke):
 
 def test_hidden_partition_month_prunes_files(spark, sf_smoke, tmp_path):
     path = str(tmp_path / "snap")
-    src = _orders(spark, sf_smoke)
+    src = _orders_dated(spark, sf_smoke)
     S.append_partitioned(spark, src, path, "month", "o_orderdate")
     man = S._read_manifest(spark, path, 1)
     n_months = len({p["value"] for p in man["partitions"].values()})
@@ -732,7 +732,7 @@ def test_hidden_partition_bucket_equality_prunes_to_one_bucket(
     spark, sf_smoke, tmp_path
 ):
     path = str(tmp_path / "snap")
-    src = _orders(spark, sf_smoke)
+    src = _orders_dated(spark, sf_smoke)
     S.append_partitioned(spark, src, path, "bucket", "o_orderkey", arg=8)
     man = S._read_manifest(spark, path, 1)
     assert len({p["value"] for p in man["partitions"].values()}) == 8
@@ -747,7 +747,7 @@ def test_hidden_partition_bucket_equality_prunes_to_one_bucket(
 
 def test_partition_spec_evolution_prunes_per_file(spark, sf_smoke, tmp_path):
     path = str(tmp_path / "snap")
-    src = _orders(spark, sf_smoke)
+    src = _orders_dated(spark, sf_smoke)
     old = src.filter(F.col("o_orderdate") < "1997-01-01")
     new = src.filter(F.col("o_orderdate") >= "1997-01-01")
     S.append_partitioned(spark, old, path, "month", "o_orderdate")
@@ -781,7 +781,7 @@ def test_partition_spec_evolution_prunes_per_file(spark, sf_smoke, tmp_path):
 
 def test_pruning_keeps_files_without_partition_record(spark, sf_smoke, tmp_path):
     path = str(tmp_path / "snap")
-    src = _orders(spark, sf_smoke)
+    src = _orders_dated(spark, sf_smoke)
     # v1: UN-partitioned create (no partition records at all)
     S.create_table(spark, src.filter(F.col("o_orderkey") % 2 == 0), path, n_files=2)
     # v2: partitioned append of the other half
@@ -810,7 +810,7 @@ def test_pruned_read_empty_range_returns_schema_and_zero_rows(
     spark, sf_smoke, tmp_path
 ):
     path = str(tmp_path / "snap")
-    src = _orders(spark, sf_smoke)
+    src = _orders_dated(spark, sf_smoke)
     S.append_partitioned(spark, src, path, "month", "o_orderdate")
     out = S.read_table_pruned(
         spark, path, "o_orderdate", "1901-01-01", "1901-12-31"
