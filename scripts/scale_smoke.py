@@ -1078,6 +1078,52 @@ def main() -> None:
         lambda: shared_run_pairs(fifth, "doc_id", "text", n=8, min_tokens=20).count(),
     )
 
+    # Hidden partitioning at 20x: commit a K-times lineitem as a month-
+    # partitioned snapshot table (~84 month files), then time a ONE-
+    # QUARTER pruned aggregate against the full-table read.  The pruned
+    # plan's scan must hold only the quarter's files, so its cost tracks
+    # the partition FRACTION, not the table — metadata-only skipping, the
+    # 100 TB read-path story.
+    def _hidden_partition():
+        import shutil as _sh
+        import tempfile as _tf
+
+        from aws_etl_fiap_spark.sources import snapshot as snap
+
+        li_dt = load_table(spark, args.sf, "lineitem").select(
+            "l_shipdate", "l_extendedprice"
+        )
+        big = li_dt.crossJoin(copies).select("l_shipdate", "l_extendedprice")
+        tmp = _tf.mkdtemp(prefix="smoke_hidpart_")
+        path = tmp + "/li_part"
+        try:
+            t0 = time.perf_counter()
+            snap.append_partitioned(spark, big, path, "month", "l_shipdate")
+            t_write = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            full = snap.read_table(spark, path).agg(
+                F.sum("l_extendedprice")
+            ).collect()[0][0]
+            t_full = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            q = snap.read_table_pruned(
+                spark, path, "l_shipdate", "1996-01-01", "1996-03-31"
+            )
+            n_files = len(q.inputFiles())
+            q.agg(F.sum("l_extendedprice")).collect()
+            t_pruned = time.perf_counter() - t0
+            print(json.dumps({
+                "stage": "hidden_partition_prune_bigfact",
+                "write_s": round(t_write, 2), "full_scan_s": round(t_full, 2),
+                "pruned_scan_s": round(t_pruned, 2),
+                "pruned_files": n_files, "full_nonnull": full is not None,
+            }), flush=True)
+            return n_files
+        finally:
+            _sh.rmtree(tmp, ignore_errors=True)
+
+    stage("hidden_partition_prune_bigfact", _hidden_partition)
+
     # Unigram-LM at 20x: clones scale every piece count AND the total by
     # K, so cost = -ln(cnt/total) is invariant — the whole DP runs on the
     # same vocab-sized frames as 1x and per-doc NLLs are unchanged.  The
