@@ -182,3 +182,117 @@ def exact_auc(df: DataFrame, label: Column, score: Column) -> DataFrame:
         F.col("p").alias("n_pos"),
         (F.col("tot") - F.col("p")).cast("long").alias("n_neg"),
     )
+
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Multinomial NAIVE BAYES trained and evaluated in one pass — the
+    classic counts-only baseline classifier of language/domain curation
+    (fasttext's ancestor), next to the gradient-trained logistic model:
+    Laplace-smoothed word likelihoods per class, log-prior plus
+    log-likelihood argmax per document, released as the (true, predicted)
+    CONFUSION MATRIX.
+
+    Cross-engine exactness: the model is nothing but integer counts, so
+    only the logs are float — each ``logp`` quantizes to 9 dp the moment
+    it is taken (the ml.py contract), per-word contributions are
+    ``count * logp`` products of a BIGINT and a 9dp fixed-point value
+    (exact in DECIMAL(38,9)), and the per-(doc, class) score is an exact
+    decimal SUM — order-independent, so the argmax (ties to the
+    lexicographically first class) is bit-reproducible by a SQL twin.
+
+    Scale shape: the corpus collapses to (doc, word, count) once; the
+    class-word likelihood table is vocab-x-k and broadcasts; scoring fans
+    each doc-word row k ways (k = class count, a handful) and combines
+    map-side; no window wider than the k-row per-doc argmin struct."""
+    docs = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(label_col).alias("y"),
+        F.col(text_col).alias("text"),
+    )
+    dw = (
+        docs.select("doc", "y", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc", "y", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cw = dw.groupBy(F.col("y").alias("c"), "w").agg(
+        F.sum("cnt").cast("long").alias("ccnt")
+    )
+    ctot = cw.groupBy("c").agg(F.sum("ccnt").cast("long").alias("tot"))
+    vocab = dw.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))
+    priors = (
+        docs.groupBy(F.col("y").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    den = (F.col("tot") + F.col("v")).cast("double")
+    classes = (
+        ctot.crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(priors), "c")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "c",
+            round_half_up(
+                F.log(F.col("nc").cast("double") / F.col("n").cast("double")), 9
+            ).cast("decimal(12,9)").alias("logprior"),
+            round_half_up(F.log(F.lit(1.0) / den), 9)
+            .cast("decimal(12,9)").alias("logp0"),
+            F.col("tot"),
+            F.col("v"),
+        )
+    )
+    like = (
+        cw.join(F.broadcast(classes.select("c", "tot", "v")), "c")
+        .select(
+            "c",
+            "w",
+            round_half_up(
+                F.log(
+                    (F.col("ccnt") + F.lit(1)).cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                ),
+                9,
+            ).cast("decimal(12,9)").alias("logp"),
+        )
+    )
+    scored = (
+        dw.crossJoin(F.broadcast(classes.select("c", "logprior", "logp0")))
+        .join(F.broadcast(like), ["c", "w"], "left")
+        .select(
+            "doc",
+            F.col("y").alias("true_lang"),
+            "c",
+            "logprior",
+            # (10,0) x (12,9) -> DECIMAL(23,9): exact, and small enough
+            # that Spark never hits the precision-38 ceiling that silently
+            # cuts multiplication scale (adjustPrecisionScale).
+            (
+                F.col("cnt").cast("decimal(10,0)")
+                * F.coalesce(F.col("logp"), F.col("logp0"))
+            ).alias("contrib"),
+        )
+    )
+    per_class = scored.groupBy("doc", "true_lang", "c", "logprior").agg(
+        F.sum("contrib").alias("ll")
+    )
+    score = (F.col("logprior") + F.col("ll")).alias("score")
+    best = (
+        per_class.select(
+            "doc",
+            "true_lang",
+            F.struct((-score).alias("ns"), F.col("c").alias("c")).alias("s"),
+        )
+        .groupBy("doc", "true_lang")
+        .agg(F.min("s").alias("m"))
+    )
+    return (
+        best.groupBy(
+            F.col("true_lang"), F.col("m.c").alias("pred_lang")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

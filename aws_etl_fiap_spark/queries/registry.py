@@ -244,6 +244,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "text_unigram_lm_segment",
     "acid_hidden_partition_prune",
     "stat_spearman_len_diversity",
+    "ml_naive_bayes_confusion",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -948,3 +948,84 @@ def stat_spearman_len_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("long").alias("y"),
     )
     return spearman_rho(m, "x", "y")
+
+
+def _nb_oracle() -> str:
+    """Full Naive-Bayes re-derivation: integer count model, 9dp-quantized
+    logs cast to DECIMAL(12,9), exact (10,0)x(12,9) contribution products
+    decimal-summed per (doc, class), argmax with ties to the
+    lexicographically first class."""
+    from aws_etl_fiap_spark.functions.parity import sql_round_half_up
+
+    r9 = sql_round_half_up
+    return f"""
+WITH docs AS (SELECT doc_id AS doc, lang AS y, text FROM documents),
+dw AS (
+    SELECT doc, y, w, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT doc, y, unnest(string_split(text, ' ')) AS w FROM docs)
+    GROUP BY doc, y, w
+),
+cw AS (
+    SELECT y AS c, w, CAST(SUM(cnt) AS BIGINT) AS ccnt FROM dw GROUP BY y, w
+),
+ctot AS (SELECT c, CAST(SUM(ccnt) AS BIGINT) AS tot FROM cw GROUP BY c),
+vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM dw),
+priors AS (SELECT y AS c, CAST(COUNT(*) AS BIGINT) AS nc FROM docs GROUP BY y),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+classes AS (
+    SELECT ctot.c,
+           CAST({r9('ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))', 9)}
+                AS DECIMAL(12,9)) AS logprior,
+           CAST({r9('ln(1.0 / CAST(tot + v AS DOUBLE))', 9)}
+                AS DECIMAL(12,9)) AS logp0,
+           tot, v
+    FROM ctot JOIN priors ON priors.c = ctot.c CROSS JOIN vocab CROSS JOIN nn
+),
+likes AS (
+    SELECT cw.c, cw.w,
+           CAST({r9('ln(CAST(ccnt + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE))', 9)}
+                AS DECIMAL(12,9)) AS logp
+    FROM cw JOIN classes ON classes.c = cw.c
+),
+scored AS (
+    SELECT dw.doc, dw.y AS true_lang, cl.c, cl.logprior,
+           CAST(dw.cnt AS DECIMAL(10,0)) * COALESCE(l.logp, cl.logp0)
+             AS contrib
+    FROM dw CROSS JOIN classes cl
+    LEFT JOIN likes l ON l.c = cl.c AND l.w = dw.w
+),
+per_class AS (
+    SELECT doc, true_lang, c, logprior, SUM(contrib) AS ll
+    FROM scored GROUP BY doc, true_lang, c, logprior
+),
+best AS (
+    SELECT doc, true_lang, c AS pred FROM (
+        SELECT doc, true_lang, c,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc ORDER BY logprior + ll DESC, c ASC
+               ) AS rn
+        FROM per_class
+    ) WHERE rn = 1
+)
+SELECT true_lang, pred AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM best GROUP BY true_lang, pred"""
+
+
+@query("ml_naive_bayes_confusion", oracle=_nb_oracle())
+def ml_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] Multinomial NAIVE BAYES language identification
+    trained and evaluated in one pass (operators/ml.naive_bayes_confusion)
+    — the counts-only baseline classifier of data curation next to the
+    gradient-trained logistic pair: Laplace-smoothed per-class word
+    likelihoods, log-prior + log-likelihood argmax per document, released
+    as the (true, predicted) confusion matrix.  The model is pure integer
+    counts; every log quantizes to 9 dp into DECIMAL(12,9), per-word
+    contributions are exact (10,0)x(12,9) decimal products summed
+    order-independently, and ties break to the lexicographically first
+    class — so DuckDB re-derives the identical matrix.  Scoring fans each
+    (doc, word) row k ways against the broadcast class/likelihood tables
+    and combines map-side."""
+    from aws_etl_fiap_spark.operators.ml import naive_bayes_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    return naive_bayes_confusion(docs, "lang", "text", "doc_id")

@@ -122,3 +122,47 @@ def test_exact_auc_matches_sklearn_formula_on_random(spark):
     # the operator releases auc rounded half-up to 6 dp
     assert out["auc"] == math.floor(expect * 1e6 + 0.5) / 1e6
     assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+
+
+def test_naive_bayes_separates_distinct_vocabularies(spark):
+    from aws_etl_fiap_spark.operators.ml import naive_bayes_confusion
+
+    rows = [
+        (1, "en", "the cat sat"),
+        (2, "en", "the dog sat"),
+        (3, "en", "the cat ran"),
+        (4, "de", "der hund lief"),
+        (5, "de", "der katze sass"),
+        (6, "de", "der hund sass"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        (r["true_lang"], r["pred_lang"]): r["n"]
+        for r in naive_bayes_confusion(df, "lang", "text", "doc_id").collect()
+    }
+    # fully separated vocabularies -> perfect diagonal
+    assert out == {("en", "en"): 3, ("de", "de"): 3}
+
+
+def test_naive_bayes_prior_decides_unseen_words(spark):
+    from aws_etl_fiap_spark.operators.ml import naive_bayes_confusion
+
+    # doc 5's words are unseen in training counts of BOTH classes except
+    # through itself; the majority class has both the larger prior and the
+    # same smoothing denominators, so the lone-word doc lands there.
+    rows = [
+        (1, "en", "alpha beta"),
+        (2, "en", "alpha gamma"),
+        (3, "en", "beta gamma"),
+        (4, "de", "alpha beta"),
+        (5, "de", "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        (r["true_lang"], r["pred_lang"]): r["n"]
+        for r in naive_bayes_confusion(df, "lang", "text", "doc_id").collect()
+    }
+    assert sum(out.values()) == 5
+    # doc 4 has identical text to en-majority docs -> misclassified to en;
+    # doc 5's 'zz' appears only in de counts -> stays de.
+    assert out[("de", "de")] == 1 and out[("de", "en")] == 1
