@@ -1134,6 +1134,52 @@ def main() -> None:
         f"unigram_segment_{n}docs",
         lambda: unigram_segment_stats(corpus, "doc_id", "text").count(),
     )
+
+    # Naive Bayes at 20x: the model is class-x-vocab counts (cloning
+    # multiplies counts but not vocabulary), so training+scoring cost is
+    # the corpus-linear (doc, word) collapse plus broadcast fanout.
+    # Labels derive from the base id so clone classes are consistent.
+    def _nb():
+        from aws_etl_fiap_spark.operators.ml import naive_bayes_confusion
+
+        labeled = corpus.select(
+            "doc_id",
+            F.concat(
+                F.lit("c"), ((F.col("doc_id") % 1_000_000) % 3).cast("string")
+            ).alias("lang"),
+            "text",
+        )
+        return naive_bayes_confusion(labeled, "lang", "text", "doc_id").count()
+
+    stage(f"naive_bayes_{n}docs", _nb)
+
+    # Spearman at 20x: duplicating every row K times applies the SAME
+    # affine map (K*r + 1/2) to both variables' average ranks, and
+    # Pearson is affine-invariant — so rho is exactly clone-invariant
+    # while the distinct-value rank tables stay 1x-sized.
+    def _spearman_invariant():
+        from aws_etl_fiap_spark.operators.stats import spearman_rho
+
+        def rho_of(df):
+            toks = F.split(F.col("text"), " ")
+            m = df.select(
+                F.size(toks).cast("long").alias("x"),
+                F.size(F.array_distinct(toks)).cast("long").alias("y"),
+            )
+            return spearman_rho(m, "x", "y").collect()[0]["rho"]
+
+        r1, r20 = rho_of(base), rho_of(corpus)
+        print(json.dumps({
+            "stage": f"spearman_{n}docs", "rho_1x": r1, "rho_20x": r20,
+            # boilerplate shifts half the clones' token counts, so the
+            # strict invariant runs on the un-boilerplated clone corpus.
+            "rho_20x_plain": rho_of(
+                base.crossJoin(copies).select("doc_id", "text")
+            ),
+        }), flush=True)
+        return 1
+
+    stage(f"spearman_invariant_{n}docs", _spearman_invariant)
     spark.stop()
 
 
