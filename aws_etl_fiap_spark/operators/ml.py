@@ -214,10 +214,16 @@ def naive_bayes_confusion(
         F.col(label_col).alias("y"),
         F.col(text_col).alias("text"),
     )
+    # localCheckpoint: this collapsed frame feeds FIVE consumers (class
+    # counts, class totals, vocabulary, and both sides of scoring) — left
+    # lazy, each consumer re-tokenizes the corpus (the plan audit showed
+    # 10 scans of documents).  Same lazy-checkpoint rationale as
+    # dedup.ngram_jaccard_pairs' postings.
     dw = (
         docs.select("doc", "y", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc", "y", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     cw = dw.groupBy(F.col("y").alias("c"), "w").agg(
         F.sum("cnt").cast("long").alias("ccnt")
