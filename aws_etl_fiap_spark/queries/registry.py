@@ -282,6 +282,26 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
+#: PRECOMPUTED ROUND-9 WINDOW (do NOT assign to DRIVER_PRIORITY before the
+#: round-8 driver grades the current window): all 40 never-driver-graded
+#: entries (DEFERRED_R8_NEVER, in registration order) followed by the 10
+#: alphabetically-first DEFERRED_R8_R5 entries.  The r9 builder's first
+#: act should be ``DRIVER_PRIORITY = R9_WINDOW`` plus re-appending any
+#: r9-changed queries per the rotation contract above.
+R9_WINDOW: tuple[str, ...] = DEFERRED_R8_NEVER + (
+    "array_functions_profile",
+    "bucketed_join_colocated_agg",
+    "corpus_curation_funnel",
+    "corpus_sample_10pct",
+    "dedup_simhash",
+    "events_json_agg",
+    "events_json_extract",
+    "events_variant_agg",
+    "flagship_refined_summary",
+    "join_anti_orderless_customers",
+)
+
+
 def _ordered() -> list[str]:
     missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
     if missing:
