@@ -129,3 +129,65 @@ def pareto_frontier_2d(
         .select(minimize, F.col("__best").alias(maximize))
     )
     return df.join(frontier, [minimize, maximize]).select(*df.columns)
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    sum_scale: int = 2,
+) -> DataFrame:
+    """EQUI-DEPTH histogram: bucket boundaries at the exact rank quantiles
+    (boundary i = the smallest value whose cumulative count reaches
+    ``ceil(i*n/k)``), so every bucket holds ~n/k rows regardless of how
+    skewed the distribution is — the profile that drives range-partition
+    planning where the equi-width sibling's fixed bounds collapse under a
+    heavy tail.
+
+    Fully deterministic, no interpolation: boundaries come from INTEGER
+    rank thresholds over the distinct-value frame, computed with the
+    range-partitioned two-pass prefix sum (operators/sampling — never a
+    row-sized window); the k-1 boundary values ride back as one broadcast
+    array row and the bucket index is a pure expression
+    (``1 + count(boundaries below v)``).  One map-side-combined aggregate
+    over at most k keys ends it.  Output per bucket: row count, true
+    min/max, exact decimal sum."""
+    from aws_etl_fiap_spark.operators.sampling import ordered_prefix_sum
+
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    g = vals.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    r = ordered_prefix_sum(g, ["v"], "cnt", out="cum")
+    n_total = vals.count()
+    idx = spark.range(1, n_buckets).select(F.col("id").alias("i"))
+    thr = F.floor(
+        (F.col("i") * F.lit(n_total) + F.lit(n_buckets - 1))
+        / F.lit(float(n_buckets))
+    ).cast("long")
+    bounds = (
+        r.crossJoin(F.broadcast(idx.select("i", thr.alias("thr"))))
+        .filter(F.col("cum") >= F.col("thr"))
+        .groupBy("i")
+        .agg(F.min("v").alias("bval"))
+    )
+    barr = bounds.agg(
+        F.array_sort(F.collect_list(F.struct("i", "bval"))).alias("s")
+    ).select(F.transform(F.col("s"), lambda x: x["bval"]).alias("barr"))
+    vx = F.col("v")
+    bucket = (
+        F.lit(1)
+        + F.size(F.filter(F.col("barr"), lambda b: vx > b))
+    ).alias("bucket")
+    return (
+        vals.crossJoin(F.broadcast(barr))
+        .select(bucket, "v")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.sum(F.col("v").cast(f"decimal(38,{sum_scale})"))
+            .cast("double")
+            .alias("sum_v"),
+        )
+    )

@@ -345,3 +345,45 @@ def text_top_sources_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("lang", "source_label").agg(
         F.sum("n").alias("n_docs")
     )
+
+
+@query(
+    "profile_equidepth_totalprice",
+    oracle="""
+WITH vals AS (
+    SELECT o_totalprice AS v FROM orders WHERE o_totalprice IS NOT NULL
+),
+g AS (SELECT v, COUNT(*) AS cnt FROM vals GROUP BY v),
+r AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM g),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+idx AS (SELECT unnest(range(1, 8)) AS i),
+bounds AS (
+    SELECT i, MIN(v) AS bval
+    FROM r CROSS JOIN nn JOIN idx
+      ON r.cum >= CAST(FLOOR((idx.i * nn.n + 7) / 8.0) AS BIGINT)
+    GROUP BY i
+),
+barr AS (SELECT list(bval ORDER BY i) AS barr FROM bounds)
+SELECT CAST(1 + len(list_filter(barr, b -> v > b)) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(v) AS lo, MAX(v) AS hi,
+       CAST(SUM(CAST(v AS DECIMAL(38,2))) AS DOUBLE) AS sum_v
+FROM vals CROSS JOIN barr
+GROUP BY bucket
+""",
+)
+def profile_equidepth_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] EQUI-DEPTH histogram of order totals, k=8
+    (operators/aggregates.equi_depth_histogram) — the skew-proof profile
+    the equi-width sibling cannot give: boundaries sit at exact INTEGER
+    rank quantiles over the distinct-value frame (two-pass prefix sum, no
+    row-sized window, no interpolation), ride back as one broadcast
+    array, and the bucket index is a pure counting expression — so the
+    whole profile, boundaries included, is re-derived bit-exactly by the
+    DuckDB twin.  This is the statistics pass behind range-partition
+    planning: equal-population ranges are what you split a skewed 100 TB
+    column by."""
+    from aws_etl_fiap_spark.operators.aggregates import equi_depth_histogram
+
+    orders = load_table(spark, sf_dir, "orders")
+    return equi_depth_histogram(orders, "o_totalprice", 8)

@@ -245,6 +245,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "acid_hidden_partition_prune",
     "stat_spearman_len_diversity",
     "ml_naive_bayes_confusion",
+    "profile_equidepth_totalprice",
 )
 
 DEFERRED_R8: tuple[str, ...] = (
@@ -288,18 +289,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: alphabetically-first DEFERRED_R8_R5 entries.  The r9 builder's first
 #: act should be ``DRIVER_PRIORITY = R9_WINDOW`` plus re-appending any
 #: r9-changed queries per the rotation contract above.
-R9_WINDOW: tuple[str, ...] = DEFERRED_R8_NEVER + (
-    "array_functions_profile",
-    "bucketed_join_colocated_agg",
-    "corpus_curation_funnel",
-    "corpus_sample_10pct",
-    "dedup_simhash",
-    "events_json_agg",
-    "events_json_extract",
-    "events_variant_agg",
-    "flagship_refined_summary",
-    "join_anti_orderless_customers",
-)
+R9_WINDOW: tuple[str, ...] = (
+    DEFERRED_R8_NEVER
+    + (
+        "array_functions_profile",
+        "bucketed_join_colocated_agg",
+        "corpus_curation_funnel",
+        "corpus_sample_10pct",
+        "dedup_simhash",
+        "events_json_agg",
+        "events_json_extract",
+        "events_variant_agg",
+        "flagship_refined_summary",
+        "join_anti_orderless_customers",
+    )
+)[:50]
 
 
 def _ordered() -> list[str]:
