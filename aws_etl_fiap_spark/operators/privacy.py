@@ -156,3 +156,76 @@ def k_anonymity_report(
         .alias("suppressed_rows"),
         F.min(F.when(F.col("n") >= k, F.col("n"))).alias("min_kept_group"),
     )
+
+
+def t_closeness_release(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t_num: int = 1,
+    t_den: int = 5,
+) -> DataFrame:
+    """t-CLOSENESS release gate (Li et al. 2007 — the third rung of the
+    k-anonymity ladder): an equivalence class may be released only if its
+    sensitive-attribute distribution is within variational distance
+    ``t = t_num/t_den`` of the GLOBAL distribution — the defense against
+    the skewness/similarity attacks l-diversity misses (a class can hold
+    l distinct values that are all damaging).
+
+    Exactness: the distance (1/2)*sum_v |p_v - q_v| is evaluated over the
+    COMMON DENOMINATOR —
+
+        sum_v |cnt_vc * N - g_v * n_c|   (an integer!)
+        ---------------------------------
+                 2 * n_c * N
+
+    with the absent-value tail folded in closed form
+    (``n_c * (N - sum_present g_v)``), so the release decision is a pure
+    integer comparison ``t_den * S <= 2 * t_num * n_c * N`` in
+    DECIMAL(38,0) — no float enters the gate, and the reported distance
+    rounds to 6 dp only at output.
+
+    Scale shape: one (quasi, v) aggregate bounded by the class-value
+    grid, the global value table and the class-size table broadcast; the
+    corpus is scanned once.  Output per released class: the quasi
+    columns, n, and the distance."""
+    if t_num < 0 or t_den <= 0:
+        raise ValueError("t must be a non-negative rational t_num/t_den")
+    qc = list(quasi_cols)
+    base = df.select(*qc, F.col(sensitive_col).alias("v"))
+    g = base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("gv"))
+    n_total = base.count()
+    cvc = base.groupBy(*qc, "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    nc = cvc.groupBy(*qc).agg(F.sum("cnt").cast("long").alias("n"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    parts = (
+        cvc.join(F.broadcast(g), "v")
+        .join(F.broadcast(nc), qc)
+        .select(
+            *qc,
+            F.abs(d("cnt") * F.lit(n_total) - d("gv") * F.col("n")).alias(
+                "term"
+            ),
+            "gv",
+        )
+    )
+    cls = parts.groupBy(*qc).agg(
+        F.sum("term").cast("decimal(38,0)").alias("sp"),
+        F.sum("gv").cast("long").alias("gp"),
+    )
+    rel = cls.join(F.broadcast(nc), qc).select(
+        *qc,
+        "n",
+        (F.col("sp") + d("n") * (F.lit(n_total) - F.col("gp"))).alias("s"),
+    )
+    released = rel.filter(
+        F.col("s") * F.lit(t_den) <= d("n") * F.lit(2 * t_num * n_total)
+    )
+    dist = F.col("s").cast("double") / (
+        F.lit(2.0) * F.col("n").cast("double") * F.lit(float(n_total))
+    )
+    from aws_etl_fiap_spark.functions.parity import round_half_up
+
+    return released.select(*qc, "n", round_half_up(dist, 6).alias("dist"))

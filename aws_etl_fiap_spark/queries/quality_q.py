@@ -782,3 +782,75 @@ def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_half_up("cur_share", 6).alias("cur_share"),
         round_half_up("psi_term", 6).alias("psi_term"),
     )
+
+
+@query(
+    "privacy_t_closeness_release",
+    oracle="""
+WITH base AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS v
+    FROM customer
+),
+g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS gv FROM base GROUP BY v),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM base),
+cvc AS (
+    SELECT c_nationkey, c_mktsegment, v, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM base GROUP BY c_nationkey, c_mktsegment, v
+),
+ncs AS (
+    SELECT c_nationkey, c_mktsegment, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM cvc GROUP BY c_nationkey, c_mktsegment
+),
+parts AS (
+    SELECT cvc.c_nationkey, cvc.c_mktsegment,
+           ABS(CAST(cnt AS DECIMAL(38,0)) * ntot
+               - CAST(gv AS DECIMAL(38,0)) * n) AS term,
+           gv
+    FROM cvc JOIN g USING (v)
+    JOIN ncs USING (c_nationkey, c_mktsegment)
+    CROSS JOIN nn
+),
+cls AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(SUM(term) AS DECIMAL(38,0)) AS sp,
+           CAST(SUM(gv) AS BIGINT) AS gp
+    FROM parts GROUP BY c_nationkey, c_mktsegment
+),
+rel AS (
+    SELECT cls.c_nationkey, cls.c_mktsegment, ncs.n,
+           sp + CAST(ncs.n AS DECIMAL(38,0)) * (ntot - gp) AS s, ntot
+    FROM cls JOIN ncs USING (c_nationkey, c_mktsegment) CROSS JOIN nn
+)
+SELECT c_nationkey, c_mktsegment, n,
+       FLOOR((CAST(s AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)
+              * CAST(ntot AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS dist
+FROM rel
+WHERE s * 5 <= CAST(n AS DECIMAL(38,0)) * (2 * ntot)
+""",
+)
+def privacy_t_closeness_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] t-CLOSENESS release gate, t = 0.2
+    (operators/privacy.t_closeness_release) — completing the anonymization
+    ladder after k-anonymity and l-diversity: a (nation, segment) class is
+    released only if its account-balance-band distribution sits within
+    variational distance 0.2 of the corpus-wide distribution, the defense
+    against the skewness attacks l-diversity misses.  The distance is
+    evaluated over the common denominator so the decision is a pure
+    DECIMAL(38,0) integer comparison (t_den*S <= 2*t_num*n*N) — no float
+    enters the gate, and the reported distance rounds to 6 dp at output
+    only.  One class-value-grid aggregate, broadcast global/class tables,
+    corpus scanned once."""
+    from aws_etl_fiap_spark.operators.privacy import (
+        generalize_band,
+        t_closeness_release,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        generalize_band("c_acctbal", 2000.0).alias("bal_band"),
+    )
+    return t_closeness_release(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_band", t_num=1, t_den=5
+    )

@@ -246,6 +246,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "stat_spearman_len_diversity",
     "ml_naive_bayes_confusion",
     "profile_equidepth_totalprice",
+    "privacy_t_closeness_release",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

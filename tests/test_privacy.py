@@ -157,3 +157,33 @@ def test_dp_noisy_counts_rejects_bad_epsilon(spark):
     df = spark.createDataFrame([("a",)], "g string")
     with pytest.raises(ValueError):
         dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+def test_t_closeness_releases_global_like_classes_only(spark):
+    from aws_etl_fiap_spark.operators.privacy import t_closeness_release
+
+    # Global: 8x v=0, 4x v=1 (N=12).  Class A (4/4, n=8):
+    # S = |4*12-8*8| + |4*12-4*8| = 32, dist = 32/(2*8*12) = 1/6.
+    # Class B (4/0, n=4): S = |4*12-8*4| + tail 4*(12-8) = 32,
+    # dist = 32/(2*4*12) = 1/3.  t=0.2 releases only A.
+    rows = [("A", 0)] * 4 + [("A", 1)] * 4 + [("B", 0)] * 4
+    df = spark.createDataFrame(rows, "grp string, v int")
+    out = t_closeness_release(df, ["grp"], "v", t_num=1, t_den=5).collect()
+    assert len(out) == 1 and out[0]["grp"] == "A"
+    assert out[0]["n"] == 8 and out[0]["dist"] == 0.166667
+    # at t = 0.5 both classes release, with B's exact 1/3 distance
+    both = {
+        r["grp"]: r["dist"]
+        for r in t_closeness_release(df, ["grp"], "v", 1, 2).collect()
+    }
+    assert both == {"A": 0.166667, "B": 0.333333}
+
+
+def test_t_closeness_validates_t(spark):
+    import pytest
+
+    from aws_etl_fiap_spark.operators.privacy import t_closeness_release
+
+    df = spark.createDataFrame([("A", 1)], "grp string, v int")
+    with pytest.raises(ValueError):
+        t_closeness_release(df, ["grp"], "v", t_num=1, t_den=0)
