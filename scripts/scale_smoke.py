@@ -1180,6 +1180,59 @@ def main() -> None:
         return 1
 
     stage(f"spearman_invariant_{n}docs", _spearman_invariant)
+
+    # Equi-depth histogram at 20x: the distinct-value frame and boundary
+    # table are clone-invariant in SIZE (clones add count, not values),
+    # and rank thresholds scale with N — so the boundaries and per-bucket
+    # shares are identical to 1x while the only K-linear work is the scan.
+    def _equidepth():
+        from aws_etl_fiap_spark.operators.aggregates import (
+            equi_depth_histogram,
+        )
+
+        big_px = load_table(spark, args.sf, "orders").select(
+            "o_totalprice"
+        ).crossJoin(copies).select("o_totalprice")
+        return equi_depth_histogram(big_px, "o_totalprice", 8).count()
+
+    stage("equidepth_hist_bigfact", _equidepth)
+
+    # t-closeness at 20x: cloning scales every count by K, and the
+    # common-denominator distance |cnt*N - g*n| / (2*n*N) is homogeneous
+    # of degree 0 in K — the released class set and distances are exactly
+    # clone-invariant while the class-value grid stays 1x-sized.
+    def _tclose():
+        from aws_etl_fiap_spark.operators.privacy import (
+            generalize_band,
+            t_closeness_release,
+        )
+
+        cust = load_table(spark, args.sf, "customer").select(
+            "c_nationkey", "c_mktsegment",
+            generalize_band("c_acctbal", 2000.0).alias("band"),
+        )
+        big_c = cust.crossJoin(copies).select(
+            "c_nationkey", "c_mktsegment", "band"
+        )
+
+        def rel(df):
+            return sorted(
+                (r["c_nationkey"], r["c_mktsegment"], r["dist"])
+                for r in t_closeness_release(
+                    df, ["c_nationkey", "c_mktsegment"], "band", 1, 5
+                ).collect()
+            )
+
+        r1, r20 = rel(cust), rel(big_c)
+        print(json.dumps({
+            "stage": "t_closeness_bigdim",
+            "released_1x": len(r1), "released_20x": len(r20),
+            "invariant_holds": [x[:2] for x in r1] == [x[:2] for x in r20]
+            and [x[2] for x in r1] == [x[2] for x in r20],
+        }), flush=True)
+        return len(r20)
+
+    stage("t_closeness_bigdim", _tclose)
     spark.stop()
 
 
