@@ -194,3 +194,103 @@ def unigram_segment_stats(
             dec_sum("wnll", 6).alias("nll"),
         )
     )
+
+
+def wordpiece_segment_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = MAX_PIECE_LEN,
+    min_count: int = 2,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """WORDPIECE (BERT-style) greedy longest-match-first segmentation —
+    the fourth tokenizer family next to whitespace/regex counting, BPE,
+    and the unigram-LM Viterbi sibling above.  Pieces are position-aware
+    (word-INITIAL substrings vs ``##``-style continuations counted
+    separately, the WordPiece vocabulary convention); a word segments by
+    repeatedly taking the LONGEST vocabulary piece at the cursor.
+
+    Unlike the unigram DP there is NO float anywhere: the vocabulary is
+    a count threshold (single characters always kept, so segmentation
+    never dead-ends), and the greedy step is ``max(L)`` per (word,
+    cursor) — pure integers end to end, so the SQL twin is exact by
+    construction.  Each of the ``max_word_len`` unrolled rounds advances
+    every unfinished word by >= 1 character on vocab-sized frames
+    (eagerly checkpointed, the BFS pattern); per-doc stats join against
+    the broadcast per-word piece counts.  Raises like the unigram
+    sibling if a word exceeds the horizon.
+
+    Output: ``(doc_id, n_words, n_pieces)``."""
+    words = _words(df, text_col).localCheckpoint(eager=True)
+    over = words.filter(F.length("w") > max_word_len).count()
+    if over:
+        raise ValueError(
+            f"{over} words exceed max_word_len={max_word_len}; "
+            "raise the horizon to keep the greedy unroll exact"
+        )
+    subs = _substrings(words, max_piece_len)
+    kept_pref = (
+        subs.filter(F.col("j") == 0)
+        .groupBy("piece")
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
+        .filter((F.col("cnt") >= min_count) | (F.length("piece") == 1))
+        .select("piece")
+    )
+    kept_cont = (
+        subs.filter(F.col("j") > 0)
+        .groupBy("piece")
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
+        .filter((F.col("cnt") >= min_count) | (F.length("piece") == 1))
+        .select("piece")
+    )
+    edges = (
+        subs.filter(F.col("j") == 0)
+        .join(kept_pref, "piece")
+        .select("w", "j", "L")
+        .union(
+            subs.filter(F.col("j") > 0)
+            .join(kept_cont, "piece")
+            .select("w", "j", "L")
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = words.select(
+        "w", F.length("w").alias("len"), F.lit(0).alias("pos"), F.lit(0).alias("n")
+    ).localCheckpoint(eager=True)
+    fin = state.filter(F.col("pos") == F.col("len"))
+    for _ in range(max_word_len):
+        live = state.filter(F.col("pos") < F.col("len")).alias("__ws")
+        if live.isEmpty():
+            break
+        e = edges.alias("__we")
+        step = (
+            live.join(
+                e,
+                (F.col("__ws.w") == F.col("__we.w"))
+                & (F.col("__we.j") == F.col("__ws.pos")),
+            )
+            .groupBy(F.col("__ws.w").alias("w"), "len", "pos", "n")
+            .agg(F.max("L").alias("maxl"))
+            .select(
+                "w",
+                "len",
+                (F.col("pos") + F.col("maxl")).cast("int").alias("pos"),
+                (F.col("n") + 1).alias("n"),
+            )
+        )
+        state = step.localCheckpoint(eager=True)
+        fin = fin.union(state.filter(F.col("pos") == F.col("len")))
+    best = fin.select("w", F.col("n").alias("n_pieces"))
+    docw = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    return (
+        docw.join(F.broadcast(best), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+        )
+    )

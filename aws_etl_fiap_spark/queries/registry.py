@@ -247,6 +247,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "ml_naive_bayes_confusion",
     "profile_equidepth_totalprice",
     "privacy_t_closeness_release",
+    "text_wordpiece_segment",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

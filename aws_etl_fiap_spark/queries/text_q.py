@@ -1043,3 +1043,89 @@ def text_unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_segment_stats(docs, "doc_id", "text")
+
+
+def _wordpiece_oracle(
+    max_piece_len: int = 6, min_count: int = 2, max_word_len: int = 12
+) -> str:
+    """Unrolled greedy longest-match re-derivation of the WordPiece
+    segmentation (operators/unigram.wordpiece_segment_stats): positional
+    vocabularies (initial vs continuation pieces), one MAX-length step CTE
+    per cursor round — pure integers end to end."""
+    parts = [
+        f"""WITH words AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS wcnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) GROUP BY w
+),
+st AS (SELECT w, wcnt, unnest(range(0, length(w))) AS j FROM words),
+subs AS (
+    SELECT w, wcnt, j,
+           unnest(range(1, least({max_piece_len}, length(w) - j) + 1)) AS L
+    FROM st
+),
+subp AS (SELECT w, wcnt, j, L, substr(w, j + 1, L) AS piece FROM subs),
+kp AS (
+    SELECT piece FROM (
+        SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt
+        FROM subp WHERE j = 0 GROUP BY piece
+    ) WHERE cnt >= {min_count} OR length(piece) = 1
+),
+kc AS (
+    SELECT piece FROM (
+        SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt
+        FROM subp WHERE j > 0 GROUP BY piece
+    ) WHERE cnt >= {min_count} OR length(piece) = 1
+),
+edges AS MATERIALIZED (
+    SELECT w, j, L FROM subp JOIN kp USING (piece) WHERE j = 0
+    UNION ALL
+    SELECT w, j, L FROM subp JOIN kc USING (piece) WHERE j > 0
+),
+s0 AS MATERIALIZED (
+    SELECT w, CAST(length(w) AS BIGINT) AS len, CAST(0 AS BIGINT) AS pos,
+           0 AS n
+    FROM words
+),
+fin0 AS (SELECT * FROM s0 WHERE pos = len)"""
+    ]
+    for t in range(1, max_word_len + 1):
+        parts.append(
+            f""",
+s{t} AS MATERIALIZED (
+    SELECT s.w, s.len, s.pos + MAX(e.L) AS pos, s.n + 1 AS n
+    FROM s{t - 1} s JOIN edges e ON e.w = s.w AND e.j = s.pos
+    WHERE s.pos < s.len GROUP BY s.w, s.len, s.pos, s.n
+),
+fin{t} AS (
+    SELECT * FROM fin{t - 1}
+    UNION ALL SELECT * FROM s{t} WHERE pos = len
+)"""
+        )
+    parts.append(
+        f""",
+docw AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(b.n) AS BIGINT) AS n_pieces
+FROM docw JOIN fin{max_word_len} b USING (w)
+GROUP BY doc_id"""
+    )
+    return "".join(parts)
+
+
+@query("text_wordpiece_segment", oracle=_wordpiece_oracle())
+def text_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] WORDPIECE (BERT-style) greedy longest-match-first
+    segmentation (operators/unigram.wordpiece_segment_stats) — the FOURTH
+    tokenizer family (whitespace/regex, BPE, unigram-LM, WordPiece):
+    position-aware vocabularies (word-initial vs continuation pieces),
+    greedy longest match per cursor, per-doc word and piece accounting.
+    Pure integers end to end — no float enters the pipeline — with every
+    greedy round a vocab-sized MAX aggregate; the DuckDB twin unrolls the
+    same rounds through MATERIALIZED CTEs."""
+    from aws_etl_fiap_spark.operators.unigram import wordpiece_segment_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_segment_stats(docs, "doc_id", "text")

@@ -48,3 +48,45 @@ def test_word_over_horizon_raises(spark):
     )
     with pytest.raises(ValueError, match="max_word_len"):
         unigram_segment_stats(df).collect()
+
+
+def test_wordpiece_greedy_longest_match(spark):
+    from aws_etl_fiap_spark.operators.unigram import wordpiece_segment_stats
+
+    # 'abcdef' twice: the full 6-char prefix is in vocab (cnt 2) -> one
+    # greedy bite.  'abcxyz' once: greedy takes the longest SHARED prefix
+    # 'abc' (cnt 3 >= 2), then continuations 'x','y','z' fall back to
+    # single chars (xyz-grams have cnt 1 < 2) -> 4 pieces.
+    df = spark.createDataFrame(
+        [(1, "abcdef abcdef abcxyz")], "doc_id long, text string"
+    )
+    row = wordpiece_segment_stats(df).collect()[0]
+    assert row["n_words"] == 3
+    assert row["n_pieces"] == 1 + 1 + 4
+
+
+def test_wordpiece_positional_vocab_is_respected(spark):
+    from aws_etl_fiap_spark.operators.unigram import wordpiece_segment_stats
+
+    # 'ab' is frequent word-INITIALLY but never as a continuation, so in
+    # 'xab' the cursor after 'x' cannot take 'ab' as one piece (the
+    # continuation 'ab' has count 1 < 2) -> x+a+b = 3 pieces; the two
+    # standalone 'ab's are 1 piece each.
+    df = spark.createDataFrame(
+        [(1, "ab ab xab")], "doc_id long, text string"
+    )
+    row = wordpiece_segment_stats(df).collect()[0]
+    assert row["n_words"] == 3
+    assert row["n_pieces"] == 1 + 1 + 3
+
+
+def test_wordpiece_horizon_raises(spark):
+    import pytest
+
+    from aws_etl_fiap_spark.operators.unigram import wordpiece_segment_stats
+
+    df = spark.createDataFrame(
+        [(1, "a thirteenchars13")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_word_len"):
+        wordpiece_segment_stats(df).collect()
