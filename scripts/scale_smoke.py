@@ -1135,6 +1135,16 @@ def main() -> None:
         lambda: unigram_segment_stats(corpus, "doc_id", "text").count(),
     )
 
+    # WordPiece at 20x: same vocab-sized greedy rounds; cloning can only
+    # PROMOTE pieces over the count threshold (vocabulary grows toward
+    # the full substring set), never invalidate the unrolled horizon.
+    from aws_etl_fiap_spark.operators.unigram import wordpiece_segment_stats
+
+    stage(
+        f"wordpiece_segment_{n}docs",
+        lambda: wordpiece_segment_stats(corpus, "doc_id", "text").count(),
+    )
+
     # Naive Bayes at 20x: the model is class-x-vocab counts (cloning
     # multiplies counts but not vocabulary), so training+scoring cost is
     # the corpus-linear (doc, word) collapse plus broadcast fanout.
