@@ -574,3 +574,12 @@ def test_kcenter_assignment_broadcasts_centers(spark, sf_correctness):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert re.search(r"partial_min\(s#\d+\)", plan), plan
+
+
+def test_unigram_stats_join_broadcasts_best_table(spark, sf_correctness):
+    """text_unigram_lm_segment: the corpus-sized stats join probes the
+    BROADCAST best-segmentation table (model-sized); the DP itself runs on
+    checkpointed vocab frames upstream of this plan."""
+    plan = physical_plan(spark, sf_correctness, "text_unigram_lm_segment")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
