@@ -583,3 +583,31 @@ def test_unigram_stats_join_broadcasts_best_table(spark, sf_correctness):
     plan = physical_plan(spark, sf_correctness, "text_unigram_lm_segment")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_equidepth_boundaries_broadcast_no_row_window(spark, sf_correctness):
+    """profile_equidepth_totalprice: boundaries ride back as ONE broadcast
+    array row (never a shuffled join), and no Window touches the row
+    stream — ranks come from the checkpointed two-pass prefix sum."""
+    plan = physical_plan(spark, sf_correctness, "profile_equidepth_totalprice")
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_t_closeness_gate_tables_broadcast(spark, sf_correctness):
+    """privacy_t_closeness_release: the global value table and the
+    class-size table broadcast onto the class-value grid; the release is
+    computed without any shuffled join or window."""
+    plan = physical_plan(spark, sf_correctness, "privacy_t_closeness_release")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_wordpiece_stats_join_broadcasts_piece_counts(spark, sf_correctness):
+    """text_wordpiece_segment: like the unigram sibling, the corpus-sized
+    stats join probes the BROADCAST per-word piece-count table."""
+    plan = physical_plan(spark, sf_correctness, "text_wordpiece_segment")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
