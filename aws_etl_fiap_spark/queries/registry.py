@@ -248,6 +248,7 @@ DEFERRED_R8_NEVER: tuple[str, ...] = (
     "profile_equidepth_totalprice",
     "privacy_t_closeness_release",
     "text_wordpiece_segment",
+    "stat_gini_priority_revenue",
 )
 
 DEFERRED_R8: tuple[str, ...] = (

@@ -1029,3 +1029,49 @@ def ml_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return naive_bayes_confusion(docs, "lang", "text", "doc_id")
+
+
+@query(
+    "stat_gini_priority_revenue",
+    oracle="""
+WITH g AS (
+    SELECT o_orderpriority AS grp,
+           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY grp, x
+),
+r AS (
+    SELECT grp, x, cnt,
+           CAST(2 * (SUM(cnt) OVER (PARTITION BY grp ORDER BY x) - cnt)
+                + cnt + 1 AS BIGINT) AS r2
+    FROM g
+),
+m AS (
+    SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(SUM(cnt * x) AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(cnt * r2 * x) AS DECIMAL(38,0)) AS srx
+    FROM r GROUP BY grp
+)
+SELECT grp AS o_orderpriority, n,
+       FLOOR((CASE WHEN sx > 0 THEN
+           (CAST(srx AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0)
+            * CAST(sx AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) END)
+           * 1000000.0 + 0.5) / 1000000.0 AS gini
+FROM m
+""",
+)
+def stat_gini_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact tie-aware GINI coefficient of order revenue per
+    priority class (operators/stats.gini_by_group) — the concentration
+    diagnostic behind skew triage and training-data-mix audits: how
+    unequally is each group's total distributed over its members?
+    Values go to integer cents, ranks are the doubled tie-aware average
+    ranks (the AUC/Spearman integer discipline), every moment is an exact
+    DECIMAL(38,0) sum over the per-group distinct-VALUE grid (the rank
+    window partitions by group over that grid, never the row stream), and
+    one final double divide yields G, 6 dp at output."""
+    from aws_etl_fiap_spark.operators.stats import gini_by_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    return gini_by_group(orders, "o_orderpriority", "o_totalprice")

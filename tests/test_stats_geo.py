@@ -219,3 +219,35 @@ def test_spearman_constant_column_is_null(spark):
 
     df = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x long, y long")
     assert spearman_rho(df, "x", "y").collect()[0]["rho"] is None
+
+
+def test_gini_known_values(spark):
+    from aws_etl_fiap_spark.operators.stats import gini_by_group
+
+    df = spark.createDataFrame(
+        [("eq", 5.0), ("eq", 5.0), ("eq", 5.0), ("eq", 5.0)]
+        + [("skew", 0.0), ("skew", 0.0), ("skew", 0.0), ("skew", 10.0)],
+        "grp string, v double",
+    )
+    out = {r["grp"]: r for r in gini_by_group(df, "grp", "v").collect()}
+    # perfectly equal -> G = 0
+    assert out["eq"]["gini"] == 0.0
+    # one member holds everything: G = (n-1)/n = 0.75 under average ranks
+    assert out["skew"]["gini"] == 0.75
+    assert out["eq"]["n"] == out["skew"]["n"] == 4
+
+
+def test_gini_zero_total_is_null_and_ties_average(spark):
+    from aws_etl_fiap_spark.operators.stats import gini_by_group
+
+    df = spark.createDataFrame(
+        [("z", 0.0), ("z", 0.0)] + [("t", 1.0), ("t", 1.0), ("t", 2.0)],
+        "grp string, v double",
+    )
+    out = {r["grp"]: r["gini"] for r in gini_by_group(df, "grp", "v").collect()}
+    assert out["z"] is None
+    # hand: x=[1,1,2] cents [100,100,200]; doubled avg ranks: ties at 100
+    # -> r2=3 both, 200 -> r2=6.  srx = 300+300+1200 = 1800; sx = 400;
+    # n=3.  G = (1800 - 4*400) / (3*400) = 200/1200 = 1/6 — which matches
+    # the mean-absolute-difference definition: MAD/(2*mean) = (4/9)/(8/3).
+    assert out["t"] == 0.166667
