@@ -1243,6 +1243,38 @@ def main() -> None:
         return len(r20)
 
     stage("t_closeness_bigdim", _tclose)
+
+    # Gini at 20x: cloning scales every per-value count by K, which maps
+    # both doubled ranks and totals affinely the same way on every group
+    # — G is exactly clone-invariant while the per-group value grid stays
+    # 1x-sized.
+    def _gini():
+        from aws_etl_fiap_spark.operators.stats import gini_by_group
+
+        ords = load_table(spark, args.sf, "orders").select(
+            "o_orderpriority", "o_totalprice"
+        )
+        big_o = ords.crossJoin(copies).select(
+            "o_orderpriority", "o_totalprice"
+        )
+
+        def of(df):
+            return sorted(
+                (r["o_orderpriority"], r["gini"])
+                for r in gini_by_group(
+                    df, "o_orderpriority", "o_totalprice"
+                ).collect()
+            )
+
+        g1, g20 = of(ords), of(big_o)
+        print(json.dumps({
+            "stage": "gini_bigfact",
+            "invariant_holds": [x[1] for x in g1] == [x[1] for x in g20],
+            "gini_1x": [x[1] for x in g1],
+        }), flush=True)
+        return len(g20)
+
+    stage("gini_bigfact", _gini)
     spark.stop()
 
 
