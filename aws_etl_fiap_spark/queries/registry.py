@@ -78,25 +78,38 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 #      (tests/test_oracle_parity.py) — deferral delays only the driver's
 #      independent row, never the check itself.
 #
-# ROUND-8 WINDOW (precomputed in r7, followed exactly): the six
-# never-driver-graded entries (two r6 leftovers + the four r7 additions)
-# first — four of them are also this round's CHANGED_R8 (round-7 ADVICE
-# fixes touched snapshot.py and the PQ trainer) — then all 44 r3-green
-# relational-core entries, whose driver rows are now the registry's oldest
-# (4 rounds stale).  6 + 44 = exactly 50.
+# ROUND-9 WINDOW (ACTIVE — precomputed in r8, followed exactly):
+# CORRECTNESS_r08.json came back 50/50 green, so no failure re-entries;
+# the window is all 44 never-driver-graded round-8 additions (in
+# registration order) + the 6 alphabetically-first r5-green entries.
+# All six CHANGED_R9 entries (round-8 ADVICE fixes: snapshot numeric
+# partition pruning, DP seed contract, unigram/wordpiece empty-word
+# guard, PSI null-predicate totalization) were ALREADY in the staged
+# window (they are r8-new, never graded), so no preemption was needed.
 #
-# PRECOMPUTED SCHEDULE for the following rounds (never-graded first, then
-# stalest-first; amended late-r8 as the registry grew):
-#   r9:  ALL of DEFERRED_R8_NEVER (the never-driver-graded round-8
-#        additions) first, then alphabetically-first DEFERRED_R8_R5
-#        entries to fill the 50 slots;
-#   r10: the remaining r5-green, then the stalest r6-green fill;
-#   r11: the remaining r6-green + the stalest r7/r8-green — steady state
-#        at ~len(REGISTRY)/50 rounds max staleness.
+# TIERING POLICY (structural answer to rotation debt at 236 queries /
+# 50 slots — judge r8 item 3): two tiers, both test-enforced:
+#   - REFERENCE-SURFACE CORE (the 41 SURVEY §2 reference operators and
+#     the flagship): re-graded at a fixed cadence of at most every 4
+#     rounds — the r8 window burned the whole r3-stale core down, so the
+#     core is fresh until r12;
+#   - [EXT] FAMILIES (TPC-H, dedup/ANN/text/media/corpus/privacy/...):
+#     rotated stalest-first behind never-graded entries.
+# With the registry FROZEN at 236 (r8 verdict: growth now costs more
+# verification latency than capability), steady-state max staleness is
+# ceil(236/50) = 5 rounds, and every deferred entry still runs its exact
+# oracle in every local pytest.
+#
+# PRECOMPUTED SCHEDULE:
+#   r9:  DEFERRED_R8_NEVER (44) + 6 alphabetically-first r5-green  [ACTIVE]
+#   r10: R10_WINDOW — the 41 remaining r5-green + 9 stalest r6-green
+#        (alphabetical tiebreak), precomputed below and test-pinned;
+#   r11: the remaining 36 r6-green + the 14 stalest r7-green;
+#   r12: the remaining 36 r7-green + the 14 stalest r8-green — back to
+#        steady state.
 # Changed-code re-entries preempt tail slots of whichever round they land
-# in; the displaced tail shifts one round later.  Queries NEW this round
-# append to DEFERRED_R8_NEVER (the window is saturated) and lead the r9
-# window.
+# in; the displaced tail shifts one round later.  NEW queries (gap-fills
+# only while frozen) lead the next round's window.
 # ---------------------------------------------------------------------------
 
 #: Entries whose implementation or oracle changed in round 8 — these MUST
@@ -115,6 +128,29 @@ CHANGED_R8: tuple[str, ...] = (
     "acid_merge_on_read_delete",
     "sim_topk_pq",
     "sim_topk_ivfpq",
+)
+
+#: Entries whose implementation or oracle changed in round 9 (the four
+#: round-8 ADVICE findings) — they MUST hold a graded slot
+#: (tests/test_registry_order.py enforces it).  All six are r8-new /
+#: never-graded, so they already lead the staged r9 window:
+#: - acid_hidden_partition_prune: read_table_pruned no longer range-prunes
+#:   identity-transform partitions of non-string type by lexicographic
+#:   string comparison (kept the file instead of guessing);
+#: - privacy_dp_noisy_counts: dp_noisy_counts now requires a caller-
+#:   supplied seed and documents the derandomized-benchmark nature;
+#: - text_unigram_lm_segment / text_wordpiece_segment: empty-word guard —
+#:   F.sequence auto-descends on empty strings, emitting bogus j=-1/L=0
+#:   substrings on any non-single-spaced corpus;
+#: - dq_psi_value_drift / stream_psi_drift_equiv: psi_drift coalesces a
+#:   NULL is_current predicate so period assignment is total.
+CHANGED_R9: tuple[str, ...] = (
+    "acid_hidden_partition_prune",
+    "privacy_dp_noisy_counts",
+    "text_unigram_lm_segment",
+    "text_wordpiece_segment",
+    "dq_psi_value_drift",
+    "stream_psi_drift_equiv",
 )
 
 #: The round-7 graded window, exactly as CORRECTNESS_r07.json recorded it:
@@ -255,10 +291,13 @@ DEFERRED_R8: tuple[str, ...] = (
     DEFERRED_R8_R5 + DEFERRED_R8_R6 + DEFERRED_R8_NEVER
 )
 
-#: The 50-slot r8 window: the six never-driver-graded entries first (four
-#: of them CHANGED_R8 — round-7 ADVICE fixes), then the 44 r3-green
-#: relational-core entries whose rows are the registry's oldest.
-DRIVER_PRIORITY: tuple[str, ...] = (
+#: The round-8 graded window, exactly as CORRECTNESS_r08.json recorded it:
+#: 50 green rows (zero failures — the first fully clean driver round since
+#: r5).  Kept as data so the ordering tests can prove every registered
+#: query is accounted for.  Composition: the six never-driver-graded
+#: entries first (four of them CHANGED_R8 — round-7 ADVICE fixes), then
+#: the 44 r3-green relational-core entries.
+R8_WINDOW: tuple[str, ...] = (
     # -- never driver-graded (DEFERRED_R7_NEVER; 4 are CHANGED_R8) --
     "acid_snapshot_isolation", "acid_merge_on_read_delete",
     "sim_topk_pq", "sim_topk_ivfpq",
@@ -286,12 +325,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
-#: PRECOMPUTED ROUND-9 WINDOW (do NOT assign to DRIVER_PRIORITY before the
-#: round-8 driver grades the current window): all 40 never-driver-graded
-#: entries (DEFERRED_R8_NEVER, in registration order) followed by the 10
-#: alphabetically-first DEFERRED_R8_R5 entries.  The r9 builder's first
-#: act should be ``DRIVER_PRIORITY = R9_WINDOW`` plus re-appending any
-#: r9-changed queries per the rotation contract above.
+#: THE ACTIVE ROUND-9 WINDOW (precomputed in r8, activated r9): all 44
+#: never-driver-graded round-8 additions (DEFERRED_R8_NEVER, in
+#: registration order) followed by the 6 alphabetically-first
+#: DEFERRED_R8_R5 entries.  All six CHANGED_R9 entries are r8-new and so
+#: already inside — no preemption needed (test-enforced).
 R9_WINDOW: tuple[str, ...] = (
     DEFERRED_R8_NEVER
     + (
@@ -306,6 +344,33 @@ R9_WINDOW: tuple[str, ...] = (
         "flagship_refined_summary",
         "join_anti_orderless_customers",
     )
+)[:50]
+
+DRIVER_PRIORITY: tuple[str, ...] = R9_WINDOW
+
+#: Round-9 deferral tiers (policy clause 4 accounting): everything not in
+#: the active window and not green last round, partitioned by the age of
+#: its newest green driver row.  Every entry still runs its exact oracle
+#: in every local pytest (tests/test_oracle_parity.py).
+DEFERRED_R9_R5: tuple[str, ...] = tuple(
+    n for n in DEFERRED_R8_R5 if n not in R9_WINDOW
+)  # 41 r5-green entries -> they ARE the r10 window's lead block
+DEFERRED_R9_R6: tuple[str, ...] = DEFERRED_R8_R6  # 45 r6-green entries
+DEFERRED_R9_R7: tuple[str, ...] = R7_WINDOW  # 50 r7-green entries
+
+DEFERRED_R9: tuple[str, ...] = (
+    DEFERRED_R9_R5 + DEFERRED_R9_R6 + DEFERRED_R9_R7
+)
+
+#: PRECOMPUTED ROUND-10 WINDOW (do NOT assign to DRIVER_PRIORITY before
+#: the round-9 driver grades the current window): the 41 remaining
+#: r5-green entries (stalest tier, registration order preserved) + the 9
+#: alphabetically-first r6-green entries.  The r10 builder's first act
+#: should be ``DRIVER_PRIORITY = R10_WINDOW`` plus re-appending any
+#: r10-changed queries and any r9 driver failures per the rotation
+#: contract above.
+R10_WINDOW: tuple[str, ...] = (
+    DEFERRED_R9_R5 + tuple(sorted(DEFERRED_R9_R6))
 )[:50]
 
 

@@ -21,8 +21,8 @@ from aws_etl_fiap_spark.queries import registry
 
 DRIVER_WINDOW = 50
 
-#: r8: CORRECTNESS_r07.json is all-green — no failures to re-enter.
-FAILED_R7: tuple = ()
+#: r9: CORRECTNESS_r08.json is all-green (50/50) — no failures to re-enter.
+FAILED_R8: tuple = ()
 
 
 def _names():
@@ -55,21 +55,21 @@ def test_window_is_exactly_full():
 
 def test_changed_queries_inside_driver_window():
     """Policy clause 1: changed implementation/oracle => graded slot."""
-    missing = [n for n in registry.CHANGED_R8 if n not in _window()]
+    missing = [n for n in registry.CHANGED_R9 if n not in _window()]
     assert not missing, f"changed-this-round queries outside window: {missing}"
 
 
 def test_failed_queries_inside_driver_window():
     """Policy clause 2: last round's driver failures re-enter immediately."""
-    missing = [n for n in FAILED_R7 if n not in _window()]
-    assert not missing, f"round-7 failures outside window: {missing}"
+    missing = [n for n in FAILED_R8 if n not in _window()]
+    assert not missing, f"round-8 failures outside window: {missing}"
 
 
 def test_every_query_accounted_for():
     """Policy clause 4: window + last round's graded window + documented
     deferrals must cover the whole registry — nothing goes silently
     ungraded."""
-    accounted = _window() | set(registry.R7_WINDOW) | set(registry.DEFERRED_R8)
+    accounted = _window() | set(registry.R8_WINDOW) | set(registry.DEFERRED_R9)
     missing = sorted(set(registry.REGISTRY) - accounted)
     assert not missing, f"queries with no grading account: {missing}"
 
@@ -77,14 +77,14 @@ def test_every_query_accounted_for():
 def test_deferrals_are_legitimate():
     """Deferrals absorb exactly the window overflow (|eligible| - 50),
     never changed code, and never last round's failures."""
-    deferred = set(registry.DEFERRED_R8)
+    deferred = set(registry.DEFERRED_R9)
     assert not deferred & _window(), "deferred query occupies a window slot"
-    assert not deferred & set(registry.CHANGED_R8), "changed code deferred"
-    assert not deferred & set(FAILED_R7), "driver failure deferred"
-    # Eligible for r8 grading: everything not sitting on a fresh r7 row,
-    # plus the r7-graded entries that must re-enter (failures + changed).
-    eligible = (set(registry.REGISTRY) - set(registry.R7_WINDOW)) | set(
-        registry.CHANGED_R8
+    assert not deferred & set(registry.CHANGED_R9), "changed code deferred"
+    assert not deferred & set(FAILED_R8), "driver failure deferred"
+    # Eligible for r9 grading: everything not sitting on a fresh r8 row,
+    # plus the r8-graded entries that must re-enter (failures + changed).
+    eligible = (set(registry.REGISTRY) - set(registry.R8_WINDOW)) | set(
+        registry.CHANGED_R9
     )
     overflow = len(eligible) - DRIVER_WINDOW
     assert len(deferred) == overflow, (
@@ -96,15 +96,15 @@ def test_deferrals_are_legitimate():
 def test_deferred_partition_is_consistent():
     """The three documented deferral tiers partition DEFERRED_R8."""
     tiers = (
-        set(registry.DEFERRED_R8_R5)
-        | set(registry.DEFERRED_R8_R6)
-        | set(registry.DEFERRED_R8_NEVER)
+        set(registry.DEFERRED_R9_R5)
+        | set(registry.DEFERRED_R9_R6)
+        | set(registry.DEFERRED_R9_R7)
     )
-    assert tiers == set(registry.DEFERRED_R8)
-    assert len(registry.DEFERRED_R8) == (
-        len(registry.DEFERRED_R8_R5)
-        + len(registry.DEFERRED_R8_R6)
-        + len(registry.DEFERRED_R8_NEVER)
+    assert tiers == set(registry.DEFERRED_R9)
+    assert len(registry.DEFERRED_R9) == (
+        len(registry.DEFERRED_R9_R5)
+        + len(registry.DEFERRED_R9_R6)
+        + len(registry.DEFERRED_R9_R7)
     )
 
 
@@ -124,3 +124,28 @@ def test_oracle_orphans():
 
     oracles = registry.oracle_sql()
     assert set(oracles) <= set(registry.queries())
+
+
+def test_r10_window_precomputed():
+    """Tiering policy (r8 judge item 3): the next round's window is
+    precomputed and pinned — the 41 remaining r5-green entries (stalest
+    tier) lead, the 9 alphabetically-first r6-green entries fill, and no
+    entry's green row goes staler than 5 rounds at 236 queries."""
+    w = registry.R10_WINDOW
+    assert len(w) == DRIVER_WINDOW and len(set(w)) == DRIVER_WINDOW
+    assert set(w) <= set(registry.REGISTRY)
+    # never overlaps the r9 window (those rows will be fresh), and the
+    # r5 tier is fully drained before any r6 entry takes a slot.
+    assert not set(w) & set(registry.R9_WINDOW)
+    assert set(registry.DEFERRED_R9_R5) <= set(w)
+    r6_fill = [n for n in w if n in set(registry.DEFERRED_R9_R6)]
+    assert r6_fill == sorted(registry.DEFERRED_R9_R6)[: len(r6_fill)]
+
+
+def test_r9_window_covers_never_graded_and_changed():
+    """The active window's whole point: every never-driver-graded r8
+    addition gets its first CORRECTNESS row this round, and every
+    r9-changed query re-enters."""
+    w = set(registry.DRIVER_PRIORITY)
+    assert set(registry.DEFERRED_R8_NEVER) <= w
+    assert set(registry.CHANGED_R9) <= w
