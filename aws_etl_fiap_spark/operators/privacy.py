@@ -91,15 +91,26 @@ def dp_noisy_counts(
     df: DataFrame,
     group_cols: Sequence[str],
     epsilon: float = 1.0,
-    seed: str = "dp-v1",
+    *,
+    seed: str,
 ) -> DataFrame:
-    """Epsilon-DP histogram release (Dwork et al.'s Laplace mechanism for
+    """Laplace-noised histogram release (Dwork et al.'s mechanism for
     counting queries, sensitivity 1): per-group counts plus Laplace(1/eps)
     noise, with the noise draw DERANDOMIZED through the portable-md5 hash
     of (seed, group key) so the release is reproducible across engines and
     re-runs — the same seeded-mechanism discipline as the epoch-shuffle
     and sampling operators (a re-run must not spend fresh privacy budget
     by redrawing noise for the same release).
+
+    SEED CONTRACT (round-8 advice): because the noise is a deterministic
+    function of (seed, group key), anyone who knows the seed can
+    recompute and subtract it — so the epsilon-DP guarantee holds ONLY if
+    ``seed`` is a secret drawn fresh per release and never published.
+    There is deliberately NO default seed (a fixed public default would
+    make every release trivially denoisable).  With a public seed — as in
+    this repo's oracle-gated benchmark queries, where the oracle must
+    re-derive the identical draw — the output is a reproducible
+    noised-release FIXTURE, not a privacy guarantee.
 
     The draw: the 60-bit portable hash maps to u on a symmetric
     (0, 1) grid of 10^6 steps (never exactly 0 — ln never sees 0), then

@@ -709,7 +709,11 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     count never leaves the plan.  One map-side-combined aggregate; all
     noise arithmetic runs on the group-cardinality frame.  The oracle
     re-derives the same uniform grid draw and inverse CDF, so the exact
-    released values are inside the hash gate."""
+    released values are inside the hash gate.  NOTE: this gate publishes
+    its seed so the oracle can re-derive the draw, which per the operator
+    seed contract makes it a reproducible noised-release FIXTURE — a real
+    DP release needs a secret per-release seed (see
+    operators/privacy.dp_noisy_counts)."""
     from aws_etl_fiap_spark.operators.privacy import dp_noisy_counts
 
     cust = load_table(spark, sf_dir, "customer")

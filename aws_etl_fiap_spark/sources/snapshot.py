@@ -942,17 +942,48 @@ def append_partitioned(
 
 def _pv_bounds(transform: str, lo, hi) -> tuple[str, str]:
     """Map a [lo, hi] predicate on the DATA column to partition-value
-    bounds.  month/day: ISO prefixes (lexicographic == chronological);
-    identity: the values as strings (callers must only range-prune
-    identity on STRING columns — numeric strings do not order)."""
+    bounds for the CALENDAR transforms: month/day partition values are
+    ISO prefixes, where lexicographic == chronological.  Identity
+    transforms go through :func:`_identity_may_overlap` instead, which
+    consults the recorded column type (round-8 advice: a lexicographic
+    compare on numeric identity values has '9' > '10' and silently drops
+    live files)."""
     lo_s, hi_s = str(lo), str(hi)
     if transform == "month":
         return lo_s[:7], hi_s[:7]
     if transform == "day":
         return lo_s[:10], hi_s[:10]
-    if transform == "identity":
-        return lo_s, hi_s
     raise ValueError(f"range pruning unsupported for transform {transform!r}")
+
+
+_PV_INT_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+_PV_FLOAT_TYPES = frozenset({"float", "double"})
+_PV_LEX_TYPES = frozenset({"string", "date"})  # ISO dates order lexically
+
+
+def _identity_may_overlap(coltype: str | None, val: str, lo, hi) -> bool:
+    """Can a file whose recorded identity-partition value is ``val``
+    (a STRING — it came off a directory name) overlap ``[lo, hi]``?
+
+    The comparison is typed by the file record's ``coltype``: integers
+    and floats compare numerically; strings and dates lexicographically
+    (ISO dates order correctly).  Pruning may only drop PROVABLY-disjoint
+    files, so any doubt — unknown/missing coltype (timestamps, binary,
+    pre-coltype manifests) or an unparseable value — keeps the file."""
+    try:
+        if coltype in _PV_INT_TYPES:
+            return int(lo) <= int(val) <= int(hi)
+        if coltype in _PV_FLOAT_TYPES or (coltype or "").startswith(
+            "decimal"
+        ):
+            return float(lo) <= float(val) <= float(hi)
+        if coltype in _PV_LEX_TYPES or (coltype or "").startswith(
+            ("varchar", "char")
+        ):
+            return str(lo) <= val <= str(hi)
+    except (TypeError, ValueError):
+        return True
+    return True
 
 
 def read_table_pruned(
@@ -969,7 +1000,11 @@ def read_table_pruned(
     prune on equality only).  Files with no partition record for ``col`` —
     pre-partitioning history, a different column's spec, or compacted
     rewrites — are ALWAYS kept: pruning may only drop provably-disjoint
-    files, never guess.  The caller still applies the row-level predicate;
+    files, never guess.  Identity-transform values compare under the
+    file record's ``coltype`` (numeric types numerically — '9' vs '10'
+    must not order lexicographically), falling back to keep-the-file for
+    types with no provable ordering.  The caller still applies the
+    row-level predicate;
     pruning is metadata-level (the Iceberg scan-plus-residual contract)."""
     v = version if version is not None else current_version(spark, path)
     manifest = _read_manifest(spark, path, v)
@@ -998,6 +1033,9 @@ def read_table_pruned(
                 )
                 if val == b:
                     keep.append(name)
+            elif t == "identity":
+                if _identity_may_overlap(rec.get("coltype"), val, lo, lo):
+                    keep.append(name)
             else:
                 plo, phi = _pv_bounds(t, lo, lo)
                 if plo <= val <= phi:
@@ -1005,6 +1043,9 @@ def read_table_pruned(
         else:
             if t == "bucket":
                 keep.append(name)  # buckets cannot range-prune
+            elif t == "identity":
+                if _identity_may_overlap(rec.get("coltype"), val, lo, hi):
+                    keep.append(name)
             else:
                 plo, phi = _pv_bounds(t, lo, hi)
                 if plo <= val <= phi:

@@ -156,7 +156,7 @@ def test_dp_noisy_counts_rejects_bad_epsilon(spark):
 
     df = spark.createDataFrame([("a",)], "g string")
     with pytest.raises(ValueError):
-        dp_noisy_counts(df, ["g"], epsilon=0.0)
+        dp_noisy_counts(df, ["g"], epsilon=0.0, seed="s")
 
 
 def test_t_closeness_releases_global_like_classes_only(spark):
@@ -187,3 +187,16 @@ def test_t_closeness_validates_t(spark):
     df = spark.createDataFrame([("A", 1)], "grp string, v int")
     with pytest.raises(ValueError):
         t_closeness_release(df, ["grp"], "v", t_num=1, t_den=0)
+
+
+def test_dp_noisy_counts_requires_explicit_seed(spark):
+    """Round-8 advice: a default public seed makes every release trivially
+    denoisable (noise is a deterministic function of seed + group key).
+    The seed is keyword-only and has no default."""
+    import pytest
+
+    from aws_etl_fiap_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([("a",)], "g string")
+    with pytest.raises(TypeError):
+        dp_noisy_counts(df, ["g"], epsilon=1.0)  # no seed -> refuse

@@ -817,3 +817,61 @@ def test_pruned_read_empty_range_returns_schema_and_zero_rows(
     )
     assert out.count() == 0
     assert set(out.columns) == set(src.columns)
+
+
+def test_identity_pruning_numeric_is_typed_not_lexicographic(
+    spark, sf_smoke, tmp_path
+):
+    """Round-8 advice: identity range pruning compared partition values as
+    STRINGS, and '9' > '10' lexicographically — a [9, 100] predicate on an
+    int partition column silently dropped the 10..100 files.  The compare
+    must go through the file record's coltype."""
+    path = str(tmp_path / "snap")
+    src = spark.range(0, 300).select(
+        (F.col("id") % F.lit(3) * F.lit(91) + F.lit(9))
+        .cast("int")
+        .alias("bucket_id"),  # values 9, 100, 191
+        F.col("id").alias("payload"),
+    )
+    S.append_partitioned(spark, src, path, "identity", "bucket_id")
+    man = S._read_manifest(spark, path, 1)
+    vals = {p["value"] for p in man["partitions"].values()}
+    assert vals == {"9", "100", "191"}
+
+    pruned = S.read_table_pruned(spark, path, "bucket_id", 9, 100)
+    scanned_vals = {
+        man["partitions"][f.split("/")[-1]]["value"]
+        for f in pruned.inputFiles()
+    }
+    # lexicographic would keep only {'9'} ('100' < '9'); typed keeps both
+    # overlapping partitions and still prunes the provably-disjoint 191.
+    assert scanned_vals == {"9", "100"}
+    got = pruned.filter(F.col("bucket_id").between(9, 100)).count()
+    want = src.filter(F.col("bucket_id").between(9, 100)).count()
+    assert got == want == 200
+
+    # equality point-lookup on a numeric identity partition, same contract
+    point = S.read_table_pruned(spark, path, "bucket_id", 100)
+    assert {
+        man["partitions"][f.split("/")[-1]]["value"]
+        for f in point.inputFiles()
+    } == {"100"}
+
+
+def test_identity_may_overlap_keeps_on_doubt():
+    """Pruning may only drop PROVABLY-disjoint files: unknown coltype
+    (pre-coltype manifests, timestamps) or unparseable values keep."""
+    ok = S._identity_may_overlap
+    assert ok("int", "10", 9, 100) is True
+    assert ok("int", "191", 9, 100) is False
+    assert ok("bigint", "9", 9, 100) is True
+    assert ok("double", "10.5", 9.0, 100.0) is True
+    assert ok("decimal(10,2)", "150.00", 9, 100) is False
+    assert ok("string", "banana", "apple", "cherry") is True
+    assert ok("date", "1995-02-01", "1995-01-01", "1995-03-31") is True
+    assert ok("date", "1996-02-01", "1995-01-01", "1995-03-31") is False
+    # doubt => keep
+    assert ok(None, "10", 9, 100) is True          # pre-coltype manifest
+    assert ok("timestamp", "whatever", 9, 100) is True  # no provable order
+    assert ok("int", "not-a-number", 9, 100) is True    # unparseable value
+    assert ok("int", "10", "x", "y") is True            # unparseable bound
