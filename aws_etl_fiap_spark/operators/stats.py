@@ -336,6 +336,7 @@ def psi_drift(
     value_col: str,
     is_current: Column,
     bin_edges: tuple[float, ...],
+    on_null: bool | str = "raise",
 ) -> DataFrame:
     """[EXT] Population Stability Index drift monitor: bin ``value_col``
     on FIXED edges, split rows into baseline vs current by the
@@ -357,12 +358,35 @@ def psi_drift(
     IEEE doubles, reproducible cross-engine.  Output: (bin, base_cnt,
     cur_cnt, base_share, cur_share, psi_term — unrounded; callers round
     the doubles for hashing).
+
+    Period assignment is TOTAL (round-8 advice: a NULL ``is_current`` —
+    e.g. a null timestamp — used to cast to NULL and silently vanish
+    from BOTH periods' sums while still being scanned).  ``on_null``
+    picks the policy: the default ``"raise"`` fails the job loudly via
+    an in-plan ``raise_error`` (no extra pass); ``False`` / ``True``
+    bucket NULL-predicate rows into baseline / current explicitly.
     """
     n_bins = len(bin_edges) + 1
+    cur = is_current.cast("int")
+    if on_null == "raise":
+        cur = F.when(
+            is_current.isNull(),
+            F.raise_error(
+                F.lit(
+                    "psi_drift: is_current evaluated to NULL — period "
+                    "assignment must be total (pass on_null=False/True "
+                    "to bucket NULL-predicate rows explicitly)"
+                )
+            ).cast("int"),
+        ).otherwise(cur)
+    elif isinstance(on_null, bool):
+        cur = F.coalesce(cur, F.lit(int(on_null)))
+    else:
+        raise ValueError(f"on_null must be 'raise', True or False: {on_null!r}")
     counts = (
         df.select(
             psi_bin_expr(value_col, bin_edges).alias("bin"),
-            is_current.cast("int").alias("cur"),
+            cur.alias("cur"),
         )
         .groupBy("bin")
         .agg(

@@ -43,8 +43,16 @@ MAX_PIECE_LEN = 6
 
 
 def _words(df: DataFrame, text_col: str) -> DataFrame:
+    """Word vocabulary = NON-EMPTY space-separated tokens.  The empty
+    token (consecutive/leading/trailing spaces) must be excluded: round-8
+    advice — ``F.sequence(0, length('') - 1)`` AUTO-DESCENDS to [0, -1]
+    (and the L sequence to [1, 0]), emitting bogus j=-1 / L=0 substrings
+    and empty pieces that DuckDB's ``range()`` (which never descends)
+    does not produce, silently poisoning piece counts on any
+    non-single-spaced corpus."""
     return (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wcnt"))
     )
@@ -184,7 +192,7 @@ def unigram_segment_stats(
     docw = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
-    )
+    ).filter(F.col("w") != "")
     return (
         docw.join(F.broadcast(best), "w")
         .groupBy("doc_id")
@@ -285,7 +293,7 @@ def wordpiece_segment_stats(
     docw = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
-    )
+    ).filter(F.col("w") != "")
     return (
         docw.join(F.broadcast(best), "w")
         .groupBy("doc_id")

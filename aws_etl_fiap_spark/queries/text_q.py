@@ -961,9 +961,11 @@ def _unigram_oracle(
     )
     parts = [
         f"""WITH words AS (
+    -- non-empty tokens only: the Spark twin filters w <> '' because
+    -- F.sequence auto-descends on the empty token (range() never does)
     SELECT w, CAST(COUNT(*) AS BIGINT) AS wcnt FROM (
         SELECT unnest(string_split(text, ' ')) AS w FROM documents
-    ) GROUP BY w
+    ) WHERE w <> '' GROUP BY w
 ),
 st AS (SELECT w, wcnt, unnest(range(0, length(w))) AS j FROM words),
 subs AS (
@@ -1014,7 +1016,9 @@ best AS (
       ON wd.w = b.w AND b.pos = length(wd.w)
 ),
 docw AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> ''
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(b.n) AS BIGINT) AS n_pieces,
@@ -1054,9 +1058,11 @@ def _wordpiece_oracle(
     per cursor round — pure integers end to end."""
     parts = [
         f"""WITH words AS (
+    -- non-empty tokens only: the Spark twin filters w <> '' because
+    -- F.sequence auto-descends on the empty token (range() never does)
     SELECT w, CAST(COUNT(*) AS BIGINT) AS wcnt FROM (
         SELECT unnest(string_split(text, ' ')) AS w FROM documents
-    ) GROUP BY w
+    ) WHERE w <> '' GROUP BY w
 ),
 st AS (SELECT w, wcnt, unnest(range(0, length(w))) AS j FROM words),
 subs AS (
@@ -1105,7 +1111,9 @@ fin{t} AS (
     parts.append(
         f""",
 docw AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ) WHERE w <> ''
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        CAST(SUM(b.n) AS BIGINT) AS n_pieces

@@ -251,3 +251,36 @@ def test_gini_zero_total_is_null_and_ties_average(spark):
     # n=3.  G = (1800 - 4*400) / (3*400) = 200/1200 = 1/6 — which matches
     # the mean-absolute-difference definition: MAD/(2*mean) = (4/9)/(8/3).
     assert out["t"] == 0.166667
+
+
+def test_psi_drift_null_predicate_is_total(spark):
+    """Round-8 advice: a NULL is_current predicate (null timestamp) used
+    to vanish from BOTH periods' counts silently.  Default policy raises
+    in-plan; explicit on_null buckets the rows."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from aws_etl_fiap_spark.operators.stats import psi_drift
+
+    rows = [(1.0, 0), (9.0, 1), (1.0, None), (9.0, None)]
+    df = spark.createDataFrame(rows, "value double, period int")
+    pred = F.col("period") == 1  # NULL period -> NULL predicate
+
+    with pytest.raises(Exception, match="psi_drift: is_current"):
+        psi_drift(df, "value", pred, (5.0,)).collect()
+
+    base = {
+        r["bin"]: r for r in psi_drift(df, "value", pred, (5.0,), on_null=False).collect()
+    }
+    assert base[0]["base_cnt"] == 2 and base[0]["cur_cnt"] == 0
+    assert base[1]["base_cnt"] == 1 and base[1]["cur_cnt"] == 1
+
+    cur = {
+        r["bin"]: r for r in psi_drift(df, "value", pred, (5.0,), on_null=True).collect()
+    }
+    assert cur[0]["base_cnt"] == 1 and cur[0]["cur_cnt"] == 1
+    assert cur[1]["base_cnt"] == 0 and cur[1]["cur_cnt"] == 2
+
+    with pytest.raises(ValueError):
+        psi_drift(df, "value", pred, (5.0,), on_null="bogus")

@@ -90,3 +90,28 @@ def test_wordpiece_horizon_raises(spark):
     )
     with pytest.raises(ValueError, match="max_word_len"):
         wordpiece_segment_stats(df).collect()
+
+
+def test_multi_space_corpus_ignores_empty_tokens(spark):
+    """Round-8 advice: F.sequence auto-descends on the empty token
+    ('' -> j in [0,-1], L in [1,0]), so consecutive/leading/trailing
+    spaces polluted piece counts with bogus empty pieces that DuckDB's
+    range() never produces.  A multi-spaced corpus must segment exactly
+    like its single-spaced twin."""
+    from aws_etl_fiap_spark.operators.unigram import (
+        unigram_segment_stats,
+        wordpiece_segment_stats,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, "abcdef abcdef abcdef"), (2, "abc def")],
+        "doc_id long, text string",
+    )
+    messy = spark.createDataFrame(
+        [(1, " abcdef  abcdef   abcdef "), (2, "  abc  def")],
+        "doc_id long, text string",
+    )
+    for fn in (unigram_segment_stats, wordpiece_segment_stats):
+        want = sorted(map(tuple, fn(clean).collect()))
+        got = sorted(map(tuple, fn(messy).collect()))
+        assert got == want, fn.__name__
