@@ -374,6 +374,13 @@ def stream_upsert_merge_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         b1.coalesce(1).write.parquet(os.path.join(inbox, "seq=1_batch"))
 
         def merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            # GATE BOOKKEEPING, not the production merge path: this
+            # collect() fetches only the DISTINCT synthetic seq ids of the
+            # current micro-batch (bounded by the batch count the gate
+            # itself constructed, here <= 2) so replay order is
+            # deterministic when the file source coalesces both inbox
+            # files into one micro-batch.  A production foreachBatch
+            # upserts the whole batch_df in one call and never collects.
             seqs = sorted(r.seq for r in batch_df.select("seq").distinct().collect())
             for s in seqs:
                 upsert_partitioned(

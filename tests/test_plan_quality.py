@@ -611,3 +611,30 @@ def test_wordpiece_stats_join_broadcasts_piece_counts(spark, sf_correctness):
     plan = physical_plan(spark, sf_correctness, "text_wordpiece_segment")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_gini_window_runs_on_value_grid_not_rows(spark, sf_correctness):
+    """stat_gini_priority_revenue: the tie-aware rank Window partitions by
+    group over the DISTINCT-VALUE grid (the groupBy collapses rows first),
+    and no partition-less Window ever touches the plan — the group key
+    keeps the sort per-partition-parallel, the 100x story."""
+    plan = physical_plan(spark, sf_correctness, "stat_gini_priority_revenue")
+    assert "Window" in plan, plan
+    # the value-grid aggregate (grp, x) sits UPSTREAM of the rank window
+    assert plan.index("HashAggregate") < plan.index("Window"), plan
+    # no empty partition spec: every Window line carries the grp key
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "grp" in ln, ln
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_naive_bayes_priors_broadcast_scalar(spark, sf_correctness):
+    """ml_naive_bayes_confusion: class priors and token likelihood tables
+    are model-sized and must BROADCAST onto the scoring stream — never a
+    shuffled join against the corpus."""
+    plan = physical_plan(spark, sf_correctness, "ml_naive_bayes_confusion")
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
