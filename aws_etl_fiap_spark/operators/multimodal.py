@@ -10,13 +10,15 @@ Design for 100 TB of media:
 - decode/resize/frame-sample run in ``mapInPandas``: Arrow ships each
   partition's payloads to Python in batches (no per-row pickling), and the
   UDF yields small fixed-width feature frames, never re-emitting the bytes;
-- the codec boundary is TIERED (``decode_payload``): ``image/png`` has a
-  real zero-dependency codec (operators/imaging — stdlib zlib + numpy, the
-  full filter set of the public PNG spec), other ``image/*`` mimes use
-  Pillow when importable (production clusters), the synthetic ``fake/*``
-  mimes keep the deterministic digest codec that the oracle-gated driver
-  queries hash against, and audio/video fail loudly (ffmpeg/librosa are
-  not installed) with per-row ok=false degradation instead of job death.
+- the codec boundary is TIERED (``decode_payload``): ``image/png``,
+  ``audio/wav`` and rawvideo ``video/avi`` have real zero-dependency
+  codecs (operators/imaging, operators/audio, operators/video — stdlib
+  zlib/struct + numpy), other ``image/*`` mimes use Pillow when
+  importable (production clusters), the synthetic ``fake/*`` mimes keep
+  the deterministic digest codec that the oracle-gated driver queries
+  hash against, and compressed audio/video fail loudly (ffmpeg/librosa
+  are not installed) with per-row ok=false degradation instead of job
+  death.
 """
 
 from __future__ import annotations
@@ -66,8 +68,13 @@ def decode_payload(mime: str, payload: bytes) -> list[float]:
                        (stdlib zlib + numpy — always available here), real
                        pixels -> dims/moments feature vector;
     3. other image/* -> Pillow if importable (production clusters);
-    4. everything else (audio/video) -> loud NotImplementedError — callers
-       degrade the row to ok=false rather than pretending.
+    4. ``video/avi``-> the zero-dependency rawvideo AVI codec in
+                       operators/video (RIFF chunk walk + DIB pixel math,
+                       the PNG/WAV pattern completed for video);
+    5. ``audio/wav``-> the RIFF/PCM16 codec in operators/audio;
+    6. everything else (compressed audio/video) -> loud
+       NotImplementedError — callers degrade the row to ok=false rather
+       than pretending.
     """
     if mime.startswith("fake/"):
         return decode_stub(mime, payload)
@@ -92,6 +99,10 @@ def decode_payload(mime: str, payload: bytes) -> list[float]:
                 f"decoder for {mime!r} requires Pillow, which is not "
                 "installed in this environment (PNG works without it)"
             ) from None
+    if mime in ("video/avi", "video/x-msvideo"):
+        from aws_etl_fiap_spark.operators import video
+
+        return video.video_features(payload, FEATURE_DIM)
     if mime in ("audio/wav", "audio/x-wav"):
         import math
 
@@ -111,7 +122,9 @@ def decode_payload(mime: str, payload: bytes) -> list[float]:
         ][:FEATURE_DIM]
     raise NotImplementedError(
         f"decoder for {mime!r} requires codec libraries (ffmpeg/librosa) "
-        "not present in this environment (WAV/PCM16 decodes natively above)"
+        "not present in this environment (PNG, WAV/PCM16 and rawvideo AVI "
+        "decode natively above; compressed audio/video stays behind this "
+        "boundary)"
     )
 
 
