@@ -355,6 +355,55 @@ def documents_as_wav(df: DataFrame, sample_rate: int = 8000) -> DataFrame:
     return src.mapInPandas(gen, "media_id long, mime string, payload binary")
 
 
+def documents_as_avi(
+    df: DataFrame, n_frames: int = 4, height: int = 8, width: int = 8,
+    fps: int = 10,
+) -> DataFrame:
+    """Adapter: synthesize a REAL rawvideo AVI payload per document,
+    deterministically from its UTF-8 bytes — the video sibling of
+    ``documents_as_wav``.  Pixel (f, y, x, c) of an ``n_frames`` x
+    ``height`` x ``width`` RGB clip is
+
+        p = (b_{i mod len(b)} * 31 + f * 17 + i * 7) % 256     (i = flat index)
+
+    so the whole video path (RIFF/DIB container encode -> chunk walk ->
+    frame math) runs on genuine AVI bytes a media player could open, while
+    staying exactly reproducible.  Arrow-batched; payloads never shuffle
+    out of the generating stage's consumers."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_etl_fiap_spark.operators.video import avi_encode
+
+    src = df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video/avi").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("raw"),
+    )
+    n_px = n_frames * height * width * 3
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for raw in pdf["raw"]:
+                b = np.frombuffer(bytes(raw) or b"\x00", dtype=np.uint8)
+                i = np.arange(n_px, dtype=np.int64)
+                p = (b[i % len(b)].astype(np.int64) * 31 + (i // (height * width * 3)) * 17 + i * 7) % 256
+                frames = p.astype(np.uint8).reshape(n_frames, height, width, 3)
+                payloads.append(avi_encode(frames, fps=fps))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "mime": pdf["mime"].to_numpy(),
+                    "payload": payloads,
+                }
+            )
+
+    return src.mapInPandas(gen, "media_id long, mime string, payload binary")
+
+
 def audio_stats(df: DataFrame) -> DataFrame:
     """Decode WAV payloads (operators/audio.wav_decode — real RIFF chunk
     walk) and emit the classic PCM stats per row; undecodable payloads

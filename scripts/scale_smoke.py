@@ -956,6 +956,23 @@ def main() -> None:
 
     stage(f"wav_synth_stats_{n}docs", _wav_stats)
 
+    # Real-codec video at scale: synthesize + decode + featurize a genuine
+    # rawvideo AVI per doc (RIFF/DIB container walk on every row; payloads
+    # stay inside the two Arrow stages — only 8-float feature rows leave).
+    def _avi_features():
+        from aws_etl_fiap_spark.operators.multimodal import (
+            documents_as_avi,
+            extract_features,
+        )
+
+        return (
+            extract_features(documents_as_avi(corpus))
+            .filter(F.col("ok"))
+            .count()
+        )
+
+    stage(f"avi_synth_features_{n}docs", _avi_features)
+
     # Mergeable quantile summary over the big shadow fact: driver state is
     # partitions x k rows regardless of row count; the gate's exact-rank
     # re-check is one extra scan.

@@ -132,3 +132,33 @@ def test_decode_payload_routes_avi_and_poison_degrades(spark):
     assert out[1]["ok"] and out[1]["feature"] == pytest.approx(feat)
     assert not out[2]["ok"] and out[2]["feature"] is None
     assert not out[3]["ok"] and out[3]["feature"] is None
+
+
+def test_documents_as_avi_generates_real_decodable_clips(spark):
+    """The distributed generator: every document becomes a genuine AVI
+    (decodable by the chunk walk, correct geometry), the payload is a
+    deterministic function of the text, and the full
+    generate -> decode -> featurize pipeline stays ok=true end-to-end."""
+    from aws_etl_fiap_spark.operators.multimodal import (
+        documents_as_avi,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, "a different doc")],
+        "doc_id long, text string",
+    )
+    media = documents_as_avi(docs, n_frames=3, height=4, width=5, fps=12)
+    rows = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert set(rows) == {1, 2, 3}
+    # identical text -> byte-identical payload; different text -> different
+    assert rows[1] == rows[2] and rows[1] != rows[3]
+    meta = V.avi_meta(rows[1])
+    assert (meta["width"], meta["height"], meta["n_frames"], meta["fps"]) == (
+        5, 4, 3, 12
+    )
+    _, frames = V.avi_decode(rows[1])
+    assert frames.shape == (3, 4, 5, 3)
+
+    out = extract_features(documents_as_avi(docs)).collect()
+    assert all(r["ok"] and len(r["feature"]) == 8 for r in out)
