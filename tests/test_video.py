@@ -162,3 +162,35 @@ def test_documents_as_avi_generates_real_decodable_clips(spark):
 
     out = extract_features(documents_as_avi(docs)).collect()
     assert all(r["ok"] and len(r["feature"]) == 8 for r in out)
+
+
+def test_roundtrip_property():
+    """Property: encode -> decode is byte-exact for ANY geometry, pixel
+    content, and fps — including stride-padded widths (w*3 % 4 != 0),
+    single-pixel frames, and 1-frame clips."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=5),    # frames
+        st.integers(min_value=1, max_value=7),    # height
+        st.integers(min_value=1, max_value=7),    # width
+        st.integers(min_value=1, max_value=60),   # fps
+        st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    )
+    def prop(n, h, w, fps, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+        data = V.avi_encode(frames, fps=fps)
+        meta = V.avi_meta(data)
+        assert (meta["n_frames"], meta["height"], meta["width"], meta["fps"]) == (
+            n, h, w, fps
+        )
+        got_fps, back = V.avi_decode(data)
+        assert got_fps == fps
+        assert back.dtype == np.uint8 and np.array_equal(back, frames)
+        every = max(1, n // 2)
+        assert np.array_equal(V.frame_sample(data, every=every), frames[::every])
+
+    prop()
