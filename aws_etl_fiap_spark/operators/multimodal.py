@@ -383,14 +383,17 @@ def documents_as_avi(
     n_px = n_frames * height * width * 3
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Document-independent index math hoisted out of the per-row loop:
+        # only b[i % len(b)] varies with the text.
+        i = np.arange(n_px, dtype=np.int64)
+        add = (i // (height * width * 3)) * 17 + i * 7
         for pdf in batches:
             if not len(pdf):
                 continue
             payloads = []
             for raw in pdf["raw"]:
                 b = np.frombuffer(bytes(raw) or b"\x00", dtype=np.uint8)
-                i = np.arange(n_px, dtype=np.int64)
-                p = (b[i % len(b)].astype(np.int64) * 31 + (i // (height * width * 3)) * 17 + i * 7) % 256
+                p = (b[i % len(b)].astype(np.int64) * 31 + add) % 256
                 frames = p.astype(np.uint8).reshape(n_frames, height, width, 3)
                 payloads.append(avi_encode(frames, fps=fps))
             yield pd.DataFrame(

@@ -367,22 +367,7 @@ def psi_drift(
     bucket NULL-predicate rows into baseline / current explicitly.
     """
     n_bins = len(bin_edges) + 1
-    cur = is_current.cast("int")
-    if on_null == "raise":
-        cur = F.when(
-            is_current.isNull(),
-            F.raise_error(
-                F.lit(
-                    "psi_drift: is_current evaluated to NULL — period "
-                    "assignment must be total (pass on_null=False/True "
-                    "to bucket NULL-predicate rows explicitly)"
-                )
-            ).cast("int"),
-        ).otherwise(cur)
-    elif isinstance(on_null, bool):
-        cur = F.coalesce(cur, F.lit(int(on_null)))
-    else:
-        raise ValueError(f"on_null must be 'raise', True or False: {on_null!r}")
+    cur = psi_period_assignment(is_current, on_null)
     counts = (
         df.select(
             psi_bin_expr(value_col, bin_edges).alias("bin"),
@@ -399,6 +384,33 @@ def psi_drift(
         .localCheckpoint(eager=False)
     )
     return psi_from_counts(counts, n_bins)
+
+
+def psi_period_assignment(
+    is_current: Column, on_null: bool | str = "raise"
+) -> Column:
+    """TOTAL period-assignment policy shared by ``psi_drift`` and the
+    STREAMING PSI gate (queries/streaming_q.stream_psi_drift_equiv): the
+    0/1 ``cur`` flag with NULL-predicate rows handled explicitly —
+    ``"raise"`` fails in-plan, ``False``/``True`` bucket them into
+    baseline/current.  Single-sourcing the policy keeps the batch
+    operator, the streaming twin, and the DuckDB oracle's
+    ``CASE ... ELSE 0 END`` provably aligned on any corpus."""
+    cur = is_current.cast("int")
+    if on_null == "raise":
+        return F.when(
+            is_current.isNull(),
+            F.raise_error(
+                F.lit(
+                    "psi_drift: is_current evaluated to NULL — period "
+                    "assignment must be total (pass on_null=False/True "
+                    "to bucket NULL-predicate rows explicitly)"
+                )
+            ).cast("int"),
+        ).otherwise(cur)
+    if isinstance(on_null, bool):
+        return F.coalesce(cur, F.lit(int(on_null)))
+    raise ValueError(f"on_null must be 'raise', True or False: {on_null!r}")
 
 
 def psi_bin_expr(value_col: str, bin_edges: tuple[float, ...]) -> Column:

@@ -57,6 +57,13 @@ def avi_encode(frames, fps: int = 10) -> bytes:
     n, h, w, _ = arr.shape
     if n < 1 or h < 1 or w < 1:
         raise AviFormatError(f"need at least one non-empty frame, got {arr.shape}")
+    # Header-field ranges: strh's rcFrame is signed 16-bit and fps feeds a
+    # uint32 microseconds-per-frame — reject out-of-range geometry as
+    # AviFormatError instead of letting struct.pack raise struct.error.
+    if w > 32767 or h > 32767:
+        raise AviFormatError(f"frame geometry {w}x{h} exceeds AVI's 16-bit rcFrame")
+    if fps > 1_000_000:
+        raise AviFormatError(f"fps {fps} exceeds the 1 MHz frame clock")
     stride = _pad4(w * 3)
     frame_bytes = stride * h
 
@@ -76,7 +83,7 @@ def avi_encode(frames, fps: int = 10) -> bytes:
     avih = struct.pack(
         "<14I",
         1_000_000 // fps,      # dwMicroSecPerFrame
-        frame_bytes * fps,     # dwMaxBytesPerSec
+        min(frame_bytes * fps, 0xFFFFFFFF),  # dwMaxBytesPerSec (uint32 hint)
         0, 0,                  # padding granularity, flags
         n, 0, 1,               # total frames, initial frames, streams
         frame_bytes,           # suggested buffer size
@@ -142,6 +149,14 @@ def avi_meta(data: bytes) -> dict:
             elif c2 == b"LIST" and data[lo2 : lo2 + 4] == b"strl":
                 for c3, lo3, hi3 in _chunks(data, lo2 + 4, hi2):
                     if c3 == b"strh":
+                        # Length-check BEFORE unpack_from: a fuzzed chunk
+                        # whose declared body is short (or runs past the
+                        # buffer) must fail as AviFormatError, never as a
+                        # struct.error escaping the poison-row contract.
+                        if hi3 - lo3 < 28:
+                            raise AviFormatError(
+                                f"strh chunk holds {hi3 - lo3} bytes, need 28"
+                            )
                         if data[lo3 : lo3 + 4] != b"vids":
                             raise AviFormatError("first stream is not video")
                         if data[lo3 + 4 : lo3 + 8] not in (b"DIB ", b"\x00\x00\x00\x00"):
@@ -153,6 +168,10 @@ def avi_meta(data: bytes) -> dict:
                         if scale:
                             meta["fps"] = rate // scale
                     elif c3 == b"strf":
+                        if hi3 - lo3 < 20:
+                            raise AviFormatError(
+                                f"strf chunk holds {hi3 - lo3} bytes, need 20"
+                            )
                         bitcount, compression = struct.unpack_from("<HI", data, lo3 + 14)[0], struct.unpack_from("<I", data, lo3 + 16)[0]
                         if compression != 0:
                             raise AviFormatError(

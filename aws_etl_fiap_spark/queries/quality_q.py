@@ -777,6 +777,10 @@ def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.dayofmonth("ts") > 15,
         (5.0, 10.0, 20.0, 50.0, 100.0, 200.0),
+        # NULL-ts rows bucket into BASELINE, mirroring the oracle's
+        # CASE ... ELSE 0 END — the default on_null="raise" would make the
+        # gate crash on a corpus where its oracle still answers.
+        on_null=False,
     )
     return out.select(
         "bin",

@@ -142,8 +142,13 @@ CHANGED_R8: tuple[str, ...] = (
 #: - text_unigram_lm_segment / text_wordpiece_segment: empty-word guard —
 #:   F.sequence auto-descends on empty strings, emitting bogus j=-1/L=0
 #:   substrings on any non-single-spaced corpus;
-#: - dq_psi_value_drift / stream_psi_drift_equiv: psi_drift coalesces a
-#:   NULL is_current predicate so period assignment is total.
+#: - dq_psi_value_drift / stream_psi_drift_equiv: period assignment is
+#:   total via the shared stats.psi_period_assignment policy — BOTH gates
+#:   pass on_null=False (NULL ts -> baseline), matching the oracle's
+#:   CASE ... ELSE 0 END exactly (the batch operator's default stays
+#:   "raise" for production callers; the late-r9 review found the
+#:   streaming twin's inlined predicate still dropped NULL rows and the
+#:   batch gate's "raise" default would crash where its oracle answers).
 CHANGED_R9: tuple[str, ...] = (
     "acid_hidden_partition_prune",
     "privacy_dp_noisy_counts",

@@ -683,7 +683,11 @@ def stream_psi_drift_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped-UTC analysis) so the gate is session-tz independent like the
     batch path."""
     from aws_etl_fiap_spark.functions.parity import round_half_up
-    from aws_etl_fiap_spark.operators.stats import psi_bin_expr, psi_from_counts
+    from aws_etl_fiap_spark.operators.stats import (
+        psi_bin_expr,
+        psi_from_counts,
+        psi_period_assignment,
+    )
 
     edges = (5.0, 10.0, 20.0, 50.0, 100.0, 200.0)
     ev = _stream_events(spark, sf_dir)
@@ -693,7 +697,11 @@ def stream_psi_drift_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         ev.select(
             psi_bin_expr("value", edges).alias("bin"),
-            (F.dayofmonth("ts_ntz") > 15).cast("int").alias("cur"),
+            # Shared TOTAL assignment policy: NULL ts -> baseline, exactly
+            # like the batch gate's on_null=False and the oracle's ELSE 0.
+            psi_period_assignment(
+                F.dayofmonth("ts_ntz") > 15, on_null=False
+            ).alias("cur"),
         )
         .groupBy("bin")
         .agg(

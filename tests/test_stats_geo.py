@@ -284,3 +284,55 @@ def test_psi_drift_null_predicate_is_total(spark):
 
     with pytest.raises(ValueError):
         psi_drift(df, "value", pred, (5.0,), on_null="bogus")
+
+
+def test_psi_gates_agree_with_oracle_on_null_ts_corpus(spark, tmp_path):
+    """Late-r9 review regression: the BATCH gate inherited psi_drift's
+    on_null='raise' default (crashing where its oracle still answers) and
+    the STREAMING twin's inlined predicate silently dropped NULL-ts rows
+    from both periods.  Both gates now bucket NULL ts into BASELINE via
+    the shared stats.psi_period_assignment, exactly like the oracle's
+    CASE ... ELSE 0 END — proven here on a corpus that actually contains
+    NULL timestamps, with string-exact three-way agreement."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_etl_fiap_spark.queries.quality_q import (
+        PSI_ORACLE,
+        dq_psi_value_drift,
+    )
+    from aws_etl_fiap_spark.queries.streaming_q import stream_psi_drift_equiv
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    nulls = pa.table(
+        {
+            "event_id": pa.array([10**9, 10**9 + 1], pa.int64()),
+            "ts": pa.array([None, None], src.schema.field("ts").type),
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["view", "click"]),
+            # one value per side of a bin edge so the NULL rows move counts
+            "value": pa.array([3.0, 150.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    ).cast(src.schema)
+    pq.write_table(pa.concat_tables([src, nulls]), str(tmp_path / "events.parquet"))
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted(tuple(str(r[i]) for i in order) for r in rows)
+
+    batch = dq_psi_value_drift(spark, str(tmp_path))
+    got_batch = norm(batch.collect(), batch.columns)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    res = con.execute(PSI_ORACLE)
+    want = norm(res.fetchall(), [d[0] for d in res.description])
+    assert got_batch == want
+
+    streamed = stream_psi_drift_equiv(spark, str(tmp_path))
+    assert norm(streamed.collect(), streamed.columns) == want

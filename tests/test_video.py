@@ -194,3 +194,36 @@ def test_roundtrip_property():
         assert np.array_equal(V.frame_sample(data, every=every), frames[::every])
 
     prop()
+
+
+def test_short_header_chunks_raise_avi_format_error_not_struct_error():
+    """A fuzzed payload whose strh/strf declares a body shorter than the
+    fields it must hold fails as AviFormatError (poison-row contract),
+    never as a struct.error escaping the Arrow stage."""
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(fourcc, body):
+        return chunk(b"LIST", fourcc + body)
+
+    avih = struct.pack("<14I", 100000, 0, 0, 0, 1, 0, 1, 0, 2, 2, 0, 0, 0, 0)
+    for stream_hdr in (
+        chunk(b"strh", b"vids" + b"DIB "),          # 8 bytes, need 28
+        chunk(b"strh", b"vids" + b"DIB " + b"\x00" * 20)
+        + chunk(b"strf", struct.pack("<Ii", 40, 2)),  # strf 8 bytes, need 20
+    ):
+        hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", stream_hdr))
+        body = b"AVI " + hdrl
+        data = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(V.AviFormatError, match="chunk holds"):
+            V.avi_meta(data)
+
+
+def test_encode_rejects_header_field_overflow_as_avi_format_error():
+    """Geometry past AVI's 16-bit rcFrame and fps past the 1 MHz frame
+    clock raise AviFormatError, not struct.error."""
+    wide = np.zeros((1, 1, 32768, 3), dtype=np.uint8)
+    with pytest.raises(V.AviFormatError, match="16-bit"):
+        V.avi_encode(wide, fps=1)
+    with pytest.raises(V.AviFormatError, match="frame clock"):
+        V.avi_encode(_frames(n=1), fps=1_000_001)
