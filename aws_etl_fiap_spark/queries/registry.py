@@ -101,7 +101,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQ
 # oracle in every local pytest.
 #
 # PRECOMPUTED SCHEDULE:
-#   r9:  DEFERRED_R8_NEVER (44) + 6 alphabetically-first r5-green  [ACTIVE]
+#   r9:  DEFERRED_R8_NEVER (44) + 2 late-r9 CHANGED re-entries (snapshot
+#        maintenance fixes) + 4 alphabetically-first r5-green  [ACTIVE]
 #   r10: R10_WINDOW — the 41 remaining r5-green + 9 stalest r6-green
 #        (alphabetical tiebreak), precomputed below and test-pinned;
 #   r11: the remaining 36 r6-green + the 14 stalest r7-green;
@@ -149,6 +150,12 @@ CHANGED_R8: tuple[str, ...] = (
 #:   "raise" for production callers; the late-r9 review found the
 #:   streaming twin's inlined predicate still dropped NULL rows and the
 #:   batch gate's "raise" default would crash where its oracle answers).
+#: Late-r9 additions (adversarial self-review of sources/snapshot.py):
+#: upsert/delete/compact now carry hidden-partition records and the
+#: insert-only upsert refuses narrower batches — the two r8-graded acid
+#: gates ride those code paths, so they preempt the window tail per the
+#: rotation contract ("changed-code re-entries preempt tail slots"),
+#: displacing dedup_simhash and events_json_agg to the r10 window.
 CHANGED_R9: tuple[str, ...] = (
     "acid_hidden_partition_prune",
     "privacy_dp_noisy_counts",
@@ -156,6 +163,8 @@ CHANGED_R9: tuple[str, ...] = (
     "text_wordpiece_segment",
     "dq_psi_value_drift",
     "stream_psi_drift_equiv",
+    "acid_snapshot_isolation",
+    "acid_merge_on_read_delete",
 )
 
 #: The round-7 graded window, exactly as CORRECTNESS_r07.json recorded it:
@@ -330,14 +339,19 @@ R8_WINDOW: tuple[str, ...] = (
 )
 
 
-#: THE ACTIVE ROUND-9 WINDOW (precomputed in r8, activated r9): all 44
-#: never-driver-graded round-8 additions (DEFERRED_R8_NEVER, in
-#: registration order) followed by the 6 alphabetically-first
-#: DEFERRED_R8_R5 entries.  All six CHANGED_R9 entries are r8-new and so
-#: already inside — no preemption needed (test-enforced).
+#: THE ACTIVE ROUND-9 WINDOW (precomputed in r8, activated r9, tail
+#: preempted late-r9): all 44 never-driver-graded round-8 additions
+#: (DEFERRED_R8_NEVER, in registration order), then the two late-r9
+#: CHANGED_R9 re-entries (snapshot.py maintenance-commit fixes), then the
+#: alphabetically-first DEFERRED_R8_R5 entries filling the remaining
+#: slots (the preempted tail — dedup_simhash, events_json_agg — shifts to
+#: the r10 window per the rotation contract).  The six r8-new CHANGED_R9
+#: entries are already inside via DEFERRED_R8_NEVER (test-enforced).
 R9_WINDOW: tuple[str, ...] = (
     DEFERRED_R8_NEVER
     + (
+        "acid_snapshot_isolation",
+        "acid_merge_on_read_delete",
         "array_functions_profile",
         "bucketed_join_colocated_agg",
         "corpus_curation_funnel",

@@ -273,6 +273,15 @@ def _prune_by_stats(
     return scan_files
 
 
+def _carried_partitions(manifest: dict, carried: Sequence[str]) -> dict:
+    """Hidden-partition records for the files a commit carries forward —
+    per-file metadata that upsert/compact/delete must propagate exactly
+    like footer stats, or one maintenance commit silently disables
+    partition pruning for the whole table (late-r9 review)."""
+    parts: dict = manifest.get("partitions") or {}
+    return {n: parts[n] for n in carried if n in parts}
+
+
 def current_version(spark: SparkSession, path: str) -> int:
     versions = _list_versions(spark, path)
     if not versions:
@@ -417,6 +426,16 @@ def upsert(
         # columns are refused/flagged exactly like the rewrite path, not
         # silently forked into the new files.
         probe = _read_files(spark, path, manifest, manifest["files"])
+        missing = set(probe.columns) - set(updates.columns)
+        if missing:
+            # The rewrite path fails on a narrower batch (its select of
+            # survivors.columns cannot resolve); the insert-only path must
+            # refuse too, or the new files silently fork a narrower schema
+            # that a mergeSchema-off read resolves nondeterministically.
+            raise ValueError(
+                f"updates are missing table columns {sorted(missing)}; "
+                "align the batch to the table schema"
+            )
         extra = set(updates.columns) - set(probe.columns)
         if extra and not allow_new_columns:
             raise ValueError(
@@ -443,6 +462,10 @@ def upsert(
         merge_schema=mixed_schema and bool(carried),
         delete_files=(manifest.get("delete_files") or []) if carried else [],
         n_deleted=int(manifest.get("n_deleted") or 0) if carried else 0,
+        # Hidden-partition records are per-file metadata and must survive
+        # like stats do: carried files keep theirs (rewritten files lose
+        # them correctly — their replacement files are not value-grouped).
+        extra={"partitions": _carried_partitions(manifest, carried)},
     )
     return {
         "base_version": base,
@@ -515,10 +538,39 @@ def vacuum(
                     continue
                 fs.delete(st.getPath(), False)
                 deleted += 1
+    # Crash orphans OUTSIDE data/ (late-r9 review): a writer dying between
+    # its temp-manifest write and the commit rename leaves
+    # _snapshots/_tmp_*.json; one dying mid-stage leaves a _staging_*/
+    # directory at the table root.  Both accumulate unboundedly unless
+    # swept here, under the SAME retention window (younger than the window
+    # may belong to an in-flight transaction; staging-dir mtime refreshes
+    # while a writer is actively landing part files into it).
+    swept_tmp = 0
+    sdir = hpath(_snap_dir(path))
+    if fs.exists(sdir):
+        for st in fs.listStatus(sdir):
+            name = st.getPath().getName()
+            if name.startswith("_tmp_") and st.getModificationTime() < cutoff_ms:
+                fs.delete(st.getPath(), False)
+                swept_tmp += 1
+    swept_staging = 0
+    root = hpath(path.rstrip("/"))
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith("_staging_")
+                and st.getModificationTime() < cutoff_ms
+            ):
+                fs.delete(st.getPath(), True)
+                swept_staging += 1
     return {
         "dropped_manifests": dropped,
         "deleted_files": deleted,
         "retained_recent_files": retained,
+        "swept_tmp_manifests": swept_tmp,
+        "swept_staging_dirs": swept_staging,
     }
 
 
@@ -554,7 +606,10 @@ def compact(
             "carried_files": len(manifest["files"]),
         }
     n_out = max(
-        1, math.ceil(sum(int(file_rows[n]) for n in small) / target_rows)
+        1,
+        # .get mirrors the selection above: a manifest entry with no row
+        # count (legacy/external manifest) must compact, not KeyError.
+        math.ceil(sum(int(file_rows.get(n, 0)) for n in small) / target_rows),
     )
     # LIVE rows only: compaction physically absorbs deletion-vector rows
     # for the files it rewrites (merge-on-read debt paid down here).
@@ -575,6 +630,7 @@ def compact(
         op="compact", stats=new_stats, merge_schema=still_mixed,
         delete_files=(manifest.get("delete_files") or []) if carried else [],
         n_deleted=int(manifest.get("n_deleted") or 0) if carried else 0,
+        extra={"partitions": _carried_partitions(manifest, carried)},
     )
     return {
         "new_version": base + 1,
@@ -656,6 +712,8 @@ def delete(
         op="delete", stats=manifest.get("stats") or {},
         merge_schema=bool(manifest.get("merge_schema")),
         delete_files=all_dvs, n_deleted=n_deleted,
+        # data files unchanged -> every partition record carries over
+        extra={"partitions": _carried_partitions(manifest, manifest["files"])},
     )
     return {
         "base_version": base,
@@ -688,15 +746,31 @@ def changed_sides(
     if same_dvs:
         removed = [n for n in mf["files"] if n not in set(mt["files"])]
         added = [n for n in mt["files"] if n not in set(mf["files"])]
+
+        def _empty_side(m: dict, other: dict) -> DataFrame:
+            # Schema for an empty side resolves over a FULL file list
+            # (footers only — Catalyst collapses Filter(false) before any
+            # scan): a single-file probe under merge_schema could miss
+            # evolved columns, and a version whose own list is empty (an
+            # upsert that deleted every row) borrows the other side's.
+            src = m if m["files"] else other
+            if not src["files"]:
+                raise ValueError(
+                    f"versions {v_from} and {v_to} both have empty file lists"
+                )
+            return _read_files(spark, path, src, src["files"]).filter(
+                F.lit(False)
+            )
+
         old_side = (
             _read_files(spark, path, mf, removed)
             if removed
-            else _read_files(spark, path, mf, mf["files"][:1]).filter(F.lit(False))
+            else _empty_side(mf, mt)
         )
         new_side = (
             _read_files(spark, path, mt, added)
             if added
-            else _read_files(spark, path, mt, mt["files"][:1]).filter(F.lit(False))
+            else _empty_side(mt, mf)
         )
         return old_side, new_side
     return (
@@ -852,6 +926,7 @@ def append_partitioned(
     transform: str,
     col: str,
     arg: int | None = None,
+    allow_new_columns: bool = False,
 ) -> int:
     """Commit ``df`` as new data files grouped by the HIDDEN partition value
     ``transform(col)``; creates the table (version 1) if absent, appends a
@@ -870,6 +945,28 @@ def append_partitioned(
     hpath, fs = _fs(spark, path)
     versions = _list_versions(spark, path)
     version = (versions[-1] + 1) if versions else 1
+    prev = _read_manifest(spark, path, versions[-1]) if versions else None
+    mixed_schema = bool(prev.get("merge_schema")) if prev else False
+    if prev is not None and prev["files"]:
+        # The same schema contract as upsert (late-r9 review): an append
+        # must not silently fork the table schema — with mergeSchema off,
+        # a later read resolves its schema from ONE arbitrary footer, so a
+        # forked table loses columns nondeterministically per read.
+        probe = _read_files(spark, path, prev, prev["files"])
+        missing_cols = set(probe.columns) - set(df.columns)
+        if missing_cols:
+            raise ValueError(
+                f"append is missing table columns {sorted(missing_cols)}; "
+                "align the frame to the table schema"
+            )
+        extra_cols = set(df.columns) - set(probe.columns)
+        if extra_cols and not allow_new_columns:
+            raise ValueError(
+                f"append carries new columns {sorted(extra_cols)}; pass "
+                "allow_new_columns=True to evolve the table schema"
+            )
+        if extra_cols:
+            mixed_schema = True
     txn = uuid.uuid4().hex[:8]
     staging = path.rstrip("/") + f"/_staging_v{version:08d}_{txn}"
     fs.delete(hpath(staging), True)
@@ -919,18 +1016,24 @@ def append_partitioned(
             }
     fs.delete(hpath(staging), True)
 
-    if versions:
-        prev = _read_manifest(spark, path, versions[-1])
+    if prev is not None:
         all_files = list(prev["files"]) + names
         all_rows = {**prev.get("file_rows", {}), **file_rows}
         all_parts = {**(prev.get("partitions") or {}), **partitions}
-        extra = {"partitions": all_parts}
+        # Stats carry AND extend: a stats-tracked table whose appends land
+        # stat-less files would fail _prune_by_stats' all-files check and
+        # silently disable merge pruning forever (late-r9 review).
+        all_stats = dict(prev.get("stats") or {})
+        stat_cols = sorted({c for per in all_stats.values() for c in per})
+        if stat_cols:
+            all_stats.update(_file_stats(path, names, stat_cols))
         _commit(
             spark, path, version, all_files, all_rows, op="append",
-            stats=prev.get("stats") or {},
-            merge_schema=prev.get("merge_schema", False),
+            stats=all_stats,
+            merge_schema=mixed_schema,
             delete_files=prev.get("delete_files") or [],
-            n_deleted=prev.get("n_deleted", 0), extra=extra,
+            n_deleted=prev.get("n_deleted", 0),
+            extra={"partitions": all_parts},
         )
     else:
         _commit(
@@ -1010,6 +1113,26 @@ def read_table_pruned(
     manifest = _read_manifest(spark, path, v)
     parts: dict = manifest.get("partitions") or {}
     keep: list[str] = []
+    # The literal's bucket depends only on (arg, coltype), not on the file:
+    # memoize so a point lookup over N bucket-partitioned files costs one
+    # tiny Spark job per distinct spec, not one per file.
+    bucket_cache: dict[tuple, str] = {}
+
+    def _bucket_of(arg: int, coltype: str) -> str:
+        key = (arg, coltype)
+        if key not in bucket_cache:
+            # compute the literal's bucket through the SAME expression,
+            # cast to the column's recorded type (xxhash64 is
+            # width-sensitive: hashing an INT literal against a BIGINT
+            # column lands in the wrong bucket).
+            bucket_cache[key] = (
+                spark.range(1)
+                .withColumn("k", F.lit(lo).cast(coltype))
+                .select(_pv_expr("bucket", "k", arg).alias("b"))
+                .first()["b"]
+            )
+        return bucket_cache[key]
+
     for name in manifest["files"]:
         rec = parts.get(name)
         if not rec or rec.get("col") != col:
@@ -1018,20 +1141,13 @@ def read_table_pruned(
         t, val = rec["transform"], rec["value"]
         if hi is None:
             if t == "bucket":
-                # compute the literal's bucket through the SAME expression,
-                # cast to the column's recorded type (xxhash64 is
-                # width-sensitive: hashing an INT literal against a BIGINT
-                # column lands in the wrong bucket).
-                lit = F.lit(lo)
-                if rec.get("coltype"):
-                    lit = lit.cast(rec["coltype"])
-                b = (
-                    spark.range(1)
-                    .withColumn("k", lit)
-                    .select(_pv_expr("bucket", "k", rec["arg"]).alias("b"))
-                    .first()["b"]
-                )
-                if val == b:
+                # No recorded coltype (pre-coltype manifest): the literal's
+                # physical type — and therefore its xxhash64 bucket — is a
+                # guess, and pruning may only drop PROVABLY-disjoint files.
+                # Keep the file, same doubt-policy as identity transforms.
+                if not rec.get("coltype") or val == _bucket_of(
+                    rec["arg"], rec["coltype"]
+                ):
                     keep.append(name)
             elif t == "identity":
                 if _identity_may_overlap(rec.get("coltype"), val, lo, lo):
@@ -1051,8 +1167,11 @@ def read_table_pruned(
                 if plo <= val <= phi:
                     keep.append(name)
     if not keep:
-        # a provably-empty scan still needs the schema: read one manifest
-        # file and return zero rows.
-        base = _read_files(spark, path, manifest, manifest["files"][:1])
+        # A provably-empty scan still needs the schema — resolved over the
+        # FULL file list (footers only; Catalyst collapses Filter(false) to
+        # an empty relation before execution): probing a single file could
+        # miss columns added by schema evolution whose old-generation files
+        # sort first.
+        base = _read_files(spark, path, manifest, manifest["files"])
         return base.filter(F.lit(False))
     return _read_files(spark, path, manifest, keep)

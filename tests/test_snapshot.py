@@ -875,3 +875,199 @@ def test_identity_may_overlap_keeps_on_doubt():
     assert ok("timestamp", "whatever", 9, 100) is True  # no provable order
     assert ok("int", "not-a-number", 9, 100) is True    # unparseable value
     assert ok("int", "10", "x", "y") is True            # unparseable bound
+
+
+def test_maintenance_commits_carry_partition_records(spark, sf_smoke, tmp_path):
+    """Late-r9 review: upsert/delete/compact committed without the
+    manifest 'partitions' key, permanently disabling hidden-partition
+    pruning for every carried file after ONE maintenance commit."""
+    path = str(tmp_path / "snap")
+    src = _orders(spark, sf_smoke).withColumn(
+        "o_orderdate", F.to_date(F.lit("1995-03-15"))
+    ).limit(40).union(
+        _orders(spark, sf_smoke).withColumn(
+            "o_orderdate", F.to_date(F.lit("1997-08-02"))
+        ).limit(40)
+    )
+    S.append_partitioned(spark, src, path, "month", "o_orderdate")
+    assert S._read_manifest(spark, path, 1).get("partitions")
+
+    # merge-on-read delete: data files unchanged -> ALL records carry
+    some = src.limit(3).select("o_orderkey")
+    S.delete(spark, path, some, ["o_orderkey"])
+    m2 = S._read_manifest(spark, path, 2)
+    assert m2.get("partitions") == S._read_manifest(spark, path, 1).get(
+        "partitions"
+    )
+
+    # CoW upsert: carried files keep their records, rewritten files drop out
+    batch = src.limit(1).withColumn("o_totalprice", F.lit(1.0))
+    S.upsert(spark, path, batch, ["o_orderkey"])
+    m3 = S._read_manifest(spark, path, 3)
+    carried_with_rec = [n for n in m3["files"] if n in (m3.get("partitions") or {})]
+    assert carried_with_rec, "carried files lost their partition records"
+    # and pruning still works after the maintenance commits
+    pruned = S.read_table_pruned(spark, path, "o_orderdate", "1995-01-01", "1995-12-31")
+    got = {r["o_orderdate"].isoformat() for r in pruned.select("o_orderdate").distinct().collect()}
+    assert got == {"1995-03-15"}
+
+
+def test_append_partitioned_enforces_schema_contract(spark, sf_smoke, tmp_path):
+    """Late-r9 review: an append with extra or missing columns silently
+    forked the table schema (mergeSchema-off reads then resolve from ONE
+    arbitrary footer).  Extra columns need allow_new_columns; missing
+    columns always refuse."""
+    path = str(tmp_path / "snap")
+    src = _orders(spark, sf_smoke).withColumn(
+        "o_orderdate", F.to_date(F.lit("1995-03-15"))
+    ).limit(20)
+    S.append_partitioned(spark, src, path, "month", "o_orderdate")
+
+    with pytest.raises(ValueError, match="new columns"):
+        S.append_partitioned(
+            spark, src.withColumn("channel", F.lit("web")), path,
+            "month", "o_orderdate",
+        )
+    with pytest.raises(ValueError, match="missing table columns"):
+        S.append_partitioned(
+            spark, src.drop("o_totalprice"), path, "month", "o_orderdate"
+        )
+
+    S.append_partitioned(
+        spark, src.withColumn("channel", F.lit("web")), path,
+        "month", "o_orderdate", allow_new_columns=True,
+    )
+    m = S._read_manifest(spark, path, 2)
+    assert m["merge_schema"] is True
+    assert "channel" in S.read_table(spark, path).columns
+
+
+def test_insert_only_upsert_refuses_missing_columns(spark, sf_smoke, tmp_path):
+    """Late-r9 review: the insert-only path checked extra columns but not
+    missing ones, silently writing narrower-schema files."""
+    path = str(tmp_path / "snap")
+    S.create_table(spark, _orders(spark, sf_smoke).limit(20), path, n_files=2)
+    narrow = spark.createDataFrame([(10**9,)], "o_orderkey long")
+    with pytest.raises(ValueError, match="missing table columns"):
+        S.upsert(spark, path, narrow, ["o_orderkey"])
+
+
+def test_append_to_stats_tracked_table_keeps_pruning_enabled(
+    spark, sf_smoke, tmp_path
+):
+    """Late-r9 review: append_partitioned landed stat-less files on a
+    stats-tracked table, failing _prune_by_stats' all-files check and
+    disabling merge pruning forever."""
+    path = str(tmp_path / "snap")
+    src = _orders(spark, sf_smoke).withColumn(
+        "o_orderdate", F.to_date(F.lit("1995-03-15"))
+    ).limit(30)
+    S.create_table(
+        spark,
+        src.repartitionByRange(2, "o_orderkey"),
+        path, n_files=None, stats_cols=["o_orderkey"],
+    )
+    S.append_partitioned(spark, src, path, "month", "o_orderdate")
+    m = S._read_manifest(spark, path, 2)
+    assert all("o_orderkey" in m["stats"].get(n, {}) for n in m["files"]), (
+        "appended files lack footer stats — merge pruning would be disabled"
+    )
+
+
+def test_compact_tolerates_missing_row_counts(spark, sf_smoke, tmp_path):
+    """Late-r9 review: compact selected stat-less files via .get but then
+    summed with file_rows[n] — KeyError on legacy/external manifests."""
+    import json
+
+    path = str(tmp_path / "snap")
+    S.create_table(spark, _orders(spark, sf_smoke).limit(30), path, n_files=3)
+    mf_path = tmp_path / "snap" / "_snapshots" / "v00000001.json"
+    m = json.loads(mf_path.read_text())
+    dropped = m["files"][0]
+    del m["file_rows"][dropped]  # legacy manifest: one entry lost its count
+    mf_path.write_text(json.dumps(m))
+    (mf_path.parent / f".{mf_path.name}.crc").unlink(missing_ok=True)
+    out = S.compact(spark, path, target_rows=10**9)
+    assert out["compacted_files"] == 3
+    assert S.read_table(spark, path).count() == 30
+
+
+def test_bucket_pruning_keeps_file_without_coltype(spark, sf_smoke, tmp_path):
+    """Late-r9 review: a pre-coltype manifest made bucket pruning hash an
+    uncast literal (width-sensitive xxhash64 -> wrong bucket -> live file
+    silently pruned).  No provable type => keep the file."""
+    import json
+
+    path = str(tmp_path / "snap")
+    src = _orders(spark, sf_smoke).limit(40)
+    S.append_partitioned(spark, src, path, "bucket", "o_orderkey", arg=8)
+    mf_path = tmp_path / "snap" / "_snapshots" / "v00000001.json"
+    m = json.loads(mf_path.read_text())
+    for rec in m["partitions"].values():
+        rec.pop("coltype", None)  # simulate a pre-coltype manifest
+    mf_path.write_text(json.dumps(m))
+    (mf_path.parent / f".{mf_path.name}.crc").unlink(missing_ok=True)
+
+    key = src.first()["o_orderkey"]
+    pruned = S.read_table_pruned(spark, path, "o_orderkey", key)
+    # with no provable type nothing may prune...
+    m2 = S._read_manifest(spark, path, 1)
+    assert pruned.filter(F.col("o_orderkey") == key).count() == src.filter(
+        F.col("o_orderkey") == key
+    ).count()
+    # ...and the scan must keep EVERY file (doubt-policy), which we can see
+    # from the input files of the plan
+    assert pruned.inputFiles() and len(pruned.inputFiles()) == len(m2["files"])
+
+
+def test_changed_sides_empty_side_sees_evolved_schema(spark, sf_smoke, tmp_path):
+    """Late-r9 review: the empty-side schema probe read files[:1], which
+    under merge_schema can predate an added column — a pure-append diff
+    then failed to resolve the new column on the old side."""
+    path = str(tmp_path / "snap")
+    base = _orders(spark, sf_smoke).limit(20)
+    S.create_table(spark, base, path, n_files=2)
+    evolved = spark.createDataFrame(
+        [(10**9, "O", 1.0, "web")],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, channel string",
+    )
+    S.upsert(spark, path, evolved, ["o_orderkey"], allow_new_columns=True)
+    # v2 -> v3: pure append (no file removed), so old_side is the empty probe
+    more = spark.createDataFrame(
+        [(10**9 + 1, "O", 2.0, "app")],
+        "o_orderkey long, o_orderstatus string, o_totalprice double, channel string",
+    )
+    S.upsert(spark, path, more, ["o_orderkey"])
+    old_side, new_side = S.changed_sides(spark, path, 2, 3)
+    assert "channel" in old_side.columns  # files[:1] probe would miss it
+    out = S.table_changes(spark, path, 2, 3, ["o_orderkey"])
+    got = {(r["o_orderkey"], r["change_type"]) for r in out.collect()}
+    assert (10**9 + 1, "inserted") in got
+
+
+def test_vacuum_sweeps_crashed_writer_orphans(spark, sf_smoke, tmp_path):
+    """Late-r9 review: vacuum never removed abandoned _tmp_v* manifests or
+    _staging_* directories, so crashed writers leaked them forever.  Old
+    orphans sweep; young ones (possible in-flight writers) are retained."""
+    import os
+
+    path = str(tmp_path / "snap")
+    S.create_table(spark, _orders(spark, sf_smoke).limit(10), path, n_files=1)
+    snap_dir = tmp_path / "snap" / "_snapshots"
+    stale_tmp = snap_dir / "_tmp_v00000002_deadbeef.json"
+    stale_tmp.write_text("{}")
+    stale_stage = tmp_path / "snap" / "_staging_v00000002_deadbeef"
+    stale_stage.mkdir()
+    (stale_stage / "part-0.parquet").write_bytes(b"x")
+    old = 1_000_000_000  # epoch 2001 — far past any retention window
+    os.utime(stale_tmp, (old, old))
+    os.utime(stale_stage, (old, old))
+    fresh_tmp = snap_dir / "_tmp_v00000003_cafebabe.json"
+    fresh_tmp.write_text("{}")
+
+    out = S.vacuum(spark, path, keep_last=1, retain_seconds=3600)
+    assert out["swept_tmp_manifests"] == 1 and out["swept_staging_dirs"] == 1
+    assert not stale_tmp.exists() and not stale_stage.exists()
+    assert fresh_tmp.exists()  # young: possibly an in-flight writer
+    # and the table is untouched
+    assert S.read_table(spark, path).count() == 10
