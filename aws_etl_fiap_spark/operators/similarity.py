@@ -111,6 +111,45 @@ def brute_force_topk(
     )
 
 
+def _unit_normed(df: DataFrame, idc: str, vec_col: str) -> DataFrame:
+    """(id, vec) -> (__id long, __v unit-normalized array<double>) — the
+    shared indexing projection of the PQ tiers.  Hoist the norm to its own
+    column FIRST: embedding the O(dim) norm fold inside the per-element
+    transform lambda would make the projection O(dim^2) per row (measured
+    5x on the 20x smoke).  Zero-norm vectors are dropped, not poisoned:
+    try_divide would turn every element NULL, which crashes the numpy
+    conversion in the encoders; a zero vector has no defined cosine
+    neighbors anyway (brute_force scores it NULL)."""
+    v = as_double(vec_col)
+    return (
+        df.select(F.col(idc).cast("long").alias("__id"), v.alias("__raw"))
+        .withColumn("__n", norm(F.col("__raw")))
+        .filter(F.col("__n") > 0)
+        .select(
+            "__id",
+            F.transform(
+                F.col("__raw"), lambda x: F.try_divide(x, F.col("__n"))
+            ).alias("__v"),
+        )
+    )
+
+
+def _train_matrix(rows, col: str, op_name: str):
+    """Collected training rows -> (n, dim) float64 matrix, refusing an
+    EMPTY sample loudly: an empty corpus (or one whose vectors are all
+    zero-norm and dropped by unit normalization) would otherwise surface
+    as an opaque numpy shape error deep inside the k-means trainers."""
+    import numpy as np
+
+    mat = np.array([r[col] for r in rows], dtype=np.float64)
+    if mat.ndim != 2 or not len(mat):
+        raise ValueError(
+            f"{op_name}: training sample is empty — the corpus has no "
+            "indexable vectors (empty frame, or every vector is zero-norm)"
+        )
+    return mat
+
+
 def _seq_sq_norms(mat):  # numpy (n, dim) -> (n,) sequential-fold L2 norms
     import numpy as np
 
@@ -168,6 +207,9 @@ def allpairs_cosine_pairs_small(
             "waiting to happen — use allpairs_cosine_pairs_blocked (distributed "
             "block pairs) or LSH-bucket blocking instead"
         )
+    if not corpus:
+        # a legal input with a well-defined answer: no rows, no pairs
+        return spark.createDataFrame([], "id_a long, id_b long, cos_sim double")
     b_ids = np.array([r["id"] for r in corpus], dtype=np.int64)
     b_mat = np.array([r["v"] for r in corpus], dtype=np.float64)
     bc = spark.sparkContext.broadcast((b_ids, b_mat, _seq_sq_norms(b_mat)))
@@ -412,7 +454,7 @@ def ivf_topk(
     )
     sample = src.orderBy("neighbor_id").limit(train_rows).collect()
     cents = _spherical_kmeans(
-        np.array([r["__cv"] for r in sample], dtype=np.float64), n_cells, iters
+        _train_matrix(sample, "__cv", "ivf_topk"), n_cells, iters
     )
     bc = spark.sparkContext.broadcast(cents)
 
@@ -453,10 +495,20 @@ def ivf_topk(
             )
 
     probes = q_src.mapInPandas(probe_gen, "query_id long, __qv array<double>, cell int")
+    # Norms hoisted per ROW before the cell join (the norm() directive):
+    # cosine() would re-fold both norms per candidate PAIR — 3x the O(dim)
+    # work on the hot probed-cell scoring path, for bit-identical results
+    # (same float expression, same order; only the hoisting differs).
     scored = (
-        assigned.join(F.broadcast(probes), "cell")
+        assigned.withColumn("__cn", norm(F.col("__cv")))
+        .join(F.broadcast(probes.withColumn("__qn", norm(F.col("__qv")))), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "cos_sim",
+            cosine_prenormed(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -579,17 +631,6 @@ def _np_buckets(
     ).mapInPandas(gen, out_schema)
 
 
-def _with_buckets(df: DataFrame, vec: str, n_tables: int, n_planes: int) -> DataFrame:
-    """Explode each vector into (table_id, bucket) rows — L independent hash
-    tables; a candidate matches if it shares a bucket in ANY table."""
-    pairs = [
-        x
-        for t in range(n_tables)
-        for x in (F.lit(t), srp_signature(F.col(vec), t, n_planes))
-    ]
-    return df.select("*", F.stack(F.lit(n_tables), *pairs).alias("table_id", "bucket"))
-
-
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -626,16 +667,36 @@ def lsh_bucket_topk(
     c_src = corpus.select(F.col(corpus_id).alias("neighbor_id"), as_double(vec_col).alias("__cv"))
     pin = plane_family == "portable"
     q = _np_buckets(q_src, "query_id", "__qv", planes, keep_vec=False, pin_add_order=pin)
-    c = _np_buckets(c_src, "neighbor_id", "__cv", planes, keep_vec=True, pin_add_order=pin)
-    candidates = (
+    # keep_vec=False on the corpus side too: vectors must not ride the
+    # n_tables-replicated (table_id, bucket) shuffle, and the cross-table
+    # dedup below must shuffle 16-byte id pairs, not 512-byte arrays (the
+    # semdedup_keep rule).  Vectors re-join ONCE after the dedup.
+    c = _np_buckets(c_src, "neighbor_id", "__cv", planes, keep_vec=False, pin_add_order=pin)
+    cand_ids = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = candidates.join(
-        F.broadcast(q_src.withColumn("query_id", F.col("query_id").cast("long"))), "query_id"
-    ).withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    c_vec = c_src.select(
+        F.col("neighbor_id").cast("long").alias("neighbor_id"), "__cv"
+    ).withColumn("__cn", norm(F.col("__cv")))
+    q_vec = q_src.select(
+        F.col("query_id").cast("long").alias("query_id"), "__qv"
+    ).withColumn("__qn", norm(F.col("__qv")))
+    # Norms hoisted per row (the norm() directive); cosine_prenormed is the
+    # same float expression as cosine(), so cos_sim stays bit-identical to
+    # brute_force_topk for the same pair.
+    scored = (
+        cand_ids.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "query_id")
+        .withColumn(
+            "cos_sim",
+            cosine_prenormed(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -980,33 +1041,14 @@ def pq_topk(
     spark = queries.sparkSession
 
     def normed(df, idc):
-        v = as_double(vec_col)
-        # Hoist the norm to its own column FIRST: embedding the O(dim)
-        # norm fold inside the per-element transform lambda would make the
-        # projection O(dim^2) per row (measured 5x on the 20x smoke).
-        # Zero-norm vectors are dropped, not poisoned: try_divide would
-        # turn every element NULL, which crashes the numpy conversion in
-        # the encoder; a zero vector has no defined cosine neighbors
-        # anyway (brute_force scores it NULL).
-        return (
-            df.select(F.col(idc).cast("long").alias("__id"), v.alias("__raw"))
-            .withColumn("__n", norm(F.col("__raw")))
-            .filter(F.col("__n") > 0)
-            .select(
-                "__id",
-                F.transform(
-                    F.col("__raw"), lambda x: F.try_divide(x, F.col("__n"))
-                ).alias("__v"),
-            )
-        )
+        return _unit_normed(df, idc, vec_col)
 
     src = normed(corpus, corpus_id)
     sample = src.orderBy("__id").limit(train_rows).collect()
     books = _pq_codebooks(
-        np.array([r["__v"] for r in sample], dtype=np.float64), m, n_codes, iters
+        _train_matrix(sample, "__v", "pq_topk"), m, n_codes, iters
     )
     bc_books = spark.sparkContext.broadcast(books)
-    dim = books.shape[0] * books.shape[2]
     dsub = books.shape[2]
 
     def encode_gen(batches):
@@ -1080,7 +1122,9 @@ def pq_topk(
     )
     shortlist = (
         scored.withColumn("__r", F.row_number().over(w_adc))
-        .filter(F.col("__r") <= rerank)
+        # max(k, rerank), matching ivfpq_topk and the batch-local keep
+        # above: a caller asking rerank < k must still get k neighbors.
+        .filter(F.col("__r") <= max(k, rerank))
         .select("query_id", "neighbor_id")
     )
     qv = queries.select(
@@ -1143,27 +1187,11 @@ def ivfpq_topk(
     spark = queries.sparkSession
 
     def normed(df, idc):
-        v = as_double(vec_col)
-        # Zero-norm vectors are dropped, not poisoned: try_divide would
-        # turn every element NULL, which crashes the numpy conversion in
-        # the encoder; a zero vector has no defined cosine neighbors
-        # anyway (brute_force scores it NULL).
-        return (
-            df.select(F.col(idc).cast("long").alias("__id"), v.alias("__raw"))
-            .withColumn("__n", norm(F.col("__raw")))
-            .filter(F.col("__n") > 0)
-            .select(
-                "__id",
-                F.transform(
-                    F.col("__raw"), lambda x: F.try_divide(x, F.col("__n"))
-                ).alias("__v"),
-            )
-        )
+        return _unit_normed(df, idc, vec_col)
 
     src = normed(corpus, corpus_id)
-    sample = np.array(
-        [r["__v"] for r in src.orderBy("__id").limit(train_rows).collect()],
-        dtype=np.float64,
+    sample = _train_matrix(
+        src.orderBy("__id").limit(train_rows).collect(), "__v", "ivfpq_topk"
     )
     cents = _spherical_kmeans(sample, n_cells, iters)
     resid = sample - cents[np.argmax(sample @ cents.T, axis=1)]
@@ -1200,13 +1228,31 @@ def ivfpq_topk(
 
     q_rows = normed(queries, query_id).collect()
     q_ids = np.array([r["__id"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["__v"] for r in q_rows], dtype=np.float64)
+    q_mat = _train_matrix(q_rows, "__v", "ivfpq_topk(queries)")
     bc_q = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    # The docstring's contract, literally: probes broadcast-join the code
+    # frame on cell id, so ADC scoring sees ONLY rows some query probes —
+    # each query touches ~n_probe/n_cells of the corpus (the IVF scan-
+    # fraction bound).  A per-query np.isin mask over the full code frame
+    # would cost O(|Q| * corpus) regardless of n_probe.
+    probe = np.argsort(-(q_mat @ cents.T), axis=1)[:, :n_probe]
+    probes_df = spark.createDataFrame(
+        [
+            (int(q_ids[qi]), int(c))
+            for qi in range(len(q_ids))
+            for c in probe[qi]
+        ],
+        "query_id long, cell int",
+    )
+    joined = indexed.join(F.broadcast(probes_df), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
 
     def score_gen(batches):
         c_mat, bk = bc.value
         ids, mat = bc_q.value
-        probe = np.argsort(-(mat @ c_mat.T), axis=1)[:, :n_probe]
+        qidx = {int(i): n for n, i in enumerate(ids)}
         # LUT[q][cell] built lazily per probed (query, cell): squared L2
         # from the query residual's subvectors to each code
         luts: dict = {}
@@ -1229,13 +1275,12 @@ def ivfpq_topk(
             cells = pdf["cell"].to_numpy()
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
             nid = pdf["neighbor_id"].to_numpy()
+            qids_b = pdf["query_id"].to_numpy()
             outq, outn, outd = [], [], []
-            for qi in range(len(ids)):
-                sel = np.isin(cells, probe[qi]) & (nid != ids[qi])
-                if not sel.any():
-                    continue
-                sc, sn = codes[sel], nid[sel]
-                scell = cells[sel]
+            for qv_ in np.unique(qids_b):
+                sel = qids_b == qv_
+                qi = qidx[int(qv_)]
+                sc, sn, scell = codes[sel], nid[sel], cells[sel]
                 adc = np.empty(len(sn), dtype=np.float64)
                 for cell in np.unique(scell):
                     msk = scell == cell
@@ -1243,16 +1288,19 @@ def ivfpq_topk(
                         np.arange(m)[None, :], sc[msk]
                     ].sum(axis=1)
                 if len(adc) > keep:
-                    part = np.argpartition(adc, keep)[:keep]
+                    # tie-aware per-batch prefilter: same (adc, neighbor_id)
+                    # order as the global shortlist window, so the batch cut
+                    # can never drop a row the window would have kept
+                    part = np.lexsort((sn, adc))[:keep]
                     adc, sn = adc[part], sn[part]
-                outq.extend([ids[qi]] * len(sn))
+                outq.extend([int(qv_)] * len(sn))
                 outn.extend(sn.tolist())
                 outd.extend(adc.tolist())
             yield pd.DataFrame(
                 {"query_id": outq, "neighbor_id": outn, "adc_dist": outd}
             )
 
-    scored = indexed.mapInPandas(
+    scored = joined.mapInPandas(
         score_gen, "query_id long, neighbor_id long, adc_dist double"
     )
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -1526,7 +1574,6 @@ def kcenter_greedy(
     counts = best.groupBy(F.col("m.step").alias("step")).agg(
         F.count(F.lit(1)).alias("n_assigned")
     )
-    from aws_etl_fiap_spark.functions.parity import round_half_up
 
     return (
         cents.join(F.broadcast(counts), "step", "left")

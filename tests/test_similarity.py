@@ -332,3 +332,96 @@ def test_kcenter_greedy_radius_monotone_and_census_total(spark, sf_smoke):
     ), radii
     assert sum(r["n_assigned"] for r in out) == n
     assert len({r["center_id"] for r in out}) == len(out)
+
+
+def test_pq_topk_rerank_smaller_than_k_still_returns_k(spark, sf_smoke):
+    """Late-r9 review: the rerank shortlist filtered to `rank <= rerank`
+    instead of max(k, rerank), silently returning fewer than k neighbors
+    for any 0 < rerank < k (ivfpq already had the max)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.similarity import pq_topk
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 2)
+    rows = pq_topk(qdf, emb, k=10, rerank=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, lst in by_q.items():
+        assert len(lst) == 10, f"query {q} got {len(lst)} < k neighbors"
+
+
+def test_trainers_refuse_empty_corpus_loudly(spark):
+    """Late-r9 review: an empty (or all-zero-norm) corpus crashed the
+    driver-side k-means trainers with opaque numpy shape errors; it now
+    raises a clear ValueError, and the all-pairs primitive returns the
+    well-defined empty result."""
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from aws_etl_fiap_spark.operators.similarity import (
+        allpairs_cosine_pairs_small,
+        ivf_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    one_q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    zero_norm = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    for corpus in (empty, zero_norm):
+        with pytest.raises(ValueError, match="training sample is empty"):
+            pq_topk(one_q, corpus, k=2, m=2)
+        with pytest.raises(ValueError, match="training sample is empty"):
+            ivfpq_topk(one_q, corpus, k=2, m=2)
+    with pytest.raises(ValueError, match="training sample is empty"):
+        ivf_topk(one_q, empty, k=2).collect()
+    assert allpairs_cosine_pairs_small(empty, 0.9).count() == 0
+
+
+def test_srp_signature_expression_matches_numpy_buckets(spark):
+    """The expression-side SRP path (srp_signature over _plane_sign) and
+    the numpy path (_np_buckets over srp_planes_matrix) must bucket
+    identically — the parity srp_planes_matrix's docstring promises.
+    Pins the xxhash64 plane-derivation formula across both."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.similarity import (
+        _np_buckets,
+        srp_planes_matrix,
+        srp_signature,
+    )
+
+    dim, n_tables, n_planes = 8, 4, 6
+    rows = [
+        (i, [((i * 31 + j * 7) % 17 - 8) / 8.0 for j in range(dim)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    planes = srp_planes_matrix(spark, n_tables, n_planes, dim)
+    via_np = {
+        (r["vec_id"], r["table_id"]): r["bucket"]
+        for r in _np_buckets(
+            df.select("vec_id", F.col("embedding")), "vec_id", "embedding",
+            planes, keep_vec=False,
+        ).collect()
+    }
+    expr = df.select(
+        "vec_id",
+        *[
+            srp_signature(F.col("embedding"), t, n_planes).alias(f"b{t}")
+            for t in range(n_tables)
+        ],
+    )
+    for r in expr.collect():
+        for t in range(n_tables):
+            assert via_np[(r["vec_id"], t)] == r[f"b{t}"], (
+                f"vec {r['vec_id']} table {t}: numpy/expression bucket split"
+            )
