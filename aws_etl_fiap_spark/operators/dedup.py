@@ -66,10 +66,35 @@ def _mix_constants(n_hashes: int) -> list[list[int]]:
     return [[rng.randrange(1, 1 << 16) | 1 for _ in range(4)] for _ in range(n_hashes)]
 
 
+def _long_id(df: DataFrame, id_col: str) -> Column:
+    """``id_col`` as a LONG, refusing non-integral id types loudly: a
+    silent cast("long") turns string ids ('doc-00017') into NULL for every
+    row, collapsing the corpus into one garbage doc group with no
+    diagnostic.  Map string ids to a surrogate long upstream (xxhash64 or
+    a dimension join) before the posting tiers."""
+    t = df.schema[id_col].dataType.simpleString()
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{id_col!r} must be an integral id column for the posting "
+            f"tiers, got {t}"
+        )
+    return F.col(id_col).cast("long")
+
+
 def token_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>."""
+    """Distinct word n-gram shingles as an array<string> — the
+    expression-side semantic reference for :func:`shingle_rows`.
+
+    Documents with fewer than ``n`` tokens (and null text, where size()
+    is -1) yield an EMPTY array via the when() guard: a bare
+    ``sequence(0, size - n)`` auto-descends to ``[0, -1]`` when the stop
+    is negative, and the ``i = -1`` iteration's ``element_at(toks, 0)``
+    throws unconditionally (SQL arrays are 1-indexed) — the same
+    F.sequence descent trap the round-8 unigram advice fixed."""
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - F.lit(n))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
     )
@@ -102,7 +127,7 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
                 grams.extend(seen)
             yield pd.DataFrame({"doc": docs, "shingle": grams})
 
-    src = df.select(F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text"))
+    src = df.select(_long_id(df, id_col).alias("doc"), F.col(text_col).alias("text"))
     return src.mapInPandas(gen, "doc long, shingle string")
 
 
@@ -221,6 +246,7 @@ def minhash_lsh_pairs(
     n_hashes: int = N_MINHASH,
     bands: int = LSH_BANDS,
     hash_family: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
@@ -236,13 +262,26 @@ def minhash_lsh_pairs(
     "portable" (:func:`portable_hash60`, bit-reproducible in any md5-capable
     engine — the family to register for exact cross-engine verification).
     """
+    if not 0 < bands <= n_hashes or n_hashes % bands:
+        # r = n_hashes // bands would silently DROP trailing minhashes for
+        # non-divisors, and bands > n_hashes gives r = 0 — a zero-column
+        # band hash is a constant, collapsing every document into one
+        # bucket (the banded join degenerates to all-pairs).
+        raise ValueError(
+            f"bands must divide n_hashes: n_hashes={n_hashes}, bands={bands}"
+        )
     r = n_hashes // bands
     # Explode + hash-aggregate, not n_hashes interpreted passes over the
     # shingle array: MIN is commutative so the grouped min over exploded
     # shingles is value-identical to array_min over the transform, but runs
     # in whole-stage codegen with map-side partial aggregation — one shuffle
     # keyed by doc, the shape that survives 100 TB.
-    shingled = shingle_rows(df, id_col, text_col, n).withColumnRenamed("shingle", "__s")
+    # ``shingles``: a caller that ALSO needs the (doc, shingle) frame (the
+    # verify tier) passes its checkpointed copy so the dominant shingling
+    # map-stage runs once, not twice, over the corpus.
+    shingled = (
+        shingles if shingles is not None else shingle_rows(df, id_col, text_col, n)
+    ).withColumnRenamed("shingle", "__s")
     if hash_family == "portable":
         # ONE md5 per shingle (the expensive op), split into four 32-bit
         # words u0..u3, then all n_hashes minhash values derive by portable
@@ -355,12 +394,15 @@ def verified_fuzzy_pairs(
     in the shared-shingle count, so both tiers report the identical jaccard
     for the same pair.
     """
+    # Shingle ONCE: the (doc, shingle) map-stage is the dominant cost of
+    # every fuzzy-dedup pipeline, and both the LSH signature build and the
+    # verification postings read the same checkpointed frame.
+    sh = shingle_rows(df, id_col, text_col, n).localCheckpoint(eager=False)
     cands = minhash_lsh_pairs(
-        df, id_col, text_col, n=n, hash_family=hash_family
+        df, id_col, text_col, n=n, hash_family=hash_family, shingles=sh
     ).select("id_a", "id_b")
     shingled = (
-        shingle_rows(df, id_col, text_col, n)
-        .select("doc", F.xxhash64("shingle").alias("h"))
+        sh.select("doc", F.xxhash64("shingle").alias("h"))
         .localCheckpoint(eager=False)  # feeds sizes + both pair sides
     )
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
@@ -414,7 +456,11 @@ def simhash(text_col: str, bits: int = SIMHASH_BITS) -> Column:
         sig = sig + F.when(bit_vote(bit) >= 0, F.lit(2**bit).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return sig
+    # NULL text -> NULL signature: every bit_vote is NULL, which the
+    # otherwise(0) branches would silently collapse to sig=0 — colliding
+    # all null docs with any legitimately-zero-signature document and
+    # diverging from simhash_signatures (which drops null-text docs).
+    return F.when(F.col(text_col).isNull(), F.lit(None).cast("long")).otherwise(sig)
 
 
 def simhash_signatures(
@@ -657,7 +703,7 @@ def winnow_fingerprints(
                 fps.extend(sel)
             yield pd.DataFrame({"doc": docs, "fp": fps})
 
-    src = df.select(F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text"))
+    src = df.select(_long_id(df, id_col).alias("doc"), F.col(text_col).alias("text"))
     return src.mapInPandas(gen, "doc long, fp long")
 
 
@@ -799,7 +845,7 @@ def positional_shingle_rows(
             yield pd.DataFrame({"doc": docs, "pos": poss, "shingle": grams})
 
     src = df.select(
-        F.col(id_col).cast("long").alias("doc"), F.col(text_col).alias("text")
+        _long_id(df, id_col).alias("doc"), F.col(text_col).alias("text")
     )
     return src.mapInPandas(gen, "doc long, pos long, shingle string")
 
@@ -812,8 +858,8 @@ def shared_run_pairs(
     min_tokens: int = 20,
     max_gram_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """EXACT longest-shared-token-run pairs — the relational re-expression
-    of suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    """Longest-shared-token-run pairs — the relational re-expression of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better": remove verbatim repeated
     spans >= 50 tokens across a corpus).  A suffix array is inherently
     sequential; the equivalent distributed shape is an inverted POSITIONAL
@@ -823,6 +869,16 @@ def shared_run_pairs(
     islands-and-gaps trick: ``pa - row_number()`` is constant inside a
     run), and a run of R consecutive matching L-gram positions is a shared
     substring of exactly R + L - 1 tokens.
+
+    EXACT below the cap, a LOWER BOUND above it: the ``max_gram_df``
+    posting cap (the quadratic-blowup defense every fuzzy tier shares)
+    removes hot grams from the MIDDLE of runs too, so a long run whose
+    interior contains an over-cap boilerplate gram splits into shorter
+    fragments — ``max_shared_tokens`` can under-report, and a pair can
+    drop below ``min_tokens`` entirely.  Run with ``max_gram_df=None``
+    when exactness matters more than the df^2 bound (the oracle gate
+    does both engines under the SAME cap, so the comparison stays exact
+    either way).
 
     Scale shape: the positional postings checkpoint once and feed both
     join sides; the self-join carries 8-byte xxhash64 keys, not gram text

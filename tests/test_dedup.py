@@ -393,3 +393,110 @@ def test_shared_run_pairs_interrupted_run_splits_islands(spark):
     )
     rows = shared_run_pairs(df, "doc_id", "text", n=8, min_tokens=8).collect()
     assert len(rows) == 1 and rows[0]["max_shared_tokens"] == 10
+
+
+def test_token_shingles_short_and_null_docs_are_empty(spark):
+    """Late-r9 review: sequence(0, size-n) auto-descends to [0, -1] for
+    short documents and the i=-1 iteration's element_at(toks, 0) throws
+    unconditionally — the expression variant now guards with when() and
+    emits the empty array (the shingle_rows semantics)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.dedup import shingle_rows, token_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "one two three four five")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select(
+            "doc_id", token_shingles("text", 3).alias("sh")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    via_rows = sorted(
+        r["shingle"]
+        for r in shingle_rows(df, "doc_id", "text", 3).filter(
+            F.col("doc") == 3
+        ).collect()
+    )
+    assert got[3] == via_rows  # expression and Arrow paths agree
+
+
+def test_minhash_signature_matches_exploded_min(spark):
+    """The expression-side minhash twin must agree with the exploded
+    grouped-min path (same xxhash64(i, shingle) family) — pins the
+    'value-identical' claim and un-rots the exported helper."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.dedup import (
+        minhash_signature,
+        shingle_rows,
+        token_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        "doc_id long, text string",
+    )
+    expr = df.select(
+        "doc_id", *minhash_signature(token_shingles("text", 3), n_hashes=4)
+    )
+    exploded = (
+        shingle_rows(df, "doc_id", "text", 3)
+        .groupBy("doc")
+        .agg(*[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            for i in range(4)
+        ])
+    )
+    want = {r["doc"]: [r[f"mh_{i}"] for i in range(4)] for r in exploded.collect()}
+    for r in expr.collect():
+        assert [r[f"mh_{i}"] for i in range(4)] == want[r["doc_id"]]
+
+
+def test_minhash_lsh_rejects_bad_band_counts(spark):
+    """Late-r9 review: bands that don't divide n_hashes silently dropped
+    trailing minhashes, and bands > n_hashes made every band hash a
+    constant (all-pairs collapse)."""
+    import pytest
+
+    from aws_etl_fiap_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_lsh_pairs(df, "doc_id", "text", n_hashes=32, bands=5)
+    with pytest.raises(ValueError, match="bands must divide"):
+        minhash_lsh_pairs(df, "doc_id", "text", n_hashes=32, bands=64)
+
+
+def test_posting_tiers_refuse_non_integral_ids(spark):
+    """Late-r9 review: cast('long') on a string id column nulled every id
+    and collapsed the corpus into one garbage doc group; the posting
+    tiers now refuse loudly."""
+    import pytest
+
+    from aws_etl_fiap_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [("doc-1", "a b c d"), ("doc-2", "a b c d")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="integral id column"):
+        ngram_jaccard_pairs(df, "doc_id", "text", 0.5)
+
+
+def test_simhash_null_text_is_null_not_zero(spark):
+    """Late-r9 review: null text made every bit vote NULL and the
+    otherwise(0) collapse produced signature 0 — colliding null docs with
+    legitimately-zero-signature documents."""
+    from aws_etl_fiap_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "real text here")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["sig"] for r in df.select(
+        "doc_id", simhash("text").alias("sig")
+    ).collect()}
+    assert got[1] is None and got[2] is not None
