@@ -35,13 +35,78 @@ def deterministic_sample(
     return df.filter(sample_bucket(F.col(key_col), salt) < rate_pct)
 
 
+def _portable_order_key(id_col: str, salt: str) -> Column:
+    """The ``(md5(salt:id), id)`` order key's hash component, with an
+    IN-PLAN null guard: a NULL id would make concat_ws skip the input —
+    every null-id row then shares one hash AND a NULL tiebreaker, so which
+    of them crosses a quota boundary becomes partition-placement-dependent,
+    silently defeating the module's reproducibility contract."""
+    idc = F.col(id_col)
+    guarded = F.when(
+        idc.isNull(),
+        F.raise_error(
+            F.lit(
+                f"deterministic sampling requires a non-null {id_col!r}: "
+                "null ids share one hash and tie under the portable order, "
+                "making the selected set run-dependent"
+            )
+        ).cast("string"),
+    ).otherwise(idc.cast("string"))
+    return F.md5(F.concat_ws(":", F.lit(salt), guarded))
+
+
+def _order_statistic_take(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    salt: str,
+    attach_quota,
+) -> DataFrame:
+    """Shared two-level ORDER-STATISTIC REFINEMENT (the scale shape of the
+    quota samplers): bucket rows by the first hash byte, aggregate
+    (stratum, bucket) counts into a KB-sized frame, let ``attach_quota``
+    add a ``__quota`` column to it, mark whole/boundary buckets, and pay a
+    ROW_NUMBER only inside each stratum's single boundary bucket."""
+    hexw = 2  # first hash byte -> 256 refinement buckets
+    keyed = df.withColumn("__k", _portable_order_key(id_col, salt)).withColumn(
+        "__b", F.conv(F.substring("__k", 1, hexw), 16, 10).cast("int")
+    )
+    counts = keyed.groupBy(*strata_cols, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy(*strata_cols).orderBy("__b")
+    plan = (
+        attach_quota(counts)
+        .withColumn("__cum", F.sum("__n").over(w))
+        .withColumn("__before", F.col("__cum") - F.col("__n"))
+        # take_n: rows this bucket contributes (whole bucket, partial, none).
+        .withColumn(
+            "__take",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("__n"), F.col("__quota") - F.col("__before")),
+            ),
+        )
+        .filter(F.col("__take") > 0)
+        .select(*strata_cols, "__b", "__n", "__take")
+    )
+    marked = keyed.join(F.broadcast(plan), [*strata_cols, "__b"])
+    whole = marked.filter(F.col("__take") == F.col("__n"))
+    boundary = marked.filter(F.col("__take") < F.col("__n"))
+    wb = Window.partitionBy(*strata_cols, "__b").orderBy("__k", id_col)
+    partial = (
+        boundary.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= F.col("__take"))
+        .drop("__rn")
+    )
+    out_cols = df.columns
+    return whole.select(*out_cols).unionByName(partial.select(*out_cols))
+
+
 def stratified_quota_sample(
     df: DataFrame,
     strata_cols: list[str],
     fraction: float,
     id_col: str,
     salt: str = "strat",
-    n_refine_buckets: int = 256,
 ) -> DataFrame:
     """EXACT per-stratum quota sample: the ceil(fraction * n_stratum)
     smallest rows of each stratum under the portable order
@@ -68,49 +133,38 @@ def stratified_quota_sample(
 
     The output SET is identical to the naive window's (the order key sorts
     primarily by the hash whose prefix defines the bucket; verified row-set
-    equal in tests/test_corpus.py)."""
+    equal in tests/test_corpus.py).
+
+    The quota is EXACT integer arithmetic: ``fraction`` becomes the
+    rational num/den (via its decimal string, so 0.1 is 1/10, not the
+    IEEE double 0.1000...0555) and quota = (n*num + den - 1) div den —
+    double math has ceil(0.07 * 100) = 8 (0.07*100 = 7.000000000000001),
+    which both over-samples and diverges from a decimal-typed SQL twin
+    (DuckDB's CEIL(0.1 * n) is exact decimal arithmetic).  The product
+    rides DECIMAL(38,0) so petabyte-scale strata cannot overflow."""
+    from fractions import Fraction
+
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    hexw = 2  # first hash byte -> 256 buckets
-    if n_refine_buckets != 256:
-        raise ValueError("n_refine_buckets is fixed at 256 (one hash byte)")
-    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
-    keyed = df.withColumn("__k", key).withColumn(
-        "__b", F.conv(F.substring("__k", 1, hexw), 16, 10).cast("int")
-    )
-    counts = keyed.groupBy(*strata_cols, "__b").agg(F.count(F.lit(1)).alias("__n"))
-    w = Window.partitionBy(*strata_cols).orderBy("__b")
-    plan = (
-        counts.withColumn("__cum", F.sum("__n").over(w))
-        .withColumn(
-            "__quota",
-            F.ceil(
-                F.lit(fraction)
-                * F.sum("__n").over(Window.partitionBy(*strata_cols))
-            ).cast("long"),
+    frac = Fraction(str(fraction))
+    num, den = frac.numerator, frac.denominator
+
+    def attach_quota(counts: DataFrame) -> DataFrame:
+        return (
+            counts.withColumn(
+                "__total", F.sum("__n").over(Window.partitionBy(*strata_cols))
+            )
+            .withColumn(
+                "__quota",
+                F.expr(
+                    f"CAST((CAST(__total AS DECIMAL(38,0)) * {num} + {den - 1}) "
+                    f"div {den} AS BIGINT)"
+                ),
+            )
+            .drop("__total")
         )
-        .withColumn("__before", F.col("__cum") - F.col("__n"))
-        # take_n: rows this bucket contributes (whole bucket, partial, none).
-        .withColumn(
-            "__take",
-            F.greatest(
-                F.lit(0), F.least(F.col("__n"), F.col("__quota") - F.col("__before"))
-            ),
-        )
-        .filter(F.col("__take") > 0)
-        .select(*strata_cols, "__b", "__n", "__take")
-    )
-    marked = keyed.join(F.broadcast(plan), [*strata_cols, "__b"])
-    whole = marked.filter(F.col("__take") == F.col("__n"))
-    boundary = marked.filter(F.col("__take") < F.col("__n"))
-    wb = Window.partitionBy(*strata_cols, "__b").orderBy("__k", id_col)
-    partial = (
-        boundary.withColumn("__rn", F.row_number().over(wb))
-        .filter(F.col("__rn") <= F.col("__take"))
-        .drop("__rn")
-    )
-    out_cols = df.columns
-    return whole.select(*out_cols).unionByName(partial.select(*out_cols))
+
+    return _order_statistic_take(df, strata_cols, id_col, salt, attach_quota)
 
 
 def weighted_poisson_sample(
@@ -131,6 +185,13 @@ def weighted_poisson_sample(
     shuffle of the corpus itself, no ordering, no top-k heap, unlike
     exact-size weighted reservoirs (A-ES) whose log/pow keys are also not
     bit-reproducible across engines.
+
+    The coin flip is the hash of ``key_col``, so rows SHARING a key (or
+    all sharing a NULL key) share one u and are included or excluded as a
+    block — by design for cross-table coherence; pass a unique key for
+    per-row independence.  A non-positive or all-NULL weight total fails
+    in-plan (the rate would be NULL/negative and the result silently
+    empty).  Output schema = input + ``rate``.
     """
     u = (
         (portable_hash60(F.lit(salt), F.col(key_col).cast("string")) % 1_000_000)
@@ -138,7 +199,17 @@ def weighted_poisson_sample(
         / 1.0e6
     )
     total = df.agg(F.sum(F.col(weight_col)).alias("__W"))
-    rate = (
+    w_ok = F.col("__W").isNotNull() & (F.col("__W").cast("double") > 0)
+    rate = F.when(
+        ~w_ok,
+        F.raise_error(
+            F.lit(
+                "weighted_poisson_sample: weight total is NULL or <= 0 — "
+                "every rate would be NULL/negative and the sample silently "
+                "empty"
+            )
+        ).cast("double"),
+    ).otherwise(
         F.lit(float(expected_k)) * F.col(weight_col).cast("double") / F.col("__W").cast("double")
     )
     return (
@@ -162,6 +233,61 @@ def _default_range_partitions(df: DataFrame) -> int:
         int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
         max(1, df.rdd.getNumPartitions()),
     )
+
+
+def _two_pass_range_stamp(
+    df: DataFrame,
+    order_cols: list,
+    out: str,
+    num_partitions: int | None,
+    offset_agg: Column,
+    stamp_fn,
+) -> DataFrame:
+    """Shared scaffold of :func:`ordered_global_index` and
+    :func:`ordered_prefix_sum` — range-partition + sort on the order
+    columns, reduce ONE offset per partition to the driver (bounded by
+    partition count), prefix-sum into start offsets, broadcast, and stamp
+    in a streaming Arrow pass.  ``stamp_fn(pdf, start) -> (values,
+    consumed)`` produces the stamped column for one batch.
+
+    The intermediate is ``localCheckpoint``-pinned so the offsets pass and
+    the stamp pass share one shuffle+sort; the blocks live until the frame
+    is GC'd (ContextCleaner), and checkpointed state is not recomputable on
+    executor loss — a long loop over many shards should materialize each
+    result before moving on."""
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = _default_range_partitions(df)
+    parts = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    parts = parts.localCheckpoint(eager=True)
+    per_pid = dict(
+        parts.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(offset_agg.alias("s"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += int(per_pid.get(pid, 0) or 0)
+    bc = spark.sparkContext.broadcast(offsets)
+    out_schema = StructType(list(parts.schema.fields) + [StructField(out, LongType())])
+
+    def stamp(batches):
+        pid = TaskContext.get().partitionId()
+        seen = bc.value[pid]
+        for pdf in batches:
+            pdf = pdf.copy()
+            vals, consumed = stamp_fn(pdf, seen)
+            pdf[out] = vals
+            seen += consumed
+            yield pdf
+
+    return parts.mapInPandas(stamp, out_schema)
 
 
 def ordered_global_index(
@@ -189,42 +315,13 @@ def ordered_global_index(
     otherwise indices within tied runs are partition-placement-dependent.
     """
     import pandas as pd
-    from pyspark import TaskContext
 
-    spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = _default_range_partitions(df)
-    parts = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
-        *order_cols
+    def stamp_fn(pdf, start):
+        return pd.RangeIndex(start, start + len(pdf)).to_numpy(), len(pdf)
+
+    return _two_pass_range_stamp(
+        df, order_cols, out, num_partitions, F.count(F.lit(1)), stamp_fn
     )
-    # Persist so the count pass and the stamp pass share one shuffle+sort.
-    parts = parts.localCheckpoint(eager=True)
-    rows_per_pid = dict(
-        parts.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
-    offsets, acc = {}, 0
-    for pid in range(num_partitions):
-        offsets[pid] = acc
-        acc += int(rows_per_pid.get(pid, 0))
-    bc = spark.sparkContext.broadcast(offsets)
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    out_schema = StructType(list(parts.schema.fields) + [StructField(out, LongType())])
-
-    def stamp(batches):
-        pid = TaskContext.get().partitionId()
-        seen = bc.value[pid]
-        for pdf in batches:
-            idx = pd.RangeIndex(seen, seen + len(pdf))
-            seen += len(pdf)
-            pdf = pdf.copy()
-            pdf[out] = idx.to_numpy()
-            yield pdf
-
-    return parts.mapInPandas(stamp, out_schema)
 
 
 def balanced_class_sample(
@@ -248,7 +345,7 @@ def balanced_class_sample(
     first hash byte, rank only the boundary bucket); the selected SET is
     identical.
     """
-    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    key = _portable_order_key(id_col, salt)
     counts = df.groupBy(*class_cols).agg(F.count(F.lit(1)).alias("__cn"))
     m = counts.agg(F.min("__cn").alias("__m"))
     w = Window.partitionBy(*class_cols).orderBy("__k", id_col)
@@ -271,7 +368,7 @@ def bottom_k_sample(df: DataFrame, id_col: str, k: int, salt: str = "bottomk") -
     ORDER BY md5 LIMIT k) and stable across runs/partitionings; unlike
     it, the sample size is EXACT rather than proportional, which is what
     hold-out evaluation sets specify."""
-    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    key = _portable_order_key(id_col, salt)
     return (
         df.withColumn("__k", key)
         .orderBy("__k", id_col)
@@ -296,44 +393,31 @@ def quota_plan_sample(
     comes from the caller — the hook for mixture recipes
     (:func:`temperature_mix_quotas`) and any externally-specified
     per-domain budget.  Strata absent from ``quotas`` contribute nothing;
-    quotas larger than the stratum take the whole stratum."""
-    hexw = 2  # first hash byte -> 256 refinement buckets
-    key = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
-    keyed = df.withColumn("__k", key).withColumn(
-        "__b", F.conv(F.substring("__k", 1, hexw), 16, 10).cast("int")
-    )
-    counts = keyed.groupBy(*strata_cols, "__b").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
-    w = Window.partitionBy(*strata_cols).orderBy("__b")
-    plan = (
-        counts.join(
-            F.broadcast(quotas.select(*strata_cols, F.col("quota").cast("long").alias("__quota"))),
-            strata_cols,
-        )
-        .withColumn("__cum", F.sum("__n").over(w))
-        .withColumn("__before", F.col("__cum") - F.col("__n"))
-        .withColumn(
-            "__take",
-            F.greatest(
-                F.lit(0),
-                F.least(F.col("__n"), F.col("__quota") - F.col("__before")),
-            ),
-        )
-        .filter(F.col("__take") > 0)
-        .select(*strata_cols, "__b", "__n", "__take")
-    )
-    marked = keyed.join(F.broadcast(plan), [*strata_cols, "__b"])
-    whole = marked.filter(F.col("__take") == F.col("__n"))
-    boundary = marked.filter(F.col("__take") < F.col("__n"))
-    wb = Window.partitionBy(*strata_cols, "__b").orderBy("__k", id_col)
-    partial = (
-        boundary.withColumn("__rn", F.row_number().over(wb))
-        .filter(F.col("__rn") <= F.col("__take"))
-        .drop("__rn")
-    )
-    out_cols = df.columns
-    return whole.select(*out_cols).unionByName(partial.select(*out_cols))
+    quotas larger than the stratum take the whole stratum.  A DUPLICATE
+    stratum row in ``quotas`` fails in-plan: the inner join would fan the
+    bucket counts out, double-counting the running sum and duplicating
+    sampled rows with no error."""
+    dupw = Window.partitionBy(*strata_cols)
+    checked = quotas.select(
+        *strata_cols, F.col("quota").cast("long").alias("__q")
+    ).withColumn(
+        "__quota",
+        F.when(
+            F.count(F.lit(1)).over(dupw) > 1,
+            F.raise_error(
+                F.lit(
+                    "quota_plan_sample: duplicate stratum rows in the "
+                    "quotas frame — the join would fan out bucket counts "
+                    "and duplicate sampled rows"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("__q")),
+    ).drop("__q")
+
+    def attach_quota(counts: DataFrame) -> DataFrame:
+        return counts.join(F.broadcast(checked), strata_cols)
+
+    return _order_statistic_take(df, strata_cols, id_col, salt, attach_quota)
 
 
 def temperature_mix_quotas(
@@ -350,8 +434,12 @@ def temperature_mix_quotas(
     of doubles depends on summation order — so each sqrt score is
     half-up-quantized onto an integer grid (``score_scale`` parts) FIRST
     and all shares are computed with exact integer arithmetic
-    (``(2*budget*s + t) div (2*t)`` is round-half-up of ``budget*s/t``
-    without ever leaving BIGINT).  Alpha is fixed at 1/2 because
+    (``(2*budget*s + t) div (2*t)`` is round-half-up of ``budget*s/t``).
+    The product rides DECIMAL(38,0): at a 1e8-row stratum the quantized
+    score is ~1e13 and ``2*budget*s`` leaves BIGINT range for
+    million-document budgets — int64 would wrap to a NEGATIVE quota and
+    least(n, quota) would silently drop the stratum.  Alpha is fixed at
+    1/2 because
     ``pow(x, a)`` for general a is NOT correctly rounded and diverges
     between libm implementations; other rationals would need nested
     roots.  One aggregate over strata (KB-sized), one scalar total,
@@ -370,7 +458,10 @@ def temperature_mix_quotas(
             "quota",
             F.least(
                 F.col("__n"),
-                F.expr(f"(2 * CAST({budget} AS BIGINT) * __s + __t) div (2 * __t)"),
+                F.expr(
+                    f"CAST((2 * CAST({budget} AS DECIMAL(38,0)) * __s + __t) "
+                    "div (CAST(2 AS DECIMAL(38,0)) * __t) AS BIGINT)"
+                ),
             ).cast("long"),
         )
         .select(stratum_col, "__n", "quota")
@@ -394,39 +485,24 @@ def ordered_prefix_sum(
     pass 2 stamps ``prefix_offset + within-partition cumsum`` in a
     streaming Arrow pass.  Identical to the single-reducer window form for
     any total order; ``order_cols`` must include a unique tiebreaker.
-    """
-    import pandas as pd
-    from pyspark import TaskContext
-    from pyspark.sql.types import LongType, StructField, StructType
 
-    spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = _default_range_partitions(df)
-    parts = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
-        *order_cols
+    ``sum_col`` must be INTEGRAL (refused loudly otherwise: a double
+    column would be silently truncated per row by the int64 stamp, making
+    the running sum wrong, not just rounded), and NULLs contribute 0 —
+    the same skip semantics as pass 1's F.sum (a NULL used to crash the
+    Arrow stamp's astype with 'cannot convert non-finite values')."""
+    t = dict(df.dtypes)[sum_col]
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"ordered_prefix_sum needs an integral sum_col, got {sum_col!r}: "
+            f"{t} (cast/scale weights to integers upstream)"
+        )
+
+    def stamp_fn(pdf, start):
+        vals = pdf[sum_col].fillna(0).astype("int64")
+        return (vals.cumsum() + start).to_numpy(), int(vals.sum())
+
+    return _two_pass_range_stamp(
+        df, order_cols, out, num_partitions,
+        F.sum(F.col(sum_col).cast("long")), stamp_fn,
     )
-    parts = parts.localCheckpoint(eager=True)
-    sums_per_pid = dict(
-        parts.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.sum(F.col(sum_col).cast("long")).alias("s"))
-        .collect()
-    )
-    offsets, acc = {}, 0
-    for pid in range(num_partitions):
-        offsets[pid] = acc
-        acc += int(sums_per_pid.get(pid, 0) or 0)
-    bc = spark.sparkContext.broadcast(offsets)
-    out_schema = StructType(list(parts.schema.fields) + [StructField(out, LongType())])
-
-    def stamp(batches):
-        pid = TaskContext.get().partitionId()
-        seen = bc.value[pid]
-        for pdf in batches:
-            vals = pdf[sum_col].astype("int64")
-            run = vals.cumsum() + seen
-            seen += int(vals.sum())
-            pdf = pdf.copy()
-            pdf[out] = run.to_numpy()
-            yield pdf
-
-    return parts.mapInPandas(stamp, out_schema)

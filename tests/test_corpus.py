@@ -348,3 +348,110 @@ def test_epoch_shuffle_is_fresh_permutation_per_epoch(spark, sf_smoke):
     order0 = [d for _, d in sorted(by_epoch[0])]
     order1 = [d for _, d in sorted(by_epoch[1])]
     assert order0 != order1
+
+
+def test_stratified_quota_is_exact_rational_not_fp_ceil(spark):
+    """Late-r9 review: double math has ceil(0.07*100) = 8 (the product is
+    7.000000000000001); the quota is now exact integer arithmetic from the
+    fraction's decimal string, matching a decimal-typed SQL twin."""
+    from aws_etl_fiap_spark.operators.sampling import stratified_quota_sample
+
+    rows = [(i, "en") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_quota_sample(df, ["lang"], 0.07, "doc_id").count()
+    assert got == 7  # not 8
+
+
+def test_samplers_refuse_null_ids_in_plan(spark):
+    """Late-r9 review: null ids share one hash and a NULL tiebreaker, so
+    the selected set becomes partition-placement-dependent; the portable
+    order key now fails in-plan."""
+    import pytest
+
+    from aws_etl_fiap_spark.operators.sampling import (
+        bottom_k_sample,
+        stratified_quota_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en"), (None, "en"), (2, "en")], "doc_id long, lang string"
+    )
+    with pytest.raises(Exception, match="non-null 'doc_id'"):
+        stratified_quota_sample(df, ["lang"], 0.5, "doc_id").collect()
+    with pytest.raises(Exception, match="non-null 'doc_id'"):
+        bottom_k_sample(df, "doc_id", 2).collect()
+
+
+def test_quota_plan_sample_rejects_duplicate_strata(spark):
+    """Late-r9 review: a duplicated stratum row in the quotas frame fanned
+    the bucket counts out and silently duplicated sampled rows."""
+    import pytest
+
+    from aws_etl_fiap_spark.operators.sampling import quota_plan_sample
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(10)], "doc_id long, lang string"
+    )
+    quotas = spark.createDataFrame(
+        [("en", 3), ("en", 5)], "lang string, quota long"
+    )
+    with pytest.raises(Exception, match="duplicate stratum"):
+        quota_plan_sample(df, ["lang"], quotas, "doc_id").collect()
+
+
+def test_weighted_poisson_refuses_nonpositive_weight_total(spark):
+    """Late-r9 review: an all-NULL or net-negative weight column made
+    every rate NULL/negative and the sample silently empty."""
+    import pytest
+
+    from aws_etl_fiap_spark.operators.sampling import weighted_poisson_sample
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, w double"
+    )
+    with pytest.raises(Exception, match="weight total"):
+        weighted_poisson_sample(df, "doc_id", "w", expected_k=1).collect()
+
+
+def test_ordered_prefix_sum_nulls_and_type_contract(spark):
+    """Late-r9 review: a NULL in sum_col crashed the Arrow stamp's astype
+    while pass 1 tolerated it; NULL now contributes 0 (F.sum semantics)
+    and non-integral columns are refused instead of truncated."""
+    import pytest
+
+    from aws_etl_fiap_spark.operators.sampling import ordered_prefix_sum
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "doc_id long, n long"
+    )
+    got = {
+        r["doc_id"]: r["cum"]
+        for r in ordered_prefix_sum(df, ["doc_id"], "n", out="cum").collect()
+    }
+    assert got == {1: 10, 2: 10, 3: 15}
+
+    dbl = spark.createDataFrame([(1, 0.5)], "doc_id long, n double")
+    with pytest.raises(ValueError, match="integral sum_col"):
+        ordered_prefix_sum(dbl, ["doc_id"], "n")
+
+
+def test_temperature_mix_survives_bigint_overflow_scale(spark):
+    """Late-r9 review: 2*budget*score left BIGINT range at ~1e8-row
+    strata (quantized scores ~1e13), wrapping to a NEGATIVE quota that
+    least(n, quota) silently zeroed.  The product now rides DECIMAL(38,0);
+    a huge score_scale forces the same magnitudes at test size."""
+    from aws_etl_fiap_spark.operators.sampling import temperature_mix_quotas
+
+    rows = [(i, "en") for i in range(90)] + [(100 + i, "pt") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # score_scale=1e15: __s ~ 9.5e15 (fits BIGINT, like the 1e8-row/1e9-
+    # scale production case) but 2*budget*__s ~ 1.9e19 > int64 max — the
+    # old BIGINT product wrapped negative and least(n, quota) zeroed the
+    # stratum (ANSI mode: crashed).
+    out = {
+        r["lang"]: r["quota"]
+        for r in temperature_mix_quotas(
+            df, "lang", budget=1000, score_scale=10**15
+        ).collect()
+    }
+    assert out == {"en": 90, "pt": 10}  # budget >> corpus: capped at n
