@@ -334,6 +334,13 @@ def bfs_hops(
             ).localCheckpoint(eager=True)
             _release_checkpoint_blocks(prev_frontier)
             _release_checkpoint_blocks(prev_reached)
+            if frontier.isEmpty():
+                # every later frontier is empty too — identical output,
+                # and each dead round would still pay a join + anti-join
+                # + a full re-checkpoint of the reached set.
+                break
+    # the last frontier is internal-only and dead once reached returns
+    _release_checkpoint_blocks(frontier)
     _release_checkpoint_blocks(sym)
     return reached
 

@@ -306,7 +306,7 @@ d{k} AS (
 def graph_bfs_hops_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Multi-source bounded-horizon BFS (operators/graph.bfs_hops)
     over the brand co-occurrence graph: every Brand#1x vertex starts at
-    hop 0 and the frontier extends {BFS_HOPS} synchronous rounds — the
+    hop 0 and the frontier extends 3 synchronous rounds — the
     reachability/seed-expansion primitive that completes the graph ladder
     (components -> triangles -> PageRank -> communities -> distances).
     Each round joins the edges against the CURRENT frontier only and
