@@ -87,12 +87,15 @@ def lang_id(df: DataFrame, text_col: str, out: str = "lang_pred") -> DataFrame:
     langs = list(LID_STOPWORDS)
     for lang in langs:
         df = df.withColumn(f"__hits_{lang}", stopword_hits(tokens, LID_STOPWORDS[lang]))
-    # First language (in priority order) whose score equals the max wins.
+    # First language (in priority order) whose score equals the max wins;
+    # ZERO hits in every language is no evidence at all — predict NULL,
+    # not the tie-break's first entry (code/symbol/uncovered-language docs
+    # would otherwise be systematically labeled 'en').
     best = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
     pred = F.lit(None).cast("string")
     for lang in reversed(langs):
         pred = F.when(F.col(f"__hits_{lang}") == best, F.lit(lang)).otherwise(pred)
-    df = df.withColumn(out, pred)
+    df = df.withColumn(out, F.when(best > 0, pred))
     return df.drop(*[f"__hits_{lang}" for lang in langs])
 
 
@@ -109,7 +112,13 @@ def fingerprint(text_col: str) -> Column:
         F.sequence(F.lit(1), F.length(F.col(text_col))),
         lambda c, i: i.cast("long") * F.ascii(c).cast("long"),
     )
-    return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # Empty text is the descending-sequence trap again: sequence(1, 0) is
+    # [1, 0] while chars is [], so zip_with null-pads and the aggregate
+    # returns NULL — grouping would silently merge empty docs with nulls.
+    # An empty weighted sum is 0 by definition.
+    return F.when(F.length(F.col(text_col)) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    )
 
 
 def chunk_documents(
@@ -128,11 +137,20 @@ def chunk_documents(
     Output: (id, chunk_idx, n_chunk_tokens, chunk) with chunk_idx dense from
     0 — every document yields >= 1 chunk (short docs yield themselves).
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens (a negative "
+                         "overlap would silently skip tokens between chunks)")
     stride = chunk_tokens - overlap
     toks = F.split(F.col(text_col), " ")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    # Last start: size - overlap - 1, NOT size - 1 — a start inside the
+    # final overlap window emits a chunk that is a strict SUBSET of the
+    # previous one (e.g. 64 tokens / stride 48: start 48 re-emits tokens
+    # 49-64 already covered by chunk 0), duplicating training data.
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(toks) - F.lit(overlap + 1), F.lit(0)),
+        F.lit(stride),
+    )
     chunks = F.transform(
         starts,
         lambda s: F.struct(
@@ -159,7 +177,14 @@ def chunk_documents(
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("url", r"https?://[^ ]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+    # No space in the class: with it, ANY run of space-separated numbers
+    # totaling >= 8 chars ("scores were 10 20 30", "in 2020 2021",
+    # "revenue 1 000 000") collapsed into one <PHONE>, destroying numeric
+    # prose.  The conservative trade: space-grouped phone formats stay
+    # unredacted (dash/paren/solid formats still match); without
+    # lookaround (the RE2-portable subset) a space-tolerant pattern
+    # cannot be stopped from bridging independent numbers.
+    ("phone", r"\+?[0-9][0-9()-]{6,}[0-9]", "<PHONE>"),
 )
 
 
@@ -397,11 +422,7 @@ def bigram_pmi(
     bi = (
         base.select(
             F.explode(
-                F.zip_with(
-                    F.slice(F.col("__t"), 1, F.size("__t") - 1),
-                    F.slice(F.col("__t"), 2, F.size("__t") - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
+                _bigram_expr(F.col("__t"))
             ).alias("p")
         )
         .select("p.w1", "p.w2")
@@ -531,11 +552,7 @@ def bigram_lm_nll(
     bi = (
         base.select(
             F.explode(
-                F.zip_with(
-                    F.slice(F.col("__t"), 1, F.size("__t") - 1),
-                    F.slice(F.col("__t"), 2, F.size("__t") - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
+                _bigram_expr(F.col("__t"))
             ).alias("p")
         )
         .select("p.w1", "p.w2")
@@ -577,6 +594,18 @@ def bigram_lm_nll(
     )
 
 
+def _bigram_expr(arr) -> Column:
+    """Adjacent-pair struct array over a token array (zip_with over two
+    shifted slices — no positional self-join, no explode-then-window);
+    the ONE definition of a bigram shared by the PMI, stupid-backoff and
+    Kneser-Ney paths."""
+    return F.zip_with(
+        F.slice(arr, 1, F.size(arr) - 1),
+        F.slice(arr, 2, F.size(arr) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document adjacent token pairs, expression-only (zip_with over two
     shifted slices — no positional self-join, no explode-then-window)."""
@@ -584,11 +613,7 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         F.explode(
-            F.zip_with(
-                F.slice(toks, 1, F.size(toks) - 1),
-                F.slice(toks, 2, F.size(toks) - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
+            _bigram_expr(toks)
         ).alias("p"),
     ).select(id_col, "p.w1", "p.w2")
 
@@ -637,21 +662,26 @@ def kn_bigram_nll(
         .localCheckpoint(eager=False)
     )
     kept = types.filter(F.col("c_ab") >= min_bigram_count)
-    ctx = types.groupBy("w1").agg(F.sum("c_ab").alias("c_ctx"))
-    n1f = types.groupBy("w1").agg(F.count(F.lit(1)).alias("n_follow"))
+    # ONE pass over the type table for both w1-keyed stats (and one
+    # broadcast join instead of two against the corpus-sized frame).
+    ctx = types.groupBy("w1").agg(
+        F.sum("c_ab").alias("c_ctx"), F.count(F.lit(1)).alias("n_follow")
+    )
     n1b = types.groupBy("w2").agg(F.count(F.lit(1)).alias("n_precede"))
     bt = types.agg(F.count(F.lit(1)).alias("n_types"))
     scored = (
         db.join(F.broadcast(kept), ["w1", "w2"], "left")
         .join(F.broadcast(ctx), "w1")
-        .join(F.broadcast(n1f), "w1")
         .join(F.broadcast(n1b), "w2")
         .crossJoin(F.broadcast(bt))
     )
     c_ctx = F.col("c_ctx").cast("double")
+    # the max(c - d, 0) clamp from the docstring formula: a discount >=
+    # min_bigram_count would otherwise push `seen` negative and, when
+    # |seen| > cont, hand ln a negative argument (NaN avg_nll)
     seen = F.when(
         F.col("c_ab").isNotNull(),
-        (F.col("c_ab").cast("double") - F.lit(d)) / c_ctx,
+        F.greatest(F.col("c_ab").cast("double") - F.lit(d), F.lit(0.0)) / c_ctx,
     ).otherwise(F.lit(0.0))
     cont = (
         (F.lit(d) * F.col("n_follow").cast("double") / c_ctx)

@@ -104,7 +104,10 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 s AS (
-    SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+    -- starts stop at len - overlap: a start inside the final overlap
+    -- window would re-emit a strict subset of the previous chunk
+    SELECT doc_id, toks,
+           unnest(range(0, greatest(len(toks) - 16, 1), 48)) AS start
     FROM t
 )
 SELECT doc_id,

@@ -156,6 +156,12 @@ CHANGED_R8: tuple[str, ...] = (
 #: gates ride those code paths, so they preempt the window tail per the
 #: rotation contract ("changed-code re-entries preempt tail slots"),
 #: displacing dedup_simhash and events_json_agg to the r10 window.
+#: Late-r9 text-review fixes whose gate OUTPUT changed at sf0.01 (oracle
+#: updated in lockstep): chunking no longer emits a redundant final chunk
+#: that is a strict subset of the previous one; the phone PII pattern no
+#: longer bridges space-separated numbers; lang_id predicts NULL on zero
+#: stopword evidence (and the confusion matrix inherits it).  They preempt
+#: the four remaining r5-fill tail slots.
 CHANGED_R9: tuple[str, ...] = (
     "acid_hidden_partition_prune",
     "privacy_dp_noisy_counts",
@@ -165,7 +171,19 @@ CHANGED_R9: tuple[str, ...] = (
     "stream_psi_drift_equiv",
     "acid_snapshot_isolation",
     "acid_merge_on_read_delete",
+    "text_chunk_windows",
+    "text_redact_pii",
+    "text_lang_id",
+    "text_lid_confusion_matrix",
+    "text_kn_bigram_nll",
 )
+
+#: Implementation changed late-r9 but output PROVEN identical at sf0.01
+#: (hash-compared before/after; the fingerprint empty-text guard only
+#: fires on empty documents, absent from the gate corpus) — spilled to
+#: LEAD the r10 window because the r9 window's 44 never-graded entries
+#: are immovable and its 6 free slots went to output-changed re-entries.
+CHANGED_R9_SPILL: tuple[str, ...] = ("text_fingerprint",)
 
 #: The round-7 graded window, exactly as CORRECTNESS_r07.json recorded it:
 #: 50 green rows (the five re-entered r6 failures all fixed).  Kept as data
@@ -352,6 +370,11 @@ R9_WINDOW: tuple[str, ...] = (
     + (
         "acid_snapshot_isolation",
         "acid_merge_on_read_delete",
+        "text_chunk_windows",
+        "text_redact_pii",
+        "text_lang_id",
+        "text_lid_confusion_matrix",
+        # the displaced r5-fill tail (shifts to the r10 window):
         "array_functions_profile",
         "bucketed_join_colocated_agg",
         "corpus_curation_funnel",
@@ -373,9 +396,13 @@ DRIVER_PRIORITY: tuple[str, ...] = R9_WINDOW
 #: in every local pytest (tests/test_oracle_parity.py).
 DEFERRED_R9_R5: tuple[str, ...] = tuple(
     n for n in DEFERRED_R8_R5 if n not in R9_WINDOW
-)  # 41 r5-green entries -> they ARE the r10 window's lead block
-DEFERRED_R9_R6: tuple[str, ...] = DEFERRED_R8_R6  # 45 r6-green entries
-DEFERRED_R9_R7: tuple[str, ...] = R7_WINDOW  # 50 r7-green entries
+)  # the r5-green tier -> it IS the r10 window's lead block
+DEFERRED_R9_R6: tuple[str, ...] = tuple(
+    n for n in DEFERRED_R8_R6 if n not in R9_WINDOW
+)  # r6-green entries (text_redact_pii re-entered the r9 window)
+DEFERRED_R9_R7: tuple[str, ...] = tuple(
+    n for n in R7_WINDOW if n not in R9_WINDOW
+)  # r7-green entries (text_lid_confusion_matrix re-entered)
 
 DEFERRED_R9: tuple[str, ...] = (
     DEFERRED_R9_R5 + DEFERRED_R9_R6 + DEFERRED_R9_R7
@@ -389,7 +416,9 @@ DEFERRED_R9: tuple[str, ...] = (
 #: r10-changed queries and any r9 driver failures per the rotation
 #: contract above.
 R10_WINDOW: tuple[str, ...] = (
-    DEFERRED_R9_R5 + tuple(sorted(DEFERRED_R9_R6))
+    CHANGED_R9_SPILL
+    + tuple(n for n in DEFERRED_R9_R5 if n not in CHANGED_R9_SPILL)
+    + tuple(sorted(DEFERRED_R9_R6))
 )[:50]
 
 

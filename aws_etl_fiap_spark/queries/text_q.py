@@ -55,10 +55,16 @@ WITH chars AS (
            unnest(string_split(text, '')) AS c,
            generate_subscripts(string_split(text, ''), 1) AS i
     FROM documents
+),
+sums AS (
+    SELECT doc_id, CAST(SUM(CAST(i AS BIGINT) * ascii(c)) AS BIGINT) AS s
+    FROM chars GROUP BY doc_id
 )
-SELECT doc_id, CAST(SUM(CAST(i AS BIGINT) * ascii(c)) AS BIGINT) AS fp
-FROM chars
-GROUP BY doc_id
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            WHEN length(d.text) = 0 THEN 0
+            ELSE s.s END AS fp
+FROM documents d LEFT JOIN sums s USING (doc_id)
 """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,9 +112,13 @@ def _lid_oracle() -> str:
     )
     langs = list(LID_STOPWORDS)
     best = "greatest({})".format(", ".join(f"hits_{lang}" for lang in langs))
-    case = "CASE " + " ".join(
-        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
-    ) + " END"
+    # Zero hits in EVERY language is no evidence: predict NULL, mirroring
+    # lang_id's best > 0 gate (the leading WHEN wins in both engines).
+    case = (
+        f"CASE WHEN {best} = 0 THEN NULL "
+        + " ".join(f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
     return f"""
 WITH scored AS (
     SELECT doc_id, lang,
@@ -258,8 +268,8 @@ s_email AS (
 ),
 s_phone AS (
     SELECT doc_id, n_url, n_email,
-           len(regexp_extract_all(t, '\\+?[0-9][0-9() -]{{6,}}[0-9]')) AS n_phone,
-           regexp_replace(t, '\\+?[0-9][0-9() -]{{6,}}[0-9]', '<PHONE>', 'g') AS t
+           len(regexp_extract_all(t, '\\+?[0-9][0-9()-]{{6,}}[0-9]')) AS n_phone,
+           regexp_replace(t, '\\+?[0-9][0-9()-]{{6,}}[0-9]', '<PHONE>', 'g') AS t
     FROM s_email
 )
 SELECT doc_id, n_url, n_email, n_phone, t AS redacted FROM s_phone

@@ -28,9 +28,11 @@ def test_chunking_covers_and_overlaps(spark):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
-    # doc 1: starts 0,48,96,144 -> 4 chunks; sizes 64,64,54,6
+    # doc 1: starts 0,48,96 -> 3 chunks; sizes 64,64,54 (start 144 would
+    # re-emit tokens 145-150, already covered by the start-96 chunk — the
+    # late-r9 redundant-final-chunk fix drops it)
     d1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
-    assert [r.n_chunk_tokens for r in d1] == [64, 64, 54, 6]
+    assert [r.n_chunk_tokens for r in d1] == [64, 64, 54]
     # consecutive chunks overlap by exactly 16 tokens
     a, b = d1[0].chunk.split(" "), d1[1].chunk.split(" ")
     assert a[-16:] == b[:16]

@@ -24,7 +24,10 @@ def test_redact_pii_counts_and_sequencing(spark):
     )
     rows = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
     assert (rows[1]["n_url"], rows[1]["n_email"], rows[1]["n_phone"]) == (1, 1, 1)
-    assert rows[1]["redacted"] == "mail me at <EMAIL> or visit <URL> tel <PHONE> ok"
+    # Conservative phone matching (late-r9): the space-grouped prefix
+    # "+1 (555)" stays, only the solid dashed run redacts — a space in the
+    # class made ANY run of space-separated numbers collapse into <PHONE>.
+    assert rows[1]["redacted"] == "mail me at <EMAIL> or visit <URL> tel +1 (555) <PHONE> ok"
     assert (rows[2]["n_url"], rows[2]["n_email"], rows[2]["n_phone"]) == (0, 0, 0)
     assert rows[2]["redacted"] == "no pii here at all"
     assert (rows[3]["n_url"], rows[3]["n_email"], rows[3]["n_phone"]) == (1, 0, 0)
@@ -329,3 +332,110 @@ def test_gopher_rules_is_projection_only(spark, sf_smoke):
     df = gopher_quality_rules(load_table(spark, sf_smoke, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_redact_pii_leaves_numeric_prose_alone(spark):
+    """Late-r9 review: a space inside the phone character class made any
+    run of space-separated numbers totaling >= 8 chars collapse into one
+    <PHONE>, destroying numeric training text."""
+    from aws_etl_fiap_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "scores were 10 20 30 overall"),
+            (2, "in 2020 2021 we shipped"),
+            (3, "revenue 1 000 000 USD"),
+            (4, "call 555-010-9999 today"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    for i in (1, 2, 3):
+        assert rows[i]["n_phone"] == 0 and "<PHONE>" not in rows[i]["redacted"]
+    assert rows[4]["n_phone"] == 1
+    assert rows[4]["redacted"] == "call <PHONE> today"
+
+
+def test_chunk_documents_no_redundant_final_chunk(spark):
+    """Late-r9 review: a stride start inside the final overlap window
+    emitted a chunk that was a strict SUBSET of the previous one
+    (64 tokens / 64-16 chunking yielded chunk 0 = tokens 1-64 AND
+    chunk 1 = tokens 49-64), duplicating training data."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.text import chunk_documents
+
+    text64 = " ".join(f"w{i}" for i in range(64))
+    text70 = " ".join(f"w{i}" for i in range(70))
+    df = spark.createDataFrame(
+        [(1, text64), (2, text70), (3, "a b")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=64, overlap=16)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["n_chunk_tokens"] for r in out.collect()
+    }
+    assert got == {
+        (1, 0): 64,           # exactly one chunk: start 48 would re-emit 49-64
+        (2, 0): 64, (2, 1): 22,  # second chunk adds tokens 65-70 (6 new)
+        (3, 0): 2,            # short doc yields itself
+    }
+    # every token of doc 2 is covered (nothing skipped)
+    covered = (
+        out.filter(F.col("doc_id") == 2)
+        .select(F.explode(F.split("chunk", " ")).alias("w"))
+        .distinct()
+        .count()
+    )
+    assert covered == 70
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=64, overlap=-10)
+
+
+def test_lang_id_zero_evidence_is_null(spark):
+    """Late-r9 review: documents with zero stopword hits in every language
+    were systematically labeled 'en' (the tie-break's first entry)."""
+    from aws_etl_fiap_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "zzz qqq xxx"), (2, "the cat of the hat")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df, "text").collect()}
+    assert got[1] is None and got[2] == "en"
+
+
+def test_fingerprint_empty_text_is_zero_not_null(spark):
+    """Late-r9 review: sequence(1, 0) descends for empty text, null-padding
+    the zip_with and returning NULL — grouping merged empty docs with
+    null-fingerprint docs."""
+    from aws_etl_fiap_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "ab")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", fingerprint("text").alias("fp")
+    ).collect()}
+    assert got[1] == 0 and got[2] is None
+    assert got[3] == 1 * 97 + 2 * 98
+
+
+def test_kn_bigram_discount_clamp_keeps_nll_finite(spark):
+    """Late-r9 review: discount >= min_bigram_count pushed the discounted
+    term negative and, when it outweighed the continuation mass, handed ln
+    a negative argument (NaN avg_nll); the docstring's max(c-d, 0) clamp
+    is now real."""
+    import math
+
+    from aws_etl_fiap_spark.operators.text import kn_bigram_nll
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y")], "doc_id long, text string"
+    )
+    rows = kn_bigram_nll(df, min_bigram_count=1, discount=1.5).collect()
+    assert rows and all(
+        r["avg_nll"] is not None and math.isfinite(r["avg_nll"]) and r["avg_nll"] > 0
+        for r in rows
+    )
