@@ -32,8 +32,13 @@ from aws_etl_fiap_spark.operators.dedup import portable_hash60
 def _bucket(seed: Column, key: Column, width: int, hash_family: str) -> Column:
     if hash_family == "portable":
         h = portable_hash60(seed.cast("string"), key.cast("string"))
-    else:
+    elif hash_family in ("fast", "xxhash64"):
         h = F.xxhash64(seed.cast("string"), key.cast("string"))
+    else:
+        # a typo ('portible', 'Portable') must not silently switch the
+        # sketch to non-portable hashing — the failure would surface as an
+        # inexplicable oracle mismatch far from the call site
+        raise ValueError(f"unknown hash family: {hash_family!r}")
     return F.pmod(h, F.lit(width))
 
 
@@ -49,6 +54,10 @@ def cms_build(
     Output is at most ``depth * width`` rows regardless of input size; the
     exploded update stream is map-side combined before the one shuffle.
     """
+    if depth < 1:
+        # sequence(0, -1) DESCENDS to [0, -1]: depth=0 would silently
+        # build a nonsense two-seed sketch instead of failing
+        raise ValueError(f"depth must be >= 1, got {depth}")
     seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
     updates = df.select(F.col(key).alias("__k")).select(seeds, "__k")
     return (
@@ -94,11 +103,17 @@ def cms_estimate(
 
 
 def sql_cms_bucket(seed_expr: str, key_expr: str, width: int) -> str:
-    """DuckDB twin of the portable bucket expression (md5-prefix hash60)."""
-    h = (
-        "CAST(CONCAT('0x', SUBSTR(md5(CONCAT(CAST(" + seed_expr + " AS VARCHAR), "
-        "':', CAST(" + key_expr + " AS VARCHAR))), 1, 15)) AS BIGINT)"
+    """DuckDB twin of the portable bucket expression (md5-prefix hash60).
+
+    NULL keys mirror Spark's ``concat_ws`` exactly: concat_ws drops a NULL
+    argument AND its separator (hashing ``'0'``), whereas a bare CONCAT
+    would skip only the NULL and hash ``'0:'`` — a silent one-character
+    divergence that breaks bit-reproducibility on any nullable key."""
+    pair = (
+        "CASE WHEN (" + key_expr + ") IS NULL THEN CAST(" + seed_expr + " AS VARCHAR) "
+        "ELSE CONCAT(CAST(" + seed_expr + " AS VARCHAR), ':', CAST(" + key_expr + " AS VARCHAR)) END"
     )
+    h = f"CAST(CONCAT('0x', SUBSTR(md5({pair}), 1, 15)) AS BIGINT)"
     return f"(({h}) % {width} + {width}) % {width}"
 
 
@@ -123,10 +138,10 @@ def bloom_build(
     """
     if n_bits % 32:
         raise ValueError("n_bits must be a multiple of 32")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    pos = F.pmod(
-        _bucket(F.col("seed"), F.col("__k"), n_bits, hash_family), F.lit(n_bits)
-    )
+    pos = _bucket(F.col("seed"), F.col("__k"), n_bits, hash_family)
     return (
         df.select(F.col(key).alias("__k"))
         .select(seeds, "__k")
@@ -152,12 +167,12 @@ def bloom_probe(
     all-zero word, hence the coalesce-to-0 before the bit test.  No false
     negatives by construction (the gate the registered query verifies
     exactly); false-positive rate falls out of the bitmap density."""
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
     probes = keys.select(F.col(key)).select(
         key, F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
     )
-    pos = F.pmod(
-        _bucket(F.col("seed"), F.col(key), n_bits, hash_family), F.lit(n_bits)
-    )
+    pos = _bucket(F.col("seed"), F.col(key), n_bits, hash_family)
     probes = probes.select(
         key,
         (pos / 32).cast("int").alias("word"),
@@ -195,14 +210,19 @@ def mergeable_quantile_summary(
     weight reaches r; its true rank error is bounded by
     B = sum_p stride_p <= n/k + P.
 
-    Gate: ONE distributed aggregate re-computes the EXACT rank of every
-    estimate (conditional sums in a single scan) and emits a row per
-    quantile whose |exact_rank - target_rank| exceeds 2B (the 2x absorbs
-    duplicate-value rank jumps).  Steady-state output: EMPTY, verified
-    against the empty-set oracle — the same violation-gate pattern as the
-    ANN recall gates.
+    Gate: ONE distributed aggregate re-computes the EXACT attainable-rank
+    INTERVAL of every estimate — [count(v < est) + 1, count(v <= est)],
+    both conditional sums in a single scan — and emits a row per quantile
+    whose interval lies entirely outside target_rank +/- 2B.  The interval
+    (not a bare |count(v <= est) - target| compare) is what makes the gate
+    sound on DUPLICATE-heavy data: a constant column has
+    count(v <= est) = n for a perfect estimate, and the old form flagged
+    it as a violation.  Steady-state output: EMPTY, verified against the
+    empty-set oracle — the same violation-gate pattern as the ANN recall
+    gates.
     """
     import math
+    from fractions import Fraction
 
     from pyspark import TaskContext
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -229,6 +249,7 @@ def mergeable_quantile_summary(
     )
 
     def sample_gen(batches):
+        import numpy as np
         import pandas as pd
 
         ctx = TaskContext.get()
@@ -240,24 +261,30 @@ def mergeable_quantile_summary(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vals, weights = [], []
-            for v in pdf["v"].to_numpy():
-                seen += 1
-                if seen % stride == 0:
-                    vals.append(float(v))
-                    weights.append(stride)
-                elif seen == n_p:  # close the partial tail block
-                    vals.append(float(v))
-                    weights.append(n_p % stride)
+            arr = pdf["v"].to_numpy()
+            # Vectorized stride sampling: keep positions where the 1-based
+            # within-partition index is a multiple of the stride — numpy
+            # slicing, not a per-row Python loop.
+            j0 = (stride - 1 - (seen % stride)) % stride
+            vals = arr[j0::stride].astype(float).tolist()
+            weights = [stride] * len(vals)
+            seen += len(arr)
+            if seen == n_p and n_p % stride:  # close the partial tail block
+                vals.append(float(arr[-1]))
+                weights.append(n_p % stride)
             if vals:
-                yield pd.DataFrame({"v": vals, "w": weights})
+                yield pd.DataFrame({"v": vals, "w": np.array(weights, dtype=np.int64)})
 
     samples = sorted(
         (r["v"], r["w"]) for r in src.mapInPandas(sample_gen, out_schema).collect()
     )
+    bc.unpersist()  # samples are collected; nothing downstream reads it
     ests = []
     for p in probs:
-        target = max(1, math.ceil(p * n))
+        # exact rational ceil(p * n): double math has 0.55 * 100 ==
+        # 55.000000000000007, off-by-one for exact-integer products
+        frac = Fraction(str(p))
+        target = max(1, (n * frac.numerator + frac.denominator - 1) // frac.denominator)
         cum = 0
         est = samples[-1][0] if samples else None
         for v, w in samples:
@@ -269,8 +296,12 @@ def mergeable_quantile_summary(
 
     ranks = src.agg(
         *[
-            F.sum((F.col("v") <= F.lit(e)).cast("long")).alias(f"r{i}")
+            expr
             for i, (_, _, e) in enumerate(ests)
+            for expr in (
+                F.sum((F.col("v") <= F.lit(e)).cast("long")).alias(f"r{i}"),
+                F.sum((F.col("v") < F.lit(e)).cast("long")).alias(f"lt{i}"),
+            )
         ]
     )
     lits = spark.createDataFrame(
@@ -278,17 +309,24 @@ def mergeable_quantile_summary(
         "prob double, target_rank long, est double, idx int",
     )
     exact = F.when(F.col("idx") == 0, F.col("r0"))
+    lo = F.when(F.col("idx") == 0, F.col("lt0"))
     for i in range(1, len(ests)):
         exact = exact.when(F.col("idx") == i, F.col(f"r{i}"))
+        lo = lo.when(F.col("idx") == i, F.col(f"lt{i}"))
     out = lits.crossJoin(F.broadcast(ranks)).select(
         "prob",
         "target_rank",
         "est",
         exact.alias("exact_rank"),
         F.lit(2 * bound).cast("long").alias("bound"),
+        (lo + 1).alias("__rank_lo"),  # attainable-rank interval low end
     )
     if emit == "estimates":
-        return out
+        return out.drop("__rank_lo")
+    # violation iff [__rank_lo, exact_rank] lies ENTIRELY outside
+    # target_rank +/- bound (any rank of the estimate's duplicate run
+    # inside the band means the estimate is a valid approximate quantile)
     return out.filter(
-        F.abs(F.col("exact_rank") - F.col("target_rank")) > F.col("bound")
-    )
+        (F.col("__rank_lo") - F.col("target_rank") > F.col("bound"))
+        | (F.col("target_rank") - F.col("exact_rank") > F.col("bound"))
+    ).drop("__rank_lo")

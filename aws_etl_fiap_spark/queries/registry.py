@@ -183,7 +183,16 @@ CHANGED_R9: tuple[str, ...] = (
 #: fires on empty documents, absent from the gate corpus) — spilled to
 #: LEAD the r10 window because the r9 window's 44 never-graded entries
 #: are immovable and its 6 free slots went to output-changed re-entries.
-CHANGED_R9_SPILL: tuple[str, ...] = ("text_fingerprint",)
+#: sketch_* entries: the bloom plan dropped a redundant double-pmod and
+#: cms gained parameter guards — expression values provably unchanged
+#: (pmod is idempotent; guards are call-time), re-verified exact in the
+#: driver sim.  sketch_quantile_mergeable's sounder duplicate-aware gate
+#: is already in the r9 window (r8-new).
+CHANGED_R9_SPILL: tuple[str, ...] = (
+    "text_fingerprint",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_membership",
+)
 
 #: The round-7 graded window, exactly as CORRECTNESS_r07.json recorded it:
 #: 50 green rows (the five re-entered r6 failures all fixed).  Kept as data

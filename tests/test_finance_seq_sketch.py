@@ -497,3 +497,79 @@ def test_ewma_volatility_zero_prev_drops_row(spark):
     # the 0 -> 10 return is NULL (try_divide) and dropped; two valid
     # returns remain, so exactly one full-window row survives
     assert [r["t"] for r in out] == [3]
+
+
+def test_quantile_gate_sound_on_duplicate_heavy_data(spark):
+    """Late-r9 review: the violation gate compared count(v <= est) to
+    target_rank, so a CONSTANT column (exact_rank = n for a PERFECT
+    estimate) always fired.  The gate now tests the attainable-rank
+    INTERVAL [count(v < est) + 1, count(v <= est)] against the band."""
+    from aws_etl_fiap_spark.operators.sketches import mergeable_quantile_summary
+
+    df = spark.range(1000).select((F.lit(7.0)).alias("x"))
+    out = mergeable_quantile_summary(df, "x", probs=(0.5, 0.9), k=16)
+    assert out.count() == 0  # perfect estimate on all-duplicates: no violation
+    ests = mergeable_quantile_summary(
+        df, "x", probs=(0.5,), k=16, emit="estimates"
+    ).collect()
+    assert ests[0]["est"] == 7.0 and ests[0]["target_rank"] == 500
+
+
+def test_quantile_target_rank_exact_rational(spark):
+    """Late-r9 review: ceil(0.55 * 100) was 56 under double math
+    (0.55*100 == 55.000000000000007); targets are now exact integers."""
+    from aws_etl_fiap_spark.operators.sketches import mergeable_quantile_summary
+
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("x"))
+    est = mergeable_quantile_summary(
+        df, "x", probs=(0.55,), k=256, emit="estimates"
+    ).collect()[0]
+    assert est["target_rank"] == 55
+
+
+def test_sketch_parameter_guards(spark):
+    """Late-r9 review: depth/n_hashes = 0 silently built nonsense sketches
+    via the descending sequence(0, -1); unknown hash families silently
+    fell back to xxhash64, surfacing later as oracle mismatches."""
+    import pytest
+
+    from aws_etl_fiap_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        cms_build,
+    )
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(df, "k", depth=0)
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom_build(df, "k", n_hashes=0)
+    with pytest.raises(ValueError, match="n_hashes"):
+        bloom_probe(df, df, "k", n_hashes=0)
+    with pytest.raises(ValueError, match="hash family"):
+        cms_build(df, "k", hash_family="portible").collect()
+
+
+def test_sql_cms_bucket_null_key_matches_spark(spark):
+    """Late-r9 review: Spark's concat_ws drops a NULL key AND the ':'
+    separator while DuckDB's CONCAT kept the ':', so NULL keys hashed to
+    different buckets in the two engines."""
+    import duckdb
+
+    from aws_etl_fiap_spark.operators.sketches import _bucket, sql_cms_bucket
+
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    got = {
+        (r["k"], r["b"])
+        for r in df.select(
+            "k", _bucket(F.lit(3), F.col("k"), 64, "portable").alias("b")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = set(
+        con.execute(
+            f"SELECT k, {sql_cms_bucket('3', 'k', 64)} AS b "
+            "FROM (VALUES ('a'), (NULL)) t(k)"
+        ).fetchall()
+    )
+    assert got == want
