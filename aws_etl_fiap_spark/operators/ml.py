@@ -60,7 +60,14 @@ def logreg_train_gd(
         label.cast("int").alias("y"),
         *[c.cast("double").alias(f"x{i + 1}") for i, c in enumerate(features)],
     )
-    feats = feats.localCheckpoint(eager=True)
+    # Rows with a NULL label or feature are EXCLUDED (documented): they
+    # would be counted in n but skipped by the gradient sums, silently
+    # shrinking every update by the null fraction (and scoring as
+    # 'incorrect' in n_correct).
+    cond = F.col("y").isNotNull()
+    for i in range(d):
+        cond = cond & F.col(f"x{i + 1}").isNotNull()
+    feats = feats.filter(cond).localCheckpoint(eager=True)
 
     def r12(v: float) -> float:
         return math.floor(v * 1.0e12 + 0.5) / 1.0e12
@@ -88,6 +95,13 @@ def logreg_train_gd(
                     )
                 )
         row = feats.agg(*aggs).collect()[0]
+        if not float(row["n"]):
+            # an empty (or all-null) training frame would TypeError on the
+            # NULL gradient sums and divide by zero — fail with the cause
+            raise ValueError(
+                "logreg_train_gd: no trainable rows (empty frame, or every "
+                "row has a NULL label/feature)"
+            )
         if it >= 2:
             # this pass scored the PREVIOUS update's weights
             rows[it - 2][-1] = int(row["n_correct"])
@@ -112,8 +126,6 @@ def logreg_score(features: list[Column], weights: list[float]) -> Column:
     ``[b0, b1..bd]`` (the trainer's trajectory row); the model rides into
     the plan as literals — a pure whole-stage-codegen projection, no join,
     no shuffle, no state."""
-    from aws_etl_fiap_spark.functions.parity import round_half_up
-
     if len(weights) != len(features) + 1:
         raise ValueError(
             f"expected {len(features) + 1} weights (bias + one per feature), "
@@ -154,6 +166,10 @@ def exact_auc(df: DataFrame, label: Column, score: Column) -> DataFrame:
 
     g = (
         df.select(score.alias("score"), label.cast("int").alias("y"))
+        # Unscoreable rows are EXCLUDED (documented): a NULL score would
+        # rank NULLS FIRST in Spark but NULLS LAST in a SQL twin's window,
+        # shifting every rank — and a NULL label is not a class vote.
+        .filter(F.col("score").isNotNull() & F.col("y").isNotNull())
         .groupBy("score")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -177,6 +193,9 @@ def exact_auc(df: DataFrame, label: Column, score: Column) -> DataFrame:
     pd_ = F.col("p").cast("double")
     nd = (F.col("tot") - F.col("p")).cast("double")
     auc = (sd - pd_ * (pd_ + F.lit(1.0))) / (F.lit(2.0) * pd_ * nd)
+    # A single-class corpus has no ranking to measure: AUC is UNDEFINED —
+    # NULL, never the silent Infinity/NaN a double 0-divide produces.
+    auc = F.when((pd_ > 0) & (nd > 0), auc)
     return t.select(
         round_half_up(auc, 6).alias("auc"),
         F.col("p").alias("n_pos"),
@@ -206,9 +225,13 @@ def naive_bayes_confusion(
     lexicographically first class) is bit-reproducible by a SQL twin.
 
     Scale shape: the corpus collapses to (doc, word, count) once; the
-    class-word likelihood table is vocab-x-k and broadcasts; scoring fans
-    each doc-word row k ways (k = class count, a handful) and combines
-    map-side; no window wider than the k-row per-doc argmin struct."""
+    class-word likelihood table is vocab-x-k and broadcasts — the same
+    vocab-sized-model-state bound as the BPE/bigram-LM families (fine for
+    natural-language vocabularies; a corpus whose distinct-token count
+    approaches the broadcast ceiling needs the sort-merge variant of the
+    scoring join instead); scoring fans each doc-word row k ways (k =
+    class count, a handful) and combines map-side; no window wider than
+    the k-row per-doc argmin struct."""
     docs = df.select(
         F.col(id_col).alias("doc"),
         F.col(label_col).alias("y"),
@@ -251,6 +274,11 @@ def naive_bayes_confusion(
             F.col("tot"),
             F.col("v"),
         )
+        # a k-row frame consumed by TWO broadcasts below (the likelihood
+        # build and scoring) — without the checkpoint each broadcast
+        # re-runs the whole ctot/vocab/priors/n_docs lineage, one
+        # redundant corpus pass per call
+        .localCheckpoint(eager=False)
     )
     like = (
         cw.join(F.broadcast(classes.select("c", "tot", "v")), "c")

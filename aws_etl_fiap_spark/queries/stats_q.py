@@ -730,9 +730,12 @@ def _logreg_auc_oracle(lr: float = 1.5, iters: int = 3) -> str:
     from aws_etl_fiap_spark.functions.parity import sql_round_half_up
 
     sig = sql_round_half_up("1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2)))", 12)
+    # single-class corpus -> AUC undefined -> NULL (mirrors exact_auc's
+    # guard; a double 0-divide would yield Infinity/NaN instead)
     auc = (
+        "CASE WHEN p > 0 AND tot - p > 0 THEN "
         "(CAST(s AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0))"
-        " / (2.0 * CAST(p AS DOUBLE) * CAST(tot - p AS DOUBLE))"
+        " / (2.0 * CAST(p AS DOUBLE) * CAST(tot - p AS DOUBLE)) END"
     )
     return (
         _logreg_ctes(lr, iters)

@@ -166,3 +166,46 @@ def test_naive_bayes_prior_decides_unseen_words(spark):
     # doc 4 has identical text to en-majority docs -> misclassified to en;
     # doc 5's 'zz' appears only in de counts -> stays de.
     assert out[("de", "de")] == 1 and out[("de", "en")] == 1
+
+
+def test_logreg_refuses_untrainable_frames_and_skips_null_rows(spark):
+    """Late-r9 review: an empty frame TypeError'd on NULL gradient sums;
+    rows with NULL label/features silently diluted every update (counted
+    in n, skipped by the sums).  Empty -> loud; NULL rows -> excluded."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.ml import logreg_train_gd
+
+    empty = spark.createDataFrame([], "y int, x double")
+    with pytest.raises(ValueError, match="no trainable rows"):
+        logreg_train_gd(empty, F.col("y") == 1, [F.col("x")], iters=1)
+
+    clean = spark.createDataFrame(
+        [(1, 2.0), (0, -2.0), (1, 3.0), (0, -1.0)], "y int, x double"
+    )
+    dirty = clean.union(
+        spark.createDataFrame([(None, 5.0), (1, None)], "y int, x double")
+    )
+    w_clean = logreg_train_gd(clean, F.col("y") == 1, [F.col("x")], iters=2).collect()
+    w_dirty = logreg_train_gd(dirty, F.col("y") == 1, [F.col("x")], iters=2).collect()
+    assert [tuple(r) for r in w_clean] == [tuple(r) for r in w_dirty]
+
+
+def test_exact_auc_single_class_is_null_and_nulls_excluded(spark):
+    """Late-r9 review: a one-class corpus produced Infinity/NaN via a
+    double 0-divide (now NULL: AUC is undefined), and NULL scores ranked
+    NULLS-FIRST in Spark vs NULLS-LAST in a SQL twin (now excluded)."""
+    from pyspark.sql import functions as F
+
+    from aws_etl_fiap_spark.operators.ml import exact_auc
+
+    one_class = spark.createDataFrame([(1, 0.9), (1, 0.1)], "y int, s double")
+    row = exact_auc(one_class, F.col("y"), F.col("s")).collect()[0]
+    assert row["auc"] is None and row["n_pos"] == 2 and row["n_neg"] == 0
+
+    with_nulls = spark.createDataFrame(
+        [(1, 0.9), (0, 0.1), (1, None), (None, 0.5)], "y int, s double"
+    )
+    row = exact_auc(with_nulls, F.col("y"), F.col("s")).collect()[0]
+    assert (row["auc"], row["n_pos"], row["n_neg"]) == (1.0, 1, 1)
