@@ -407,6 +407,90 @@ def documents_as_avi(
     return src.mapInPandas(gen, "media_id long, mime string, payload binary")
 
 
+def video_meta(df: DataFrame) -> DataFrame:
+    """Parse AVI payload HEADERS only (operators/video.avi_meta — real
+    RIFF/hdrl chunk walk, frame data untouched) and emit the routing
+    metadata a 100 TB video pipeline plans on: geometry, frame count, fps,
+    and the exact container byte size.  Undecodable payloads degrade to
+    ok=false poison rows (same policy as audio_stats); payload bytes never
+    leave the Arrow stage."""
+    import pandas as pd
+
+    from aws_etl_fiap_spark.operators.video import AviFormatError, avi_meta
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    m = avi_meta(raw)
+                    rows.append((int(mid), True, m["width"], m["height"],
+                                 m["n_frames"], m["fps"], len(raw)))
+                except (AviFormatError, NotImplementedError):
+                    rows.append((int(mid), False, None, None, None, None,
+                                 len(raw)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "ok", "width", "height", "n_frames",
+                         "fps", "n_bytes"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, ok boolean, width int, height int, n_frames long, "
+        "fps int, n_bytes long",
+    )
+
+
+def video_frame_stats(df: DataFrame) -> DataFrame:
+    """Decode AVI payloads (operators/video.avi_decode — the full RIFF/DIB
+    walk that undoes BGR order, bottom-up rows, and stride padding) and
+    emit one row per FRAME with exact integer pixel stats: sum, max, min,
+    and a position-weighted checksum over the frame's flat RGB index —
+    sum(p_i * (i+1)) — so a BGR swap, a row flip, or a stride-padding leak
+    each breaks the hash even when the plain sum would cancel.  One-to-many
+    like audio_energy_windows: payloads die at this operator's input, only
+    fixed-width frame rows shuffle; undecodable payloads contribute no
+    frames (poison rows are the meta tier's job)."""
+    import numpy as np
+    import pandas as pd
+
+    from aws_etl_fiap_spark.operators.video import AviFormatError, avi_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, fidx, psum, pmax, pmin, pchk = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _, frames = avi_decode(bytes(payload))
+                except (AviFormatError, NotImplementedError):
+                    continue  # undecodable payloads contribute no frames
+                flat = frames.reshape(len(frames), -1).astype(np.int64)
+                w = np.arange(1, flat.shape[1] + 1, dtype=np.int64)
+                for f in range(len(flat)):
+                    ids.append(int(mid))
+                    fidx.append(f)
+                    psum.append(int(flat[f].sum()))
+                    pmax.append(int(flat[f].max()))
+                    pmin.append(int(flat[f].min()))
+                    pchk.append(int((flat[f] * w).sum()))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": fidx, "sum_px": psum,
+                 "max_px": pmax, "min_px": pmin, "pos_checksum": pchk}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        run,
+        "media_id long, frame_idx int, sum_px long, max_px long, "
+        "min_px long, pos_checksum long",
+    )
+
+
 def audio_stats(df: DataFrame) -> DataFrame:
     """Decode WAV payloads (operators/audio.wav_decode — real RIFF chunk
     walk) and emit the classic PCM stats per row; undecodable payloads

@@ -107,6 +107,7 @@ def stratified_quota_sample(
     fraction: float,
     id_col: str,
     salt: str = "strat",
+    n_refine_buckets: int = 256,
 ) -> DataFrame:
     """EXACT per-stratum quota sample: the ceil(fraction * n_stratum)
     smallest rows of each stratum under the portable order
@@ -121,7 +122,9 @@ def stratified_quota_sample(
     50 TB) lands on a single task and dies.  This does the classic two-level
     ORDER-STATISTIC REFINEMENT instead:
 
-    1. bucket every row by its first hash byte (``n_refine_buckets`` slots);
+    1. bucket every row by its first hash byte (256 slots — the bucket
+       count is FIXED by the hash-prefix construction; ``n_refine_buckets``
+       is accepted only as a validated back-compat no-op, r9 advice);
     2. aggregate (stratum, bucket) counts — a KB-sized frame — and compute
        per-stratum running totals, locating each stratum's quota BOUNDARY
        bucket;
@@ -144,6 +147,11 @@ def stratified_quota_sample(
     rides DECIMAL(38,0) so petabyte-scale strata cannot overflow."""
     from fractions import Fraction
 
+    if n_refine_buckets != 256:
+        raise ValueError(
+            "the refinement bucket count is fixed at 256 (the first hash "
+            f"byte); got {n_refine_buckets}"
+        )
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     frac = Fraction(str(fraction))

@@ -397,8 +397,6 @@ R9_WINDOW: tuple[str, ...] = (
     )
 )[:50]
 
-DRIVER_PRIORITY: tuple[str, ...] = R9_WINDOW
-
 #: Round-9 deferral tiers (policy clause 4 accounting): everything not in
 #: the active window and not green last round, partitioned by the age of
 #: its newest green driver row.  Every entry still runs its exact oracle
@@ -417,18 +415,140 @@ DEFERRED_R9: tuple[str, ...] = (
     DEFERRED_R9_R5 + DEFERRED_R9_R6 + DEFERRED_R9_R7
 )
 
-#: PRECOMPUTED ROUND-10 WINDOW (do NOT assign to DRIVER_PRIORITY before
-#: the round-9 driver grades the current window): the 41 remaining
-#: r5-green entries (stalest tier, registration order preserved) + the 9
-#: alphabetically-first r6-green entries.  The r10 builder's first act
-#: should be ``DRIVER_PRIORITY = R10_WINDOW`` plus re-appending any
-#: r10-changed queries and any r9 driver failures per the rotation
-#: contract above.
+#: THE ACTIVE ROUND-10 WINDOW (precomputed in r9, activated r10):
+#: the 3 CHANGED_R9_SPILL re-entries lead (output proven identical but
+#: code changed — contract clause 1), then ALL remaining r5-green
+#: entries (the stalest tier is fully drained this round: 44 here + the
+#: spilled text_fingerprint = the whole 45-entry DEFERRED_R9_R5), then
+#: the [:50] truncation leaves len(R10_WINDOW) - len(CHANGED_R9_SPILL)
+#: - len(DEFERRED_R9_R5) = 3 slots for the alphabetically-first r6-green
+#: entries (NOT the 9 the r9 comment claimed — the spill displaced six;
+#: ADVICE r9 item 4).  CORRECTNESS_r09.json is 50/50 green, so there are
+#: no failure re-entries (FAILED_R9 below is empty, test-enforced).
 R10_WINDOW: tuple[str, ...] = (
     CHANGED_R9_SPILL
     + tuple(n for n in DEFERRED_R9_R5 if n not in CHANGED_R9_SPILL)
     + tuple(sorted(DEFERRED_R9_R6))
 )[:50]
+
+#: Driver failures from round 9: none — CORRECTNESS_r09.json is 50/50
+#: green (verified by tests/test_registry_order.py against the artifact).
+FAILED_R9: tuple[str, ...] = ()
+
+#: Entries whose implementation or oracle changes in round 10 AND that
+#: already hold a graded slot in the active window — append here as code
+#: changes land (test-enforced).
+#: - corpus_stratified_sample: stratified_quota_sample re-accepts
+#:   n_refine_buckets as a VALIDATED no-op kwarg (r9 ADVICE item 2 — the
+#:   gate's call site passes no kwargs; output identical, re-verified
+#:   exact in the driver sim).
+CHANGED_R10: tuple[str, ...] = ("corpus_stratified_sample",)
+
+#: Implementation changed in r10 but output PROVEN identical at sf0.01
+#: (driver-sim re-verified exact) AND the entries sit on fresh r9-green
+#: rows, while the r10 window's tail is immovable (the r5-stale tier is
+#: at the staleness ceiling and cannot shift) — so, per the r9
+#: CHANGED_R9_SPILL precedent, they LEAD the r11 window instead:
+#: - the three acid gates + mv_incremental_refresh ride snapshot.py's
+#:   write paths, which gained start-of-write heartbeat markers next to
+#:   staging dirs and a file-mtime-keyed vacuum sweep (r9 ADVICE item 3),
+#:   plus exact decimal.Decimal comparison in _identity_may_overlap
+#:   (r9 ADVICE item 1).  Values and manifests are byte-identical; only
+#:   orphan-sweep bookkeeping and the decimal pruning path changed.
+CHANGED_R10_SPILL: tuple[str, ...] = (
+    "acid_snapshot_isolation",
+    "acid_merge_on_read_delete",
+    "acid_hidden_partition_prune",
+    "mv_incremental_refresh",
+)
+
+#: Queries REGISTERED in round 10 (the registry freeze admits gap-fills
+#: only): the AVI video tier's oracle gates, closing the r9 verdict's
+#: "pytest-only video codec" gap.  NEW queries lead the NEXT round's
+#: window per the rotation contract (they are exact-oracled locally from
+#: day one via tests/test_oracle_parity.py).
+NEW_R10: tuple[str, ...] = (
+    "media_avi_meta",
+    "media_avi_frame_features",
+)
+
+DRIVER_PRIORITY: tuple[str, ...] = R10_WINDOW
+
+#: Round-10 deferral tiers (policy clause 4 accounting): everything not
+#: in the active window and not green last round (R9_WINDOW), partitioned
+#: by the age of its newest green driver row.  Every entry still runs its
+#: exact oracle in every local pytest (tests/test_oracle_parity.py).
+DEFERRED_R10_R6: tuple[str, ...] = tuple(
+    n for n in DEFERRED_R9_R6 if n not in R10_WINDOW
+)  # 41 r6-green entries -> they lead the r11 window after NEW_R10
+DEFERRED_R10_R7: tuple[str, ...] = tuple(
+    n for n in DEFERRED_R9_R7 if n not in R10_WINDOW
+)  # r7-green entries (the two r7-tier sketch spills re-entered)
+DEFERRED_R10_R8: tuple[str, ...] = tuple(
+    n for n in R8_WINDOW if n not in R10_WINDOW and n not in R9_WINDOW
+)  # r8-green entries (acid gates re-graded r9; sketch spills in r10)
+
+DEFERRED_R10: tuple[str, ...] = (
+    DEFERRED_R10_R6 + DEFERRED_R10_R7 + DEFERRED_R10_R8
+)
+
+#: PRECOMPUTED ROUND-11 WINDOW (do NOT assign to DRIVER_PRIORITY before
+#: the round-10 driver grades the current window): the NEW_R10 gap-fills
+#: lead (never-graded), then the CHANGED_R10_SPILL re-entries
+#: (output-identical r10 code changes on fresh r9 rows), then the
+#: remaining r6-green entries (stalest tier, alphabetical), then the
+#: alphabetically-first r7-green fill.  The r11 builder's first act
+#: should be ``DRIVER_PRIORITY = R11_WINDOW`` plus re-appending any
+#: r11-changed queries and any r10 driver failures per the rotation
+#: contract above.
+R11_WINDOW: tuple[str, ...] = (
+    NEW_R10
+    + CHANGED_R10_SPILL
+    + tuple(sorted(DEFERRED_R10_R6))
+    + tuple(sorted(DEFERRED_R10_R7))
+)[:50]
+
+
+# ---------------------------------------------------------------------------
+# Tiering policy AS CODE (r9 verdict task 5): the window scheduler the
+# comments describe, executable so tests can simulate future rounds
+# instead of trusting prose.  Given the newest-green-round map, it returns
+# the set of queries the round-N window must grade:
+#   1. failures from round N-1 re-enter;
+#   2. changed-code/oracle entries re-enter;
+#   3. never-graded (NEW) entries enter;
+#   4. remaining slots go stalest-first (oldest green round), with
+#      alphabetical tiebreak inside a tier.
+# Ordering WITHIN the window (who leads) is presentation; membership is
+# the contract — tests assert set-equality against the pinned windows and
+# simulate rounds forward to prove max staleness stays <= MAX_STALENESS.
+# ---------------------------------------------------------------------------
+
+WINDOW_SLOTS = 50
+#: Worst-case rounds between green rows at 236 queries / 50 slots.
+MAX_STALENESS = 5
+
+
+def compute_window(
+    last_green: dict[str, int],
+    *,
+    failed: tuple[str, ...] = (),
+    changed: tuple[str, ...] = (),
+    new: tuple[str, ...] = (),
+    slots: int = WINDOW_SLOTS,
+) -> set[str]:
+    """The rotation policy, executable: mandatory re-entries (failures,
+    changed code, never-graded) plus stalest-first fill."""
+    window: list[str] = []
+    for name in (*failed, *changed, *new):
+        if name not in window:
+            window.append(name)
+    pool = sorted(
+        (n for n in last_green if n not in window),
+        key=lambda n: (last_green[n], n),
+    )
+    window.extend(pool[: max(0, slots - len(window))])
+    return set(window[:slots])
 
 
 def _ordered() -> list[str]:

@@ -131,6 +131,22 @@ def _commit(spark: SparkSession, path: str, version: int, files: list[str],
         )
 
 
+def _touch_staging_heartbeat(fs, hpath, staging: str) -> None:
+    """Stamp a start-of-write heartbeat FILE next to the staging dir
+    (``<staging>.heartbeat``).  Vacuum keys its staging sweep on real FILE
+    mtimes — the heartbeat plus the newest part file inside — because
+    directory mtimes are synthetic on object stores (r9 advice: a slow
+    in-flight append's staging dir could otherwise be swept mid-write).
+    Writers delete the marker together with the staging dir."""
+    fs.create(hpath(staging + ".heartbeat"), True).close()
+
+
+def _drop_staging(fs, hpath, staging: str) -> None:
+    """Remove a staging dir and its heartbeat marker."""
+    fs.delete(hpath(staging), True)
+    fs.delete(hpath(staging + ".heartbeat"), False)
+
+
 def _stage_files(
     spark: SparkSession, df: DataFrame, path: str, version: int, n_files: int | None
 ) -> tuple[list[str], dict[str, int]]:
@@ -153,6 +169,7 @@ def _stage_files(
     hpath, fs = _fs(spark, path)
     staging = path.rstrip("/") + f"/_staging_v{version:08d}_{txn}"
     fs.delete(hpath(staging), True)
+    _touch_staging_heartbeat(fs, hpath, staging)
     w = df.repartition(n_files) if n_files else df
     w.write.mode("overwrite").parquet(staging)
     ddir = _data_dir(path)
@@ -168,7 +185,7 @@ def _stage_files(
             raise IOError(f"staging rename failed for {name}")
         names.append(target)
         file_rows[target] = int(pq.ParquetFile(f"{ddir}/{target}").metadata.num_rows)
-    fs.delete(hpath(staging), True)
+    _drop_staging(fs, hpath, staging)
     return names, file_rows
 
 
@@ -541,10 +558,14 @@ def vacuum(
     # Crash orphans OUTSIDE data/ (late-r9 review): a writer dying between
     # its temp-manifest write and the commit rename leaves
     # _snapshots/_tmp_*.json; one dying mid-stage leaves a _staging_*/
-    # directory at the table root.  Both accumulate unboundedly unless
-    # swept here, under the SAME retention window (younger than the window
-    # may belong to an in-flight transaction; staging-dir mtime refreshes
-    # while a writer is actively landing part files into it).
+    # directory (plus its .heartbeat marker) at the table root.  Both
+    # accumulate unboundedly unless swept here, under the SAME retention
+    # window.  Liveness for a staging dir keys on real FILE mtimes — its
+    # start-of-write heartbeat marker and the newest file inside it — NOT
+    # the directory mtime, which is synthetic on object stores (r9 advice:
+    # a slow in-flight append could otherwise be swept mid-write).  Part
+    # files land with fresh mtimes on close, so an active writer keeps
+    # pushing the newest-file clock forward.
     swept_tmp = 0
     sdir = hpath(_snap_dir(path))
     if fs.exists(sdir):
@@ -556,15 +577,43 @@ def vacuum(
     swept_staging = 0
     root = hpath(path.rstrip("/"))
     if fs.exists(root):
-        for st in fs.listStatus(root):
+        entries = list(fs.listStatus(root))
+        beats = {
+            st.getPath().getName(): st
+            for st in entries
+            if not st.isDirectory()
+            and st.getPath().getName().startswith("_staging_")
+            and st.getPath().getName().endswith(".heartbeat")
+        }
+        dir_names = set()
+        for st in entries:
             name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("_staging_")):
+                continue
+            dir_names.add(name)
+            newest = st.getModificationTime()
+            beat = beats.get(name + ".heartbeat")
+            if beat is not None:
+                newest = max(newest, beat.getModificationTime())
+            stack = [st.getPath()]
+            while stack:
+                for child in fs.listStatus(stack.pop()):
+                    newest = max(newest, child.getModificationTime())
+                    if child.isDirectory():
+                        stack.append(child.getPath())
+            if newest < cutoff_ms:
+                fs.delete(st.getPath(), True)
+                if beat is not None:
+                    fs.delete(beat.getPath(), False)
+                swept_staging += 1
+        # Orphan heartbeat markers whose staging dir is already gone (a
+        # writer that crashed between the touch and the Spark write).
+        for name, st in beats.items():
             if (
-                st.isDirectory()
-                and name.startswith("_staging_")
+                name[: -len(".heartbeat")] not in dir_names
                 and st.getModificationTime() < cutoff_ms
             ):
-                fs.delete(st.getPath(), True)
-                swept_staging += 1
+                fs.delete(st.getPath(), False)
     return {
         "dropped_manifests": dropped,
         "deleted_files": deleted,
@@ -682,6 +731,7 @@ def delete(
     hpath, fs = _fs(spark, path)
     staging = path.rstrip("/") + f"/_staging_dv_v{base + 1:08d}_{txn}"
     fs.delete(hpath(staging), True)
+    _touch_staging_heartbeat(fs, hpath, staging)
     hits.write.mode("overwrite").parquet(staging)
     dvdir = _del_dir(path)
     fs.mkdirs(hpath(dvdir))
@@ -696,7 +746,7 @@ def delete(
         if not fs.rename(st.getPath(), hpath(f"{dvdir}/{target}")):
             raise IOError(f"DV staging rename failed for {name}")
         dv_names.append(target)
-    fs.delete(hpath(staging), True)
+    _drop_staging(fs, hpath, staging)
 
     all_dvs = (manifest.get("delete_files") or []) + dv_names
     n_deleted = 0
@@ -970,6 +1020,7 @@ def append_partitioned(
     txn = uuid.uuid4().hex[:8]
     staging = path.rstrip("/") + f"/_staging_v{version:08d}_{txn}"
     fs.delete(hpath(staging), True)
+    _touch_staging_heartbeat(fs, hpath, staging)
     (
         df.withColumn("__pv", _pv_expr(transform, col, arg))
         .repartition("__pv")
@@ -1014,7 +1065,7 @@ def append_partitioned(
                 "arg": arg, "value": value,
                 "coltype": df.schema[col].dataType.simpleString(),
             }
-    fs.delete(hpath(staging), True)
+    _drop_staging(fs, hpath, staging)
 
     if prev is not None:
         all_files = list(prev["files"]) + names
@@ -1069,16 +1120,24 @@ def _identity_may_overlap(coltype: str | None, val: str, lo, hi) -> bool:
     (a STRING — it came off a directory name) overlap ``[lo, hi]``?
 
     The comparison is typed by the file record's ``coltype``: integers
-    and floats compare numerically; strings and dates lexicographically
+    compare as Python ints, floats as floats, decimals EXACTLY via
+    decimal.Decimal (r9 advice: float() rounds decimals beyond 2^53, and a
+    value sitting on a predicate boundary can round ACROSS it — a wrong
+    prune, i.e. a dropped live file); strings and dates lexicographically
     (ISO dates order correctly).  Pruning may only drop PROVABLY-disjoint
     files, so any doubt — unknown/missing coltype (timestamps, binary,
     pre-coltype manifests) or an unparseable value — keeps the file."""
     try:
         if coltype in _PV_INT_TYPES:
             return int(lo) <= int(val) <= int(hi)
-        if coltype in _PV_FLOAT_TYPES or (coltype or "").startswith(
-            "decimal"
-        ):
+        if (coltype or "").startswith("decimal"):
+            from decimal import Decimal, InvalidOperation
+
+            try:
+                return Decimal(str(lo)) <= Decimal(val) <= Decimal(str(hi))
+            except InvalidOperation:
+                return True
+        if coltype in _PV_FLOAT_TYPES:
             return float(lo) <= float(val) <= float(hi)
         if coltype in _PV_LEX_TYPES or (coltype or "").startswith(
             ("varchar", "char")

@@ -105,11 +105,13 @@ def main() -> None:
 
     # Steady-state throughput: one cold run (pays one-time whole-stage-
     # codegen compilation — hundreds of ms of Janino per distinct plan, which
-    # a long-lived cluster amortizes to zero), then n >= 3 timed steady runs;
+    # a long-lived cluster amortizes to zero), then n >= 5 timed steady runs;
     # report the MIN with the (max-min) spread so round-over-round deltas can
     # be separated from machine-load noise (round-2 verdict: byte-identical
-    # queries drifted a uniform 1.2-1.4x between rounds under n<=2).
-    n_steady = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # queries drifted a uniform 1.2-1.4x between rounds under n<=2; the
+    # r8->r9 +32% drift on byte-identical plans pushed the default from 3
+    # to 5 — r9 verdict task 2: the rebuttal must live IN the artifact).
+    n_steady = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -126,6 +128,15 @@ def main() -> None:
         timings[name] = round(min(runs), 4)
         spread[name] = round(max(runs) - min(runs), 4)
 
+    # Machine-load stamp: a high 1-minute load average at measurement time
+    # is the documented signature of the r7/r8/r9 uniform drift on
+    # byte-identical plans — recording it makes the noise argument an
+    # artifact property instead of prose (r9 verdict task 2).
+    try:
+        loadavg_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg_1m = None
+
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings[n] for n in names if n in HEADLINE), 4),
@@ -137,14 +148,24 @@ def main() -> None:
         "steady_runs": n_steady,
         "cold_value": round(sum(cold[n] for n in names if n in HEADLINE), 4),
         "bench_half": bench_half,
+        "loadavg_1m": loadavg_1m,
     }
     # The round driver records only a fixed-size TAIL of stdout; round 3's
     # single full-payload line outgrew it and the head (with "value") was
     # truncated -> BENCH_r03.json parsed:null.  So: full payload goes to a
     # repo file, and stdout gets ONE compact line (metric/value/unit/sf/
-    # queries/cold) that always fits the capture window.
+    # queries/spreads/cold) that always fits the capture window.
+    # Artifact naming (r9 verdict task 3): the default headline run and the
+    # SPARK_GRAFT_BENCH_ALL full-registry sweep get DISTINCT files so the
+    # driver's per-round headline write can never shadow the committed
+    # registry-wide sweep.
+    full_name = (
+        "bench_registry_latest.json"
+        if os.environ.get("SPARK_GRAFT_BENCH_ALL")
+        else "bench_full_latest.json"
+    )
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_full_latest.json")
+                             full_name)
     try:
         with open(full_path, "w") as fh:
             json.dump(out, fh)
@@ -156,10 +177,12 @@ def main() -> None:
         "unit": "sec",
         "sf": out["sf"],
         "queries": timings,
+        "queries_spread": spread,
         "steady_runs": n_steady,
         "cold_value": out["cold_value"],
         "bench_half": bench_half,
-        "full": "bench_full_latest.json",
+        "loadavg_1m": loadavg_1m,
+        "full": full_name,
     }
     print(json.dumps(compact))
     spark.stop()

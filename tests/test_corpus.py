@@ -457,3 +457,28 @@ def test_temperature_mix_survives_bigint_overflow_scale(spark):
         ).collect()
     }
     assert out == {"en": 90, "pt": 10}  # budget >> corpus: capped at n
+
+
+def test_stratified_quota_sample_refine_buckets_kwarg(spark, sf_smoke):
+    """r9 ADVICE item 2: n_refine_buckets is back-compat-accepted as a
+    validated no-op (the bucket count is fixed at 256 by the hash-prefix
+    construction); any other value is rejected loudly."""
+    import pytest as _pytest
+
+    from aws_etl_fiap_spark.operators.sampling import stratified_quota_sample
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    base = {
+        r.doc_id
+        for r in stratified_quota_sample(docs, ["lang"], 0.1, "doc_id").collect()
+    }
+    legacy = {
+        r.doc_id
+        for r in stratified_quota_sample(
+            docs, ["lang"], 0.1, "doc_id", n_refine_buckets=256
+        ).collect()
+    }
+    assert base == legacy
+    with _pytest.raises(ValueError, match="fixed at 256"):
+        stratified_quota_sample(docs, ["lang"], 0.1, "doc_id", n_refine_buckets=128)

@@ -1,6 +1,6 @@
 """Driver-window ordering invariants.
 
-The round driver grades only the first 50 ``queries()`` entries (rounds 1-7
+The round driver grades only the first 50 ``queries()`` entries (rounds 1-9
 evidence: every CORRECTNESS_r*.json covers exactly the first 50 in
 registration order).  These tests pin the ROTATION POLICY itself
 (registry.py's rotation section), not a hand-copied family list — the
@@ -12,17 +12,29 @@ TPC-H entries:
 * a query the driver FAILED last round occupies a graded slot;
 * remaining slots go stalest-first (never-graded, then oldest green row);
 * every registered query is accounted for: graded this round, green last
-  round, or an explicitly documented deferral (``DEFERRED_R8``);
-* deferrals never include changed code or last round's failures, and never
-  exceed the window overflow they exist to absorb.
+  round, a documented deferral, or a NEW entry leading the next window;
+* deferrals never include changed code or last round's failures;
+* the policy itself is executable (registry.compute_window) and a forward
+  simulation proves max staleness stays <= registry.MAX_STALENESS rounds.
 """
+
+import json
+import os
 
 from aws_etl_fiap_spark.queries import registry
 
 DRIVER_WINDOW = 50
 
-#: r9: CORRECTNESS_r08.json is all-green (50/50) — no failures to re-enter.
-FAILED_R8: tuple = ()
+
+def _failed_r9() -> tuple:
+    """FAILED_R9 is pinned empty in registry.py; prove it against the
+    artifact instead of trusting the comment."""
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r09.json")
+    with open(path) as fh:
+        graded = json.load(fh)
+    return tuple(
+        sorted(n for n, row in graded.items() if not row.get("hash_match"))
+    )
 
 
 def _names():
@@ -35,9 +47,33 @@ def _window():
     return set(_names()[:DRIVER_WINDOW])
 
 
+def _last_green() -> dict:
+    """Newest green driver round per query, rebuilt from the pinned tier
+    data (later windows overwrite earlier tiers).  NEW_R10 entries have no
+    green row yet (round 0 = never graded)."""
+    last = {}
+    for rnd, block in (
+        (5, registry.DEFERRED_R8_R5),
+        (6, registry.DEFERRED_R8_R6),
+        (7, registry.R7_WINDOW),
+        (8, registry.R8_WINDOW),
+        (9, registry.R9_WINDOW),
+    ):
+        for n in block:
+            last[n] = max(last.get(n, 0), rnd)
+    for n in registry.NEW_R10:
+        last.setdefault(n, 0)
+    return last
+
+
+def test_failed_r9_matches_artifact():
+    assert _failed_r9() == registry.FAILED_R9 == ()
+
+
 def test_priority_names_all_registered():
     names = _names()
     assert set(registry.DRIVER_PRIORITY) <= set(names)
+    assert set(registry.NEW_R10) <= set(names), "NEW_R10 names not registered"
 
 
 def test_no_query_lost_or_duplicated():
@@ -51,41 +87,56 @@ def test_window_is_exactly_full():
     graded slots on arbitrary registration order, more silently truncates."""
     assert len(registry.DRIVER_PRIORITY) == DRIVER_WINDOW
     assert len(set(registry.DRIVER_PRIORITY)) == DRIVER_WINDOW
+    assert registry.DRIVER_PRIORITY == registry.R10_WINDOW
 
 
 def test_changed_queries_inside_driver_window():
-    """Policy clause 1: changed implementation/oracle => graded slot."""
-    missing = [n for n in registry.CHANGED_R9 if n not in _window()]
-    assert not missing, f"changed-this-round queries outside window: {missing}"
+    """Policy clause 1: changed implementation/oracle => graded slot.
+    CHANGED_R9_SPILL (output-identical late-r9 changes) leads this window;
+    CHANGED_R10 entries must preempt the tail as they land."""
+    w = _window()
+    missing = [
+        n
+        for n in (*registry.CHANGED_R9_SPILL, *registry.CHANGED_R10)
+        if n not in w
+    ]
+    assert not missing, f"changed-code queries outside window: {missing}"
 
 
 def test_failed_queries_inside_driver_window():
     """Policy clause 2: last round's driver failures re-enter immediately."""
-    missing = [n for n in FAILED_R8 if n not in _window()]
-    assert not missing, f"round-8 failures outside window: {missing}"
+    missing = [n for n in _failed_r9() if n not in _window()]
+    assert not missing, f"round-9 failures outside window: {missing}"
 
 
 def test_every_query_accounted_for():
     """Policy clause 4: window + last round's graded window + documented
-    deferrals must cover the whole registry — nothing goes silently
-    ungraded."""
-    accounted = _window() | set(registry.R8_WINDOW) | set(registry.DEFERRED_R9)
+    deferrals + NEW entries (leading next window) must cover the whole
+    registry — nothing goes silently ungraded."""
+    accounted = (
+        _window()
+        | set(registry.R9_WINDOW)
+        | set(registry.DEFERRED_R10)
+        | set(registry.NEW_R10)
+    )
     missing = sorted(set(registry.REGISTRY) - accounted)
     assert not missing, f"queries with no grading account: {missing}"
 
 
 def test_deferrals_are_legitimate():
-    """Deferrals absorb exactly the window overflow (|eligible| - 50),
-    never changed code, and never last round's failures."""
-    deferred = set(registry.DEFERRED_R9)
+    """Deferrals absorb exactly the window overflow, never changed code,
+    and never last round's failures."""
+    deferred = set(registry.DEFERRED_R10)
     assert not deferred & _window(), "deferred query occupies a window slot"
-    assert not deferred & set(registry.CHANGED_R9), "changed code deferred"
-    assert not deferred & set(FAILED_R8), "driver failure deferred"
-    # Eligible for r9 grading: everything not sitting on a fresh r8 row,
-    # plus the r8-graded entries that must re-enter (failures + changed).
-    eligible = (set(registry.REGISTRY) - set(registry.R8_WINDOW)) | set(
-        registry.CHANGED_R9
-    )
+    assert not deferred & set(registry.CHANGED_R10), "changed code deferred"
+    assert not deferred & set(_failed_r9()), "driver failure deferred"
+    # Eligible for r10 grading: everything not sitting on a fresh r9 row
+    # and not r10-new, plus mandatory re-entries.
+    eligible = (
+        set(registry.REGISTRY)
+        - set(registry.R9_WINDOW)
+        - set(registry.NEW_R10)
+    ) | set(registry.CHANGED_R9_SPILL) | set(registry.CHANGED_R10)
     overflow = len(eligible) - DRIVER_WINDOW
     assert len(deferred) == overflow, (
         f"{len(deferred)} deferrals for an overflow of {overflow}"
@@ -94,23 +145,23 @@ def test_deferrals_are_legitimate():
 
 
 def test_deferred_partition_is_consistent():
-    """The three documented deferral tiers partition DEFERRED_R8."""
+    """The three documented deferral tiers partition DEFERRED_R10."""
     tiers = (
-        set(registry.DEFERRED_R9_R5)
-        | set(registry.DEFERRED_R9_R6)
-        | set(registry.DEFERRED_R9_R7)
+        set(registry.DEFERRED_R10_R6)
+        | set(registry.DEFERRED_R10_R7)
+        | set(registry.DEFERRED_R10_R8)
     )
-    assert tiers == set(registry.DEFERRED_R9)
-    assert len(registry.DEFERRED_R9) == (
-        len(registry.DEFERRED_R9_R5)
-        + len(registry.DEFERRED_R9_R6)
-        + len(registry.DEFERRED_R9_R7)
+    assert tiers == set(registry.DEFERRED_R10)
+    assert len(registry.DEFERRED_R10) == (
+        len(registry.DEFERRED_R10_R6)
+        + len(registry.DEFERRED_R10_R7)
+        + len(registry.DEFERRED_R10_R8)
     )
 
 
 def test_every_window_entry_is_oracled():
     """A window slot spent on an oracle-less entry is a guaranteed
-    err:no_oracle row (round-2 advice): all 50 graded entries must carry an
+    err:no_oracle row (round-2 advice): all graded entries must carry an
     exact oracle.  As of r6 the whole registry is oracled."""
     from aws_etl_fiap_spark import queries  # noqa: F401
 
@@ -126,26 +177,92 @@ def test_oracle_orphans():
     assert set(oracles) <= set(registry.queries())
 
 
-def test_r10_window_precomputed():
-    """Tiering policy (r8 judge item 3): the next round's window is
-    precomputed and pinned — the 41 remaining r5-green entries (stalest
-    tier) lead, the 9 alphabetically-first r6-green entries fill, and no
-    entry's green row goes staler than 5 rounds at 236 queries."""
-    w = registry.R10_WINDOW
+def test_r10_window_matches_policy():
+    """The pinned window is exactly what the executable policy computes:
+    CHANGED_R9_SPILL re-entries + stalest-first fill (all 45 r5-green
+    entries drain this round, then the alphabetically-first r6-green)."""
+    # NEW_R10 entries are excluded from the pool: they did not exist when
+    # the window was pinned in r9, and the contract routes them to LEAD
+    # the r11 window instead (they are exact-oracled locally from day one).
+    pool = {
+        n: r for n, r in _last_green().items() if n not in registry.NEW_R10
+    }
+    expected = registry.compute_window(
+        pool,
+        failed=_failed_r9(),
+        changed=registry.CHANGED_R9_SPILL + registry.CHANGED_R10,
+    )
+    assert set(registry.R10_WINDOW) == expected
+    assert set(registry.DEFERRED_R9_R5) <= set(registry.R10_WINDOW), (
+        "the r5-stale tier must fully drain in r10"
+    )
+    # spill entries lead (contract: changed-code re-entries preempt).
+    assert registry.R10_WINDOW[: len(registry.CHANGED_R9_SPILL)] == (
+        registry.CHANGED_R9_SPILL
+    )
+
+
+def test_r11_window_precomputed():
+    """The next round's window is precomputed and pinned: NEW_R10 gap-fills
+    lead (never-graded), the remaining r6-green tier drains, and the
+    alphabetically-first r7-green entries fill."""
+    w = registry.R11_WINDOW
     assert len(w) == DRIVER_WINDOW and len(set(w)) == DRIVER_WINDOW
     assert set(w) <= set(registry.REGISTRY)
-    # never overlaps the r9 window (those rows will be fresh), and the
-    # r5 tier is fully drained before any r6 entry takes a slot.
-    assert not set(w) & set(registry.R9_WINDOW)
-    assert set(registry.DEFERRED_R9_R5) <= set(w)
-    r6_fill = [n for n in w if n in set(registry.DEFERRED_R9_R6)]
-    assert r6_fill == sorted(registry.DEFERRED_R9_R6)[: len(r6_fill)]
+    assert not set(w) & set(registry.R10_WINDOW)
+    lead = registry.NEW_R10 + registry.CHANGED_R10_SPILL
+    assert w[: len(lead)] == lead
+    assert set(registry.DEFERRED_R10_R6) <= set(w), (
+        "the r6-green tier must fully drain in r11"
+    )
+    # Policy agreement: after the r10 window greens, the executable policy
+    # picks exactly this set.
+    last = _last_green()
+    for n in registry.R10_WINDOW:
+        last[n] = 10
+    expected = registry.compute_window(
+        last, new=registry.NEW_R10, changed=registry.CHANGED_R10_SPILL
+    )
+    assert set(w) == expected
 
 
-def test_r9_window_covers_never_graded_and_changed():
-    """The active window's whole point: every never-driver-graded r8
-    addition gets its first CORRECTNESS row this round, and every
-    r9-changed query re-enters."""
+def test_staleness_simulation_stays_under_ceiling():
+    """Forward-simulate the executable policy from the r10 state through
+    five more rounds and prove NO query's gap between green rows ever
+    exceeds MAX_STALENESS (= 5 at 236 queries / 50 slots).  This is the
+    r9 verdict's task 5: the ceiling as a failing test, not a comment."""
+    last = _last_green()
+    for n in registry.R10_WINDOW:
+        last[n] = 10
+    worst = 0
+    for rnd in range(11, 17):
+        window = (
+            set(registry.R11_WINDOW)
+            if rnd == 11
+            else registry.compute_window(last)
+        )
+        for n in window:
+            prev = last[n]
+            if prev:  # never-graded entries (0) have no staleness gap yet
+                worst = max(worst, rnd - prev)
+            last[n] = rnd
+        stalest = min(v for v in last.values())
+        assert rnd - stalest < registry.MAX_STALENESS + 1, (
+            f"after r{rnd}, a query's newest green is r{stalest}"
+        )
+    assert worst <= registry.MAX_STALENESS, (
+        f"simulated staleness gap {worst} exceeds {registry.MAX_STALENESS}"
+    )
+
+
+def test_r10_window_covers_spill_and_stale():
+    """The active window's whole point: the three output-identical late-r9
+    code changes get re-graded, and the entire r5-stale tier (all 22 TPC-H,
+    the flagship smoke query, the media fake-codec family) drains."""
     w = set(registry.DRIVER_PRIORITY)
-    assert set(registry.DEFERRED_R8_NEVER) <= w
-    assert set(registry.CHANGED_R9) <= w
+    assert set(registry.CHANGED_R9_SPILL) <= w
+    assert "flagship_refined_summary" in w
+    # all 18 r5-stale TPC-H entries drain (q4/q6/q12/q14 are r6-green and
+    # ride the r11 window with the rest of the r6 tier).
+    tpch_r5 = [n for n in registry.DEFERRED_R9_R5 if n.startswith("tpch_")]
+    assert len(tpch_r5) == 18 and set(tpch_r5) <= w

@@ -1062,6 +1062,9 @@ def test_vacuum_sweeps_crashed_writer_orphans(spark, sf_smoke, tmp_path):
     old = 1_000_000_000  # epoch 2001 — far past any retention window
     os.utime(stale_tmp, (old, old))
     os.utime(stale_stage, (old, old))
+    # r10: the sweep keys on FILE mtimes (dir mtimes are synthetic on
+    # object stores) — "stale" means every file inside is old too.
+    os.utime(stale_stage / "part-0.parquet", (old, old))
     fresh_tmp = snap_dir / "_tmp_v00000003_cafebabe.json"
     fresh_tmp.write_text("{}")
 
@@ -1071,3 +1074,109 @@ def test_vacuum_sweeps_crashed_writer_orphans(spark, sf_smoke, tmp_path):
     assert fresh_tmp.exists()  # young: possibly an in-flight writer
     # and the table is untouched
     assert S.read_table(spark, path).count() == 10
+
+
+def test_vacuum_staging_liveness_keys_on_file_mtimes(spark, sf_smoke, tmp_path):
+    """r9 ADVICE item 3: a slow in-flight writer's staging dir must survive
+    the sweep even where directory mtimes are synthetic/stale (object
+    stores).  Liveness = the start-of-write .heartbeat marker OR the newest
+    file inside; the dir's own mtime alone must not condemn it."""
+    import os
+
+    path = str(tmp_path / "snap")
+    S.create_table(spark, _orders(spark, sf_smoke).limit(10), path, n_files=1)
+
+    old = 1_000_000_000  # epoch 2001
+    # In-flight writer: dir mtime ancient (synthetic), heartbeat fresh,
+    # no part files landed yet — the exact mid-write window the advice
+    # flagged.  Must be retained.
+    live = tmp_path / "snap" / "_staging_v00000002_aaaaaaaa"
+    live.mkdir()
+    (tmp_path / "snap" / "_staging_v00000002_aaaaaaaa.heartbeat").touch()
+    os.utime(live, (old, old))
+
+    # Second in-flight shape: ancient dir mtime AND ancient heartbeat, but
+    # a part file landed recently (long-running multi-task write).  Must
+    # also be retained.
+    live2 = tmp_path / "snap" / "_staging_v00000003_bbbbbbbb"
+    live2.mkdir()
+    beat2 = tmp_path / "snap" / "_staging_v00000003_bbbbbbbb.heartbeat"
+    beat2.touch()
+    (live2 / "part-0.parquet").write_bytes(b"x")
+    os.utime(live2, (old, old))
+    os.utime(beat2, (old, old))
+
+    out = S.vacuum(spark, path, keep_last=1, retain_seconds=3600)
+    assert out["swept_staging_dirs"] == 0
+    assert live.exists() and live2.exists()
+
+    # Once everything inside is old too, the crashed writer sweeps —
+    # including its heartbeat marker.
+    os.utime(live2 / "part-0.parquet", (old, old))
+    beat1 = tmp_path / "snap" / "_staging_v00000002_aaaaaaaa.heartbeat"
+    os.utime(beat1, (old, old))
+    out2 = S.vacuum(spark, path, keep_last=1, retain_seconds=3600)
+    assert out2["swept_staging_dirs"] == 2
+    assert not live.exists() and not live2.exists()
+    assert not beat1.exists() and not beat2.exists()
+
+
+def test_vacuum_sweeps_orphan_heartbeats(spark, sf_smoke, tmp_path):
+    """A writer crashing between the heartbeat touch and the Spark write
+    leaves a heartbeat with no staging dir; old ones must sweep, young
+    ones are retained (the write may be about to start)."""
+    import os
+
+    path = str(tmp_path / "snap")
+    S.create_table(spark, _orders(spark, sf_smoke).limit(10), path, n_files=1)
+    old_beat = tmp_path / "snap" / "_staging_v00000009_dddddddd.heartbeat"
+    old_beat.touch()
+    os.utime(old_beat, (1_000_000_000, 1_000_000_000))
+    young_beat = tmp_path / "snap" / "_staging_v00000009_eeeeeeee.heartbeat"
+    young_beat.touch()
+
+    S.vacuum(spark, path, keep_last=1, retain_seconds=3600)
+    assert not old_beat.exists()
+    assert young_beat.exists()
+
+
+def test_writers_leave_no_staging_or_heartbeat(spark, sf_smoke, tmp_path):
+    """Every staging site (plain, partitioned, DV) cleans up both the
+    staging dir and its heartbeat on success."""
+    import os
+
+    src = _orders(spark, sf_smoke).limit(50)
+    path = str(tmp_path / "snap")
+    S.create_table(spark, src, path, n_files=2)
+    S.append_partitioned(
+        spark,
+        src.limit(10).withColumn("o_orderkey", F.col("o_orderkey") + 10**9),
+        path, "bucket", "o_orderkey", 4,
+    )
+    S.delete(
+        spark, path, src.limit(5).select("o_orderkey"), ["o_orderkey"]
+    )
+    leftovers = [
+        n for n in os.listdir(path) if n.startswith("_staging_")
+    ]
+    assert leftovers == [], leftovers
+
+
+def test_identity_overlap_decimal_is_exact(spark):
+    """r9 ADVICE item 1: decimal identity-partition values compare via
+    decimal.Decimal, not float().  Beyond 2^53, float() collapses distinct
+    decimals onto one double — exact comparison both prunes provably-
+    disjoint files float math would keep AND never drops an overlapping
+    one; unparseable values keep the file."""
+    may = S._identity_may_overlap
+    v = "100000000000000000000001"          # 1e23 + 1: float(v) == float(1e23)
+    hi = 10**23
+    # float would say "equal -> overlap"; exact arithmetic prunes.
+    assert may("decimal(38,0)", v, 0, hi) is False
+    # the true-boundary twin stays kept
+    assert may("decimal(38,0)", str(10**23), 0, hi) is True
+    # fractional decimals compare exactly too
+    assert may("decimal(38,18)", "0.100000000000000000", 0, "0.1") is True
+    assert may("decimal(38,18)", "0.100000000000000001", 0, "0.1") is False
+    # doubt keeps the file
+    assert may("decimal(38,0)", "not-a-number", 0, hi) is True
