@@ -184,18 +184,33 @@ def avi_meta(data: bytes) -> dict:
         break
     if "width" not in meta:
         raise AviFormatError("no hdrl/avih header found")
+    # ok at the meta tier must mean "these headers describe a decodable
+    # clip", not merely "the bytes parse" (r10 advice): a fuzzed avih with
+    # zero geometry would otherwise route downstream as healthy and only
+    # fail at the (more expensive) decode tier.
+    if meta["width"] < 1 or meta["height"] < 1:
+        raise AviFormatError(
+            f"bad dimensions {meta['width']}x{meta['height']}"
+        )
+    if meta["n_frames"] < 0:
+        raise AviFormatError(f"negative frame count {meta['n_frames']}")
     return meta
 
 
 def avi_decode(data: bytes):
     """Parse AVI bytes -> (fps, frames as (n, h, w, 3) uint8 RGB ndarray),
-    undoing all three DIB quirks (stride padding, bottom-up rows, BGR)."""
+    undoing all three DIB quirks (stride padding, bottom-up rows, BGR).
+
+    Frame chunks: both '00db' (uncompressed) and '00dc' fourccs are
+    accepted AS RAW DIBs — the strf header (validated BI_RGB/24-bit in
+    :func:`avi_meta`) is authoritative over the per-chunk fourcc, matching
+    how players treat rawvideo files from muxers that emit '00dc'
+    regardless of compression; a file whose header lies about its frames
+    being raw is out of contract (r10 advice note)."""
     import numpy as np
 
     meta = avi_meta(data)
     w, h = meta["width"], meta["height"]
-    if w < 1 or h < 1:
-        raise AviFormatError(f"bad dimensions {w}x{h}")
     stride = _pad4(w * 3)
     frames = []
     for fourcc, lo, hi in _chunks(data, 12, len(data)):

@@ -503,6 +503,24 @@ def main() -> None:
     n_e = big_edges.count()
     stage(f"pagerank_3iter_{n_e}edges", lambda: pagerank(big_edges, iters=3).count())
 
+    # LPA at the same K x edge list (r9 verdict item 6): per synchronous
+    # round the cost is ONE edges-x-labels join + one (vertex, label)
+    # count + one row_number tie-break — all edge-scoped shuffles, no
+    # all-pairs anywhere.  The registered gate's brand graph is 25
+    # vertices regardless of fact volume, so THIS is the honest
+    # 20x-density probe for the rounds themselves.
+    def _lpa():
+        from aws_etl_fiap_spark.operators.graph import (
+            label_propagation_communities,
+        )
+
+        ed = big_edges.select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+        )
+        return label_propagation_communities(ed, iters=2).count()
+
+    stage(f"lpa_2iter_{n_e}edges", _lpa)
+
     emb = load_table(spark, args.sf, "embeddings")
     big_emb = (
         emb.crossJoin(copies)

@@ -171,3 +171,43 @@ def test_energy_windows_hand_checked(spark):
     assert rows[0]["peak"] == 3 and rows[0]["sum_sq"] == 1 + 4 + 9
     assert rows[1]["peak"] == 6 and rows[1]["sum_sq"] == 16 + 25 + 36
     assert rows[2]["peak"] == 7 and rows[2]["sum_sq"] == 49
+
+
+def test_wav_roundtrip_property():
+    """Property (r9 verdict task 8, AVI-template sibling): encode -> decode
+    is sample-exact for ANY frame count, channel layout, and rate; stats
+    match an independent numpy re-derivation; decimation keeps exactly
+    every f-th frame inside a genuine re-encoded container."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.audio import wav_decimate
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=200),           # frames
+        st.integers(min_value=1, max_value=3),             # channels
+        st.sampled_from([4000, 8000, 16000, 44100]),       # rate
+        st.integers(min_value=0, max_value=2**32 - 1),     # sample seed
+    )
+    def prop(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+        data = wav_encode(samples.reshape(-1), rate, channels=ch)
+        r2, c2, back = wav_decode(data)
+        assert (r2, c2) == (rate, ch)
+        assert back.dtype == np.dtype("<i2") and np.array_equal(back, samples)
+        stats = wav_stats(data)
+        mono = samples[:, 0].astype(np.int64)
+        assert stats["n_frames"] == n
+        assert stats["duration_ms"] == n * 1000 // rate
+        assert stats["peak"] == int(np.abs(mono).max())
+        assert stats["sum_sq"] == int((mono * mono).sum())
+        assert stats["zero_cross"] == int((mono[:-1] * mono[1:] < 0).sum())
+        for f in (2, 4):
+            if rate % f == 0:
+                r3, c3, kept = wav_decode(wav_decimate(data, f))
+                assert (r3, c3) == (rate // f, ch)
+                assert np.array_equal(kept, samples[::f])
+
+    prop()

@@ -1180,3 +1180,75 @@ def test_identity_overlap_decimal_is_exact(spark):
     assert may("decimal(38,18)", "0.100000000000000001", 0, "0.1") is False
     # doubt keeps the file
     assert may("decimal(38,0)", "not-a-number", 0, hi) is True
+
+
+def test_snapshot_commit_algebra_property(spark):
+    """Property (r9 verdict task 8): an arbitrary interleaving of
+    upsert / MoR-delete / compact commits must equal the trivial
+    dict-model fold at EVERY version — current reads after each commit,
+    and time travel to every recorded version at the end.  This pins the
+    commit algebra itself (CoW rewrite + DV anti-join + compaction
+    absorption composing in any order), not one hand-picked scenario."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.integers(min_value=1, max_value=12)
+    batch = st.dictionaries(
+        keys, st.integers(min_value=0, max_value=99), min_size=1, max_size=6
+    )
+    op = st.one_of(
+        st.tuples(st.just("upsert"), batch),
+        st.tuples(st.just("delete"), st.sets(keys, min_size=1, max_size=4)),
+        st.tuples(st.just("compact"), st.none()),
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(batch, st.lists(op, min_size=1, max_size=4))
+    def prop(init, ops):
+        tmp = tempfile.mkdtemp(prefix="snapprop_")
+        path = tmp + "/t"
+        try:
+            model = dict(init)
+            S.create_table(
+                spark,
+                spark.createDataFrame(sorted(init.items()), "k int, v int"),
+                path,
+                n_files=2,
+            )
+            snaps = {1: dict(model)}
+            for kind, arg in ops:
+                if kind == "upsert":
+                    S.upsert(
+                        spark, path,
+                        spark.createDataFrame(sorted(arg.items()), "k int, v int"),
+                        ["k"],
+                    )
+                    model.update(arg)
+                elif kind == "delete":
+                    # deletes may name absent keys — must be a no-op for them
+                    S.delete(
+                        spark, path,
+                        spark.createDataFrame([(k,) for k in sorted(arg)], "k int"),
+                        ["k"],
+                    )
+                    for k in arg:
+                        model.pop(k, None)
+                else:
+                    S.compact(spark, path, target_rows=1_000)
+                ver = S.current_version(spark, path)
+                got = {(r["k"], r["v"]) for r in S.read_table(spark, path).collect()}
+                assert got == set(model.items()), (kind, arg)
+                snaps[ver] = dict(model)
+            for ver, snap in snaps.items():
+                got = {
+                    (r["k"], r["v"])
+                    for r in S.read_table(spark, path, version=ver).collect()
+                }
+                assert got == set(snap.items()), f"time travel to v{ver}"
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    prop()

@@ -227,3 +227,19 @@ def test_encode_rejects_header_field_overflow_as_avi_format_error():
         V.avi_encode(wide, fps=1)
     with pytest.raises(V.AviFormatError, match="frame clock"):
         V.avi_encode(_frames(n=1), fps=1_000_001)
+
+
+def test_meta_rejects_zero_geometry():
+    """r10 advice: ok at the META tier means "headers describe a decodable
+    clip" — a fuzzed avih with zero width/height must fail at avi_meta,
+    not slip through as healthy routing metadata."""
+    good = V.avi_encode(_frames(), fps=10)
+    avih = good.index(b"avih")
+    # avih body starts 8 bytes after the fourcc; dwWidth/dwHeight are
+    # uint32 words 8 and 9 of the body.
+    body = avih + 8
+    for word in (8, 9):
+        fuzzed = bytearray(good)
+        fuzzed[body + 4 * word : body + 4 * word + 4] = b"\x00\x00\x00\x00"
+        with pytest.raises(V.AviFormatError, match="bad dimensions"):
+            V.avi_meta(bytes(fuzzed))
