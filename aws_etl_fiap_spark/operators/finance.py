@@ -16,9 +16,11 @@ Numeric-parity design (the driver hash-compares against DuckDB):
   rolling ``sum(x)``/``sum(x*x)`` stays exact in int64, and the variance
   ``(n*s2 - s1^2) / n^2`` is one exact-integer expression followed by one
   IEEE divide + sqrt — the same correctly-rounded ops in every engine.
-  int64 bounds: |x| <= ~3e9 cents per row keeps ``sum(x*x)`` over a
-  20-row frame under 2^63; raise the cent scale down (or window width) for
-  wider-valued series.
+  int64 bounds: the binding constraints are the DERIVED terms ``n*s2``
+  and ``s1^2`` (not s2 itself) — for a 20-row frame both stay under 2^63
+  when |x| <= ~1.5e8 cents (~$1.5M per value); beyond that, ANSI mode
+  fails loudly with ARITHMETIC_OVERFLOW rather than silently wrapping.
+  Lower the cent scale (or the window width) for wider-valued series.
 """
 
 from __future__ import annotations

@@ -39,6 +39,17 @@ def ols_fit_per_group(
         x = pdf[x_col].astype("int64")
         y = pdf[y_col].astype("int64")
         n = int(len(pdf))
+        # numpy int64 sums WRAP silently on overflow — the exactness claim
+        # would break without a diagnostic (r10 review).  The worst-case
+        # bound n * max|x| * max|y| is exact Python-int arithmetic; fail
+        # loudly instead of returning a wrapped (wrong) fit.
+        mx = int(x.abs().max()) if n else 0
+        my = int(y.abs().max()) if n else 0
+        if n * max(mx * mx, mx * my, mx, my) >= 2**63:
+            raise ValueError(
+                f"ols_fit_per_group: group of {n} rows with |x|<={mx}, "
+                f"|y|<={my} can overflow int64 sums; rescale the features"
+            )
         sx, sy = int(x.sum()), int(y.sum())
         sxy, sxx = int((x * y).sum()), int((x * x).sum())
         den = n * sxx - sx * sx

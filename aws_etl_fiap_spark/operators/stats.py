@@ -107,8 +107,11 @@ def chi2_independence(
     wr = Window.partitionBy("r")
     wc = Window.partitionBy("c")
     wall = Window.partitionBy()
-    e = (
-        F.sum("o").over(wr) * F.sum("o").over(wc)
+    # _prod_exact: two multi-billion-row marginals would overflow the
+    # BIGINT product (ANSI job-kill; silent wrap elsewhere) — the DECIMAL
+    # product is exact and value-identical below the bound (r10 review).
+    e = _prod_exact(
+        F.sum("o").over(wr), F.sum("o").over(wc)
     ).cast("double") / F.sum("o").over(wall).cast("double")
     o = F.col("o").cast("double")
     term = round_half_up((o - e) * (o - e) / e, 9)
@@ -171,9 +174,11 @@ def welch_z_test(
             F.col(f"s1_{label}"),
             F.col(f"s2_{label}"),
         )
-        return (n * s2 - _prod_exact(s1, s1)).cast("double") / (n * n).cast(
-            "double"
-        ) / 10000.0
+        # n*n via _prod_exact too: a multi-billion-row group's squared
+        # count overflows BIGINT (r10 review); exact and value-identical.
+        return (n * s2 - _prod_exact(s1, s1)).cast("double") / _prod_exact(
+            n, n
+        ).cast("double") / 10000.0
 
     # try_divide: both-groups-constant data has a zero standard error;
     # NULL there matches DuckDB (ANSI Spark would raise).

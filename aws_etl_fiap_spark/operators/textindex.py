@@ -111,8 +111,14 @@ def read_postings_for(
 def conjunctive_search(postings: DataFrame, terms: Sequence[str]) -> DataFrame:
     """doc_ids containing ALL ``terms``: filter the postings to the term
     set, count distinct terms per doc, keep docs hitting every one.  One
-    shuffle, keyed on doc_id, over only the matching postings."""
+    shuffle, keyed on doc_id, over only the matching postings.
+
+    An empty term set is refused loudly (r10 review): "all of no terms"
+    would silently return zero docs where a caller almost certainly meant
+    "no filter" — an ambiguity better rejected than guessed."""
     tlist = sorted({t.lower() for t in terms})
+    if not tlist:
+        raise ValueError("conjunctive_search requires at least one term")
     return (
         postings.filter(F.col("term").isin(tlist))
         .groupBy("doc_id")
@@ -124,13 +130,20 @@ def conjunctive_search(postings: DataFrame, terms: Sequence[str]) -> DataFrame:
 
 def sql_contains_all_terms(text_expr: str, terms: Sequence[str]) -> str:
     """DuckDB twin: the same tokenization, as a direct predicate on the
-    raw text — the oracle the index search must agree with exactly."""
+    raw text — the oracle the index search must agree with exactly.
+    Term literals are SQL-escaped (quote doubling) so a term containing a
+    quote renders as a valid (never-matching — the tokenizer strips
+    non-alphanumerics) literal instead of broken SQL; the empty term set
+    is refused to mirror conjunctive_search."""
+    tlist = sorted({t.lower() for t in terms})
+    if not tlist:
+        raise ValueError("sql_contains_all_terms requires at least one term")
     clauses = [
         "list_contains(list_filter(string_split_regex(lower("
         + text_expr
         + "), '[^a-z0-9]+'), x -> x <> ''), '"
-        + t.lower()
+        + t.replace("'", "''")
         + "')"
-        for t in sorted({t.lower() for t in terms})
+        for t in tlist
     ]
     return " AND ".join(clauses)

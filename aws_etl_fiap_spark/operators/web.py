@@ -113,7 +113,15 @@ def host_of(canonical_url: Column) -> Column:
 
 def registered_domain(host: Column) -> Column:
     """eTLD+1 under the TWO_LEVEL_SUFFIXES sample list: last two host
-    labels, or last three when the host ends in a two-level public suffix."""
+    labels, or last three when the host ends in a two-level public suffix.
+
+    Single-label hosts (localhost, bare intranet names) return as-is: the
+    session runs ANSI mode (Spark 4 default), where an unguarded
+    element_at(parts, -2) on a 1-element array is a JOB-KILLING
+    ArrayIndexOutOfBounds, not a NULL — at crawl scale one intranet URL
+    would fail the whole rollup (r10 adversarial review).  CaseWhen
+    evaluates branch values lazily per row, so the size guard below makes
+    the negative indexes safe."""
     parts = F.split(host, "\\.")
     two_level = host.rlike(
         "\\.(" + "|".join(s.replace(".", "\\.") for s in TWO_LEVEL_SUFFIXES) + ")$"
@@ -122,4 +130,8 @@ def registered_domain(host: Column) -> Column:
     last3 = F.concat_ws(
         ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
     )
-    return F.when(two_level & (F.size(parts) >= 3), last3).otherwise(last2)
+    return (
+        F.when(F.size(parts) < 2, host)
+        .when(two_level & (F.size(parts) >= 3), last3)
+        .otherwise(last2)
+    )

@@ -442,7 +442,13 @@ FAILED_R9: tuple[str, ...] = ()
 #:   n_refine_buckets as a VALIDATED no-op kwarg (r9 ADVICE item 2 — the
 #:   gate's call site passes no kwargs; output identical, re-verified
 #:   exact in the driver sim).
-CHANGED_R10: tuple[str, ...] = ("corpus_stratified_sample",)
+#: - text_ols_chars_per_token: ols_fit_per_group gained the int64
+#:   overflow guard (numpy sums wrap silently — r10 review); the gate's
+#:   groups are far below the bound, output identical, re-verified exact.
+CHANGED_R10: tuple[str, ...] = (
+    "corpus_stratified_sample",
+    "text_ols_chars_per_token",
+)
 
 #: Implementation changed in r10 but output PROVEN identical at sf0.01
 #: (driver-sim re-verified exact) AND the entries sit on fresh r9-green
@@ -455,11 +461,45 @@ CHANGED_R10: tuple[str, ...] = ("corpus_stratified_sample",)
 #:   plus exact decimal.Decimal comparison in _identity_may_overlap
 #:   (r9 ADVICE item 1).  Values and manifests are byte-identical; only
 #:   orphan-sweep bookkeeping and the decimal pruning path changed.
+#: - web_domain_policy_rollup rides registered_domain, which gained the
+#:   single-label-host guard (ANSI element_at(-2) is a job-killing
+#:   ArrayIndexOutOfBounds, r10 adversarial review); the gate corpus has
+#:   no single-label hosts, output identical, re-verified exact.
+#: - text_index_search rides conjunctive_search/sql_contains_all_terms,
+#:   which gained empty-term-set refusal + SQL quote escaping (r10
+#:   review); the gate passes three non-empty plain terms, output
+#:   identical, re-verified exact.
 CHANGED_R10_SPILL: tuple[str, ...] = (
     "acid_snapshot_isolation",
     "acid_merge_on_read_delete",
     "acid_hidden_partition_prune",
     "mv_incremental_refresh",
+    "web_domain_policy_rollup",
+    "text_index_search",
+)
+
+#: Also changed in r10 (output identical, re-verified exact) but NOT
+#: spilled to r11: upsert_partitioned_merge / stream_upsert_merge_equiv
+#: ride writers.upsert_partitioned, whose partition-swap now addresses
+#: directories by Spark's HIVE-ESCAPED names (r10 review: raw-value names
+#: silently mis-merged any partition value containing ':', '=', '%', ... —
+#: staged rows dropped, replaced keys kept; the gates use integer
+#: partition values).  Spilling them would push the r11 lead block past
+#: 50 - |r6 tier| slots and bump an r6-green entry to staleness 6 — so
+#: they re-enter via the NATURAL r7-tier rotation in r12 (their own
+#: staleness lands exactly at the 5-round ceiling; the staleness
+#: simulation test pins this), and their exact oracles keep running in
+#: every local pytest meanwhile.
+#: stat_chi2_type_weekday / stat_welch_view_click ride the r10 stats.py
+#: exact-DECIMAL promotion of the chi2 marginal product and welch's n*n
+#: (BIGINT overflow at multi-billion-row classes — r10 review); both
+#: r7-green, output identical, re-verified exact — same natural-r12
+#: scheduling argument as the upsert pair.
+CHANGED_R10_TO_R12: tuple[str, ...] = (
+    "upsert_partitioned_merge",
+    "stream_upsert_merge_equiv",
+    "stat_chi2_type_weekday",
+    "stat_welch_view_click",
 )
 
 #: Queries REGISTERED in round 10 (the registry freeze admits gap-fills

@@ -270,8 +270,26 @@ def upsert_partitioned(
     fs.delete(hpath(backup), True)
     merged.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
 
+    # Partition DIRECTORY names are Hive-ESCAPED by Spark ('a b:c' lands as
+    # 'p=a b%3Ac') — building them from raw values would silently miss the
+    # staged/live directories for any value containing ':', '=', '%', etc.:
+    # the staged partition would never swap in (its rows dropped with the
+    # staging cleanup) and the replaced keys would survive — a silent wrong
+    # merge (r10 adversarial review).  Use Spark's own escaper so names
+    # match byte-for-byte; NULL partition values get Hive's default bucket
+    # name, booleans Spark's lowercase rendering.
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+
     def _rel(values) -> str:
-        return "/".join(f"{col}={val}" for col, val in zip(pcols, values))
+        parts = []
+        for col, val in zip(pcols, values):
+            if val is None:
+                parts.append(f"{col}=__HIVE_DEFAULT_PARTITION__")
+            elif isinstance(val, bool):
+                parts.append(f"{col}={'true' if val else 'false'}")
+            else:
+                parts.append(f"{col}={esc(str(val))}")
+        return "/".join(parts)
 
     rewritten = dropped = 0
     fs.mkdirs(hpath(backup))

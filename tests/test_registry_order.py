@@ -241,6 +241,12 @@ def test_staleness_simulation_stays_under_ceiling():
             if rnd == 11
             else registry.compute_window(last)
         )
+        if rnd == 12:
+            # CHANGED_R10_TO_R12: the two upsert-gate re-entries deferred
+            # past the full r11 window must land in r12's natural r7-tier
+            # rotation (their staleness hits the ceiling exactly there).
+            missing = set(registry.CHANGED_R10_TO_R12) - window
+            assert not missing, f"r12 misses changed re-entries: {missing}"
         for n in window:
             prev = last[n]
             if prev:  # never-graded entries (0) have no staleness gap yet

@@ -418,3 +418,33 @@ def test_dynamic_partition_pruning_prunes_fact_scan(spark, sf_correctness, tmp_p
         y: li.filter(F.col("ship_year") == y).count() for y in (1995, 1996)
     }
     assert rows == expected
+
+
+def test_upsert_partitioned_escaped_partition_values(spark, tmp_path):
+    """r10 review regression: partition DIRECTORY names are Hive-escaped by
+    Spark ('a b:c' -> 'p=a b%3Ac'); the swap must address staged/live dirs
+    by the ESCAPED name or the merge silently drops the staged rows and
+    keeps the replaced ones."""
+    from aws_etl_fiap_spark.sources.writers import upsert_partitioned
+
+    path = str(tmp_path / "t")
+    rows = [(1, "a b:c", 1.0), (2, "plain", 2.0), (3, "x=y/z%", 3.0)]
+    spark.createDataFrame(rows, "k long, p string, v double").write.partitionBy(
+        "p"
+    ).parquet(path)
+    # Replace k=1 in the escaped partition, insert k=4 into ANOTHER
+    # escaping-needing partition, update k=3 in place.
+    batch = spark.createDataFrame(
+        [(1, "a b:c", 111.0), (4, "new:part", 4.0), (3, "x=y/z%", -3.0)],
+        "k long, p string, v double",
+    )
+    stats = upsert_partitioned(spark, path, batch, ["k"], ["p"])
+    got = {(r.k, r.p, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "a b:c", 111.0),
+        (2, "plain", 2.0),
+        (3, "x=y/z%", -3.0),
+        (4, "new:part", 4.0),
+    }
+    assert stats["rewritten_partitions"] == 3
+    assert stats["dropped_partitions"] == 0

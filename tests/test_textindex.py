@@ -90,3 +90,21 @@ def test_sql_twin_matches_spark_tokenizer(spark, sf_smoke):
         ).fetchall()
     }
     assert got == want
+
+
+def test_empty_term_set_refused():
+    """r10 review: 'all of no terms' is ambiguous — refuse loudly on both
+    the Spark and SQL-twin sides; and quoted terms render as valid SQL."""
+    import pytest as _pytest
+
+    from aws_etl_fiap_spark.operators.textindex import (
+        conjunctive_search,
+        sql_contains_all_terms,
+    )
+
+    with _pytest.raises(ValueError, match="at least one term"):
+        conjunctive_search(None, [])
+    with _pytest.raises(ValueError, match="at least one term"):
+        sql_contains_all_terms("text", [])
+    sql = sql_contains_all_terms("text", ["o'brien"])
+    assert "'o''brien'" in sql

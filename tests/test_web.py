@@ -52,6 +52,11 @@ def test_registered_domain_public_suffix(spark):
         ("example.co.jp", "example.co.jp"),  # the eTLD+1 itself
         ("a.b.site.com.br", "site.com.br"),
         ("plain.io", "plain.io"),
+        # Single-label hosts return as-is — under ANSI mode (the session
+        # default) an unguarded element_at(parts, -2) would be a
+        # job-killing ArrayIndexOutOfBounds, not a NULL (r10 review).
+        ("localhost", "localhost"),
+        ("intranet", "intranet"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in hosts], "host string")
     got = [
