@@ -27,6 +27,12 @@ What makes it EXACT here (the oracle gate hashes values):
 - MIN/MAX are deliberately NOT offered: they are not group-invertible
   (a delete can expose a new extremum only a rescan can find), and a
   silent wrong answer is worse than an absent feature.
+- each measure carries a hidden NON-NULL COUNT (``__nn_<out>``) in the
+  state: SQL SUM over zero non-null values is NULL, but pure
+  cancellation renders it 0 — a group whose last non-null measure is
+  deleted (or replaced by NULLs) must refresh to NULL exactly as the
+  recompute would (found by the r10 hypothesis property
+  test_incremental_refresh_random_commits_property).
 
 Typical loop::
 
@@ -55,10 +61,13 @@ _N = "n_rows"
 
 
 def _agg_exprs(sum_cols: SumSpec) -> list:
-    return [F.count(F.lit(1)).cast("long").alias(_N)] + [
-        F.sum(F.expr(src).cast(f"decimal(38,{scale})")).alias(out)
-        for out, (src, scale) in sum_cols.items()
-    ]
+    exprs = [F.count(F.lit(1)).cast("long").alias(_N)]
+    for out, (src, scale) in sum_cols.items():
+        exprs.append(F.sum(F.expr(src).cast(f"decimal(38,{scale})")).alias(out))
+        # non-null count per measure: distinguishes "sum cancelled to 0"
+        # from "no non-null values left -> SUM must be NULL"
+        exprs.append(F.count(F.expr(src)).cast("long").alias(f"__nn_{out}"))
+    return exprs
 
 
 def full_agg_state(
@@ -100,15 +109,44 @@ def incremental_agg_refresh(
         .select(
             *keys,
             (-F.col(_N)).cast("long").alias(_N),
-            *[(-F.col(out)).alias(out) for out in sum_cols],
+            *[
+                col
+                for out in sum_cols
+                for col in (
+                    (-F.col(out)).alias(out),
+                    (-F.col(f"__nn_{out}")).cast("long").alias(f"__nn_{out}"),
+                )
+            ],
         )
     )
     combined = state.unionByName(pos).unionByName(neg)
     refreshed = combined.groupBy(*keys).agg(
         F.sum(_N).cast("long").alias(_N),
         *[
-            F.sum(out).cast(f"decimal(38,{scale})").alias(out)
+            expr
             for out, (_, scale) in sum_cols.items()
+            for expr in (
+                F.sum(out).cast(f"decimal(38,{scale})").alias(f"__raw_{out}"),
+                F.sum(f"__nn_{out}").cast("long").alias(f"__nn_{out}"),
+            )
+        ],
+    )
+    # Render each sum NULL when its non-null count is zero: cancellation
+    # yields 0 there, but the recompute's SUM over no non-null values is
+    # NULL (nn > 0 guarantees at least one non-NULL addend reached F.sum,
+    # so the raw sum is non-NULL exactly when it must be).
+    refreshed = refreshed.select(
+        *keys,
+        F.col(_N),
+        *[
+            col
+            for out, (_, scale) in sum_cols.items()
+            for col in (
+                F.when(F.col(f"__nn_{out}") > 0, F.col(f"__raw_{out}"))
+                .cast(f"decimal(38,{scale})")
+                .alias(out),
+                F.col(f"__nn_{out}"),
+            )
         ],
     )
     return refreshed.filter(F.col(_N) > 0)

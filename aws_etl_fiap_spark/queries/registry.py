@@ -461,6 +461,12 @@ CHANGED_R10: tuple[str, ...] = (
 #:   plus exact decimal.Decimal comparison in _identity_may_overlap
 #:   (r9 ADVICE item 1).  Values and manifests are byte-identical; only
 #:   orphan-sweep bookkeeping and the decimal pruning path changed.
+#: - mv_incremental_refresh ALSO rides the r10 IVM null-sum fix: the
+#:   delta algebra now carries per-measure non-null counts so a group
+#:   whose last non-null measure is deleted refreshes to NULL (pure
+#:   cancellation rendered 0) — found by the new hypothesis property;
+#:   the gate corpus has no NULL measures, output identical,
+#:   re-verified exact.
 #: - web_domain_policy_rollup rides registered_domain, which gained the
 #:   single-label-host guard (ANSI element_at(-2) is a job-killing
 #:   ArrayIndexOutOfBounds, r10 adversarial review); the gate corpus has

@@ -108,3 +108,65 @@ def test_refresh_rejects_nothing_but_sums_and_counts():
     sig = inspect.signature(incremental_agg_refresh)
     assert "sum_cols" in sig.parameters
     assert "min_cols" not in sig.parameters
+
+
+def test_incremental_refresh_random_commits_property(spark, tmp_path):
+    """Property (r10): for ARBITRARY interleavings of upsert/delete commits
+    — groups dying, being reborn, all-NULL measure groups — the chained
+    incremental refresh must equal the from-scratch recompute EXACTLY at
+    every version.  This pins the delta ALGEBRA itself (negation,
+    cancellation, count-zero group drop), not one scripted scenario."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.integers(min_value=1, max_value=8)
+    grp = st.sampled_from(["a", "b", "c"])
+    val = st.one_of(st.none(), st.integers(min_value=-50, max_value=50))
+    batch = st.dictionaries(keys, st.tuples(grp, val), min_size=1, max_size=5)
+    op = st.one_of(
+        st.tuples(st.just("upsert"), batch),
+        st.tuples(st.just("delete"), st.sets(keys, min_size=1, max_size=3)),
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(batch, st.lists(op, min_size=1, max_size=3))
+    def prop(init, ops):
+        tmp = tempfile.mkdtemp(prefix="mvprop_")
+        path = tmp + "/t"
+        sums = {"sv": ("v", 0)}
+        try:
+            def df_of(d):
+                return spark.createDataFrame(
+                    [(k, g, v) for k, (g, v) in sorted(d.items())],
+                    "k int, g string, v int",
+                )
+
+            S.create_table(spark, df_of(init), path, n_files=2)
+            state = full_agg_state(S.read_table(spark, path), ["g"], sums)
+            v_prev = 1
+            for kind, arg in ops:
+                if kind == "upsert":
+                    S.upsert(spark, path, df_of(arg), ["k"])
+                else:
+                    S.delete(
+                        spark, path,
+                        spark.createDataFrame(
+                            [(k,) for k in sorted(arg)], "k int"
+                        ),
+                        ["k"],
+                    )
+                v_now = S.current_version(spark, path)
+                state = incremental_agg_refresh(
+                    spark, path, state, v_prev, v_now, ["g"], sums
+                ).localCheckpoint(eager=True)
+                v_prev = v_now
+                assert _rows(state) == _rows(
+                    full_agg_state(S.read_table(spark, path), ["g"], sums)
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    prop()

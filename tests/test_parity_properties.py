@@ -467,3 +467,60 @@ def test_spearman_matches_rank_pearson_property(spark):
         assert got == expect
 
     prop()
+
+
+def test_asof_join_matches_bruteforce_property(spark):
+    """The union-merge as-of join (operators/joins.asof_join) against the
+    brute-force definition, for ARBITRARY key/time collisions including
+    same-instant ties (right row wins) and tied right rows (greatest
+    tiebreak wins): the window trick must equal 'latest right at-or-before'
+    computed the naive way."""
+    from aws_etl_fiap_spark.operators.joins import asof_join
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(  # left rows: (key, time, lid)
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=8),
+            ),
+            min_size=1,
+            max_size=15,
+        ),
+        st.lists(  # right rows: (key, time, val)
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=8),
+                st.integers(min_value=0, max_value=99),
+            ),
+            min_size=0,
+            max_size=15,
+        ),
+    )
+    def prop(left_rows, right_rows):
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+            "k int, t int, lid int",
+        )
+        # rid doubles as the unique tiebreak among same-instant right rows
+        right = spark.createDataFrame(
+            [(k, t, v, i) for i, (k, t, v) in enumerate(right_rows)],
+            "k int, t int, v int, rid int",
+        ) if right_rows else spark.createDataFrame([], "k int, t int, v int, rid int")
+        got = {
+            (r["lid"], r["asof_v"])
+            for r in asof_join(
+                left, right, ["k"], "t", "t", ["v"], right_tiebreak=["rid"]
+            ).collect()
+        }
+        want = set()
+        for i, (k, t) in enumerate(left_rows):
+            cands = [
+                (rt, ri, v)
+                for ri, (rk, rt, v) in enumerate(right_rows)
+                if rk == k and rt <= t
+            ]
+            want.add((i, max(cands)[2] if cands else None))
+        assert got == want
+
+    prop()
