@@ -86,3 +86,79 @@ def test_bfs_hops_multi_source_takes_min_distance(spark):
     out = bfs_hops(edges, lambda c: c.isin("a", "e"), max_hops=2)
     got = {r["id"]: r["hops"] for r in out.collect()}
     assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_graph_operators_match_models_property(spark):
+    """Property (r10): on ARBITRARY small graphs, the three iterative graph
+    operators equal their brute-force Python models — LPA (synchronous
+    frequency vote, min tie), connected components (min label per
+    component), and bounded-horizon multi-source BFS.  Random graphs reach
+    the edge shapes fixtures never do: self-contained triangles bridged by
+    a single vertex, isolated edges, star collisions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.graph import bfs_hops, connected_components
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    ).filter(lambda p: p[0] < p[1])
+
+    def cc_model(edges):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    def bfs_model(edges, seeds, max_hops):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {v: 0 for v in adj if v in seeds}
+        frontier = set(dist)
+        for k in range(1, max_hops + 1):
+            frontier = {
+                u for v in frontier for u in adj[v] if u not in dist
+            }
+            for u in frontier:
+                dist[u] = k
+        return dist
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.sets(edge, min_size=1, max_size=12))
+    def prop(edges):
+        e = sorted(edges)
+        df = spark.createDataFrame(e, "id_a int, id_b int")
+
+        got_lpa = {
+            (r["id"], r["lab"])
+            for r in label_propagation_communities(df, iters=2).collect()
+        }
+        assert got_lpa == set(_simulate(e, 2).items())
+
+        got_cc = {
+            (r["id"], r["comp"])
+            for r in connected_components(df, "id_a", "id_b").collect()
+        }
+        assert got_cc == set(cc_model(e).items())
+
+        seeds = {v for pair in e for v in pair if v % 3 == 0}
+        got_bfs = {
+            (r["id"], r["hops"])
+            for r in bfs_hops(df, lambda c: c % 3 == 0, max_hops=2).collect()
+        }
+        assert got_bfs == set(bfs_model(e, seeds, 2).items())
+
+    prop()

@@ -73,3 +73,61 @@ def test_host_of_canonical(spark):
     assert df.select(host_of(F.col("url")).alias("h")).collect()[0]["h"] == (
         "www.example.com"
     )
+
+
+def test_canonicalize_url_property(spark):
+    """Property (r10): for ARBITRARY urls built from components, the
+    canonical form is (a) IDEMPOTENT — canonicalizing a canonical url is a
+    no-op — and (b) INVARIANT across the messy presentations of the same
+    resource: scheme/host case, default ports, utm_* params in any
+    position, param order, fragments, trailing slashes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    host_label = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+    param = st.tuples(
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+        st.text(alphabet="0123456789", min_size=1, max_size=3),
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.sampled_from(["http", "https"]),
+        st.lists(host_label, min_size=2, max_size=3),
+        st.lists(st.text(alphabet="abc123", min_size=1, max_size=4), min_size=0, max_size=3),
+        st.lists(param, min_size=0, max_size=3, unique_by=lambda p: p[0]),
+        st.integers(min_value=0, max_value=2),   # utm insertion point
+        st.booleans(),                           # upper-case host
+        st.booleans(),                           # default port
+        st.booleans(),                           # fragment
+        st.booleans(),                           # trailing slash
+    )
+    def prop(scheme, labels, path_segs, params, utm_at, up, port, frag, slash):
+        host = ".".join(labels)
+        path = "/" + "/".join(path_segs)
+        plist = [f"{k}={v}" for k, v in params]
+        messy_params = list(plist)
+        messy_params.insert(min(utm_at, len(plist)), "utm_source=feed1")
+        messy_host = host.upper() if up else host
+        messy_port = (":443" if scheme == "https" else ":80") if port else ""
+        messy_path = path + ("/" if slash and path != "/" else "")
+        messy = (
+            f"{scheme.upper() if up else scheme}://{messy_host}{messy_port}"
+            f"{messy_path}"
+            + ("?" + "&".join(messy_params) if messy_params else "")
+            + ("#frag" if frag else "")
+        )
+        clean = (
+            f"{scheme}://{host}"
+            + (path.rstrip("/") or "/")
+            + ("?" + "&".join(sorted(plist)) if plist else "")
+        )
+        df = spark.createDataFrame([(messy,), (clean,)], "url string")
+        got = [
+            r["c"]
+            for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+        ]
+        assert got[0] == clean, f"messy {messy!r} -> {got[0]!r}, want {clean!r}"
+        assert got[1] == clean, f"not idempotent: {clean!r} -> {got[1]!r}"
+
+    prop()
