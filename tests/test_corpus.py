@@ -482,3 +482,51 @@ def test_stratified_quota_sample_refine_buckets_kwarg(spark, sf_smoke):
     assert base == legacy
     with _pytest.raises(ValueError, match="fixed at 256"):
         stratified_quota_sample(docs, ["lang"], 0.1, "doc_id", n_refine_buckets=128)
+
+
+def test_stratified_quota_sample_random_fraction_property(spark):
+    """Property (r10): for ARBITRARY fractions (including the
+    double-poison ones like 0.07 where ceil(0.07*100) = 8 in float math)
+    and arbitrary stratum shapes, the two-level refinement equals the
+    naive model — per stratum, the ceil(frac * n) smallest ids under the
+    portable (md5('strat:'||id), id) order, quota computed in EXACT
+    rational arithmetic."""
+    import hashlib
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.sampling import stratified_quota_sample
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),     # doc_id
+            st.sampled_from(["en", "pt", "de"]),        # stratum
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: r[0],
+    )
+    fracs = st.sampled_from([0.07, 0.1, 0.25, 0.33, 0.5, 0.55, 0.9, 1.0])
+
+    @settings(max_examples=8, deadline=None)
+    @given(rows, fracs)
+    def prop(data, frac):
+        df = spark.createDataFrame(data, "doc_id long, lang string")
+        got = {
+            r["doc_id"]
+            for r in stratified_quota_sample(df, ["lang"], frac, "doc_id").collect()
+        }
+        f = Fraction(str(frac))
+        want = set()
+        by_lang = {}
+        for did, lang in data:
+            by_lang.setdefault(lang, []).append(did)
+        for ids in by_lang.values():
+            quota = -((-len(ids) * f.numerator) // f.denominator)  # exact ceil
+            key = lambda i: (hashlib.md5(f"strat:{i}".encode()).hexdigest(), i)
+            want |= set(sorted(ids, key=key)[:quota])
+        assert got == want
+
+    prop()

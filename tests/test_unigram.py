@@ -115,3 +115,119 @@ def test_multi_space_corpus_ignores_empty_tokens(spark):
         want = sorted(map(tuple, fn(clean).collect()))
         got = sorted(map(tuple, fn(messy).collect()))
         assert got == want, fn.__name__
+
+
+def test_tokenizers_match_python_models_property(spark):
+    """Property (r10): on ARBITRARY small corpora, the two distributed
+    tokenizer DPs equal brute-force Python models — the unigram-LM Viterbi
+    (min (cost, n) over all segmentations, frequency-estimated 9dp piece
+    costs) and the position-aware WordPiece greedy longest-match.  Random
+    corpora exercise vocabulary shapes fixtures never hit (every piece a
+    singleton, repeated substrings inside one word, whole-corpus one-word
+    vocabularies); an oracle gate cannot catch a query+oracle pair that is
+    consistently wrong — a model can."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.unigram import (
+        unigram_segment_stats,
+        wordpiece_segment_stats,
+    )
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=1, max_size=4).map(" ".join)
+
+    MAXP, MINC = 4, 2
+
+    def r9(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def models(docs):
+        wcnt = Counter(w for d in docs for w in d.split(" ") if w)
+        # unigram piece model: every (j, L) occurrence weighted by wcnt
+        pieces = Counter()
+        for w, c in wcnt.items():
+            for j in range(len(w)):
+                for L in range(1, min(MAXP, len(w) - j) + 1):
+                    pieces[w[j : j + L]] += c
+        kept = {p: c for p, c in pieces.items() if c >= MINC or len(p) == 1}
+        total = sum(kept.values())
+        cost = {p: r9(-math.log(c / total)) for p, c in kept.items()}
+
+        def viterbi(w):
+            dp = {0: (0.0, 0)}
+            for i in range(1, len(w) + 1):
+                cands = [
+                    (dp[j][0] + cost[w[j:i]], dp[j][1] + 1)
+                    for j in range(max(0, i - MAXP), i)
+                    if j in dp and w[j:i] in cost
+                ]
+                if cands:
+                    dp[i] = min(cands)
+            return dp[len(w)]
+
+        # wordpiece position-aware vocab
+        pref, cont = Counter(), Counter()
+        for w, c in wcnt.items():
+            for L in range(1, min(MAXP, len(w)) + 1):
+                pref[w[:L]] += c
+            for j in range(1, len(w)):
+                for L in range(1, min(MAXP, len(w) - j) + 1):
+                    cont[w[j : j + L]] += c
+        kp = {p for p, c in pref.items() if c >= MINC or len(p) == 1}
+        kc = {p for p, c in cont.items() if c >= MINC or len(p) == 1}
+
+        def greedy(w):
+            pos, n = 0, 0
+            while pos < len(w):
+                vocab = kp if pos == 0 else kc
+                L = max(
+                    ln
+                    for ln in range(1, min(MAXP, len(w) - pos) + 1)
+                    if w[pos : pos + ln] in vocab
+                )
+                pos += L
+                n += 1
+            return n
+
+        uni, wp = {}, {}
+        for i, d in enumerate(docs):
+            ws = [w for w in d.split(" ") if w]
+            stats = [viterbi(w) for w in ws]
+            uni[i] = (
+                len(ws),
+                sum(n for _, n in stats),
+                sum(r6(c) for c, _ in stats),
+            )
+            wp[i] = (len(ws), sum(greedy(w) for w in ws))
+        return uni, wp
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=4))
+    def prop(docs):
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        uni_want, wp_want = models(docs)
+
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_pieces"], r["nll"])
+            for r in unigram_segment_stats(df, max_piece_len=MAXP).collect()
+        }
+        assert set(got) == set(uni_want)
+        for i, (nw, np_, nll) in uni_want.items():
+            gw, gp, gn = got[i]
+            assert (gw, gp) == (nw, np_), f"doc {i}: {docs[i]!r}"
+            assert abs(gn - nll) < 2e-6, f"doc {i} nll {gn} vs {nll}"
+
+        got_wp = {
+            r["doc_id"]: (r["n_words"], r["n_pieces"])
+            for r in wordpiece_segment_stats(df, max_piece_len=MAXP).collect()
+        }
+        assert got_wp == wp_want
+
+    prop()
