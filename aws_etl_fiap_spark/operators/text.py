@@ -411,7 +411,7 @@ def bigram_pmi(
     shuffles except inside the two count aggregates.  Output: (w1, w2,
     c_ab, pmi — unrounded; callers round for cross-engine hashing).
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = _lm_tokens(text_col)
     base = df.select(toks.alias("__t"))
     uni = (
         base.select(F.explode("__t").alias("w"))
@@ -541,7 +541,7 @@ def bigram_lm_nll(
     the final per-document aggregate.  Output: (id, n_bigrams, avg_nll —
     unrounded; callers round for cross-engine hashing).
     """
-    toks = F.split(F.col(text_col), " ")
+    toks = _lm_tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("__t"))
     uni = (
         base.select(F.explode("__t").alias("w"))
@@ -606,10 +606,22 @@ def _bigram_expr(arr) -> Column:
     )
 
 
+def _lm_tokens(text_col: str) -> Column:
+    """Space tokens with EMPTY tokens dropped BEFORE pairing — the ONE
+    tokenization of the three bigram-LM families (PMI, stupid backoff,
+    Kneser-Ney).  A raw split mints '' unigrams and ('w','') bigrams on
+    any multi-/leading-/trailing-space text; query and oracle previously
+    AGREED on that garbage — the consistent-wrongness class only a
+    model/property can catch (r10 review; the unigram tokenizer family
+    took the same fix in r9).  Filter-then-pair: 'a  b' bigrams to
+    ('a','b'), matching the linguistic adjacency."""
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+
+
 def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document adjacent token pairs, expression-only (zip_with over two
     shifted slices — no positional self-join, no explode-then-window)."""
-    toks = F.split(F.col(text_col), " ")
+    toks = _lm_tokens(text_col)
     return df.select(
         F.col(id_col),
         F.explode(

@@ -501,11 +501,21 @@ CHANGED_R10_SPILL: tuple[str, ...] = (
 #: (BIGINT overflow at multi-billion-row classes — r10 review); both
 #: r7-green, output identical, re-verified exact — same natural-r12
 #: scheduling argument as the upsert pair.
+#: text_bigram_pmi / text_bigram_lm_nll / text_kn_bigram_nll ride the r10
+#: _lm_tokens fix (empty tokens dropped before pairing, oracles updated in
+#: LOCKSTEP — on the single-spaced gate corpus output is identical,
+#: re-verified exact; a model property pins the multi-space behavior).
+#: The two r9-green entries would not surface in r12's stalest-first fill
+#: on their own — the r12 builder MUST pass them as changed= re-entries
+#: (the staleness simulation test already does, so forgetting fails CI).
 CHANGED_R10_TO_R12: tuple[str, ...] = (
     "upsert_partitioned_merge",
     "stream_upsert_merge_equiv",
     "stat_chi2_type_weekday",
     "stat_welch_view_click",
+    "text_bigram_pmi",
+    "text_bigram_lm_nll",
+    "text_kn_bigram_nll",
 )
 
 #: Queries REGISTERED in round 10 (the registry freeze admits gap-fills

@@ -478,11 +478,15 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_bigram_pmi",
     oracle="""
-WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
-pos AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-           generate_subscripts(string_split(text, ' '), 1) AS i
+WITH t AS (
+    SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
     FROM documents
+),
+pos AS (
+    SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents)
 ),
 uc AS (SELECT tok AS w, COUNT(*) AS c FROM pos GROUP BY tok),
 nt AS (SELECT COUNT(*) AS n_tok FROM pos),
@@ -821,9 +825,10 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bigram_lm_nll",
     oracle="""
 WITH pos AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-           generate_subscripts(string_split(text, ' '), 1) AS i
-    FROM documents
+    SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents)
 ),
 uc AS (SELECT tok AS w, COUNT(*) AS c FROM pos GROUP BY tok),
 nt AS (SELECT COUNT(*) AS n_tok FROM pos),
@@ -875,9 +880,10 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_kn_bigram_nll",
     oracle="""
 WITH pos AS (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-           generate_subscripts(string_split(text, ' '), 1) AS i
-    FROM documents
+    SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents)
 ),
 db AS (
     SELECT a.doc_id, a.tok AS w1, b.tok AS w2

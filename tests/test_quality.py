@@ -439,3 +439,116 @@ def test_kn_bigram_discount_clamp_keeps_nll_finite(spark):
         r["avg_nll"] is not None and math.isfinite(r["avg_nll"]) and r["avg_nll"] > 0
         for r in rows
     )
+
+
+def test_bigram_lm_families_match_python_models_property(spark):
+    """Property (r10): the three bigram-LM families — Kneser-Ney,
+    stupid-backoff NLL, and PMI — equal brute-force Python models on
+    ARBITRARY corpora INCLUDING multi-/leading-space text: empty tokens
+    must not mint '' unigrams or ('w','') bigrams (the r10 _lm_tokens fix;
+    query and oracle previously AGREED on the garbage — only a model
+    catches that class)."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.text import (
+        bigram_pmi,
+        bigram_lm_nll,
+        kn_bigram_nll,
+    )
+
+    word = st.sampled_from(["a", "b", "ab", "ba"])
+    sep = st.sampled_from([" ", "  ", " a ", "   "])
+    doc = st.lists(word, min_size=2, max_size=6).flatmap(
+        lambda ws: sep.map(lambda s: s.join(ws))
+    )
+
+    def toks(text):
+        return [t for t in text.split(" ") if t]
+
+    def models(docs):
+        db = []
+        for i, d in enumerate(docs):
+            t = toks(d)
+            db += [(i, t[j], t[j + 1]) for j in range(len(t) - 1)]
+        uc = Counter(w for d in docs for w in toks(d))
+        n_tok = sum(uc.values())
+        types = Counter((a, b) for _, a, b in db)
+        kept = {p: c for p, c in types.items() if c >= 2}
+        # stupid backoff
+        bo = {}
+        for i, _ in enumerate(docs):
+            inst = [(a, b) for (j, a, b) in db if j == i]
+            if not inst:
+                continue
+            nlls = [
+                -math.log(kept[(a, b)] / uc[a])
+                if (a, b) in kept
+                else -math.log(0.4 * uc[b] / n_tok)
+                for a, b in inst
+            ]
+            bo[i] = (len(inst), sum(nlls) / len(inst))
+        # Kneser-Ney
+        ctx = Counter()
+        n_follow = Counter()
+        n_precede = Counter()
+        for (a, b), c in types.items():
+            ctx[a] += c
+            n_follow[a] += 1
+            n_precede[b] += 1
+        B = len(types)
+        kn = {}
+        for i, _ in enumerate(docs):
+            inst = [(a, b) for (j, a, b) in db if j == i]
+            if not inst:
+                continue
+            nlls = []
+            for a, b in inst:
+                seen = (
+                    max(kept[(a, b)] - 0.75, 0.0) / ctx[a] if (a, b) in kept else 0.0
+                )
+                cont = (0.75 * n_follow[a] / ctx[a]) * n_precede[b] / B
+                nlls.append(-math.log(seen + cont))
+            kn[i] = (len(inst), sum(nlls) / len(inst))
+        # PMI over all bigrams (floor 1 so tiny corpora emit rows)
+        n_bi = len(db)
+        pmi = {
+            (a, b): math.log((c / n_bi) / ((uc[a] / n_tok) * (uc[b] / n_tok)))
+            for (a, b), c in types.items()
+        }
+        return bo, kn, pmi
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=3))
+    def prop(docs):
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        bo_want, kn_want, pmi_want = models(docs)
+
+        got_bo = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+            for r in bigram_lm_nll(df).collect()
+        }
+        assert set(got_bo) == set(bo_want)
+        for i, (n, nll) in bo_want.items():
+            assert got_bo[i][0] == n and abs(got_bo[i][1] - nll) < 1e-9, docs[i]
+
+        got_kn = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+            for r in kn_bigram_nll(df).collect()
+        }
+        assert set(got_kn) == set(kn_want)
+        for i, (n, nll) in kn_want.items():
+            assert got_kn[i][0] == n and abs(got_kn[i][1] - nll) < 1e-9, docs[i]
+
+        got_pmi = {
+            (r["w1"], r["w2"]): (r["c_ab"], r["pmi"])
+            for r in bigram_pmi(df, min_count=1).collect()
+        }
+        assert set(got_pmi) == set(pmi_want)
+        for p, v in pmi_want.items():
+            assert abs(got_pmi[p][1] - v) < 1e-9, p
+
+    prop()

@@ -236,11 +236,16 @@ def test_staleness_simulation_stays_under_ceiling():
         last[n] = 10
     worst = 0
     for rnd in range(11, 17):
-        window = (
-            set(registry.R11_WINDOW)
-            if rnd == 11
-            else registry.compute_window(last)
-        )
+        if rnd == 11:
+            window = set(registry.R11_WINDOW)
+        elif rnd == 12:
+            # the r12 builder must re-enter the r10-changed pairs whose
+            # output-identical re-grades could not fit the full r11 window
+            window = registry.compute_window(
+                last, changed=registry.CHANGED_R10_TO_R12
+            )
+        else:
+            window = registry.compute_window(last)
         if rnd == 12:
             # CHANGED_R10_TO_R12: the two upsert-gate re-entries deferred
             # past the full r11 window must land in r12's natural r7-tier
