@@ -552,3 +552,51 @@ def test_bigram_lm_families_match_python_models_property(spark):
             assert abs(got_pmi[p][1] - v) < 1e-9, p
 
     prop()
+
+
+def test_bm25_matches_python_model_property(spark):
+    """Property (r10): BM25 over arbitrary corpora equals the textbook
+    Python model — idf ln(1+(N-df+.5)/(df+.5)), tf saturation with the
+    dl/avgdl length normalization (dl = raw split size, the module's
+    documented token-count convention)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.text import BM25_B, BM25_K1, bm25_scores
+
+    word = st.sampled_from(["a", "b", "c", "dd"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+    TERMS = ("a", "b")
+
+    def model(docs):
+        dls = {i: len(d.split(" ")) for i, d in enumerate(docs)}
+        n, avgdl = len(docs), sum(dls.values()) / len(docs)
+        tf = {
+            (i, t): d.split(" ").count(t)
+            for i, d in enumerate(docs)
+            for t in TERMS
+            if t in d.split(" ")
+        }
+        dfreq = {t: sum(1 for (_, t2) in tf if t2 == t) for t in TERMS}
+        out = {}
+        for (i, t), f in tf.items():
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            den = f + BM25_K1 * (1.0 - BM25_B + BM25_B * dls[i] / avgdl)
+            out[i] = out.get(i, 0.0) + idf * f * (BM25_K1 + 1.0) / den
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def prop(docs):
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["bm25"] for r in bm25_scores(df, TERMS).collect()
+        }
+        want = model(docs)
+        assert set(got) == set(want)
+        for i, v in want.items():
+            assert abs(got[i] - v) < 1e-9, (docs[i], got[i], v)
+
+    prop()
