@@ -573,3 +573,51 @@ def test_sql_cms_bucket_null_key_matches_spark(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_sketch_invariant_properties(spark):
+    """Property (r10): the two frequency sketches' defining guarantees on
+    ARBITRARY key streams — count-min NEVER under-counts (est >= true for
+    every key, exact when no collision), and the Bloom filter has NO false
+    negatives (every inserted key passes)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+        cms_build,
+        cms_estimate,
+    )
+
+    key = st.text(alphabet="abcdef", min_size=1, max_size=4)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(key, min_size=1, max_size=40), st.sets(key, min_size=1, max_size=8))
+    def prop(stream, probes):
+        true = Counter(stream)
+        df = spark.createDataFrame([(k,) for k in stream], "k string")
+        sketch = cms_build(df, "k", depth=3, width=64).localCheckpoint(eager=True)
+        keys_df = spark.createDataFrame(
+            [(k,) for k in sorted(set(stream) | probes)], "k string"
+        )
+        est = {
+            r["k"]: r["est_count"]
+            for r in cms_estimate(keys_df, sketch, "k", depth=3, width=64).collect()
+        }
+        for k in set(stream) | probes:
+            assert est[k] >= true.get(k, 0), (k, est[k], true.get(k, 0))
+
+        bloom = bloom_build(df, "k", n_bits=256, n_hashes=3).localCheckpoint(
+            eager=True
+        )
+        passed = {
+            r["k"]: r["passed"]
+            for r in bloom_probe(keys_df, bloom, "k", n_bits=256, n_hashes=3).collect()
+        }
+        for k in set(stream):
+            assert passed[k] is True, f"false negative for inserted key {k!r}"
+
+    prop()

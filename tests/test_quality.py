@@ -600,3 +600,53 @@ def test_bm25_matches_python_model_property(spark):
             assert abs(got[i] - v) < 1e-9, (docs[i], got[i], v)
 
     prop()
+
+
+def test_chunk_documents_matches_python_model_property(spark):
+    """Property (r10): chunk_documents equals the Python slicing model for
+    arbitrary doc lengths and (chunk, overlap) shapes — full coverage (every
+    token in some chunk), stride spacing, no redundant final chunk (the r9
+    fix), short docs yield themselves."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.text import chunk_documents
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=40), min_size=1, max_size=4
+        ),  # doc lengths in tokens (0 = empty-ish single token)
+        st.sampled_from([(8, 0), (8, 2), (8, 7), (5, 1), (3, 0)]),
+    )
+    def prop(lengths, shape):
+        chunk, overlap = shape
+        stride = chunk - overlap
+        docs = [
+            (i, " ".join(f"t{j}" for j in range(max(n, 1))))
+            for i, n in enumerate(lengths)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["chunk_idx"], r["chunk"])
+            for r in chunk_documents(
+                df, chunk_tokens=chunk, overlap=overlap
+            ).collect()
+        }
+        want = set()
+        for i, text in docs:
+            toks = text.split(" ")
+            last_start = max(len(toks) - overlap - 1, 0)
+            starts = list(range(0, last_start + 1, stride))
+            for s in starts:
+                want.add((i, s // stride, " ".join(toks[s : s + chunk])))
+        assert got == want
+        # coverage: every token index falls inside some chunk window
+        for i, text in docs:
+            n = len(text.split(" "))
+            covered = set()
+            for s in range(0, max(n - overlap - 1, 0) + 1, stride):
+                covered |= set(range(s, min(s + chunk, n)))
+            assert covered == set(range(n))
+
+    prop()
