@@ -500,3 +500,80 @@ def test_simhash_null_text_is_null_not_zero(spark):
         "doc_id", simhash("text").alias("sig")
     ).collect()}
     assert got[1] is None and got[2] is not None
+
+
+def test_minhash_lsh_portable_matches_python_model_property(spark):
+    """Property (r10): the portable-family MinHash-LSH candidate pairs —
+    md5 word-split, fixed 16-bit mixing constants, per-band md5-prefix
+    hashes — equal a brute-force Python model on arbitrary corpora: same
+    signatures, same band buckets, same (pair, matching-band count) set.
+    Identical documents must collide on EVERY band (the LSH guarantee the
+    fuzzy tier builds on)."""
+    import hashlib
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.dedup import minhash_lsh_pairs
+
+    N_HASHES, BANDS, NGRAM = 8, 4, 2
+    R = N_HASHES // BANDS
+    rng = random.Random(0xC0FFEE)
+    MIX = [[rng.randrange(1, 1 << 16) | 1 for _ in range(4)] for _ in range(N_HASHES)]
+
+    word = st.sampled_from(["x", "y", "z", "ww"])
+    doc = st.lists(word, min_size=2, max_size=6).map(" ".join)
+
+    def signature(text):
+        toks = text.split(" ")
+        grams = {" ".join(toks[i : i + NGRAM]) for i in range(len(toks) - NGRAM + 1)}
+        sig = []
+        for row in MIX:
+            best = None
+            for g in grams:
+                hx = hashlib.md5(g.encode()).hexdigest()
+                u = [int(hx[8 * j : 8 * j + 8], 16) for j in range(4)]
+                h = sum(a * uj for a, uj in zip(row, u)) % (1 << 32)
+                best = h if best is None else min(best, h)
+            sig.append(best)
+        return sig
+
+    def band_hash(vals):
+        s = ":".join(str(v) for v in vals)
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def model(docs):
+        sigs = {i: signature(d) for i, d in enumerate(docs)}
+        bands = {
+            i: [band_hash(sig[b * R : (b + 1) * R]) for b in range(BANDS)]
+            for i, sig in sigs.items()
+        }
+        pairs = {}
+        ids = sorted(bands)
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                m = sum(1 for x, y in zip(bands[a], bands[b]) if x == y)
+                if m:
+                    pairs[(a, b)] = m
+        return pairs
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=6))
+    def prop(docs):
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): r["n_matching_bands"]
+            for r in minhash_lsh_pairs(
+                df, "doc_id", "text", n=NGRAM, n_hashes=N_HASHES,
+                bands=BANDS, hash_family="portable",
+            ).collect()
+        }
+        assert got == model(docs)
+        # LSH guarantee: verbatim duplicates collide on every band
+        for (a, b), m in got.items():
+            if docs[a] == docs[b]:
+                assert m == BANDS
+
+    prop()
