@@ -577,3 +577,53 @@ def test_minhash_lsh_portable_matches_python_model_property(spark):
                 assert m == BANDS
 
     prop()
+
+
+def test_shared_run_pairs_matches_lcs_model_property(spark):
+    """Property (r10): the distributed diagonal-islands shared-run detector
+    (uncapped) equals the quadratic longest-common-token-substring model:
+    a pair is reported iff its LCS (in tokens) >= max(n, min_tokens), with
+    max_shared_tokens == the LCS length exactly — runs of R consecutive
+    n-gram diagonal matches are substrings of R+n-1 tokens and vice
+    versa."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.dedup import shared_run_pairs
+
+    N, MIN_T = 3, 4
+    word = st.sampled_from(["p", "q", "r", "s"])
+    doc = st.lists(word, min_size=1, max_size=14).map(" ".join)
+
+    def lcs_tokens(ta, tb):
+        best = 0
+        prev = [0] * (len(tb) + 1)
+        for i in range(1, len(ta) + 1):
+            cur = [0] * (len(tb) + 1)
+            for j in range(1, len(tb) + 1):
+                if ta[i - 1] == tb[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=5))
+    def prop(docs):
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["max_shared_tokens"]
+            for r in shared_run_pairs(
+                df, "doc_id", "text", n=N, min_tokens=MIN_T, max_gram_df=None
+            ).collect()
+        }
+        want = {}
+        toks = {i: d.split(" ") for i, d in enumerate(docs)}
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                L = lcs_tokens(toks[a], toks[b])
+                if L >= max(N, MIN_T):
+                    want[(a, b)] = L
+        assert got == want
+
+    prop()
