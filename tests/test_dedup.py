@@ -627,3 +627,64 @@ def test_shared_run_pairs_matches_lcs_model_property(spark):
         assert got == want
 
     prop()
+
+
+def test_simhash_portable_matches_python_model_property(spark):
+    """Property (r10): the portable-family SimHash signature equals a
+    brute-force Python model (md5-prefix token hashes, per-bit +/-1 votes
+    with multiplicity, sign rule at 0), and simhash_pairs' 4-band
+    pigeonhole blocking reports EXACTLY the pairs within the hamming
+    threshold — no pair missed (the pigeonhole guarantee), none beyond the
+    threshold kept."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    word = st.sampled_from(["m", "n", "o", "pp"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    def sig_of(text):
+        sig = 0
+        toks = text.split(" ")
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+        for b in range(SIMHASH_BITS):
+            vote = sum(1 if (h >> b) & 1 else -1 for h in hs)
+            if vote >= 0:
+                sig += 1 << b
+        return sig
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=6))
+    def prop(docs):
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        got_sig = {
+            r["doc"]: r["simhash"]
+            for r in simhash_signatures(
+                df, "doc_id", "text", hash_family="portable"
+            ).collect()
+        }
+        want_sig = {i: sig_of(d) for i, d in enumerate(docs)}
+        assert got_sig == want_sig
+
+        got_pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(
+                df, "doc_id", "text", max_hamming=3, hash_family="portable"
+            ).collect()
+        }
+        want_pairs = {}
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                ham = bin(want_sig[a] ^ want_sig[b]).count("1")
+                if ham <= 3:
+                    want_pairs[(a, b)] = ham
+        assert got_pairs == want_pairs
+
+    prop()
