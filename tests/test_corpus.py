@@ -530,3 +530,49 @@ def test_stratified_quota_sample_random_fraction_property(spark):
         assert got == want
 
     prop()
+
+
+def test_temperature_mix_quotas_matches_python_model_property(spark):
+    """Property (r10): alpha=0.5 temperature quotas equal the exact-integer
+    Python model — quantized sqrt scores, round-half-up share of the
+    budget, capped at the stratum size — for arbitrary stratum shapes and
+    budgets (including budget > corpus and single-stratum corpora)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.sampling import temperature_mix_quotas
+
+    SCALE = 10**9
+
+    def model(counts, budget):
+        s = {g: math.floor(math.sqrt(n) * SCALE + 0.5) for g, n in counts.items()}
+        t = sum(s.values())
+        return {
+            g: min(counts[g], (2 * budget * s[g] + t) // (2 * t))
+            for g in counts
+        }
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.integers(min_value=1, max_value=200),
+            min_size=1,
+            max_size=4,
+        ),
+        st.integers(min_value=0, max_value=500),
+    )
+    def prop(counts, budget):
+        rows = [(g, i) for g, n in counts.items() for i in range(n)]
+        df = spark.createDataFrame(rows, "g string, i int")
+        got = {
+            r["g"]: (r["__n"], r["quota"])
+            for r in temperature_mix_quotas(df, "g", budget).collect()
+        }
+        want = model(counts, budget)
+        assert {g: q for g, (_, q) in got.items()} == want
+        assert {g: n for g, (n, _) in got.items()} == counts
+
+    prop()

@@ -650,3 +650,51 @@ def test_chunk_documents_matches_python_model_property(spark):
             assert covered == set(range(n))
 
     prop()
+
+
+def test_tfidf_top_terms_matches_python_model_property(spark):
+    """Property (r10): per-doc TF-IDF top-k (sklearn smooth_idf form,
+    6dp-rounded scores, term tie-break) equals the Python model on
+    arbitrary corpora — ranks, scores, AND the exact cut at k."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.text import tfidf_top_terms
+
+    word = st.sampled_from(["u", "v", "w", "uu", "vv"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+    K = 2
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def model(docs):
+        n = len(docs)
+        tfs = {i: Counter(d.split(" ")) for i, d in enumerate(docs)}
+        dfreq = Counter(t for tf in tfs.values() for t in tf)
+        out = set()
+        for i, tf in tfs.items():
+            scored = sorted(
+                (
+                    (-r6(c * (math.log((1.0 + n) / (1.0 + dfreq[t])) + 1.0)), t, c)
+                    for t, c in tf.items()
+                ),
+            )
+            for rnk, (neg, t, c) in enumerate(scored[:K], start=1):
+                out.add((i, t, c, -neg, rnk))
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def prop(docs):
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["term"], r["tf"], r["tfidf"], r["rnk"])
+            for r in tfidf_top_terms(df, k=K).collect()
+        }
+        assert got == model(docs)
+
+    prop()
