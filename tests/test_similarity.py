@@ -425,3 +425,78 @@ def test_srp_signature_expression_matches_numpy_buckets(spark):
             assert via_np[(r["vec_id"], t)] == r[f"b{t}"], (
                 f"vec {r['vec_id']} table {t}: numpy/expression bucket split"
             )
+
+
+def test_kcenter_greedy_matches_python_model_property(spark):
+    """Property (r10): the Gonzalez farthest-point trajectory — seed,
+    every pick under the (dist DESC, id ASC) order, covering radii, and
+    the final assignment counts (distance ties to the earliest step) —
+    equals a brute-force Python model with the identical sequential-fold
+    float arithmetic, on arbitrary point sets including duplicates."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.similarity import kcenter_greedy
+
+    DIM = 4
+    coord = st.sampled_from([0.0, 0.25, 0.5, 1.0, 1.5, 2.0, -1.0])
+    vec = st.lists(coord, min_size=DIM, max_size=DIM)
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def model(vecs, k):
+        q = {i: [q6(x) for x in v] for i, v in vecs.items()}
+        seed = min(q)
+        centers = [(0, seed, q[seed], None)]
+        for step in range(1, k):
+            best = None
+            for vid, v in q.items():
+                vv = pydot(v, v)
+                d = min(
+                    vv - 2.0 * pydot(v, c) + pydot(c, c) for _, _, c, _ in centers
+                )
+                key = (d, -vid)
+                if best is None or key > best[0]:
+                    best = (key, vid, v)
+            centers.append((step, best[1], best[2], best[0][0]))
+        counts = {}
+        for vid, v in q.items():
+            vv = pydot(v, v)
+            s = min(
+                ((vv - 2.0 * pydot(v, c) + pydot(c, c)), st)
+                for st, _, c, _ in centers
+            )[1]
+            counts[s] = counts.get(s, 0) + 1
+        return {
+            (st, cid, q6(r) if r is not None else None, counts.get(st, 0))
+            for st, cid, _, r in centers
+        }
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(min_value=1, max_value=30), vec, min_size=2, max_size=10
+        )
+    )
+    def prop(vecs):
+        k = min(4, len(vecs))
+        df = spark.createDataFrame(
+            [(i, v) for i, v in sorted(vecs.items())],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r["step"], r["center_id"], r["radius"], r["n_assigned"])
+            for r in kcenter_greedy(df, k=k, dim=DIM).collect()
+        }
+        assert got == model(vecs, k)
+
+    prop()
