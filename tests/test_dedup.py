@@ -688,3 +688,65 @@ def test_simhash_portable_matches_python_model_property(spark):
         assert got_pairs == want_pairs
 
     prop()
+
+
+def test_jaccard_and_containment_match_set_models_property(spark):
+    """Property (r10): the uncapped inverted-index Jaccard pairs and the
+    directional containment pairs equal plain Python set arithmetic over
+    distinct word n-gram shingles, for arbitrary corpora — thresholds,
+    shared counts, and scores all exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    N, TH = 2, 0.3
+    word = st.sampled_from(["g", "h", "i", "jj"])
+    doc = st.lists(word, min_size=2, max_size=8).map(" ".join)
+
+    def shingles(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + N]) for i in range(len(t) - N + 1)}
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=6))
+    def prop(docs):
+        sh = {i: shingles(d) for i, d in enumerate(docs)}
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+
+        got_j = {
+            (r["id_a"], r["id_b"]): (r["shared"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", TH, n=N, max_shingle_df=None
+            ).collect()
+        }
+        want_j = {}
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                s = len(sh[a] & sh[b])
+                if s:
+                    j = s / (len(sh[a]) + len(sh[b]) - s)
+                    if j >= TH:
+                        want_j[(a, b)] = (s, j)
+        assert got_j == want_j
+
+        got_c = {
+            (r["inner_id"], r["outer_id"]): (r["shared"], r["containment"])
+            for r in containment_pairs(
+                df, "doc_id", "text", TH, n=N, max_shingle_df=None
+            ).collect()
+        }
+        want_c = {}
+        for a in sh:
+            for b in sh:
+                if a == b:
+                    continue
+                s = len(sh[a] & sh[b])
+                if s and s / len(sh[a]) >= TH:
+                    want_c[(a, b)] = (s, s / len(sh[a]))
+        assert got_c == want_c
+
+    prop()

@@ -162,3 +162,58 @@ def test_graph_operators_match_models_property(spark):
         assert got_bfs == set(bfs_model(e, seeds, 2).items())
 
     prop()
+
+
+def test_pagerank_and_triangles_match_models_property(spark):
+    """Property (r10): fixed-iteration PageRank on symmetrized random
+    graphs equals the textbook power-iteration model (per-node, within
+    summation-order ulps), and oriented triangle counts equal the exact
+    combinatorial model."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.graph import pagerank, triangle_counts
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=7), st.integers(min_value=0, max_value=7)
+    ).filter(lambda p: p[0] < p[1])
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.sets(edge, min_size=1, max_size=10))
+    def prop(edges):
+        e = sorted(edges)
+        sym = [(a, b) for a, b in e] + [(b, a) for a, b in e]
+        df_sym = spark.createDataFrame(sym, "src int, dst int")
+        got_pr = {r["id"]: r["pr"] for r in pagerank(df_sym, iters=2).collect()}
+
+        adj = {}
+        for a, b in sym:
+            adj.setdefault(a, []).append(b)
+        n = len(adj)
+        pr = {v: 1.0 / n for v in adj}
+        for _ in range(2):
+            inc = {v: 0.0 for v in adj}
+            for u, outs in adj.items():
+                for v in outs:
+                    inc[v] += pr[u] / len(outs)
+            pr = {v: 0.15 / n + 0.85 * inc[v] for v in adj}
+        assert set(got_pr) == set(pr)
+        for v in pr:
+            assert abs(got_pr[v] - pr[v]) < 1e-9, (v, got_pr[v], pr[v])
+
+        df_e = spark.createDataFrame(e, "id_a int, id_b int")
+        got_tri = {
+            r["id"]: r["n_triangles"] for r in triangle_counts(df_e).collect()
+        }
+        es = set(e)
+        tri = {}
+        verts = sorted({v for p in e for v in p})
+        for i, x in enumerate(verts):
+            for y in verts[i + 1 :]:
+                for z in verts:
+                    if z > y and (x, y) in es and (y, z) in es and (x, z) in es:
+                        for v in (x, y, z):
+                            tri[v] = tri.get(v, 0) + 1
+        assert got_tri == tri
+
+    prop()
