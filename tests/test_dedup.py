@@ -750,3 +750,55 @@ def test_jaccard_and_containment_match_set_models_property(spark):
         assert got_c == want_c
 
     prop()
+
+
+def test_decontaminate_and_exact_dedup_match_models_property(spark):
+    """Property (r10): decontamination shingle-overlap counts equal the
+    Python set model (per training doc: distinct n-grams, hits against the
+    union of benchmark n-grams; sub-n docs out of scope), and exact_dedup
+    keeps exactly the min-id row per duplicate group."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.dedup import (
+        content_hash,
+        decontaminate,
+        exact_dedup,
+    )
+
+    N = 2
+    word = st.sampled_from(["k", "l", "m"])
+    doc = st.lists(word, min_size=1, max_size=6).map(" ".join)
+
+    def grams(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + N]) for i in range(len(t) - N + 1)}
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(doc, min_size=1, max_size=6),
+        st.lists(doc, min_size=1, max_size=3),
+    )
+    def prop(train, bench):
+        tdf = spark.createDataFrame(list(enumerate(train)), "doc_id long, text string")
+        bdf = spark.createDataFrame(list(enumerate(bench)), "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_hits"])
+            for r in decontaminate(tdf, bdf, n=N).collect()
+        }
+        bset = set().union(*(grams(d) for d in bench)) if bench else set()
+        want = {
+            i: (len(g), len(g & bset))
+            for i, d in enumerate(train)
+            if (g := grams(d))
+        }
+        assert got == want
+
+        ddf = tdf.withColumn("h", content_hash("text"))
+        kept = {r["doc_id"] for r in exact_dedup(ddf, ["h"], "doc_id").collect()}
+        by_text = {}
+        for i, d in enumerate(train):
+            by_text.setdefault(d, []).append(i)
+        assert kept == {min(ids) for ids in by_text.values()}
+
+    prop()
