@@ -576,3 +576,53 @@ def test_temperature_mix_quotas_matches_python_model_property(spark):
         assert {g: n for g, (n, _) in got.items()} == counts
 
     prop()
+
+
+def test_equi_depth_histogram_matches_python_model_property(spark):
+    """Property (r10): equi-depth buckets equal the rank-quantile model for
+    arbitrary value multisets (heavy duplicates, all-equal columns,
+    n < k): boundary i = smallest value whose cumulative count reaches
+    ceil(i*n/k), bucket = 1 + #boundaries strictly below v, per-bucket
+    count/min/max/sum exact."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.aggregates import equi_depth_histogram
+
+    val = st.integers(min_value=0, max_value=20).map(lambda c: c / 2.0)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(val, min_size=1, max_size=40), st.sampled_from([2, 3, 4]))
+    def prop(values, k):
+        df = spark.createDataFrame([(v,) for v in values], "x double")
+        got = {
+            r["bucket"]: (r["n_rows"], r["lo"], r["hi"], r["sum_v"])
+            for r in equi_depth_histogram(df, "x", k).collect()
+        }
+        n = len(values)
+        cnt = Counter(values)
+        dv = sorted(cnt)
+        bounds = []
+        for i in range(1, k):
+            thr = math.floor((i * n + k - 1) / float(k))
+            cum = 0
+            for v in dv:
+                cum += cnt[v]
+                if cum >= thr:
+                    bounds.append(v)
+                    break
+        want = {}
+        for v in values:
+            b = 1 + sum(1 for x in bounds if v > x)
+            if b not in want:
+                want[b] = [0, v, v, 0.0]
+            want[b][0] += 1
+            want[b][1] = min(want[b][1], v)
+            want[b][2] = max(want[b][2], v)
+            want[b][3] += v  # exact: values are halves, decimal-sum safe
+        assert got == {b: tuple(t) for b, t in want.items()}
+
+    prop()
