@@ -626,3 +626,49 @@ def test_equi_depth_histogram_matches_python_model_property(spark):
         assert got == {b: tuple(t) for b, t in want.items()}
 
     prop()
+
+
+def test_two_pass_prefix_scheme_matches_models_property(spark):
+    """Property (r10): the range-partitioned two-pass global index and
+    running sum equal the trivial sorted-order models under ARBITRARY
+    partition counts (1, more-than-rows, awkward middles) and duplicate-
+    free keys — partition boundaries must never skip or double-count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.sampling import (
+        ordered_global_index,
+        ordered_prefix_sum,
+    )
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=100),  # unique key (unique_by)
+        st.integers(min_value=0, max_value=9),    # weight
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(row, min_size=1, max_size=30, unique_by=lambda r: r[0]),
+        st.sampled_from([1, 2, 3, 7, 64]),
+    )
+    def prop(rows, parts):
+        df = spark.createDataFrame(rows, "k int, w int")
+        got_idx = {
+            r["k"]: r["global_idx"]
+            for r in ordered_global_index(df, ["k"], num_partitions=parts).collect()
+        }
+        ordered = sorted(k for k, _ in rows)
+        assert got_idx == {k: i for i, k in enumerate(ordered)}
+
+        got_sum = {
+            r["k"]: r["running_sum"]
+            for r in ordered_prefix_sum(df, ["k"], "w", num_partitions=parts).collect()
+        }
+        w_of = dict(rows)
+        acc, want = 0, {}
+        for k in ordered:
+            acc += w_of[k]
+            want[k] = acc
+        assert got_sum == want
+
+    prop()
