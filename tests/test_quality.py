@@ -698,3 +698,52 @@ def test_tfidf_top_terms_matches_python_model_property(spark):
         assert got == model(docs)
 
     prop()
+
+
+def test_repetition_stats_matches_python_model_property(spark):
+    """Property (r10): the in-row repetition signals (distinct ratio, top
+    token mass, top bigram mass) equal the Counter model on arbitrary
+    docs — including single-token documents (the ANSI descending-sequence
+    guard path) and fully-repeated text."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.text import repetition_stats
+
+    word = st.sampled_from(["e", "f", "ee"])
+    doc = st.lists(word, min_size=1, max_size=8).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def prop(docs):
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["distinct_ratio"],
+                r["top_token_frac"],
+                r["top_bigram_frac"],
+            )
+            for r in repetition_stats(df, "text").collect()
+        }
+        for i, d in enumerate(docs):
+            t = d.split(" ")
+            n = len(t)
+            bg = [f"{a} {b}" for a, b in zip(t, t[1:])]
+            want = (
+                n,
+                len(set(t)) / n,
+                max(Counter(t).values()) / n,
+                max(Counter(bg).values()) / (n - 1) if n >= 2 else None,
+            )
+            g = got[i]
+            assert g[0] == want[0]
+            assert abs(g[1] - want[1]) < 1e-12 and abs(g[2] - want[2]) < 1e-12
+            if want[3] is None:
+                assert g[3] is None
+            else:
+                assert abs(g[3] - want[3]) < 1e-12
+
+    prop()
