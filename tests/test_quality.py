@@ -747,3 +747,59 @@ def test_repetition_stats_matches_python_model_property(spark):
                 assert abs(g[3] - want[3]) < 1e-12
 
     prop()
+
+
+def test_char_entropy_and_quality_score_match_models_property(spark):
+    """Property (r10): char_entropy equals the Shannon model (bits) and
+    quality_score the documented three-term formula, on arbitrary text
+    including one-character and all-same-character documents."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.text import (
+        LID_STOPWORDS,
+        char_entropy,
+        quality_score,
+    )
+
+    word = st.sampled_from(["the", "of", "zz", "q", "banana"])
+    doc = st.lists(word, min_size=1, max_size=10).map(" ".join)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def prop(docs):
+        df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        got_e = {
+            r["doc_id"]: (r["n_unique_chars"], r["entropy"])
+            for r in char_entropy(df).collect()
+        }
+        for i, d in enumerate(docs):
+            cnt = Counter(d)
+            n = len(d)
+            want_h = -sum(
+                (c / n) * math.log2(c / n) for c in cnt.values()
+            )
+            assert got_e[i][0] == len(cnt)
+            assert abs(got_e[i][1] - want_h) < 1e-9, d
+
+        got_q = {
+            r["doc_id"]: r["quality"]
+            for r in quality_score(df, "text").collect()
+        }
+        en = set(LID_STOPWORDS["en"])
+        for i, d in enumerate(docs):
+            toks = d.split(" ")
+            n = len(toks)
+            stop = sum(1 for t in toks if t in en) / n
+            avg = len(d.replace(" ", "")) / n
+            want = (
+                min(n / 100.0, 1.0) * 0.4
+                + min(stop * 5.0, 1.0) * 0.4
+                + (0.2 if 3.0 <= avg <= 12.0 else 0.0)
+            )
+            assert abs(got_q[i] - want) < 1e-12, d
+
+    prop()

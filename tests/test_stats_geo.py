@@ -336,3 +336,57 @@ def test_psi_gates_agree_with_oracle_on_null_ts_corpus(spark, tmp_path):
 
     streamed = stream_psi_drift_equiv(spark, str(tmp_path))
     assert norm(streamed.collect(), streamed.columns) == want
+
+
+def test_gini_by_group_matches_python_model_property(spark):
+    """Property (r10): the tie-aware doubled-rank Gini equals the textbook
+    tie-aware formula on arbitrary non-negative values — all-equal groups
+    (G=0), single-row groups, zero-total groups (NULL), heavy ties."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.stats import gini_by_group
+
+    val = st.integers(min_value=0, max_value=50).map(lambda c: c / 2.0)
+
+    def model(vals):
+        n = len(vals)
+        cents = [int(v * 100 + 0.5) for v in vals]
+        sx = sum(cents)
+        if sx == 0:
+            return (n, None)
+        # doubled tie-aware average ranks over the sorted distinct grid
+        from collections import Counter
+
+        cnt = Counter(cents)
+        r2 = {}
+        cum = 0
+        for x in sorted(cnt):
+            c = cnt[x]
+            r2[x] = 2 * cum + c + 1
+            cum += c
+        srx = sum(r2[x] * x for x in cents)
+        g = (srx - (n + 1.0) * sx) / (n * float(sx))
+        import math
+
+        return (n, math.floor(g * 1e6 + 0.5) / 1e6)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.dictionaries(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.lists(val, min_size=1, max_size=12),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    def prop(groups):
+        rows = [(g, v) for g, vs in groups.items() for v in vs]
+        df = spark.createDataFrame(rows, "grp string, x double")
+        got = {
+            r["grp"]: (r["n"], r["gini"])
+            for r in gini_by_group(df, "grp", "x").collect()
+        }
+        assert got == {g: model(vs) for g, vs in groups.items()}
+
+    prop()
