@@ -209,3 +209,73 @@ def test_exact_auc_single_class_is_null_and_nulls_excluded(spark):
     )
     row = exact_auc(with_nulls, F.col("y"), F.col("s")).collect()[0]
     assert (row["auc"], row["n_pos"], row["n_neg"]) == (1.0, 1, 1)
+
+
+def test_logreg_trajectory_matches_python_model_property(spark):
+    """Property (r10): the full GD trajectory — 12dp-quantized sigmoid,
+    9dp-quantized decimal gradient sums, 12dp weight re-quantization,
+    per-iteration accuracy — equals a Python replication on arbitrary
+    small training sets (all-one-class sets, separable sets, constant
+    features)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.ml import logreg_train_gd
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=1),   # y
+        st.integers(min_value=-3, max_value=3),  # x
+    )
+    LR, ITERS = 1.5, 2
+
+    def r12(v):
+        return math.floor(v * 1.0e12 + 0.5) / 1.0e12
+
+    def r9i(v):
+        return math.floor(v * 1.0e9 + 0.5)  # 1e-9 units, exact int
+
+    def model(data):
+        w = [0.0, 0.0]
+        out = []
+        accs = []
+        for it in range(1, ITERS + 2):
+            g0u = g1u = 0
+            n_correct = 0
+            for y, x in data:
+                z = w[0] + w[1] * float(x)
+                sig = r12(1.0 / (1.0 + math.exp(-z)))
+                err = sig - y
+                if (sig >= 0.5) == (y == 1):
+                    n_correct += 1
+                g0u += r9i(err)
+                g1u += r9i(err * float(x))
+            accs.append(n_correct)
+            if it <= ITERS:
+                n = float(len(data))
+                g0 = float(g0u) / 1e9
+                g1 = float(g1u) / 1e9
+                w = [r12(w[0] - LR * (g0 / n)), r12(w[1] - LR * (g1 / n))]
+                out.append([it, w[0], w[1]])
+        for i, r in enumerate(out):
+            r.append(accs[i + 1])  # pass it+1 scored iteration it's weights
+        return out
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=12))
+    def prop(data):
+        df = spark.createDataFrame(data, "y int, x int")
+        got = [
+            [r["iter"], r["b0"], r["b1"], r["n_correct"]]
+            for r in logreg_train_gd(
+                df, F.col("y"), [F.col("x")], lr=LR, iters=ITERS
+            ).collect()
+        ]
+        want = model(data)
+        assert len(got) == len(want)
+        for g, w_ in zip(got, want):
+            assert g[0] == w_[0] and g[3] == w_[3], (g, w_)
+            assert abs(g[1] - w_[1]) < 2e-12 and abs(g[2] - w_[2]) < 2e-12, (g, w_)
+
+    prop()
