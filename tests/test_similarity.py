@@ -500,3 +500,88 @@ def test_kcenter_greedy_matches_python_model_property(spark):
         assert got == model(vecs, k)
 
     prop()
+
+
+def test_kmeans_lloyd_matches_python_model_property(spark):
+    """Property (r10): the deterministic Lloyd trajectory — smallest-id
+    init, (dist, cid) argmin ties, decimal-exact centroid means, empty
+    clusters dropping out, 6dp decimal inertia — equals a Python
+    replication with identical fold arithmetic on arbitrary point sets."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.similarity import kmeans_lloyd
+
+    DIM, K, ITERS = 3, 3, 2
+    coord = st.sampled_from([0.0, 0.5, 1.0, 2.0, -1.5])
+    vec = st.lists(coord, min_size=DIM, max_size=DIM)
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def pydot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def model(vecs):
+        q = {i: [q6(x) for x in v] for i, v in sorted(vecs.items())}
+        ids = sorted(q)
+        cents = {c: q[ids[c]] for c in range(min(K, len(ids)))}
+
+        def assign():
+            out = {}
+            for vid, v in q.items():
+                vv = pydot(v, v)
+                best = min(
+                    ((vv - 2.0 * pydot(v, c) + pydot(c, c)), cid)
+                    for cid, c in cents.items()
+                )
+                out[vid] = best
+            return out
+
+        for _ in range(ITERS):
+            a = assign()
+            sums, counts = {}, {}
+            for vid, (_, cid) in a.items():
+                counts[cid] = counts.get(cid, 0) + 1
+                s = sums.setdefault(cid, [0] * DIM)
+                for j, x in enumerate(q[vid]):
+                    s[j] += round(x * 1e6)  # exact 1e-6 units
+            cents = {
+                cid: [float(s[j]) / 1e6 / counts[cid] for j in range(DIM)]
+                for cid, s in sums.items()
+            }
+        a = assign()
+        out = {}
+        for vid, (d, cid) in a.items():
+            d6u = math.floor(d * 1e6 + 0.5)
+            n, su = out.get(cid, (0, 0))
+            out[cid] = (n + 1, su + d6u)
+        return {cid: (n, float(su) / 1e6) for cid, (n, su) in out.items()}
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(min_value=1, max_value=25), vec, min_size=3, max_size=10
+        )
+    )
+    def prop(vecs):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in sorted(vecs.items())],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["cluster_id"]: (r["n_members"], r["inertia"])
+            for r in kmeans_lloyd(df, k=K, iters=ITERS, dim=DIM).collect()
+        }
+        want = model(vecs)
+        assert set(got) == set(want)
+        for cid, (n, inertia) in want.items():
+            assert got[cid][0] == n, (cid, got[cid], (n, inertia))
+            assert abs(got[cid][1] - inertia) < 1e-9, (cid, got[cid], inertia)
+
+    prop()
