@@ -279,3 +279,76 @@ def test_logreg_trajectory_matches_python_model_property(spark):
             assert abs(g[1] - w_[1]) < 2e-12 and abs(g[2] - w_[2]) < 2e-12, (g, w_)
 
     prop()
+
+
+def test_naive_bayes_confusion_matches_python_model_property(spark):
+    """Property (r10): the Laplace-smoothed NB confusion matrix equals an
+    exact integer-units Python model — 9dp-quantized log terms, decimal
+    contributions, argmax ties to the lexicographically first class — on
+    arbitrary corpora (singleton classes, shared-vocabulary classes,
+    single-word docs)."""
+    import math
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.ml import naive_bayes_confusion
+
+    word = st.sampled_from(["r", "s", "t"])
+    doc = st.lists(word, min_size=1, max_size=5).map(" ".join)
+    lab = st.sampled_from(["aa", "bb"])
+
+    def r9u(x):
+        return math.floor(x * 1e9 + 0.5)
+
+    def model(rows):
+        n = len(rows)
+        cw = Counter()
+        ctot = Counter()
+        nc = Counter()
+        vocab = set()
+        for _, y, d in rows:
+            nc[y] += 1
+            for w in d.split(" "):
+                cw[(y, w)] += 1
+                ctot[y] += 1
+                vocab.add(w)
+        v = len(vocab)
+        classes = sorted(nc)
+        conf = Counter()
+        for _, y, d in rows:
+            wc = Counter(d.split(" "))
+            best = None
+            for c in classes:
+                den = ctot[c] + v
+                score = r9u(math.log(nc[c] / n)) + sum(
+                    cnt
+                    * r9u(
+                        math.log((cw[(c, w)] + 1) / den)
+                        if (c, w) in cw
+                        else math.log(1.0 / den)
+                    )
+                    for w, cnt in wc.items()
+                )
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            conf[(y, best[1])] += 1
+        return dict(conf)
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(lab, doc), min_size=1, max_size=10
+        ).map(lambda rs: [(i, y, d) for i, (y, d) in enumerate(rs)])
+    )
+    def prop(rows):
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        got = {
+            (r["true_lang"], r["pred_lang"]): r["n"]
+            for r in naive_bayes_confusion(df, "lang", "text", "doc_id").collect()
+        }
+        assert got == model(rows)
+
+    prop()
