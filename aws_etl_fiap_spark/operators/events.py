@@ -56,6 +56,10 @@ def session_window_agg(
     df: DataFrame, ts_col: str, gap: str, keys: Sequence[str], aggs: Sequence[Column]
 ) -> DataFrame:
     """Gap-based sessions per key: a session breaks when the next event is
-    >= gap after the previous one; session end = last event + gap."""
+    STRICTLY MORE than gap after the previous one — an event at exactly
+    prev + gap still MERGES (Spark coalesces touching windows; established
+    empirically by the r10 boundary-tie model property, which falsified the
+    earlier ``>=``-breaks reading and the two session oracles that encoded
+    it).  Session end = last event + gap."""
     out = df.groupBy(F.session_window(F.col(ts_col), gap), *keys).agg(*aggs)
     return _flatten(out, "session_window", "session_start", "session_end", keys)

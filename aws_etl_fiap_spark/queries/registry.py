@@ -490,7 +490,12 @@ CHANGED_R10_SPILL: tuple[str, ...] = (
 #: directories by Spark's HIVE-ESCAPED names (r10 review: raw-value names
 #: silently mis-merged any partition value containing ':', '=', '%', ... —
 #: staged rows dropped, replaced keys kept; the gates use integer
-#: partition values).  Spilling them would push the r11 lead block past
+#: partition values).  The same pair also rides the late-r10 NULL-SAFE
+#: survivor predicate fix (a plain `col == NULL` scanned ZERO survivors
+#: out of the NULL partition while the swap still replaced its directory —
+#: silent row loss, found by the random-commit property in
+#: tests/test_scale_ops.py; gate data has no NULL partitions, output
+#: identical, both re-verified exact post-fix).  Spilling them would push the r11 lead block past
 #: 50 - |r6 tier| slots and bump an r6-green entry to staleness 6 — so
 #: they re-enter via the NATURAL r7-tier rotation in r12 (their own
 #: staleness lands exactly at the 5-round ceiling; the staleness

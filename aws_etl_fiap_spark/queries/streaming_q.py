@@ -154,7 +154,7 @@ WITH e AS (
 marked AS (
     SELECT *,
         CASE WHEN LAG(ts) OVER w IS NULL
-                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
              THEN 1 ELSE 0 END AS brk
     FROM e
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)

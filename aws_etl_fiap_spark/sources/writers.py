@@ -256,7 +256,16 @@ def upsert_partitioned(
     for values in affected:
         clause = F.lit(True)
         for col, val in zip(pcols, values):
-            clause = clause & (F.col(col) == F.lit(val))
+            # NULL-SAFE match: `col == NULL` is NULL (never true), so a plain
+            # equality would scan ZERO survivors out of the NULL partition
+            # while the swap still replaces its live directory — silently
+            # deleting every unmatched row in it (found by the r10
+            # random-commit property; `_rel` below already routes NULL to
+            # __HIVE_DEFAULT_PARTITION__, so NULL partitions are in-contract).
+            cond = (
+                F.col(col).isNull() if val is None else F.col(col) == F.lit(val)
+            )
+            clause = clause & cond
         pred = pred | clause
     survivors = existing.filter(pred).join(batch_keys, kcols, "left_anti")
     merged = survivors.unionByName(updates.select(*survivors.columns))

@@ -803,3 +803,225 @@ def test_char_entropy_and_quality_score_match_models_property(spark):
             assert abs(got_q[i] - want) < 1e-12, d
 
     prop()
+
+
+def test_funnel_conversion_matches_python_model_property(spark, tmp_path):
+    """Property (r10): the 3-stage ordered funnel (first qualifying event
+    STRICTLY AFTER the previous stage) equals a brute-force Python fold on
+    arbitrary tiny event logs — timestamp TIES across stages (a click at
+    exactly view_ts must NOT count), duplicate events, stage skips, users
+    with no view (absent from the result)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.queries.quality_q import events_funnel_conversion
+
+    base = dt.datetime(2024, 1, 1)
+    ev = st.tuples(
+        st.integers(min_value=1, max_value=3),                      # user_id
+        st.sampled_from(["view", "click", "purchase", "other"]),    # type
+        st.integers(min_value=0, max_value=6),                      # ts offset
+    )
+
+    def model(events):
+        out = {}
+        for uid in {u for u, _, _ in events}:
+            mine = [(t, k) for u, k, t in events if u == uid]
+            views = [t for t, k in mine if k == "view"]
+            if not views:
+                continue
+            view_ts = min(views)
+            clicks = [t for t, k in mine if k == "click" and t > view_ts]
+            click_ts = min(clicks) if clicks else None
+            purchase_ts = None
+            if click_ts is not None:
+                buys = [t for t, k in mine if k == "purchase" and t > click_ts]
+                purchase_ts = min(buys) if buys else None
+            stage = 3 if purchase_ts is not None else 2 if click_ts else 1
+            out[uid] = (
+                base + dt.timedelta(seconds=view_ts),
+                None if click_ts is None else base + dt.timedelta(seconds=click_ts),
+                None if purchase_ts is None else base + dt.timedelta(seconds=purchase_ts),
+                stage,
+            )
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=12))
+    def prop(events):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(events)), pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(seconds=t) for _, _, t in events],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for u, _, _ in events], pa.int64()),
+                "event_type": pa.array([k for _, k, _ in events]),
+                "value": pa.array([1.0] * len(events), pa.float64()),
+                "props": pa.array(["{}"] * len(events)),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        got = {
+            r.user_id: (r.view_ts, r.click_ts, r.purchase_ts, r.reached_stage)
+            for r in events_funnel_conversion(spark, str(tmp_path)).collect()
+        }
+        assert got == model(events)
+
+    prop()
+
+
+def test_session_window_matches_python_model_property(spark, tmp_path):
+    """Property (r10): F.session_window gap sessions equal a Python fold —
+    the BOUNDARY tie is the point (an event at exactly prev + gap MERGES
+    into the session: Spark coalesces touching windows — this property
+    falsified the ``>=``-breaks reading the two session oracles encoded),
+    plus duplicate timestamps and interleaved users.  3-second gap so ties
+    land on integers."""
+    import datetime as dt
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.events import session_window_agg
+    from aws_etl_fiap_spark.sources.readers import load_table
+    from aws_etl_fiap_spark.functions.parity import dec_sum
+
+    base = dt.datetime(2024, 1, 1)
+    GAP = 3
+    ev = st.tuples(
+        st.integers(min_value=1, max_value=2),    # user_id
+        st.integers(min_value=0, max_value=12),   # ts offset (seconds)
+        st.integers(min_value=-9, max_value=9),   # value (as x.5 halves)
+    )
+
+    def model(events):
+        out = {}
+        for uid in {u for u, _, _ in events}:
+            mine = sorted((t, v) for u, t, v in events if u == uid)
+            sessions, cur = [], [mine[0]]
+            for t, v in mine[1:]:
+                if t > cur[-1][0] + GAP:
+                    sessions.append(cur)
+                    cur = []
+                cur.append((t, v))
+            sessions.append(cur)
+            for s in sessions:
+                key = (
+                    uid,
+                    base + dt.timedelta(seconds=s[0][0]),
+                    base + dt.timedelta(seconds=s[-1][0] + GAP),
+                )
+                total = Decimal(sum(v for _, v in s)) / 2
+                out[key] = (len(s), Decimal(f"{total:.2f}"))
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=12))
+    def prop(events):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(events)), pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(seconds=t) for _, t, _ in events],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for u, _, _ in events], pa.int64()),
+                "event_type": pa.array(["view"] * len(events)),
+                "value": pa.array([v / 2 for _, _, v in events], pa.float64()),
+                "props": pa.array(["{}"] * len(events)),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        df = session_window_agg(
+            load_table(spark, str(tmp_path), "events"),
+            "ts",
+            f"{GAP} seconds",
+            keys=["user_id"],
+            aggs=[
+                F.count(F.lit(1)).alias("n_events"),
+                dec_sum("value", 2).alias("total_value"),
+            ],
+        )
+        got = {
+            (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+            for r in df.collect()
+        }
+        assert got == model(events)
+
+    prop()
+
+
+def test_gapfill_ffill_matches_python_model_property(spark, tmp_path):
+    """Property (r10): dense-spine gap-fill + forward-fill equals a Python
+    fold — zero-filled counts on generated gap buckets, ffill across MULTI-
+    bucket gaps, all-NULL buckets (dec_sum -> NULL) that must INHERIT the
+    previous value, and a leading all-NULL bucket whose ffill stays NULL."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.queries.quality_q import timeseries_gapfill_ffill
+
+    base = dt.datetime(2024, 1, 1)
+    ev = st.tuples(
+        st.sampled_from(["a", "b"]),             # event_type
+        st.integers(min_value=0, max_value=9),   # bucket index (10-min each)
+        st.one_of(st.none(), st.integers(min_value=-8, max_value=8)),  # halves
+    )
+
+    def model(events):
+        out = {}
+        for et in {e for e, _, _ in events}:
+            mine = [(b, v) for e, b, v in events if e == et]
+            buckets = sorted({b for b, _ in mine})
+            carry = None
+            for b in range(buckets[0], buckets[-1] + 1):
+                here = [v for bb, v in mine if bb == b]
+                vals = [v for v in here if v is not None]
+                if vals:
+                    carry = float(sum(vals)) / 2
+                out[(et, base + dt.timedelta(minutes=10 * b))] = (
+                    len(here),
+                    carry,
+                )
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=14))
+    def prop(events):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(events)), pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(minutes=10 * b) for _, b, _ in events],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(events), pa.int64()),
+                "event_type": pa.array([e for e, _, _ in events]),
+                "value": pa.array(
+                    [None if v is None else v / 2 for _, _, v in events],
+                    pa.float64(),
+                ),
+                "props": pa.array(["{}"] * len(events)),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        got = {
+            (r.event_type, r.bucket): (r.n_events, r.ffill_value)
+            for r in timeseries_gapfill_ffill(spark, str(tmp_path)).collect()
+        }
+        assert got == model(events)
+
+    prop()

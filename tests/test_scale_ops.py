@@ -448,3 +448,118 @@ def test_upsert_partitioned_escaped_partition_values(spark, tmp_path):
     }
     assert stats["rewritten_partitions"] == 3
     assert stats["dropped_partitions"] == 0
+
+
+def test_upsert_partitioned_random_commits_property(spark, tmp_path):
+    """Property (r10): for ARBITRARY interleavings of upsert/delete commits
+    against a dict model {key: (partition, value)} — partition movers,
+    phantom drops, re-inserts, Hive-escaping hazard values, and the NULL
+    partition — the on-disk table must equal the model EXACTLY after every
+    commit.  This pins the merge ALGEBRA (affected-partition discovery,
+    survivor anti-join, staged swap) itself, not one scripted scenario."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.sources.writers import upsert_partitioned
+
+    keys = st.integers(min_value=1, max_value=8)
+    part = st.sampled_from(["plain", "a b:c", "x=y%", None])
+    val = st.integers(min_value=-50, max_value=50)
+    batch = st.dictionaries(keys, st.tuples(part, val), min_size=0, max_size=5)
+    commit = st.tuples(batch, st.sets(keys, min_size=0, max_size=3))
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in sorted(d.items())],
+            "k int, p string, v int",
+        )
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.dictionaries(keys, st.tuples(part, val), min_size=1, max_size=6),
+        st.lists(commit, min_size=1, max_size=3),
+    )
+    def prop(init, commits):
+        tmp = tempfile.mkdtemp(prefix="upsprop_")
+        path = tmp + "/t"
+        try:
+            df_of(init).write.partitionBy("p").parquet(path)
+            model = dict(init)
+            for updates, deletes in commits:
+                # A key in both halves of one batch is ambiguous CDC input
+                # (callers sequence their batches); keep the property to the
+                # documented contract by dropping the collision.
+                deletes = {k for k in deletes if k not in updates}
+                next_model = {k: v for k, v in model.items() if k not in deletes}
+                next_model.update(updates)
+                if not updates and not deletes:
+                    continue  # empty commit: nothing to assert beyond no-op
+                if not next_model:
+                    continue  # bare partitioned parquet cannot hold 0 rows
+                model = next_model
+                dels = (
+                    spark.createDataFrame(
+                        [(k,) for k in sorted(deletes)], "k int"
+                    )
+                    if deletes
+                    else None
+                )
+                upsert_partitioned(
+                    spark, path, df_of(updates), ["k"], ["p"],
+                    keys_partition_stable=False, deletes=dels,
+                )
+                got = {
+                    (r.k, r.p, r.v)
+                    for r in spark.read.parquet(path).collect()
+                }
+                want = {(k, p, v) for k, (p, v) in model.items()}
+                assert got == want
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    prop()
+
+
+def test_morton_code_matches_python_model_property(spark):
+    """Property (r10): the magic-mask Morton interleave equals the textbook
+    per-bit Python interleave for arbitrary (x, y, bits<=16) — including the
+    all-ones corner and bit widths below 16 where the mask must truncate."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.sources.writers import morton_code
+
+    def model(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=16),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=(1 << 16) - 1),
+                st.integers(min_value=0, max_value=(1 << 16) - 1),
+            ),
+            min_size=1,
+            max_size=64,
+        ),
+    )
+    def prop(bits, pairs):
+        df = spark.createDataFrame(pairs, "x long, y long")
+        got = {
+            (r.x, r.y): r.z
+            for r in df.select(
+                "x", "y", morton_code(F.col("x"), F.col("y"), bits).alias("z")
+            ).collect()
+        }
+        mask = (1 << bits) - 1
+        for x, y in pairs:
+            assert got[(x, y)] == model(x & mask, y & mask, bits)
+
+    prop()
