@@ -30,6 +30,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _null_safe_anti(df: DataFrame, violators: DataFrame, qc: Sequence[str]) -> DataFrame:
+    """LEFT ANTI join that matches NULL keys null-safely.
+
+    groupBy puts all NULL quasi values in ONE equivalence class, but a
+    name-list anti-join matches with plain equality — NULL never equals
+    NULL, so a NULL-keyed VIOLATING class sailed through the release
+    (found by the r10 privacy-ladder model property: a (NULL, 0) class of
+    size 1 survived k=2 suppression).  The suppression probe must match
+    with the same null semantics the class counting used."""
+    v = violators.select(*[F.col(c).alias(f"__v_{c}") for c in qc])
+    cond = F.lit(True)
+    for c in qc:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__v_{c}"))
+    return df.join(F.broadcast(v), cond, "left_anti")
+
+
 def generalize_band(col: Column | str, width: float) -> Column:
     """Left edge of the value's generalization band (floor onto a fixed
     grid): 0 <= x < width -> 0, width <= x < 2*width -> width, ...
@@ -55,7 +71,7 @@ def k_anonymize(
         raise ValueError("k must be >= 1")
     qc = list(quasi_cols)
     violators = quasi_group_counts(df, qc).filter(F.col("n") < k).select(*qc)
-    return df.join(F.broadcast(violators), qc, "left_anti")
+    return _null_safe_anti(df, violators, qc)
 
 
 def l_diversify(
@@ -84,7 +100,7 @@ def l_diversify(
     violators = classes.filter(
         (F.col("n") < k) | (F.col("n_sens") < l)
     ).select(*qc)
-    return df.join(F.broadcast(violators), qc, "left_anti")
+    return _null_safe_anti(df, violators, qc)
 
 
 def dp_noisy_counts(
@@ -211,9 +227,27 @@ def t_closeness_release(
     )
     nc = cvc.groupBy(*qc).agg(F.sum("cnt").cast("long").alias("n"))
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+
+    # NULL-SAFE joins throughout: groupBy treats NULL as a regular value
+    # (a NULL sensitive value is a real point of the distribution, a NULL
+    # quasi value a real equivalence class), so the equi-joins that carry
+    # the per-value and per-class frames back together must match NULL
+    # keys too — plain `=` would silently drop every NULL-v term from the
+    # distance and lose NULL-keyed classes outright (same defect class as
+    # the k-anonymity suppression probe, r10 privacy-ladder property).
+    def nsafe(left_cols, right_cols):
+        cond = F.lit(True)
+        for lc, rc in zip(left_cols, right_cols):
+            cond = cond & F.col(lc).eqNullSafe(F.col(rc))
+        return cond
+
+    g_a = g.select(F.col("v").alias("__g_v"), "gv")
+    nc_a = nc.select(
+        *[F.col(c).alias(f"__n_{c}") for c in qc], "n"
+    )
     parts = (
-        cvc.join(F.broadcast(g), "v")
-        .join(F.broadcast(nc), qc)
+        cvc.join(F.broadcast(g_a), F.col("v").eqNullSafe(F.col("__g_v")))
+        .join(F.broadcast(nc_a), nsafe(qc, [f"__n_{c}" for c in qc]))
         .select(
             *qc,
             F.abs(d("cnt") * F.lit(n_total) - d("gv") * F.col("n")).alias(
@@ -226,7 +260,9 @@ def t_closeness_release(
         F.sum("term").cast("decimal(38,0)").alias("sp"),
         F.sum("gv").cast("long").alias("gp"),
     )
-    rel = cls.join(F.broadcast(nc), qc).select(
+    rel = cls.join(
+        F.broadcast(nc_a), nsafe(qc, [f"__n_{c}" for c in qc])
+    ).select(
         *qc,
         "n",
         (F.col("sp") + d("n") * (F.lit(n_total) - F.col("gp"))).alias("s"),

@@ -200,3 +200,91 @@ def test_dp_noisy_counts_requires_explicit_seed(spark):
     df = spark.createDataFrame([("a",)], "g string")
     with pytest.raises(TypeError):
         dp_noisy_counts(df, ["g"], epsilon=1.0)  # no seed -> refuse
+# staged: appended to tests/test_privacy.py after local check
+def test_privacy_ladder_matches_python_models_property(spark):
+    """Property (r10): k-anonymity suppression and distinct l-diversity
+    equal their set-algebra definitions on arbitrary tiny tables — NULL
+    quasi values form ONE equivalence class (groupBy groups NULLs) and a
+    NULL-keyed violating class must be suppressed like any other; NULL
+    sensitive values; all-suppressed and none-suppressed corners."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.privacy import (
+        k_anonymize,
+        l_diversify,
+        t_closeness_release,
+    )
+
+    row = st.tuples(
+        st.sampled_from(["q1", "q2", None]),     # quasi a
+        st.integers(min_value=0, max_value=1),   # quasi b
+        st.sampled_from(["s1", "s2", "s3", None]),  # sensitive
+    )
+
+    def classes(rows):
+        out = {}
+        for a, b, s in rows:
+            out.setdefault((a, b), []).append(s)
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(row, min_size=1, max_size=12),
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=1, max_value=3),
+    )
+    def prop(rows, k, l):
+        df = spark.createDataFrame(rows, "a string, b int, s string")
+        cls = classes(rows)
+
+        got_k = sorted(
+            ((r.a, r.b, r.s)
+             for r in k_anonymize(df, ["a", "b"], k).collect()),
+            key=repr)
+        want_k = sorted(
+            ((a, b, s) for a, b, s in rows if len(cls[(a, b)]) >= k),
+            key=repr)
+        assert got_k == want_k
+
+        got_l = sorted(
+            ((r.a, r.b, r.s)
+             for r in l_diversify(df, ["a", "b"], "s", k, l).collect()),
+            key=repr)
+        # countDistinct skips NULL sensitive values (both engines).
+        want_l = sorted(
+            ((a, b, s)
+             for a, b, s in rows
+             if len(cls[(a, b)]) >= k
+             and len({x for x in cls[(a, b)] if x is not None}) >= l),
+            key=repr)
+        assert got_l == want_l
+
+        # t-closeness: NULL is a REAL point of the sensitive distribution
+        # (unlike countDistinct above) and NULL quasi keys are real classes
+        # — the exact integer release rule, common-denominator form.
+        import math
+        from collections import Counter
+
+        t_num, t_den = k - 1, 3  # reuse k draw: t in {0, 1/3, 2/3}
+        N = len(rows)
+        gv = Counter(s for _, _, s in rows)
+        want_t = {}
+        for (a, b), sens in cls.items():
+            n = len(sens)
+            cnt = Counter(sens)
+            s_int = sum(
+                abs(cnt[v] * N - gv[v] * n) for v in cnt
+            ) + n * (N - sum(gv[v] for v in cnt))
+            if t_den * s_int <= 2 * t_num * n * N:
+                dist = math.floor((s_int / (2.0 * n * N)) * 1e6 + 0.5) / 1e6
+                want_t[(a, b)] = (n, dist)
+        got_t = {
+            (r.a, r.b): (r.n, r.dist)
+            for r in t_closeness_release(
+                df, ["a", "b"], "s", t_num=t_num, t_den=t_den
+            ).collect()
+        }
+        assert got_t == want_t
+
+    prop()
