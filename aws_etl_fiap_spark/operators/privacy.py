@@ -146,8 +146,24 @@ def dp_noisy_counts(
 
     gc = list(group_cols)
     counts = df.groupBy(*gc).agg(F.count(F.lit(1)).alias("__n"))
+    # INJECTIVE hash input (r10 review): portable_hash60 joins its inputs
+    # with ':' and concat_ws SKIPS NULLs, so with >= 2 group columns the
+    # distinct keys ('x', 'y:z') / ('x:y', 'z') — or symmetric NULL
+    # placements — hashed IDENTICALLY: two groups drew the SAME Laplace
+    # noise, and publishing both noisy counts reveals their exact
+    # difference (the noise cancels) — a real leak for keys that embed
+    # free text.  Escape each column (~ -> ~t, : -> ~c, NULL -> ~n) so the
+    # joined form is injective; the escape is the IDENTITY on values
+    # without '~'/':'/'NULL', so clean-keyed releases (and the oracle
+    # gate) are byte-identical to the historical draw.
+    def _esc(c: str) -> Column:
+        s = F.col(c).cast("string")
+        s = F.replace(s, F.lit("~"), F.lit("~t"))
+        s = F.replace(s, F.lit(":"), F.lit("~c"))
+        return F.coalesce(s, F.lit("~n"))
+
     u = (
-        (portable_hash60(F.lit(seed), *[F.col(c).cast("string") for c in gc])
+        (portable_hash60(F.lit(seed), *[_esc(c) for c in gc])
          % F.lit(1_000_000)).cast("double")
         + F.lit(0.5)
     ) / F.lit(1_000_000.0)

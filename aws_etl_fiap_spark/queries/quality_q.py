@@ -684,10 +684,16 @@ WITH counts AS (
     GROUP BY c_nationkey, c_mktsegment
 ),
 drawn AS (
+    -- Hash input mirrors the operator's injective per-column escape
+    -- (~ -> ~t, : -> ~c, NULL -> ~n); on this corpus (digit nation keys,
+    -- clean uppercase segments) the escape is the identity.
     SELECT c_nationkey, c_mktsegment, n,
            (CAST(CAST('0x' || substr(md5(
-                'dp-v1' || ':' || CAST(c_nationkey AS VARCHAR)
-                        || ':' || c_mktsegment), 1, 15) AS BIGINT)
+                'dp-v1'
+                || ':' || COALESCE(replace(replace(
+                       CAST(c_nationkey AS VARCHAR), '~', '~t'), ':', '~c'), '~n')
+                || ':' || COALESCE(replace(replace(
+                       c_mktsegment, '~', '~t'), ':', '~c'), '~n')), 1, 15) AS BIGINT)
                  % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
     FROM counts
 )

@@ -510,7 +510,33 @@ CHANGED_R10_SPILL: tuple[str, ...] = (
 #: _lm_tokens fix (empty tokens dropped before pairing, oracles updated in
 #: LOCKSTEP — on the single-spaced gate corpus output is identical,
 #: re-verified exact; a model property pins the multi-space behavior).
-#: The two r9-green entries would not surface in r12's stalest-first fill
+#: The four privacy gates ride the late-r10 privacy.py hardening (all
+#: r9-green, output identical on the clean-keyed gate corpus, all four
+#: re-verified exact post-fix):
+#: - k_anonymize / l_diversify / t_closeness_release suppression and
+#:   distribution joins are now NULL-SAFE (groupBy puts all NULL quasi
+#:   values in ONE class, but the name-list anti-join matched with plain
+#:   equality — a NULL-keyed VIOLATING class leaked through the release;
+#:   found by the privacy-ladder model property);
+#: - dp_noisy_counts hash inputs are per-column escaped to be INJECTIVE
+#:   (raw ':'-joining let distinct keys share one Laplace draw — the
+#:   difference of their noisy counts was exact; the escape is the
+#:   identity on '~'/':'-free non-NULL keys, so the draw is unchanged).
+#: events_session_30min rides the late-r10 session-gap boundary fix on
+#: its ORACLE only (>= broke at exactly prev+gap where Spark MERGES —
+#: found by the session boundary-tie property; microsecond corpus has no
+#: exact 30-min ties, output identical, re-verified exact).
+#: events_funnel_conversion / events_cohort_retention /
+#: events_rolling_wau_7d / events_quantile_outliers /
+#: timeseries_gapfill_ffill / join_interval_overlap_promo gained model
+#: properties with NO code change (nothing to re-enter).
+#: The four privacy gates and events_session_30min are NOT force-scheduled:
+#: they sit on FRESH r9-green rows, so their natural stalest-first slot is
+#: r14 (staleness exactly 5, inside the ceiling — forcing them into r12
+#: would bump five stale-tier entries past it, which the staleness
+#: simulation test rejects), and their exact oracles run in every local
+#: pytest via test_oracle_parity meanwhile.
+#: The r9-green entries here would not surface in r12's stalest-first fill
 #: on their own — the r12 builder MUST pass them as changed= re-entries
 #: (the staleness simulation test already does, so forgetting fails CI).
 CHANGED_R10_TO_R12: tuple[str, ...] = (

@@ -288,3 +288,32 @@ def test_privacy_ladder_matches_python_models_property(spark):
         assert got_t == want_t
 
     prop()
+
+
+def test_dp_noisy_counts_hash_input_is_injective(spark):
+    """r10 review regression: with multiple group columns the hash input
+    joined raw values with ':' (and concat_ws SKIPS NULLs), so the distinct
+    keys ('x','y:z') / ('x:y','z') — or NULL in either position — drew the
+    SAME Laplace noise, and the two published noisy counts revealed their
+    exact difference.  The per-column escape must separate all of them,
+    stay the identity on clean keys, and keep NULL distinct from the
+    literal strings '~n' and ''."""
+    from aws_etl_fiap_spark.operators.privacy import dp_noisy_counts
+
+    rows = [
+        ("x", "y:z"),
+        ("x:y", "z"),
+        (None, "x"),
+        ("x", None),
+        ("~n", "x"),
+        ("", "x"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = {
+        (r.a, r.b): r.noisy_count
+        for r in dp_noisy_counts(df, ["a", "b"], seed="t").collect()
+    }
+    assert len(out) == len(rows)
+    # Every group has count 1, so equal noise == equal noisy_count; all six
+    # draws must be pairwise distinct (md5 collisions aside).
+    assert len(set(out.values())) == len(rows)
