@@ -70,16 +70,31 @@ def write_inverted_index(
     layout: str = "bucket",
     n_buckets: int = 64,
 ) -> None:
-    """Materialize the postings table partitioned for term-pruned reads."""
+    """Materialize the postings table partitioned for term-pruned reads.
+
+    The write is a FULL replace (static partition overwrite, scoped): an
+    index materialization rebuilds the whole table by contract, but the
+    session default is ``partitionOverwriteMode=dynamic`` — under which a
+    rebuild over a SHRUNKEN corpus only replaces buckets that still have
+    postings, so the untouched buckets keep serving GHOST postings for
+    deleted documents (and a rebuild from an empty corpus replaces nothing
+    at all).  Found by the r10 index-roundtrip model property."""
+    from aws_etl_fiap_spark.confs import scoped_conf
+
     postings = build_postings(docs, id_col, text_col)
-    if layout == "term":
-        postings.write.mode("overwrite").partitionBy("term").parquet(path)
-    elif layout == "bucket":
-        postings.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-        ).write.mode("overwrite").partitionBy("bucket").parquet(path)
-    else:
-        raise ValueError(f"unknown layout {layout!r} (term|bucket)")
+    spark = docs.sparkSession
+    with scoped_conf(
+        spark, "spark.sql.sources.partitionOverwriteMode", "static"
+    ):
+        if layout == "term":
+            postings.write.mode("overwrite").partitionBy("term").parquet(path)
+        elif layout == "bucket":
+            postings.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+            ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+        else:
+            raise ValueError(f"unknown layout {layout!r} (term|bucket)")
 
 
 def read_postings_for(
@@ -91,8 +106,21 @@ def read_postings_for(
 ) -> DataFrame:
     """The pruned postings scan for a term set: partition filters keep the
     read to the query terms' directories/buckets; the residual term
-    predicate is pushed into the parquet scan."""
-    idx = spark.read.parquet(path)
+    predicate is pushed into the parquet scan.
+
+    An index built from an EMPTY corpus has no data files (the static-
+    overwrite rebuild, see :func:`write_inverted_index`) so the scan has
+    no footer to infer from; that is a valid index state meaning "no
+    postings" — return an empty typed frame instead of failing."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        idx = spark.read.parquet(path)
+    except AnalysisException:
+        schema = "doc_id long, term string" + (
+            ", bucket int" if layout == "bucket" else ""
+        )
+        idx = spark.createDataFrame([], schema)
     tlist = [t.lower() for t in terms]
     if layout == "term":
         return idx.filter(F.col("term").isin(tlist))

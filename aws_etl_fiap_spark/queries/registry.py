@@ -474,7 +474,13 @@ CHANGED_R10: tuple[str, ...] = (
 #: - text_index_search rides conjunctive_search/sql_contains_all_terms,
 #:   which gained empty-term-set refusal + SQL quote escaping (r10
 #:   review); the gate passes three non-empty plain terms, output
-#:   identical, re-verified exact.
+#:   identical, re-verified exact.  Late-r10 it also rides the
+#:   write_inverted_index STATIC-overwrite fix (under the session's
+#:   dynamic mode, a rebuild over a shrunken corpus kept GHOST postings
+#:   in buckets the new corpus no longer touched — found by the index
+#:   roundtrip property) and the empty-index typed-read fallback; the
+#:   gate builds one fresh index in a fresh dir, output identical,
+#:   re-verified exact.
 CHANGED_R10_SPILL: tuple[str, ...] = (
     "acid_snapshot_isolation",
     "acid_merge_on_read_delete",

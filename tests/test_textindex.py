@@ -108,3 +108,67 @@ def test_empty_term_set_refused():
         sql_contains_all_terms("text", [])
     sql = sql_contains_all_terms("text", ["o'brien"])
     assert "'o''brien'" in sql
+
+
+def test_index_roundtrip_search_matches_python_model_property(spark, tmp_path):
+    """Property (r10): build_postings -> bucket-partitioned write ->
+    pruned read -> conjunctive_search equals the Python set model (docs
+    whose tokenized DISTINCT term set covers the query) on arbitrary tiny
+    corpora — mixed-case queries, punctuation separators, digit terms,
+    repeated terms in one doc, and query terms absent from the corpus.  A
+    wrong bucket id on either the write or the pruned-read side surfaces
+    as a lost document."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.textindex import (
+        build_postings,
+        conjunctive_search,
+        read_postings_for,
+        write_inverted_index,
+    )
+
+    VOCAB = ["ab", "cd", "e1", "fg", "zz"]
+    word = st.sampled_from(VOCAB + ["AB", "Cd-cd", "xq"])
+    doc = st.lists(word, min_size=0, max_size=5)
+    qterm = st.sampled_from(VOCAB + ["AB", "missing"])
+
+    def tokens(text):
+        return {t for t in re.split(r"[^a-z0-9]+", text.lower()) if t}
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(doc, min_size=1, max_size=6),
+        st.sets(qterm, min_size=1, max_size=3),
+    )
+    def prop(docs, terms):
+        texts = [" ".join(d) for d in docs]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        want = {
+            i
+            for i, t in enumerate(texts)
+            if {q.lower() for q in terms} <= tokens(t)
+        }
+        # In-memory postings path.
+        got = {
+            r.doc_id
+            for r in conjunctive_search(build_postings(df), terms).collect()
+        }
+        assert got == want
+        # Materialized bucket-partitioned index + pruned read path.
+        idx = str(tmp_path / "idx")
+        write_inverted_index(df, idx, n_buckets=4)
+        got_idx = {
+            r.doc_id
+            for r in conjunctive_search(
+                read_postings_for(spark, idx, sorted(terms), n_buckets=4),
+                terms,
+            ).collect()
+        }
+        assert got_idx == want
+
+    prop()
