@@ -621,3 +621,117 @@ def test_sketch_invariant_properties(spark):
             assert passed[k] is True, f"false negative for inserted key {k!r}"
 
     prop()
+
+
+def test_point_in_time_join_matches_python_model_property(spark):
+    """Property (r10): the union + running-last PIT lookup equals the
+    brute-force model "latest feature with ts STRICTLY BEFORE the label's"
+    — a feature at EXACTLY the label instant must NOT attach (same-instant
+    leakage), duplicate label timestamps disambiguate via the tiebreak,
+    and cold-start labels keep NULL features."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.features import point_in_time_join
+
+    feat = st.dictionaries(  # (key, ts) -> value; unique by construction
+        st.tuples(st.integers(1, 2), st.integers(0, 8)),
+        st.integers(-9, 9),
+        min_size=0,
+        max_size=6,
+    )
+    lab = st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 8), st.integers(-9, 9)),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(feat, lab)
+    def prop(features, labels):
+        fdf = spark.createDataFrame(
+            [(k, t, v) for (k, t), v in sorted(features.items())] or [],
+            "k int, ts int, fv int",
+        )
+        ldf = spark.createDataFrame(
+            [(k, t, y, i) for i, (k, t, y) in enumerate(labels)],
+            "k int, ts int, y int, tb int",
+        )
+        out = point_in_time_join(
+            fdf, ldf, "k", "ts", ["fv"], ["y", "tb"], tiebreak="tb"
+        )
+        got = {
+            r.tb: (r.k, r.ts, r.y, r.feature_ts, r.fv) for r in out.collect()
+        }
+        want = {}
+        for i, (k, t, y) in enumerate(labels):
+            prior = [(ft, v) for (fk, ft), v in features.items()
+                     if fk == k and ft < t]
+            ft, fv = max(prior) if prior else (None, None)
+            want[i] = (k, t, y, ft, fv)
+        assert got == want
+
+    prop()
+
+
+def test_basket_pairs_matches_python_model_property(spark):
+    """Property (r10): the expression-only combination explode equals the
+    brute-force pair model — duplicate (basket, item) rows collapse first,
+    over-cap baskets are DROPPED whole (and still excluded from the basket
+    total and single-item supports), the min-pair floor filters, and
+    support/confidence/lift replicate the exact-integer-over-IEEE-divide
+    rounding."""
+    import math
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.sequences import basket_pairs
+
+    MAXB, MINP = 3, 2
+    row = st.tuples(st.integers(1, 4), st.sampled_from(list("abcde")))
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def model(rows):
+        baskets = {}
+        for bk, it in set(rows):
+            baskets.setdefault(bk, set()).add(it)
+        kept = {bk: its for bk, its in baskets.items() if len(its) <= MAXB}
+        n_baskets = len(kept)
+        singles = {}
+        pairs = {}
+        for its in kept.values():
+            for it in its:
+                singles[it] = singles.get(it, 0) + 1
+            for a, b in combinations(sorted(its), 2):
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        out = {}
+        for (a, b), n_ab in pairs.items():
+            if n_ab < MINP:
+                continue
+            out[(a, b)] = (
+                n_ab,
+                r6(float(n_ab) / float(n_baskets)),
+                r6(float(n_ab) / float(singles[a])),
+                r6(float(n_ab * n_baskets) / float(singles[a] * singles[b])),
+            )
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=16))
+    def prop(rows):
+        df = spark.createDataFrame(rows, "bk int, it string")
+        got = {
+            (r.item_a, r.item_b): (
+                r.n_ab, r.support, r.confidence_a_to_b, r.lift
+            )
+            for r in basket_pairs(
+                df, "bk", "it", max_basket=MAXB, min_pair_count=MINP
+            ).collect()
+        }
+        assert got == model(rows)
+
+    prop()

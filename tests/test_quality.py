@@ -1278,3 +1278,63 @@ def test_interval_overlap_promo_matches_python_model_property(spark, tmp_path):
         assert got == model(events)
 
     prop()
+
+
+def test_tumbling_and_sliding_windows_match_python_model_property(spark):
+    """Property (r10): F.window assignment equals the arithmetic model —
+    windows are [start, end): an event at EXACTLY a boundary belongs to
+    the window that STARTS there, never the one that ends there; sliding
+    windows hold each event in exactly duration/slide windows.  4s/2s
+    windows over integer-second events make boundary ties common."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.events import (
+        sliding_window_agg,
+        tumbling_window_agg,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ev = st.integers(min_value=0, max_value=12)  # seconds; ties likely
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=14))
+    def prop(secs):
+        df = spark.createDataFrame(
+            [(t(s),) for s in secs], "ts timestamp_ntz"
+        )
+        got_t = {
+            (r.window_start, r.window_end): r.n
+            for r in tumbling_window_agg(
+                df, "ts", "4 seconds", keys=[],
+                aggs=[F.count(F.lit(1)).alias("n")],
+            ).collect()
+        }
+        want_t = {}
+        for s in secs:
+            w0 = (s // 4) * 4
+            key = (t(w0), t(w0 + 4))
+            want_t[key] = want_t.get(key, 0) + 1
+        assert got_t == want_t
+
+        got_s = {
+            (r.window_start, r.window_end): r.n
+            for r in sliding_window_agg(
+                df, "ts", "4 seconds", "2 seconds", keys=[],
+                aggs=[F.count(F.lit(1)).alias("n")],
+            ).collect()
+        }
+        want_s = {}
+        for s in secs:
+            for w0 in ((s // 2) * 2, (s // 2) * 2 - 2):
+                if w0 <= s < w0 + 4:
+                    key = (t(w0), t(w0 + 4))
+                    want_s[key] = want_s.get(key, 0) + 1
+        assert got_s == want_s
+
+    prop()
