@@ -735,3 +735,50 @@ def test_basket_pairs_matches_python_model_property(spark):
         assert got == model(rows)
 
     prop()
+
+
+def test_cms_matches_python_model_property(spark):
+    """Property (r10): the relational count-min sketch equals a bit-exact
+    Python twin (md5-prefix hash, concat_ws NULL semantics) at a WIDTH
+    SMALL ENOUGH TO COLLIDE — estimates are min-over-rows of colliding
+    bucket counts, every estimate >= the true count (the CMS guarantee),
+    and unseen probe keys hit empty buckets (coalesce-to-0 before min)."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.sketches import cms_build, cms_estimate
+
+    DEPTH, WIDTH = 2, 4
+
+    def bucket(seed, key):
+        s = str(seed) if key is None else f"{seed}:{key}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % WIDTH
+
+    key = st.sampled_from(["a", "b", "cc", "d1", "", None])
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(key, min_size=1, max_size=14), st.sets(key, min_size=1))
+    def prop(keys, probes):
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        sketch = cms_build(df, "k", depth=DEPTH, width=WIDTH)
+        pdf = spark.createDataFrame([(p,) for p in sorted(probes, key=repr)],
+                                    "k string")
+        got = {
+            r.k: r.est_count
+            for r in cms_estimate(pdf, sketch, "k", depth=DEPTH, width=WIDTH).collect()
+        }
+        table = {}
+        for k in keys:
+            for s in range(DEPTH):
+                table[(s, bucket(s, k))] = table.get((s, bucket(s, k)), 0) + 1
+        want = {
+            p: min(table.get((s, bucket(s, p)), 0) for s in range(DEPTH))
+            for p in probes
+        }
+        assert got == want
+        for p in probes:
+            assert want[p] >= sum(1 for k in keys if k == p)
+
+    prop()

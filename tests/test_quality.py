@@ -1338,3 +1338,59 @@ def test_tumbling_and_sliding_windows_match_python_model_property(spark):
         assert got_s == want_s
 
     prop()
+
+
+def test_topk_with_other_matches_python_model_property(spark, tmp_path):
+    """Property (r10): the top-k-plus-other rollup equals a Python fold
+    under the deterministic (count DESC, source ASC) tiebreak — COUNT TIES
+    at the k boundary must resolve alphabetically, a source literally
+    named 'other' merges into the tail bucket, and languages with <= k
+    sources have no 'other' row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.queries.analytics2_q import (
+        text_top_sources_with_other,
+    )
+
+    doc = st.tuples(
+        st.sampled_from(["en", "pt"]),
+        st.sampled_from(["s1", "s2", "s3", "other"]),
+    )
+
+    def model(docs):
+        grid = {}
+        for lang, src in docs:
+            grid[(lang, src)] = grid.get((lang, src), 0) + 1
+        out = {}
+        for lang in {l for l, _ in docs}:
+            ranked = sorted(
+                ((s, n) for (l, s), n in grid.items() if l == lang),
+                key=lambda x: (-x[1], x[0]),
+            )
+            for i, (s, n) in enumerate(ranked):
+                label = s if i < 2 else "other"
+                out[(lang, label)] = out.get((lang, label), 0) + n
+        return out
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=14))
+    def prop(docs):
+        pq.write_table(
+            pa.table(
+                {
+                    "lang": pa.array([l for l, _ in docs]),
+                    "source": pa.array([s for _, s in docs]),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        got = {
+            (r.lang, r.source_label): r.n_docs
+            for r in text_top_sources_with_other(spark, str(tmp_path)).collect()
+        }
+        assert got == model(docs)
+
+    prop()

@@ -1242,6 +1242,28 @@ def test_snapshot_commit_algebra_property(spark):
                 got = {(r["k"], r["v"]) for r in S.read_table(spark, path).collect()}
                 assert got == set(model.items()), (kind, arg)
                 snaps[ver] = dict(model)
+            # CDF (late-r10 extension): table_changes between EVERY adjacent
+            # committed pair — and the whole v1->tip range — must equal the
+            # dict-model diff: inserts/updates/deletes value-compared, a
+            # compaction (pure rewrite, identical values) an EMPTY feed.
+            vers = sorted(snaps)
+            for a, b in list(zip(vers, vers[1:])) + (
+                [(vers[0], vers[-1])] if len(vers) > 1 else []
+            ):
+                feed = {
+                    r["k"]: r["change_type"]
+                    for r in S.table_changes(spark, path, a, b, ["k"]).collect()
+                }
+                olds, news = snaps[a], snaps[b]
+                want = {}
+                for k in olds.keys() | news.keys():
+                    if k not in news:
+                        want[k] = "deleted"
+                    elif k not in olds:
+                        want[k] = "inserted"
+                    elif olds[k] != news[k]:
+                        want[k] = "updated"
+                assert feed == want, f"CDF v{a}->v{b}"
             for ver, snap in snaps.items():
                 got = {
                     (r["k"], r["v"])
