@@ -782,3 +782,57 @@ def test_cms_matches_python_model_property(spark):
             assert want[p] >= sum(1 for k in keys if k == p)
 
     prop()
+
+
+def test_ohlc_bars_match_python_model_property(spark):
+    """Property (r10): min_by/max_by OHLC selections under the unique
+    (ts, tiebreak) struct order equal the Python fold — duplicate
+    timestamps resolve via the tiebreak (open = value at the SMALLEST
+    (ts, tb), close at the largest), single-trade bars have
+    open=high=low=close, totals are exact decimal sums of cent values."""
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.finance import ohlc_bars
+
+    trade = st.tuples(
+        st.integers(1, 2),      # key
+        st.integers(0, 5),      # ts
+        st.integers(-99, 99),   # value in cents
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(trade, min_size=1, max_size=14))
+    def prop(trades):
+        rows = [
+            (k, t, i, c / 100.0) for i, (k, t, c) in enumerate(trades)
+        ]
+        df = spark.createDataFrame(rows, "key int, ts int, tb int, v double")
+        got = {
+            (r.key, r.bar): (
+                r.open, r.high, r.low, r.close, r.n_trades,
+                Decimal(f"{r.traded_value:.2f}"),
+            )
+            for r in ohlc_bars(
+                df, "key", "ts", "tb", "v", (F.col("ts") / 2).cast("int")
+            ).collect()
+        }
+        want = {}
+        for (k, b) in {(k, t // 2) for k, t, _ in trades}:
+            mine = [
+                (t, i, c / 100.0)
+                for i, (kk, t, c) in enumerate(trades)
+                if kk == k and t // 2 == b
+            ]
+            by_order = sorted(mine)
+            vals = [v for _, _, v in mine]
+            total = sum(Decimal(f"{v:.2f}") for v in vals)
+            want[(k, b)] = (
+                by_order[0][2], max(vals), min(vals), by_order[-1][2],
+                len(mine), Decimal(f"{total:.2f}"),
+            )
+        assert got == want
+
+    prop()

@@ -390,3 +390,42 @@ def test_gini_by_group_matches_python_model_property(spark):
         assert got == {g: model(vs) for g, vs in groups.items()}
 
     prop()
+
+
+def test_grid_radius_pairs_matches_bruteforce_property(spark):
+    """Property (r10): 3x3 grid-cell blocking + exact squared-distance
+    filter equals the O(n^2) brute-force pair set on ARBITRARY points —
+    coordinates biased onto cell boundaries (multiples of r) and just
+    inside/outside the radius, negative coordinates (floor-division cells),
+    and coincident points (dist 0).  A missed boundary cell surfaces as a
+    lost pair; a double-counted cell as a duplicated one."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.geo import grid_radius_pairs
+
+    R = 2.0
+    coord = st.one_of(
+        st.integers(-6, 6).map(float),                 # cell corners (x R/2)
+        st.integers(-60, 60).map(lambda v: v / 10.0),  # general grid
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.tuples(coord, coord), min_size=1, max_size=10))
+    def prop(pts):
+        rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        got = {
+            (r.id_a, r.id_b): r.dist_sq
+            for r in grid_radius_pairs(df, R).collect()
+        }
+        want = {}
+        for i, (xa, ya) in enumerate(pts):
+            for j in range(i + 1, len(pts)):
+                xb, yb = pts[j]
+                dsq = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+                if dsq <= R * R:
+                    want[(i, j)] = dsq
+        assert got == want
+
+    prop()
