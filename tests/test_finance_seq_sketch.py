@@ -836,3 +836,101 @@ def test_ohlc_bars_match_python_model_property(spark):
         assert got == want
 
     prop()
+
+
+def test_rolling_bands_match_python_model_property(spark):
+    """Property (r10): the exact-integer-moments Bollinger bands equal a
+    bit-exact Python replication (same IEEE op order: one divide for the
+    mean, two chained divides for the variance, one sqrt) — short heads
+    (n < window), all-equal runs (variance exactly 0), negative values."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.finance import rolling_bands
+
+    N = 3
+
+    def r4(x):
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 2), st.integers(-999, 999)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def prop(rows):
+        data = [(k, d, c / 100.0) for d, (k, c) in enumerate(rows)]
+        df = spark.createDataFrame(data, "key int, day int, v double")
+        got = {
+            (r.key, r.day): (r.n_in_window, r.sma, r.bb_upper, r.bb_lower)
+            for r in rolling_bands(df, "key", "day", "v", n_rows=N).collect()
+        }
+        want = {}
+        series = {}
+        for k, d, v in data:
+            series.setdefault(k, []).append((d, v))
+        for k, pts in series.items():
+            pts.sort()
+            for i, (d, v) in enumerate(pts):
+                frame = [math.floor(x * 100.0 + 0.5) for _, x in pts[max(0, i - N + 1): i + 1]]
+                n = len(frame)
+                s1, s2 = sum(frame), sum(x * x for x in frame)
+                mean = float(s1) / (100.0 * n)
+                var = float(n * s2 - s1 * s1) / float(n * n) / 10000.0
+                std = math.sqrt(var)
+                want[(k, d)] = (n, r4(mean), r4(mean + 2.0 * std), r4(mean - 2.0 * std))
+        assert got == want
+
+    prop()
+
+
+def test_drawdown_matches_python_model_property(spark):
+    """Property (r10): running peak / drawdown / cumulative return equal
+    the Python fold — zero peaks and zero first values must yield NULL
+    ratios (try_divide), new-peak rows have drawdown exactly 0, negative
+    series keep peak at the least-negative value."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.finance import drawdown
+
+    def r6(x):
+        return None if x is None else math.floor(x * 1e6 + 0.5) / 1e6
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 2), st.integers(-50, 50)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def prop(rows):
+        data = [(k, d, c / 2.0) for d, (k, c) in enumerate(rows)]
+        df = spark.createDataFrame(data, "key int, day int, v double")
+        got = {
+            (r.key, r.day): (r.running_peak, r.drawdown_pct, r.cum_return_pct)
+            for r in drawdown(df, "key", "day", "v").collect()
+        }
+        want = {}
+        series = {}
+        for k, d, v in data:
+            series.setdefault(k, []).append((d, v))
+        for k, pts in series.items():
+            pts.sort()
+            peak, first = -math.inf, pts[0][1]
+            for d, v in pts:
+                peak = max(peak, v)
+                dd = None if peak == 0.0 else (peak - v) / peak
+                cr = None if first == 0.0 else v / first - 1.0
+                want[(k, d)] = (peak, r6(dd), r6(cr))
+        assert got == want
+
+    prop()
