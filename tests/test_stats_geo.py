@@ -429,3 +429,101 @@ def test_grid_radius_pairs_matches_bruteforce_property(spark):
         assert got == want
 
     prop()
+
+
+def test_chi2_matches_python_model_property(spark):
+    """Property (r10): the windowed contingency-grid chi-square replicates
+    bit-exactly in Python (same IEEE op order: exact-integer marginal
+    product / grand total, per-cell 9dp round-half-up, decimal term sum)
+    — 1xK and Kx1 degenerate grids (chi2 exactly 0, dof 0), heavy ties."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.stats import chi2_independence
+
+    def rhu(x, s):
+        p = float(10 ** s)
+        return math.floor(x * p + 0.5) / p
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from("ab"), st.sampled_from("xyz")),
+            min_size=1,
+            max_size=16,
+        )
+    )
+    def prop(pairs):
+        df = spark.createDataFrame(pairs, "r string, c string")
+        row = chi2_independence(df, F.col("r"), F.col("c")).collect()[0]
+        grid = {}
+        for r, c in pairs:
+            grid[(r, c)] = grid.get((r, c), 0) + 1
+        rows = {r for r, _ in grid}
+        cols = {c for _, c in grid}
+        n = len(pairs)
+        from decimal import Decimal
+
+        total = Decimal(0)
+        for (r, c), o in grid.items():
+            mr = sum(v for (rr, _), v in grid.items() if rr == r)
+            mc = sum(v for (_, cc), v in grid.items() if cc == c)
+            e = float(mr * mc) / float(n)
+            total += Decimal(f"{rhu((o - e) * (o - e) / e, 9):.9f}")
+        assert (row.chi2, row.dof, row.n_rows, row.n_cols, row.n_obs) == (
+            rhu(float(total), 6),
+            (len(rows) - 1) * (len(cols) - 1),
+            len(rows),
+            len(cols),
+            n,
+        )
+
+    prop()
+
+
+def test_welch_matches_python_model_property(spark):
+    """Property (r10): the Welch z over exact cent moments replicates
+    bit-exactly in Python — constant groups (zero pooled SE -> NULL z via
+    try_divide), single-row groups, negative values."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.stats import welch_z_test
+
+    def rhu(x, s=6):
+        if x is None:
+            return None
+        p = float(10 ** s)
+        return math.floor(x * p + 0.5) / p
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(st.integers(-99, 99), min_size=1, max_size=8),
+        st.lists(st.integers(-99, 99), min_size=1, max_size=8),
+    )
+    def prop(a, b):
+        rows = [("a", v / 100.0) for v in a] + [("b", v / 100.0) for v in b]
+        df = spark.createDataFrame(rows, "g string, v double")
+        row = welch_z_test(df, F.col("g"), "v", "a", "b").collect()[0]
+
+        def moments(vals):
+            cents = [math.floor(v / 100.0 * 100.0 + 0.5) for v in vals]
+            return len(cents), sum(cents), sum(x * x for x in cents)
+
+        na, s1a, s2a = moments(a)
+        nb, s1b, s2b = moments(b)
+        ma, mb = float(s1a) / (100.0 * na), float(s1b) / (100.0 * nb)
+        va = float(na * s2a - s1a * s1a) / float(na * na) / 10000.0
+        vb = float(nb * s2b - s1b * s1b) / float(nb * nb) / 10000.0
+        se = math.sqrt(va / na + vb / nb)
+        z = None if se == 0.0 else (ma - mb) / se
+        assert (row.n_a, row.n_b, row.mean_a, row.mean_b,
+                row.mean_diff, row.z_stat) == (
+            na, nb, rhu(ma), rhu(mb), rhu(ma - mb), rhu(z)
+        )
+
+    prop()
