@@ -934,3 +934,52 @@ def test_drawdown_matches_python_model_property(spark):
         assert got == want
 
     prop()
+
+
+def test_top_paths_and_modal_value_match_python_models_property(spark):
+    """Property (r10): (a) the lead-chain path miner equals the Python
+    n-gram fold under the unique (ts) order — paths never cross keys,
+    rank ties resolve (count DESC, path ASC), k cuts mid-tie; (b)
+    modal_value returns the smallest value among tied-max counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.sequences import top_paths
+    from aws_etl_fiap_spark.operators.stats import modal_value
+
+    ev = st.tuples(st.integers(1, 2), st.sampled_from("xyz"))
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=14), st.integers(1, 4))
+    def prop(events, k):
+        rows = [(u, i, s) for i, (u, s) in enumerate(events)]
+        df = spark.createDataFrame(rows, "u int, ts int, s string")
+        got = {
+            r.path: (r.n_occurrences, r.rank)
+            for r in top_paths(df, "u", "s", ["ts"], length=2, k=k).collect()
+        }
+        seqs = {}
+        for u, i, s in sorted(rows, key=lambda r: r[1]):
+            seqs.setdefault(u, []).append(s)
+        counts = {}
+        for seq in seqs.values():
+            for a, b in zip(seq, seq[1:]):
+                p = f"{a}>{b}"
+                counts[p] = counts.get(p, 0) + 1
+        ranked = sorted(counts.items(), key=lambda x: (-x[1], x[0]))
+        want = {p: (n, i + 1) for i, (p, n) in enumerate(ranked) if i < k}
+        assert got == want
+
+        got_m = {
+            r.u: r.mode for r in modal_value(df, "u", "s").collect()
+        }
+        want_m = {}
+        for u, seq in seqs.items():
+            c = {}
+            for s in seq:
+                c[s] = c.get(s, 0) + 1
+            best = max(c.values())
+            want_m[u] = min(s for s, n in c.items() if n == best)
+        assert got_m == want_m
+
+    prop()

@@ -527,3 +527,48 @@ def test_welch_matches_python_model_property(spark):
         )
 
     prop()
+
+
+def test_mad_outliers_matches_python_model_property(spark):
+    """Property (r10): two-pass discrete-median MAD outliers equal the
+    Python model (PERCENTILE_DISC: smallest element with cum fraction
+    >= 0.5 — on even counts the LOWER middle, not an interpolation) —
+    all-equal groups (mad 0: every unequal value is an outlier), heavy
+    ties, single-row groups."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.stats import mad_outliers
+
+    def disc(vals):
+        s = sorted(vals)
+        return s[math.ceil(0.5 * len(s)) - 1]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from("ab"), st.integers(-20, 20)),
+            min_size=1,
+            max_size=14,
+        )
+    )
+    def prop(rows):
+        data = [(g, v / 2.0) for g, v in rows]
+        df = spark.createDataFrame(data, "g string, x double")
+        got = {
+            r.g: (r.median, r.mad, r.n_rows, r.n_outliers)
+            for r in mad_outliers(df, "g", "x").collect()
+        }
+        want = {}
+        for g in {g for g, _ in data}:
+            vals = [x for gg, x in data if gg == g]
+            med = disc(vals)
+            devs = [abs(x - med) for x in vals]
+            mad = disc(devs)
+            fence = 3.0 * 1.4826 * mad
+            want[g] = (med, mad, len(vals), sum(1 for d in devs if d > fence))
+        assert got == want
+
+    prop()
