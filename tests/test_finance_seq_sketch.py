@@ -983,3 +983,92 @@ def test_top_paths_and_modal_value_match_python_models_property(spark):
         assert got_m == want_m
 
     prop()
+
+
+def test_ewma_and_trailing_zscore_match_python_models_property(spark):
+    """Property (r10): (a) EWMA volatility replicates bit-exactly in
+    Python (same left-associated weighted-sum order, literal lam^j
+    weights, returns via try_divide — zero previous values drop the
+    return); (b) trailing z-score replicates from exact cent moments with
+    the current row excluded, NULL under min_n baseline or zero variance."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.finance import ewma_volatility
+    from aws_etl_fiap_spark.operators.stats import trailing_zscore
+
+    LAM, NR = 0.75, 3
+
+    def rhu(x, s):
+        if x is None:
+            return None
+        p = float(10 ** s)
+        return math.floor(x * p + 0.5) / p
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.integers(-20, 20), min_size=2, max_size=12))
+    def prop(cents):
+        vals = [c / 2.0 for c in cents]
+        rows = [(1, d, v) for d, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key int, day int, v double")
+
+        # EWMA model.
+        rets = []
+        for prev, cur in zip(vals, vals[1:]):
+            if prev != 0.0:
+                rets.append((cur - prev) / prev)
+        want_e = {}
+        for i in range(NR - 1, len(rets)):
+            acc = None
+            for j in range(NR):
+                term = (rets[i - j] ** 2) * (LAM ** j)
+                acc = term if acc is None else acc + term
+            norm = (1.0 - LAM) / (1.0 - LAM ** NR)
+            want_e[i + 1] = rhu(math.sqrt(acc * norm), 8)
+        got_e = {
+            r["__i"]: r.ewma_vol
+            for r in ewma_volatility(
+                df.withColumn("__i", F.col("day")), "key", "day", "v",
+                lam=LAM, n_rows=NR,
+            ).withColumnRenamed("day", "__i").collect()
+        }
+        # map model keys (index into rets, 1-based rownum) onto days:
+        # ret t lives on the day of its CURRENT value; zero-prev returns
+        # are dropped BEFORE windowing, so re-derive the surviving days.
+        days = [d for d, (prev, cur) in enumerate(zip(vals, vals[1:]), start=1)
+                if prev != 0.0]
+        want_days = {
+            days[i - 1]: v for i, v in want_e.items()
+        }
+        assert got_e == want_days
+
+        # Trailing z-score model.
+        got_z = {
+            r.day: (r.n_baseline, r.z_score, r.is_anomaly)
+            for r in trailing_zscore(
+                df.select("day", "v"), "day", "v", n_rows=NR, min_n=2
+            ).collect()
+        }
+        cents_i = [math.floor(v * 100.0 + 0.5) for v in vals]
+        want_z = {}
+        for d in range(len(vals)):
+            base = cents_i[max(0, d - NR): d]
+            n = len(base)
+            if n < 2:
+                z = None
+            else:
+                s1, s2 = sum(base), sum(x * x for x in base)
+                mean = float(s1) / n
+                var = float(n * s2 - s1 * s1) / float(n * n)
+                sd = math.sqrt(var)
+                z = None if sd == 0.0 else (float(cents_i[d]) - mean) / sd
+            want_z[d] = (
+                n,
+                rhu(z, 6),
+                None if z is None else int(abs(z) > 3.0),
+            )
+        assert got_z == want_z
+
+    prop()
