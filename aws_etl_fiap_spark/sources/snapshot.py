@@ -362,6 +362,14 @@ def upsert(
     keys, drop ``deletes`` keys — rewriting ONLY the data files that hold
     an affected key.
 
+    NULL merge keys follow STANDARD SQL MERGE semantics (same as Delta's
+    ``MERGE ON t.k = s.k``): NULL never matches NULL, so a NULL-keyed
+    update row always INSERTS and a NULL-keyed existing row is never
+    replaced or deleted — duplicates can accumulate under NULL keys.
+    Merge keys are primary-key-ish by contract; enforce NOT NULL upstream
+    (this is deliberately NOT the null-safe grouping semantics the privacy
+    ladder uses — there the NULL class is a real equivalence class).
+
     1. Affected files: scan the current snapshot annotated with
        ``input_file_name()``, semi-join against the batch keys, collect the
        DISTINCT file list (bounded by ``max_affected_files``; file names,

@@ -220,6 +220,13 @@ def upsert_partitioned(
     to re-run.  The partition LIST (never row data) is collected on the
     driver, bounded by ``max_affected_partitions`` with an explicit raise.
 
+    NULL merge KEYS follow standard SQL MERGE semantics (NULL never
+    matches NULL): a NULL-keyed update always inserts, a NULL-keyed
+    existing row is never replaced or deleted — enforce NOT NULL keys
+    upstream.  NULL PARTITION values, by contrast, are fully supported
+    (one `__HIVE_DEFAULT_PARTITION__` class, matched null-safely in the
+    survivor scan).
+
     Returns {affected_partitions, rewritten_partitions, dropped_partitions}.
     """
     from pyspark.sql import functions as F
