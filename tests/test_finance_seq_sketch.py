@@ -1072,3 +1072,42 @@ def test_ewma_and_trailing_zscore_match_python_models_property(spark):
         assert got_z == want_z
 
     prop()
+
+
+def test_transition_matrix_matches_python_model_property(spark):
+    """Property (r10): first-order Markov transition counts/probabilities
+    equal the Python fold — chains never cross keys, terminal states emit
+    no row, probabilities normalize per from_state with half-up 6dp."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.sequences import transition_matrix
+
+    ev = st.tuples(st.integers(1, 2), st.sampled_from("xyz"))
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=14))
+    def prop(events):
+        rows = [(u, i, s) for i, (u, s) in enumerate(events)]
+        df = spark.createDataFrame(rows, "u int, ts int, s string")
+        got = {
+            (r.from_state, r.to_state): (r.n_transitions, r.p_transition)
+            for r in transition_matrix(df, "u", "s", ["ts"]).collect()
+        }
+        seqs = {}
+        for u, i, s in sorted(rows, key=lambda r: r[1]):
+            seqs.setdefault(u, []).append(s)
+        counts = {}
+        for seq in seqs.values():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        want = {}
+        for (a, b), n in counts.items():
+            row_total = sum(v for (aa, _), v in counts.items() if aa == a)
+            p = math.floor(float(n) / float(row_total) * 1e6 + 0.5) / 1e6
+            want[(a, b)] = (n, p)
+        assert got == want
+
+    prop()

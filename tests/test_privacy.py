@@ -317,3 +317,35 @@ def test_dp_noisy_counts_hash_input_is_injective(spark):
     # Every group has count 1, so equal noise == equal noisy_count; all six
     # draws must be pairwise distinct (md5 collisions aside).
     assert len(set(out.values())) == len(rows)
+
+
+def test_k_anonymity_report_matches_python_model_property(spark):
+    """Property (r10): the one-row release audit equals the Python fold —
+    NULL quasi values form one class, all-suppressed corpora report a
+    NULL min_kept_group, totals reconcile (suppressed + kept = all)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.privacy import k_anonymity_report
+
+    row = st.tuples(st.sampled_from(["a", "b", None]), st.integers(0, 1))
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=12), st.integers(1, 4))
+    def prop(rows, k):
+        df = spark.createDataFrame(rows, "a string, b int")
+        r = k_anonymity_report(df, ["a", "b"], k).collect()[0]
+        cls = {}
+        for a, b in rows:
+            cls[(a, b)] = cls.get((a, b), 0) + 1
+        kept = [n for n in cls.values() if n >= k]
+        supp = [n for n in cls.values() if n < k]
+        assert (
+            r.n_groups, r.n_rows, r.suppressed_groups,
+            r.suppressed_rows, r.min_kept_group,
+        ) == (
+            len(cls), len(rows), len(supp), sum(supp),
+            min(kept) if kept else None,
+        )
+
+    prop()

@@ -572,3 +572,83 @@ def test_mad_outliers_matches_python_model_property(spark):
         assert got == want
 
     prop()
+
+
+def test_rolling_corr_and_vwap_match_python_models_property(spark):
+    """Property (r10): (a) rolling Pearson over exact cent bivariate
+    moments replicates bit-exactly (two sqrts then one try_divide; n=1 and
+    zero-variance windows NULL); (b) VWAP = exact decimal sums with one
+    rounded divide, NULL on zero total quantity."""
+    import math
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.finance import vwap
+    from aws_etl_fiap_spark.operators.stats import rolling_corr
+
+    N = 3
+
+    def rhu(x, s):
+        if x is None:
+            return None
+        p = float(10 ** s)
+        return math.floor(x * p + 0.5) / p
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(-30, 30), st.integers(-30, 30)),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def prop(pairs):
+        rows = [(d, a / 2.0, b / 2.0) for d, (a, b) in enumerate(pairs)]
+        df = spark.createDataFrame(rows, "day int, x double, y double")
+        got = {
+            r.day: (r.n_in_window, r.rolling_corr)
+            for r in rolling_corr(df, "day", "x", "y", n_rows=N).collect()
+        }
+        cents = [
+            (math.floor(a * 100.0 + 0.5), math.floor(b * 100.0 + 0.5))
+            for _, a, b in rows
+        ]
+        want = {}
+        for i in range(len(cents)):
+            frame = cents[max(0, i - N + 1): i + 1]
+            n = len(frame)
+            sx = sum(a for a, _ in frame)
+            sy = sum(b for _, b in frame)
+            sxx = sum(a * a for a, _ in frame)
+            syy = sum(b * b for _, b in frame)
+            sxy = sum(a * b for a, b in frame)
+            num = float(n * sxy - sx * sy)
+            den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+                float(n * syy - sy * sy)
+            )
+            r = None if den == 0.0 else num / den
+            want[i] = (n, rhu(r, 6))
+        assert got == want
+
+        # VWAP over a 2-group split of the same rows.
+        vdf = spark.createDataFrame(
+            [(d % 2, a, abs(b)) for d, a, b in rows],
+            "g int, total double, qty double",
+        )
+        got_v = {
+            r.g: (r.vwap, Decimal(f"{r.total_value:.2f}"),
+                  Decimal(f"{r.total_qty:.2f}"), r.n_fills)
+            for r in vwap(vdf, ["g"], "total", "qty").collect()
+        }
+        want_v = {}
+        for g in {d % 2 for d, _, _ in rows}:
+            mine = [(a, abs(b)) for d, a, b in rows if d % 2 == g]
+            tv = sum(Decimal(f"{a:.2f}") for a, _ in mine)
+            tq = sum(Decimal(f"{q:.2f}") for _, q in mine)
+            v = None if float(tq) == 0.0 else rhu(float(tv) / float(tq), 4)
+            want_v[g] = (v, Decimal(f"{tv:.2f}"), Decimal(f"{tq:.2f}"), len(mine))
+        assert got_v == want_v
+
+    prop()
