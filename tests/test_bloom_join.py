@@ -92,3 +92,44 @@ def test_prefilter_plan_is_broadcast_only(spark, sf_smoke):
     # final inner join may shuffle both sides; the prefilter itself none.
     # 3 word joins + 1 final join: allow at most the final join's 2.
     assert len(probe_shuffles) <= 2, plan
+
+
+def test_bloom_prefiltered_join_equals_plain_join_property(spark):
+    """Property (r10): the Bloom-prefiltered join is EXACTLY the plain
+    join for arbitrary key distributions — NULL probe/build keys (never
+    match, must not crash the filter), empty build sides, duplicate keys
+    on both sides, and a width small enough to force false positives
+    (which the real join must then remove)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.joins import bloom_prefiltered_join
+
+    key = st.one_of(st.none(), st.integers(1, 6))
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(key, min_size=1, max_size=10),
+        st.lists(key, min_size=0, max_size=6),
+        st.sampled_from(["inner", "left_semi"]),
+    )
+    def prop(probe_keys, build_keys, how):
+        probe = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(probe_keys)], "k int, pv int"
+        )
+        build = spark.createDataFrame(
+            [(k, 10 + i) for i, k in enumerate(build_keys)] or [],
+            "k int, bv int",
+        )
+        got = sorted(
+            map(tuple, bloom_prefiltered_join(
+                probe, build, ["k"], how=how, n_bits=64, n_hashes=2
+            ).collect()),
+            key=repr,
+        )
+        want = sorted(
+            map(tuple, probe.join(build, ["k"], how).collect()), key=repr
+        )
+        assert got == want
+
+    prop()

@@ -1111,3 +1111,41 @@ def test_transition_matrix_matches_python_model_property(spark):
         assert got == want
 
     prop()
+
+
+def test_hll_shard_merge_equals_single_shot_property(spark):
+    """Property (r10): the mergeable-summary contract for Spark's HLL —
+    union-merging per-shard sketches estimates EXACTLY what one global
+    sketch over the same rows estimates (datasketches HLL is
+    deterministic for a given input SET at a given lgK), regardless of how
+    rows are sharded, with duplicates and skewed shards."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(1, 40)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def prop(rows):
+        df = spark.createDataFrame(rows, "shard int, k long")
+        single = df.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("k", F.lit(12))
+            ).alias("est")
+        ).collect()[0].est
+        merged = (
+            df.groupBy("shard")
+            .agg(F.hll_sketch_agg("k", F.lit(12)).alias("sk"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .collect()[0]
+            .est
+        )
+        assert merged == single
+
+    prop()
