@@ -486,8 +486,18 @@ def spearman_rho(df: DataFrame, xcol: str, ycol: str) -> DataFrame:
     Scale shape: two distinct-value rank tables (each via the two-pass
     prefix sum) broadcast onto the rows; ONE map-side-combined moment
     aggregate ends it.  Output: one row ``(rho, n)``; rho is NULL when
-    either column is constant (zero variance)."""
-    ranked = _rank2(_rank2(df.select(xcol, ycol), xcol, "__rx"), ycol, "__ry")
+    either column is constant (zero variance).
+
+    COMPLETE-CASE semantics (late-r10): rows where either column is NULL
+    are dropped BEFORE ranking — textbook Spearman over the complete
+    pairs.  Without the up-front filter the incomplete rows were ranked
+    (shifting the survivors' x-ranks non-uniformly) and then silently
+    vanished at the null-unsafe rank join, making the statistic
+    ASYMMETRIC in (x, y) on NULL-bearing data."""
+    df = df.select(xcol, ycol).filter(
+        F.col(xcol).isNotNull() & F.col(ycol).isNotNull()
+    )
+    ranked = _rank2(_rank2(df, xcol, "__rx"), ycol, "__ry")
     d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -528,12 +538,19 @@ def gini_by_group(
     Scale shape: rows collapse to the per-group distinct-VALUE frame; the
     rank window partitions by group over that grid (value-grid-sized keys,
     never the row stream); one map-side-combined moment aggregate per
-    group ends it.  Groups with zero total value report NULL."""
+    group ends it.  Groups with zero total value report NULL.
+
+    NULL values are dropped up front (late-r10): they used to count into
+    ``n`` while vanishing from the moment sums (F.sum skips NULL), and the
+    engines even rank them on opposite ends (Spark ASC is NULLS FIRST,
+    DuckDB NULLS LAST) — complete-case is the only cross-engine-exact
+    semantics."""
     cents = F.floor(
         F.col(value_col).cast("double") * F.lit(float(cents_scale)) + F.lit(0.5)
     ).cast("long")
     g = (
-        df.select(F.col(group_col).alias("grp"), cents.alias("x"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), cents.alias("x"))
         .groupBy("grp", "x")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

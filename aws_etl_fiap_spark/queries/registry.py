@@ -532,6 +532,13 @@ CHANGED_R10_SPILL: tuple[str, ...] = (
 #: its ORACLE only (>= broke at exactly prev+gap where Spark MERGES —
 #: found by the session boundary-tie property; microsecond corpus has no
 #: exact 30-min ties, output identical, re-verified exact).
+#: stat_spearman_len_diversity / stat_gini_priority_revenue ride the
+#: late-r10 COMPLETE-CASE fix in stats.py (NULL-bearing rows used to be
+#: ranked — shifting survivors' ranks — then silently dropped by the
+#: null-unsafe rank join; Gini even counted NULLs into n while F.sum
+#: skipped them, and the engines rank NULLs on opposite ends).  Both
+#: r9-green, gate corpora NULL-free, output identical, re-verified
+#: exact — same natural-rotation treatment as the privacy gates above.
 #: events_funnel_conversion / events_cohort_retention /
 #: events_rolling_wau_7d / events_quantile_outliers /
 #: timeseries_gapfill_ffill / join_interval_overlap_promo gained model

@@ -426,14 +426,16 @@ def test_exact_auc_matches_pairwise_definition_property(spark):
 def test_spearman_matches_rank_pearson_property(spark):
     from aws_etl_fiap_spark.operators.stats import spearman_rho
 
-    pair = st.tuples(
-        st.integers(min_value=0, max_value=9),
-        st.integers(min_value=0, max_value=9),
-    )
+    cell = st.one_of(st.none(), st.integers(min_value=0, max_value=9))
+    pair = st.tuples(cell, cell)
 
     @settings(max_examples=8, deadline=None)
     @given(st.lists(pair, min_size=3, max_size=50))
-    def prop(rows):
+    def prop(all_rows):
+        # COMPLETE-CASE semantics (late r10): NULL pairs drop before
+        # ranking — incomplete rows must not shift the survivors' ranks.
+        rows = [(x, y) for x, y in all_rows if x is not None and y is not None]
+        assume(len(rows) >= 3)
         xs = [x for x, _ in rows]
         ys = [y for _, y in rows]
         assume(len(set(xs)) > 1 and len(set(ys)) > 1)
@@ -462,7 +464,7 @@ def test_spearman_matches_rank_pearson_property(spark):
         expect = (
             math.floor((num / den) * 1e6 + 0.5) / 1e6 if den > 0.0 else None
         )
-        df = spark.createDataFrame(rows, "x long, y long")
+        df = spark.createDataFrame(all_rows, "x long, y long")
         got = spearman_rho(df, "x", "y").collect()[0]["rho"]
         assert got == expect
 

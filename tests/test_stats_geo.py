@@ -341,15 +341,24 @@ def test_psi_gates_agree_with_oracle_on_null_ts_corpus(spark, tmp_path):
 def test_gini_by_group_matches_python_model_property(spark):
     """Property (r10): the tie-aware doubled-rank Gini equals the textbook
     tie-aware formula on arbitrary non-negative values — all-equal groups
-    (G=0), single-row groups, zero-total groups (NULL), heavy ties."""
+    (G=0), single-row groups, zero-total groups (NULL), heavy ties, and
+    NULL VALUES (complete-case since late r10: excluded from n and the
+    moments — the engines rank NULLs on opposite ends, so any other
+    semantics cannot be cross-engine exact)."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from aws_etl_fiap_spark.operators.stats import gini_by_group
 
-    val = st.integers(min_value=0, max_value=50).map(lambda c: c / 2.0)
+    val = st.one_of(
+        st.none(),
+        st.integers(min_value=0, max_value=50).map(lambda c: c / 2.0),
+    )
 
     def model(vals):
+        vals = [v for v in vals if v is not None]
+        if not vals:
+            return None
         n = len(vals)
         cents = [int(v * 100 + 0.5) for v in vals]
         sx = sum(cents)
@@ -387,7 +396,10 @@ def test_gini_by_group_matches_python_model_property(spark):
             r["grp"]: (r["n"], r["gini"])
             for r in gini_by_group(df, "grp", "x").collect()
         }
-        assert got == {g: model(vs) for g, vs in groups.items()}
+        want = {g: model(vs) for g, vs in groups.items()}
+        # an all-NULL group has no complete-case rows at all -> absent
+        want = {g: m for g, m in want.items() if m is not None}
+        assert got == want
 
     prop()
 
