@@ -1149,3 +1149,42 @@ def test_hll_shard_merge_equals_single_shot_property(spark):
         assert merged == single
 
     prop()
+
+
+def test_feature_hashing_matches_python_model_property(spark):
+    """Property (r10): the signed hashing trick equals the bit-exact md5
+    Python twin — collision cancellation (opposite-sign tokens in one
+    bucket sum toward 0), repeated tokens accumulate, multi-space text
+    mints no '' token."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.features import feature_hashing
+
+    DIMS = 4
+
+    def h(prefix, tok):
+        return int(hashlib.md5(f"{prefix}:{tok}".encode()).hexdigest()[:15], 16)
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.lists(word, min_size=0, max_size=6), min_size=1, max_size=4))
+    def prop(docs):
+        rows = [(i, "  ".join(ws)) for i, ws in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.dim): r.weight
+            for r in feature_hashing(df, "doc_id", "text", n_dims=DIMS).collect()
+        }
+        want = {}
+        for i, ws in enumerate(docs):
+            for w in ws:
+                d = h("feat-dim", w) % DIMS
+                s = 1 - 2 * (h("feat-sign", w) % 2)
+                want[(i, d)] = want.get((i, d), 0) + s
+        assert got == want
+
+    prop()

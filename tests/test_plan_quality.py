@@ -638,3 +638,17 @@ def test_naive_bayes_priors_broadcast_scalar(spark, sf_correctness):
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_k_anon_suppression_anti_join_stays_broadcast(spark, sf_correctness):
+    """privacy_k_anon_suppress / privacy_l_diversity_release: the
+    null-safe suppression probe (late-r10 eqNullSafe condition) must STAY
+    a broadcast HASH anti-join — EqualNullSafe is a valid hash key, but a
+    regression to BroadcastNestedLoopJoin (the fate of genuinely non-equi
+    conditions) would scan corpus x violators at 100 TB."""
+    for name in ("privacy_k_anon_suppress", "privacy_l_diversity_release"):
+        plan = physical_plan(spark, sf_correctness, name)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "LeftAnti" in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)

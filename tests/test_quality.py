@@ -1394,3 +1394,35 @@ def test_topk_with_other_matches_python_model_property(spark, tmp_path):
         assert got == model(docs)
 
     prop()
+
+
+def test_column_profile_matches_python_model_property(spark):
+    """Property (r10): the one-scan Expand profiler equals the Python
+    fold — n_distinct excludes NULL (SQL COUNT(DISTINCT)), all-NULL
+    columns profile (n, n, 0), constant columns (distinct 1)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.cleaning import column_profile
+
+    cell = st.one_of(st.none(), st.integers(0, 3))
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.tuples(cell, cell, cell), min_size=1, max_size=12))
+    def prop(rows):
+        df = spark.createDataFrame(rows, "a int, b int, c int")
+        got = {
+            r.column_name: (r.n_rows, r.n_nulls, r.n_distinct)
+            for r in column_profile(df, ["a", "b", "c"]).collect()
+        }
+        want = {}
+        for i, name in enumerate(["a", "b", "c"]):
+            col = [r[i] for r in rows]
+            want[name] = (
+                len(col),
+                sum(1 for v in col if v is None),
+                len({v for v in col if v is not None}),
+            )
+        assert got == want
+
+    prop()
