@@ -47,3 +47,32 @@ def test_filter_nulls_with_counts_accounting(spark):
     assert (before, after) == (4, 1)
     assert out.collect() == [out.sparkSession.createDataFrame([(1, "a")], "k int, v string").collect()[0]]
     assert df.count() - out.count() == 3
+
+
+def test_window_helpers_and_count_delta(spark):
+    """Direct coverage for the small window helpers (top_n_per_group,
+    rolling_agg) and the reference-A4 count_delta accounting — these back
+    the registered queries' inline forms; pin them on crafted rows so the
+    helpers stay first-class operators rather than drifting."""
+    from aws_etl_fiap_spark.operators.aggregates import count_delta
+    from aws_etl_fiap_spark.operators.windows import rolling_agg, top_n_per_group
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0),
+         ("b", 1, 5.0), ("b", 2, 7.0)],
+        "g string, i int, v double",
+    )
+    top = top_n_per_group(df, ["g"], ["i"], 2)
+    assert sorted((r.g, r.i) for r in top.collect()) == [
+        ("a", 1), ("a", 2), ("b", 1), ("b", 2)
+    ]
+    assert "__rn" not in top.columns
+
+    rolled = rolling_agg(df, "v", ["g"], ["i"], window_rows=2, out="ma")
+    got = {(r.g, r.i): r.ma for r in rolled.collect()}
+    assert got == {("a", 1): 10.0, ("a", 2): 15.0, ("a", 3): 25.0,
+                   ("b", 1): 5.0, ("b", 2): 6.0}
+
+    before, after, removed = count_delta(df, df.filter(F.col("g") == "a"))
+    assert (before, after, removed) == (5, 3, 2)
