@@ -1426,3 +1426,90 @@ def test_column_profile_matches_python_model_property(spark):
         assert got == want
 
     prop()
+
+
+def test_equi_width_histogram_matches_python_model_property(spark):
+    """Property (r10): the explicit floor-arithmetic bucketing equals the
+    Python model bit-for-bit — values exactly AT bucket edges (floor puts
+    them in the upper bucket), below-lo and at/above-hi clamping into the
+    end buckets, NULLs excluded, exact decimal sums."""
+    import math
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.aggregates import equi_width_histogram
+
+    LO, HI, NB = 0.0, 8.0, 4  # width 2.0: halves land exactly on edges
+    val = st.one_of(st.none(), st.integers(-8, 24).map(lambda c: c / 2.0))
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(val, min_size=1, max_size=16))
+    def prop(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = {
+            r.bucket: (r.n_rows, Decimal(f"{r.sum_value:.2f}"),
+                       r.min_value, r.max_value, r.bucket_lo, r.bucket_hi)
+            for r in equi_width_histogram(df, "x", LO, HI, NB).collect()
+        }
+        width = (HI - LO) / NB
+        want = {}
+        for v in vals:
+            if v is None:
+                continue
+            b = min(NB - 1, max(0, math.floor((v - LO) / width)))
+            n, s, mn, mx = want.get(b, (0, Decimal(0), None, None))
+            want[b] = (
+                n + 1,
+                s + Decimal(f"{v:.2f}"),
+                v if mn is None else min(mn, v),
+                v if mx is None else max(mx, v),
+            )
+        want = {
+            b: (n, Decimal(f"{s:.2f}"), mn, mx,
+                LO + b * width, LO + (b + 1) * width)
+            for b, (n, s, mn, mx) in want.items()
+        }
+        assert got == want
+
+    prop()
+
+
+def test_token_count_family_matches_python_models_property(spark):
+    """Property (r10): the two token counters equal their Python models —
+    whitespace split counts separators+1 (the documented raw form), the
+    BPE-ish alnum-run counter drops empty edge strings so leading/trailing
+    punctuation does not inflate the count."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.text import token_count, word_token_count
+
+    text = st.text(alphabet=" ab1.,-", min_size=0, max_size=16)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(text, min_size=1, max_size=10))
+    def prop(texts):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                   "i int, t string")
+        got = {
+            r.i: (r.tc, r.wc)
+            for r in df.select(
+                "i",
+                token_count("t").alias("tc"),
+                word_token_count("t").alias("wc"),
+            ).collect()
+        }
+        want = {
+            i: (
+                len(t.split(" ")) if t != "" else 1,
+                len([w for w in re.split(r"[^a-z0-9A-Z]+", t) if w]),
+            )
+            for i, t in enumerate(texts)
+        }
+        assert got == want
+
+    prop()
