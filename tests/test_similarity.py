@@ -585,3 +585,59 @@ def test_kmeans_lloyd_matches_python_model_property(spark):
             assert abs(got[cid][1] - inertia) < 1e-9, (cid, got[cid], inertia)
 
     prop()
+
+
+def test_power_iteration_pc1_matches_python_model_property(spark):
+    """Property (r10): the exact-BIGINT power-iteration trajectory equals
+    a bit-exact Python replication — SPARSE gram frames (rows/columns with
+    no cells drop out of the iteration exactly as the joins drop them),
+    negative cells, and the documented round9-accumulate / round6-
+    normalize chain."""
+    import math
+
+    from hypothesis import assume, given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.similarity import power_iteration_pc1
+
+    DIM = 3
+    cell = st.tuples(
+        st.integers(0, DIM - 1),
+        st.integers(0, DIM - 1),
+        st.integers(-8, 8).map(lambda c: c / 4.0),
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.dictionaries(st.tuples(st.integers(0, DIM - 1),
+                                     st.integers(0, DIM - 1)),
+                           st.integers(-8, 8).map(lambda c: c / 4.0),
+                           min_size=1, max_size=DIM * DIM))
+    def prop(cells):
+        assume(any(v != 0.0 for v in cells.values()))
+        rows = [(i, j, g) for (i, j), g in sorted(cells.items())]
+        gram = spark.createDataFrame(rows, "i int, j int, g double")
+        got = {
+            r.j: r.pc1
+            for r in power_iteration_pc1(gram, DIM, iters=2).collect()
+        }
+        x = {j: 1.0 for j in range(DIM)}
+        for _ in range(2):
+            y = {}
+            for (i, j), g in cells.items():
+                if j in x:
+                    y[i] = y.get(i, 0) + int(math.floor(g * x[j] * 1e9 + 0.5))
+            if not y:
+                # no surviving (i, j in x) cells: the joins produce an
+                # EMPTY frame and the result is empty on both sides
+                x = {}
+                break
+            m = max(abs(v) for v in y.values())
+            if m == 0:
+                return  # all-zero trajectory: engine NULL semantics differ
+            x = {
+                i: math.floor((float(v) / float(m)) * 1e6 + 0.5) / 1e6
+                for i, v in y.items()
+            }
+        assert got == x
+
+    prop()
