@@ -641,3 +641,59 @@ def test_power_iteration_pc1_matches_python_model_property(spark):
         assert got == x
 
     prop()
+
+
+def test_hard_negative_topk_matches_python_model_property(spark):
+    """Property (r10): hard-negative mining equals the brute-force model —
+    the label predicate prunes BEFORE ranking, self-pairs drop, cosine
+    replicates bit-exactly (left-to-right fold dots), and score TIES
+    resolve by neighbor_id under the total order."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.similarity import hard_negative_topk
+
+    DIM = 3
+    vec = st.tuples(*[st.integers(-4, 4).map(lambda c: c / 2.0)] * DIM)
+    row = st.tuples(vec, st.integers(0, 1))
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(row, min_size=2, max_size=8), st.integers(1, 3))
+    def prop(rows, k):
+        data = [
+            (i, lab, list(v)) for i, (v, lab) in enumerate(rows)
+            if any(x != 0.0 for x in v)  # zero vectors: NULL cosine path
+        ]
+        if len(data) < 2:
+            return
+        df = spark.createDataFrame(
+            data, "vec_id int, label int, embedding array<double>"
+        )
+        out = hard_negative_topk(df, df, k, dim=DIM)
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in out.collect()
+        }
+        want = {}
+        for qid, qlab, qv in data:
+            qn = math.sqrt(dot(qv, qv))
+            cands = []
+            for cid, clab, cv in data:
+                if cid == qid or clab == qlab:
+                    continue
+                cn = math.sqrt(dot(cv, cv))
+                cands.append((cid, dot(qv, cv) / (qn * cn)))
+            cands.sort(key=lambda t: (-t[1], t[0]))
+            for rank, (cid, cs) in enumerate(cands[:k], start=1):
+                want[(qid, rank)] = (cid, cs)
+        assert got == want
+
+    prop()
