@@ -81,7 +81,16 @@ def write_inverted_index(
     at all).  Found by the r10 index-roundtrip model property."""
     from aws_etl_fiap_spark.confs import scoped_conf
 
-    postings = build_postings(docs, id_col, text_col)
+    id_type = dict(docs.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"inverted index requires an integral {id_col!r} (got {id_type});"
+            " map string ids to a surrogate long upstream — the read path's"
+            " empty-index frame is typed 'doc_id long' by contract"
+        )
+    postings = build_postings(docs, id_col, text_col).withColumn(
+        "doc_id", F.col("doc_id").cast("long")
+    )
     spark = docs.sparkSession
     with scoped_conf(
         spark, "spark.sql.sources.partitionOverwriteMode", "static"
@@ -111,12 +120,23 @@ def read_postings_for(
     An index built from an EMPTY corpus has no data files (the static-
     overwrite rebuild, see :func:`write_inverted_index`) so the scan has
     no footer to infer from; that is a valid index state meaning "no
-    postings" — return an empty typed frame instead of failing."""
+    postings" — return an empty typed frame (the ``doc_id long`` contract
+    :func:`write_inverted_index` enforces at build time) instead of
+    failing.  ONLY the schema-inference error class gets that treatment: a
+    nonexistent/misspelled path is also an AnalysisException
+    (PATH_NOT_FOUND) but means a broken caller, not an empty index, and
+    must raise (ADVICE r10)."""
     from pyspark.errors import AnalysisException
 
     try:
         idx = spark.read.parquet(path)
-    except AnalysisException:
+    except AnalysisException as e:
+        get_cond = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", None
+        )
+        cond = get_cond() if get_cond is not None else None
+        if cond != "UNABLE_TO_INFER_SCHEMA":
+            raise
         schema = "doc_id long, term string" + (
             ", bucket int" if layout == "bucket" else ""
         )

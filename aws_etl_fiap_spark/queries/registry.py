@@ -572,7 +572,9 @@ NEW_R10: tuple[str, ...] = (
     "media_avi_frame_features",
 )
 
-DRIVER_PRIORITY: tuple[str, ...] = R10_WINDOW
+# DRIVER_PRIORITY is assigned below, after R11_WINDOW (the active round-11
+# window) is defined — the r10 driver graded R10_WINDOW 50/50 green
+# (CORRECTNESS_r10.json, test-enforced), so the rotation advances.
 
 #: Round-10 deferral tiers (policy clause 4 accounting): everything not
 #: in the active window and not green last round (R9_WINDOW), partitioned
@@ -606,6 +608,92 @@ R11_WINDOW: tuple[str, ...] = (
     + CHANGED_R10_SPILL
     + tuple(sorted(DEFERRED_R10_R6))
     + tuple(sorted(DEFERRED_R10_R7))
+)[:50]
+
+#: Driver failures from round 10: none — CORRECTNESS_r10.json is 50/50
+#: green (verified by tests/test_registry_order.py against the artifact).
+FAILED_R10: tuple[str, ...] = ()
+
+#: Entries whose implementation changed in ROUND 11 (output proven
+#: identical in the driver sim) — append as code changes land:
+#: - stream_multibatch_totals_equiv / stream_stateful_totals_equiv ride
+#:   stateful_running_totals' int64-wrap fix (ADVICE r10 info item:
+#:   per-batch sums now accumulate as arbitrary-precision Python ints, so
+#:   a true running total past int64 fails LOUDLY at the long-typed state
+#:   serialization instead of silently emitting the numpy-wrapped value).
+#:   The gates' cent totals sit ~9 orders below the bound; output
+#:   identical, re-verified exact.  multibatch already holds an r11 slot
+#:   (r6 tier); stateful is r8-green and re-enters via changed= in R12
+#:   (the full r11 window cannot absorb it — same precedent as
+#:   CHANGED_R10_TO_R12, simulation-test-enforced below).
+#: - text_index_search rides the read_postings_for error-class narrowing
+#:   (PATH_NOT_FOUND now raises; ONLY UNABLE_TO_INFER_SCHEMA reads as the
+#:   typed empty index) and write_inverted_index's integral-doc_id
+#:   contract (ADVICE r10 items 1-2).  The gate builds a valid long-id
+#:   index in a fresh dir; output identical, re-verified exact.  Already
+#:   leads the r11 window via CHANGED_R10_SPILL.
+#: write_zordered was REBUILT in r11 on exact equi-depth z-boundaries +
+#: collision-free murmur3 routing (r10 verdict item 2: sampled
+#: repartitionByRange boundaries drifted with input layout, silently
+#: degenerating file skipping to zero) — but NO registered gate calls the
+#: writer (layout_zorder_orders verifies the morton-code math only), so
+#: nothing re-enters for it; layout determinism is pinned by
+#: tests/test_scale_ops.py's cross-input-layout equality test.
+CHANGED_R11: tuple[str, ...] = (
+    "stream_multibatch_totals_equiv",
+    "stream_stateful_totals_equiv",
+    "text_index_search",
+)
+
+DRIVER_PRIORITY: tuple[str, ...] = R11_WINDOW
+
+#: Round-11 deferral tiers (policy clause 4 accounting): everything not
+#: in the active window and not green last round (R10_WINDOW), by age of
+#: newest green driver row.  The r6 tier drained completely into
+#: R11_WINDOW; the stalest survivors are r7-green.  Every entry still
+#: runs its exact oracle in every local pytest (test_oracle_parity).
+DEFERRED_R11_R7: tuple[str, ...] = tuple(
+    n for n in DEFERRED_R10_R7 if n not in R11_WINDOW
+)
+DEFERRED_R11_R8: tuple[str, ...] = tuple(
+    n for n in DEFERRED_R10_R8 if n not in R11_WINDOW and n not in R10_WINDOW
+)
+DEFERRED_R11_R9: tuple[str, ...] = tuple(
+    n
+    for n in R9_WINDOW
+    if n not in R11_WINDOW and n not in R10_WINDOW
+)
+
+DEFERRED_R11: tuple[str, ...] = (
+    DEFERRED_R11_R7 + DEFERRED_R11_R8 + DEFERRED_R11_R9
+)
+
+#: PRECOMPUTED ROUND-12 WINDOW (r10 verdict stretch task: keep the
+#: rotation mechanical one round ahead).  Mandatory changed= re-entries
+#: lead: the seven CHANGED_R10_TO_R12 entries (r10 code fixes whose
+#: re-grades could not fit the full r11 window) plus the r11-changed
+#: stream_stateful_totals_equiv; then stalest-first fill — the remaining
+#: r7-green tier drains, then the alphabetically-first r8-green entries.
+#: The r12 builder's first act: ``DRIVER_PRIORITY = R12_WINDOW`` plus
+#: re-appending any r12-changed queries and any r11 driver failures.
+R12_WINDOW: tuple[str, ...] = (
+    CHANGED_R10_TO_R12
+    + ("stream_stateful_totals_equiv",)
+    + tuple(
+        sorted(
+            n
+            for n in DEFERRED_R11_R7
+            if n not in CHANGED_R10_TO_R12
+        )
+    )
+    + tuple(
+        sorted(
+            n
+            for n in DEFERRED_R11_R8
+            if n not in CHANGED_R10_TO_R12
+            and n != "stream_stateful_totals_equiv"
+        )
+    )
 )[:50]
 
 

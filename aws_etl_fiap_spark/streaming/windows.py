@@ -101,7 +101,16 @@ def stateful_running_totals(
         last_ts = None
         for pdf in pdfs:
             n += len(pdf)
-            total += cast(pdf[value_col].sum())
+            # Integer totals accumulate as arbitrary-precision Python ints
+            # (object-dtype sum): a numpy int64 batch sum would WRAP
+            # silently if a micro-batch's values ever summed past 2^63,
+            # poisoning the running state (ADVICE r10 info item).
+            batch_sum = (
+                pdf[value_col].astype(object).sum()
+                if integer_total
+                else pdf[value_col].sum()
+            )
+            total += cast(batch_sum)
             batch_max = pdf[ts_col].max()
             last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
         state.update((n, total))

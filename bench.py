@@ -171,20 +171,34 @@ def main() -> None:
             json.dump(out, fh)
     except OSError:
         pass  # read-only checkout: the compact stdout line still carries the result
+    # r10 post-mortem (BENCH_r10.json parsed:null): putting the 42-entry
+    # per-query timing AND spread dicts on this line overflowed the driver's
+    # fixed-size stdout-tail capture, truncating the head (with "value") for
+    # the second time (after r3).  The line must stay near-constant size:
+    # keep the per-query timings (they fit r1-r9's capture and the driver's
+    # documented line format includes them) but the spread dict — the r10
+    # addition that tipped it over — stays in the JSON file named by "full".
     compact = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": "sec",
         "sf": out["sf"],
         "queries": timings,
-        "queries_spread": spread,
         "steady_runs": n_steady,
         "cold_value": out["cold_value"],
         "bench_half": bench_half,
         "loadavg_1m": loadavg_1m,
         "full": full_name,
     }
-    print(json.dumps(compact))
+    # Hard guard: the driver's stdout capture is 2000 chars (measured from
+    # BENCH_r10.json's tail field).  r9's line was 1594 chars — only ~400 of
+    # headroom — so if the headline set ever grows the timings past the
+    # window, drop them from the line rather than lose the headline again.
+    line = json.dumps(compact)
+    if len(line) > 1900:
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -200,7 +200,8 @@ def test_dp_noisy_counts_requires_explicit_seed(spark):
     df = spark.createDataFrame([("a",)], "g string")
     with pytest.raises(TypeError):
         dp_noisy_counts(df, ["g"], epsilon=1.0)  # no seed -> refuse
-# staged: appended to tests/test_privacy.py after local check
+
+
 def test_privacy_ladder_matches_python_models_property(spark):
     """Property (r10): k-anonymity suppression and distinct l-diversity
     equal their set-algebra definitions on arbitrary tiny tables — NULL

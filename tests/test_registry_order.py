@@ -70,6 +70,21 @@ def test_failed_r9_matches_artifact():
     assert _failed_r9() == registry.FAILED_R9 == ()
 
 
+def _failed_r10() -> tuple:
+    """FAILED_R10 is pinned empty in registry.py; prove it against the
+    CORRECTNESS_r10.json artifact instead of trusting the comment."""
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r10.json")
+    with open(path) as fh:
+        graded = json.load(fh)
+    return tuple(
+        sorted(n for n, row in graded.items() if not row.get("hash_match"))
+    )
+
+
+def test_failed_r10_matches_artifact():
+    assert _failed_r10() == registry.FAILED_R10 == ()
+
+
 def test_priority_names_all_registered():
     names = _names()
     assert set(registry.DRIVER_PRIORITY) <= set(names)
@@ -87,56 +102,62 @@ def test_window_is_exactly_full():
     graded slots on arbitrary registration order, more silently truncates."""
     assert len(registry.DRIVER_PRIORITY) == DRIVER_WINDOW
     assert len(set(registry.DRIVER_PRIORITY)) == DRIVER_WINDOW
-    assert registry.DRIVER_PRIORITY == registry.R10_WINDOW
+    assert registry.DRIVER_PRIORITY == registry.R11_WINDOW
 
 
 def test_changed_queries_inside_driver_window():
     """Policy clause 1: changed implementation/oracle => graded slot.
-    CHANGED_R9_SPILL (output-identical late-r9 changes) leads this window;
-    CHANGED_R10 entries must preempt the tail as they land."""
+    NEW_R10 + CHANGED_R10_SPILL lead this window; of the r11-changed
+    entries, all occupy graded slots except stream_stateful_totals_equiv,
+    whose documented re-entry leads R12 (the full r11 window cannot absorb
+    it — simulation-test-enforced below)."""
     w = _window()
-    missing = [
-        n
-        for n in (*registry.CHANGED_R9_SPILL, *registry.CHANGED_R10)
-        if n not in w
-    ]
+    must = (
+        *registry.NEW_R10,
+        *registry.CHANGED_R10_SPILL,
+        *(
+            n
+            for n in registry.CHANGED_R11
+            if n != "stream_stateful_totals_equiv"
+        ),
+    )
+    missing = [n for n in must if n not in w]
     assert not missing, f"changed-code queries outside window: {missing}"
+    assert "stream_stateful_totals_equiv" in registry.R12_WINDOW
 
 
 def test_failed_queries_inside_driver_window():
     """Policy clause 2: last round's driver failures re-enter immediately."""
-    missing = [n for n in _failed_r9() if n not in _window()]
-    assert not missing, f"round-9 failures outside window: {missing}"
+    missing = [n for n in _failed_r10() if n not in _window()]
+    assert not missing, f"round-10 failures outside window: {missing}"
 
 
 def test_every_query_accounted_for():
     """Policy clause 4: window + last round's graded window + documented
-    deferrals + NEW entries (leading next window) must cover the whole
-    registry — nothing goes silently ungraded."""
+    deferrals must cover the whole registry — nothing goes silently
+    ungraded (NEW_R10 holds graded slots in this window)."""
     accounted = (
-        _window()
-        | set(registry.R9_WINDOW)
-        | set(registry.DEFERRED_R10)
-        | set(registry.NEW_R10)
+        _window() | set(registry.R10_WINDOW) | set(registry.DEFERRED_R11)
     )
     missing = sorted(set(registry.REGISTRY) - accounted)
     assert not missing, f"queries with no grading account: {missing}"
 
 
 def test_deferrals_are_legitimate():
-    """Deferrals absorb exactly the window overflow, never changed code,
-    and never last round's failures."""
-    deferred = set(registry.DEFERRED_R10)
+    """Deferrals absorb exactly the window overflow, never last round's
+    failures, and changed code only via the one documented R12 lead."""
+    deferred = set(registry.DEFERRED_R11)
     assert not deferred & _window(), "deferred query occupies a window slot"
-    assert not deferred & set(registry.CHANGED_R10), "changed code deferred"
-    assert not deferred & set(_failed_r9()), "driver failure deferred"
-    # Eligible for r10 grading: everything not sitting on a fresh r9 row
-    # and not r10-new, plus mandatory re-entries.
-    eligible = (
-        set(registry.REGISTRY)
-        - set(registry.R9_WINDOW)
-        - set(registry.NEW_R10)
-    ) | set(registry.CHANGED_R9_SPILL) | set(registry.CHANGED_R10)
+    changed_deferred = deferred & set(registry.CHANGED_R11)
+    assert changed_deferred == {"stream_stateful_totals_equiv"}, (
+        "only the documented R12 lead may defer changed code:"
+        f" {changed_deferred}"
+    )
+    assert not deferred & set(_failed_r10()), "driver failure deferred"
+    # Eligible for r11 grading: everything not sitting on a fresh r10 row
+    # (NEW_R10 and the CHANGED_R10_SPILL re-entries are already outside
+    # R10_WINDOW, so the mandatory re-entries add nothing new).
+    eligible = set(registry.REGISTRY) - set(registry.R10_WINDOW)
     overflow = len(eligible) - DRIVER_WINDOW
     assert len(deferred) == overflow, (
         f"{len(deferred)} deferrals for an overflow of {overflow}"
@@ -145,17 +166,17 @@ def test_deferrals_are_legitimate():
 
 
 def test_deferred_partition_is_consistent():
-    """The three documented deferral tiers partition DEFERRED_R10."""
+    """The three documented deferral tiers partition DEFERRED_R11."""
     tiers = (
-        set(registry.DEFERRED_R10_R6)
-        | set(registry.DEFERRED_R10_R7)
-        | set(registry.DEFERRED_R10_R8)
+        set(registry.DEFERRED_R11_R7)
+        | set(registry.DEFERRED_R11_R8)
+        | set(registry.DEFERRED_R11_R9)
     )
-    assert tiers == set(registry.DEFERRED_R10)
-    assert len(registry.DEFERRED_R10) == (
-        len(registry.DEFERRED_R10_R6)
-        + len(registry.DEFERRED_R10_R7)
-        + len(registry.DEFERRED_R10_R8)
+    assert tiers == set(registry.DEFERRED_R11)
+    assert len(registry.DEFERRED_R11) == (
+        len(registry.DEFERRED_R11_R7)
+        + len(registry.DEFERRED_R11_R8)
+        + len(registry.DEFERRED_R11_R9)
     )
 
 
@@ -240,9 +261,12 @@ def test_staleness_simulation_stays_under_ceiling():
             window = set(registry.R11_WINDOW)
         elif rnd == 12:
             # the r12 builder must re-enter the r10-changed pairs whose
-            # output-identical re-grades could not fit the full r11 window
+            # output-identical re-grades could not fit the full r11 window,
+            # plus the r11-changed stateful-totals gate (same precedent).
             window = registry.compute_window(
-                last, changed=registry.CHANGED_R10_TO_R12
+                last,
+                changed=registry.CHANGED_R10_TO_R12
+                + ("stream_stateful_totals_equiv",),
             )
         else:
             window = registry.compute_window(last)
@@ -252,6 +276,8 @@ def test_staleness_simulation_stays_under_ceiling():
             # rotation (their staleness hits the ceiling exactly there).
             missing = set(registry.CHANGED_R10_TO_R12) - window
             assert not missing, f"r12 misses changed re-entries: {missing}"
+            # The policy must agree with the PRECOMPUTED pinned r12 window.
+            assert window == set(registry.R12_WINDOW)
         for n in window:
             prev = last[n]
             if prev:  # never-graded entries (0) have no staleness gap yet
@@ -267,13 +293,50 @@ def test_staleness_simulation_stays_under_ceiling():
 
 
 def test_r10_window_covers_spill_and_stale():
-    """The active window's whole point: the three output-identical late-r9
-    code changes get re-graded, and the entire r5-stale tier (all 22 TPC-H,
-    the flagship smoke query, the media fake-codec family) drains."""
-    w = set(registry.DRIVER_PRIORITY)
+    """Historical pin (the r10 round's active window): the three
+    output-identical late-r9 code changes got re-graded, and the entire
+    r5-stale tier (18 TPC-H, the flagship smoke query, the media
+    fake-codec family) drained."""
+    w = set(registry.R10_WINDOW)
     assert set(registry.CHANGED_R9_SPILL) <= w
     assert "flagship_refined_summary" in w
     # all 18 r5-stale TPC-H entries drain (q4/q6/q12/q14 are r6-green and
     # ride the r11 window with the rest of the r6 tier).
     tpch_r5 = [n for n in registry.DEFERRED_R9_R5 if n.startswith("tpch_")]
     assert len(tpch_r5) == 18 and set(tpch_r5) <= w
+
+
+def test_r11_window_covers_new_spill_and_stale():
+    """The ACTIVE window's whole point: the never-graded AVI gates get
+    their first driver grade, the six output-identical r10 code changes
+    (CHANGED_R10_SPILL) get re-graded, and the entire r6-green tier
+    (the dedup_minhash family, tpch_q4/q6/q12/q14, the r6 stream/
+    roundtrip/pyds entries) drains — after r11, no query's newest grade
+    predates r7."""
+    w = set(registry.DRIVER_PRIORITY)
+    assert set(registry.NEW_R10) <= w
+    assert set(registry.CHANGED_R10_SPILL) <= w
+    assert set(registry.DEFERRED_R10_R6) <= w, (
+        "the r6-green tier must fully drain in r11"
+    )
+    for name in (
+        "tpch_q4_order_priority",
+        "tpch_q6_forecast_revenue",
+        "tpch_q12_shipping_priority_class",
+        "tpch_q14_promo_revenue",
+    ):
+        assert name in w
+    # AVI gates LEAD (never-graded entries get slots before everything).
+    assert registry.DRIVER_PRIORITY[:2] == registry.NEW_R10
+
+
+def test_r12_window_precomputed():
+    """Next round's window is precomputed and pinned: the seven
+    CHANGED_R10_TO_R12 re-entries plus the r11-changed stateful-totals
+    gate lead, then the r7-green tier drains stalest-first."""
+    w = registry.R12_WINDOW
+    assert len(w) == DRIVER_WINDOW and len(set(w)) == DRIVER_WINDOW
+    assert set(w) <= set(registry.REGISTRY)
+    assert not set(w) & set(registry.R11_WINDOW)
+    lead = registry.CHANGED_R10_TO_R12 + ("stream_stateful_totals_equiv",)
+    assert w[: len(lead)] == lead

@@ -311,14 +311,12 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_correctness, tmp
     from aws_etl_fiap_spark.sources.readers import load_table
     from aws_etl_fiap_spark.sources.writers import write_clustered, write_zordered
 
-    # coalesce(1): repartitionByRange draws its boundary SAMPLE from the
-    # input splits, and the split layout varies with suite-wide scan state —
-    # a single fixed-order input partition makes the file boundaries (and
-    # therefore the skip counts asserted below) deterministic run-to-run.
-    orders = (
-        load_table(spark, sf_correctness, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .coalesce(1)
+    # No input-layout pinning needed: write_zordered computes EXACT
+    # equi-depth z boundaries (rank thresholds, not repartitionByRange's
+    # sample), so the file layout is identical whatever partitioning the
+    # suite-wide scan state hands us.
+    orders = load_table(spark, sf_correctness, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
     n_files = 16
     zpath, cpath = str(tmp_path / "z"), str(tmp_path / "c")
@@ -342,6 +340,78 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_correctness, tmp
     c_cust = files_touched(cpath, "o_custkey", *c_band)
     assert c_cust == n_files, "orderkey clustering cannot serve custkey"
     assert z_cust < c_cust, f"z-order should skip files on dim 2: {z_cust} vs {c_cust}"
+
+
+def test_murmur3_twin_matches_spark_hash(spark):
+    """The driver-side murmur3 twin must be bit-identical to F.hash on int
+    columns — it is what lets write_zordered predict shuffle routing."""
+    from aws_etl_fiap_spark.sources.writers import _murmur3_hash_int
+
+    vals = [0, 1, 2, 7, 42, 1000, 65535, 2**31 - 1, -1, -2**31]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "v int")
+        .select(F.hash("v").alias("h"))
+        .collect()
+    )
+    assert [r.h for r in got] == [_murmur3_hash_int(v) for v in vals]
+
+
+def test_distinct_partition_labels_route_one_per_partition(spark):
+    """Each label must land in its own shuffle partition under
+    repartition(n, label) — the collision-free routing write_zordered
+    relies on for one-z-bucket-per-file determinism."""
+    from aws_etl_fiap_spark.sources.writers import _distinct_partition_labels
+
+    n = 16
+    labels = _distinct_partition_labels(n)
+    assert len(set(labels)) == n
+    pids = (
+        spark.createDataFrame([(l,) for l in labels], "label int")
+        .repartition(n, F.col("label"))
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert pids == n
+
+
+def test_zorder_layout_is_deterministic_across_input_layouts(spark, sf_correctness, tmp_path):
+    """Same data, different input partitionings -> byte-identical file
+    layout: per-file (min_z, max_z, rows) sets must agree.  This is the
+    regression test for the r10 order-dependent flake, where sampled
+    repartitionByRange boundaries drifted with suite scan state."""
+    from aws_etl_fiap_spark.sources.readers import load_table
+    from aws_etl_fiap_spark.sources.writers import morton_code, write_zordered
+
+    orders = load_table(spark, sf_correctness, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+
+    def layout(path):
+        back = spark.read.parquet(path)
+        z = morton_code(F.col("o_orderkey"), F.col("o_custkey"))
+        return sorted(
+            (r.lo, r.hi, r.n)
+            for r in back.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min(z).alias("lo"),
+                F.max(z).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_zordered(orders.coalesce(1), p1, "o_orderkey", "o_custkey", 8)
+    write_zordered(
+        orders.repartition(13, "o_custkey"), p2, "o_orderkey", "o_custkey", 8
+    )
+    l1, l2 = layout(p1), layout(p2)
+    assert l1 == l2
+    # Non-degenerate: files cover strictly disjoint z-ranges (each bucket
+    # holds z < next boundary; z == boundary opens the next bucket).
+    for (_, hi1, _), (lo2, _, _) in zip(l1, l1[1:]):
+        assert hi1 < lo2
 
 
 def test_runtime_bloom_filter_prunes_shuffle_join_fact_side(spark, sf_correctness):

@@ -279,3 +279,56 @@ def test_multibatch_state_carries_across_batches(spark, tmp_path):
     q.awaitTermination()
     rows = sorted(map(tuple, spark.table(name).collect()))
     assert rows == [(1, 1, 5), (1, 2, 12)]  # two emissions, accumulated
+
+
+def test_stateful_integer_totals_overflow_is_loud_not_wrapped(spark, tmp_path):
+    """ADVICE r10 info item: pre-fix, a micro-batch summing to 2^63 hit
+    numpy's int64 wrap and the operator SILENTLY emitted total = -2^63 —
+    a poisoned running state indistinguishable from real data.  The fix
+    accumulates per-batch sums as arbitrary-precision Python ints, so a
+    true total past int64 now fails LOUDLY at the long-typed state/output
+    serialization (the schema genuinely cannot represent it); totals that
+    fit int64 stay exact through the extremes."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    def run(name, batches):
+        raw = str(tmp_path / f"raw_{name}")
+        for pdf in batches:
+            spark.createDataFrame(pdf).write.mode("append").parquet(raw)
+        schema = spark.read.parquet(raw).schema
+        stream = stream_from_directory(
+            spark, raw, schema, max_files_per_trigger=1
+        )
+        totals = stateful_running_totals(
+            stream, "user", "value", "ts", integer_total=True
+        )
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(f"stateful_{name}")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.sql(f"SELECT * FROM stateful_{name}").collect()
+        return {r.user: (r.n, r.total) for r in rows}
+
+    big = 2**62
+    ts1 = pd.to_datetime(["2024-01-01 00:00:01"])
+    ts2 = pd.to_datetime(["2024-01-01 00:10:00"])
+    # Exact at the representable extreme: running total int64-max, then max-5.
+    final = run(
+        "extreme",
+        [
+            pd.DataFrame({"user": [1, 1], "ts": ts1.repeat(2), "value": [big, big - 1]}),
+            pd.DataFrame({"user": [1], "ts": ts2, "value": [-5]}),
+        ],
+    )
+    assert final[1] == (3, 2**63 - 6)
+    # One past int64-max: loud stream failure, never a wrapped emission.
+    with pytest.raises(StreamingQueryException):
+        run(
+            "overflow",
+            [pd.DataFrame({"user": [1, 1], "ts": ts1.repeat(2), "value": [big, big]})],
+        )

@@ -172,3 +172,38 @@ def test_index_roundtrip_search_matches_python_model_property(spark, tmp_path):
         assert got_idx == want
 
     prop()
+
+
+def test_missing_index_path_raises_not_empty(spark, tmp_path):
+    """A nonexistent index path is a broken caller, not an empty index:
+    PATH_NOT_FOUND must surface instead of being silently read as zero
+    postings (ADVICE r10 — the handler is narrowed to
+    UNABLE_TO_INFER_SCHEMA, the empty-materialization signature)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        read_postings_for(spark, str(tmp_path / "no_such_index"), ["spark"])
+
+
+def test_empty_corpus_index_reads_as_typed_empty(spark, tmp_path):
+    """An index materialized from ZERO documents has no parquet footers;
+    the read path must treat that one case as a valid empty index with the
+    contractual doc_id-long schema."""
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    idx = str(tmp_path / "empty_idx")
+    write_inverted_index(docs, idx, n_buckets=4)
+    back = read_postings_for(spark, idx, ["spark"], n_buckets=4)
+    assert back.count() == 0
+    assert dict(back.dtypes)["doc_id"] == "bigint"
+
+
+def test_string_doc_ids_refused_at_build(spark, tmp_path):
+    """write_inverted_index enforces the doc_id-long contract loudly: a
+    string-id corpus would otherwise materialize an index whose empty-read
+    fallback frame is type-mismatched (ADVICE r10)."""
+    import pytest
+
+    docs = spark.createDataFrame([("d1", "hello spark")], "doc_id string, text string")
+    with pytest.raises(ValueError, match="integral"):
+        write_inverted_index(docs, str(tmp_path / "bad_idx"))
