@@ -186,3 +186,128 @@ def test_sink_file_layout_orc_and_parquet(spark, sf_smoke, tmp_path):
     assert pq_rows == n_src, "parquet footers must account for every row"
     # Schema survives in the footer (column set, not just row counts).
     assert set(pa_pq.read_schema(pq_files[0]).names) == set(src.columns)
+
+
+def test_permissive_quarantine_matches_line_parser_model_property(spark, tmp_path):
+    """Property (r11, r10 verdict task 5): PERMISSIVE JSON-lines
+    classification must equal a pure-Python per-line parser model over an
+    arbitrary mix of valid / partially-bad / structurally-broken lines.
+    Semantics pinned by probing Spark 4.1 (all encoded below):
+    - a valid object yields typed values; absent fields and JSON null
+      read as NULL; extra fields are ignored; duplicate keys last-win;
+    - a WRONG-TYPED field (string/float/bool/overflow for long) nulls
+      THAT field, keeps every other convertible field (partial result,
+      regardless of field order), and lands the raw line in
+      _corrupt_record — there is NO string->long coercion, but ANY JSON
+      value stringifies into a string field (5 -> '5', true -> 'true');
+    - int64 boundary: max parses, max+1 is corrupt;
+    - structurally broken lines (truncated object, bare words, scalar /
+      non-object-array JSON) yield all-NULL + raw line;
+    - '{}' is a valid all-NULL row with NO corrupt record — quarantine
+      filters on _corrupt_record must not confuse it with garbage;
+    - blank / whitespace-only lines produce NO row at all;
+    - a top-level ARRAY OF OBJECTS explodes into one row per element.
+    This is the model behind every roundtrip_*_quarantine gate's
+    good/bad split."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    I64MAX = 2**63 - 1
+    words = st.sampled_from(["x", "y", "hello world", "", "ünïcode"])
+    a_good = st.one_of(st.none(), st.integers(-5, 5), st.just(I64MAX))
+    b_good = st.one_of(st.none(), words, st.integers(0, 9), st.booleans())
+    line = st.one_of(
+        st.tuples(st.just("valid"), a_good, b_good,
+                  st.booleans(), st.booleans()),  # omit_a, omit_b
+        st.tuples(st.just("bad_a"),
+                  st.sampled_from(["quoted", "float", "bool", "overflow"]),
+                  b_good),
+        st.tuples(st.just("broken"),
+                  st.sampled_from(["trunc", "garbage", "null", "scalar",
+                                   "numarray"])),
+        st.tuples(st.just("empty_obj")),
+        st.tuples(st.just("blank"), st.sampled_from(["", "   "])),
+        st.tuples(st.just("dupkey"), st.integers(-5, 5), st.integers(-5, 5)),
+        st.tuples(st.just("explode"),
+                  st.lists(st.tuples(st.integers(-5, 5), words),
+                           min_size=1, max_size=3)),
+    )
+
+    def stringify(v):
+        """Spark's string-field rendering of a non-string JSON value."""
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return _json.dumps(v) if not isinstance(v, str) else v
+
+    BAD_A = {"quoted": '"5"', "float": "1.5", "bool": "true",
+             "overflow": str(2**63)}
+
+    def render_and_model(spec):
+        """-> (raw line text, list of expected (a, b, corrupt) rows)."""
+        kind = spec[0]
+        if kind == "valid":
+            _, a, b, omit_a, omit_b = spec
+            parts = []
+            if not omit_a:
+                parts.append(f'"a": {_json.dumps(a)}')
+            if not omit_b:
+                parts.append(f'"b": {_json.dumps(b)}')
+            txt = "{" + ", ".join(parts) + "}"
+            return txt, [(
+                None if omit_a else a,
+                None if omit_b or b is None else stringify(b),
+                None,
+            )]
+        if kind == "bad_a":
+            _, bad, b = spec
+            txt = f'{{"a": {BAD_A[bad]}, "b": {_json.dumps(b)}}}'
+            return txt, [(
+                None, None if b is None else stringify(b), txt
+            )]
+        if kind == "broken":
+            txt = {
+                "trunc": '{"a": 1, ',
+                "garbage": "not json at all",
+                "null": "null",
+                "scalar": '"str"',
+                "numarray": "[1, 2]",
+            }[spec[1]]
+            return txt, [(None, None, txt)]
+        if kind == "empty_obj":
+            return "{}", [(None, None, None)]
+        if kind == "blank":
+            return spec[1], []
+        if kind == "dupkey":
+            _, v1, v2 = spec
+            txt = f'{{"a": {v1}, "a": {v2}}}'
+            return txt, [(v2, None, None)]
+        # explode
+        objs = [{"a": a, "b": b} for a, b in spec[1]]
+        txt = _json.dumps(objs)
+        return txt, [(a, b, None) for a, b in spec[1]]
+
+    counter = [0]
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(line, min_size=1, max_size=10))
+    def prop(specs):
+        counter[0] += 1
+        d = tmp_path / f"qprop_{counter[0]}"
+        d.mkdir()
+        lines, expected = [], []
+        for spec in specs:
+            txt, rows = render_and_model(spec)
+            lines.append(txt)
+            expected.extend(rows)
+        (d / "part-0.json").write_text("\n".join(lines), encoding="utf-8")
+        got = [
+            (r["a"], r["b"], r[CORRUPT_COL])
+            for r in read_jsonl(spark, str(d), "a long, b string").collect()
+        ]
+        assert sorted(got, key=str) == sorted(expected, key=str), (
+            lines, got, expected
+        )
+
+    prop()

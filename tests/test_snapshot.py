@@ -1274,3 +1274,190 @@ def test_snapshot_commit_algebra_property(spark):
             shutil.rmtree(tmp, ignore_errors=True)
 
     prop()
+
+
+def test_vacuum_matches_file_liveness_model_property(spark):
+    """Property (r11, from the r10 verdict's task 5 + r9 ADVICE item 3):
+    vacuum's whole sweep — manifest drops, data/DV deletion vs retention,
+    _tmp_ manifest sweep, staging-dir liveness (heartbeat + newest inner
+    file), orphan heartbeats — must equal a pure set-algebra model over
+    the BEFORE-listing of the table directory.  The model reads manifests
+    with json.load directly (independent of snapshot._read_manifest) and
+    classifies every file by (referenced?, mtime vs cutoff); vacuum must
+    remove exactly the model's kill set and report matching counters.
+    This pins the heartbeat contract's residual bound: an in-flight
+    writer whose newest FILE mtime is fresh survives even when the dir
+    and heartbeat are stale, and nothing referenced is ever deleted."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # Base table built ONCE: 3 commits (create + upsert + MoR delete) so
+    # there are manifests to drop, unreferenced data files, and DV files.
+    base = tempfile.mkdtemp(prefix="vacprop_base_")
+    bpath = base + "/t"
+    src = spark.createDataFrame([(k, k * 10) for k in range(1, 13)], "k int, v int")
+    S.create_table(spark, src, bpath, n_files=2)
+    S.upsert(
+        spark, bpath,
+        spark.createDataFrame([(k, k * 100) for k in range(1, 7)], "k int, v int"),
+        ["k"],
+    )
+    S.delete(spark, bpath, spark.createDataFrame([(1,), (2,)], "k int"), ["k"])
+    OLD = time.time() - 3600.0   # safely before the cutoff
+    FRESH = time.time() + 60.0   # safely after the cutoff
+    RETAIN = 600.0               # cutoff = vacuum-call-time - 600s
+    # Backdate every base file so real unreferenced files are sweepable.
+    for root, _dirs, files in os.walk(base):
+        for f in files:
+            os.utime(os.path.join(root, f), (OLD, OLD))
+
+    age = st.sampled_from(["old", "fresh"])
+    artifact = st.one_of(
+        st.tuples(st.just("orphan_data"), age),
+        st.tuples(st.just("orphan_dv"), age),
+        st.tuples(st.just("tmp_manifest"), age),
+        # staging dir: (beat age or None=no heartbeat, inner-file age)
+        st.tuples(st.just("staging"), st.tuples(st.one_of(st.none(), age), age)),
+        st.tuples(st.just("orphan_beat"), age),
+    )
+
+    def ts(a):
+        return OLD if a == "old" else FRESH
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(artifact, min_size=0, max_size=6), st.integers(1, 4))
+    def prop(artifacts, keep_last):
+        tmp = tempfile.mkdtemp(prefix="vacprop_")
+        path = tmp + "/t"
+        try:
+            shutil.copytree(bpath, path, copy_function=shutil.copy2)
+            # Plant artifacts with pinned mtimes.
+            for i, (kind, arg) in enumerate(artifacts):
+                if kind == "orphan_data":
+                    p = f"{path}/data/orphan_{i}.parquet"
+                    open(p, "w").write("x")
+                    os.utime(p, (ts(arg), ts(arg)))
+                elif kind == "orphan_dv":
+                    os.makedirs(f"{path}/_deletes", exist_ok=True)
+                    p = f"{path}/_deletes/orphan_{i}.parquet"
+                    open(p, "w").write("x")
+                    os.utime(p, (ts(arg), ts(arg)))
+                elif kind == "tmp_manifest":
+                    p = f"{path}/_snapshots/_tmp_v99_{i}.json"
+                    open(p, "w").write("{}")
+                    os.utime(p, (ts(arg), ts(arg)))
+                elif kind == "staging":
+                    beat_age, file_age = arg
+                    d = f"{path}/_staging_{i}"
+                    os.makedirs(d)
+                    p = d + "/part-0.parquet"
+                    open(p, "w").write("x")
+                    os.utime(p, (ts(file_age), ts(file_age)))
+                    os.utime(d, (OLD, OLD))  # dir mtime synthetic-old
+                    if beat_age is not None:
+                        b = d + ".heartbeat"
+                        open(b, "w").close()
+                        os.utime(b, (ts(beat_age), ts(beat_age)))
+                else:  # orphan_beat
+                    p = f"{path}/_staging_lost{i}.heartbeat"
+                    open(p, "w").close()
+                    os.utime(p, (ts(arg), ts(arg)))
+
+            def listing():
+                out = {}
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        if f.startswith("."):
+                            continue  # Hadoop .crc sidecars ride their file
+                        p = os.path.join(root, f)
+                        out[os.path.relpath(p, path)] = os.path.getmtime(p)
+                return out
+
+            before = listing()
+            # ---- the model ----
+            versions = sorted(
+                int(f[1:9])
+                for f in os.listdir(f"{path}/_snapshots")
+                if f.startswith("v") and f.endswith(".json")
+            )
+            kept = versions[-max(1, keep_last):]
+            referenced, referenced_dv = set(), set()
+            for v in kept:
+                with open(f"{path}/_snapshots/v{v:08d}.json") as fh:
+                    m = _json.load(fh)
+                referenced |= set(m["files"])
+                referenced_dv |= set(m.get("delete_files") or [])
+            kill = {
+                f"_snapshots/v{v:08d}.json" for v in versions if v not in kept
+            }
+            n_deleted = n_retained = 0
+            cutoff = time.time() - RETAIN  # vacuum runs within seconds
+            for rel, mt in before.items():
+                d, _, name = rel.rpartition("/")
+                if d == "data" and name.endswith(".parquet") and name not in referenced:
+                    if mt < cutoff:
+                        kill.add(rel); n_deleted += 1
+                    else:
+                        n_retained += 1
+                elif d == "_deletes" and name.endswith(".parquet") and name not in referenced_dv:
+                    if mt < cutoff:
+                        kill.add(rel); n_deleted += 1
+                    else:
+                        n_retained += 1
+                elif d == "_snapshots" and name.startswith("_tmp_") and mt < cutoff:
+                    kill.add(rel)
+            # staging liveness: newest of (beat, any inner file) vs cutoff
+            # (dir mtime is pinned OLD so it never decides).
+            staging_dirs = {
+                rel.split("/", 1)[0]
+                for rel in before
+                if rel.startswith("_staging_") and "/" in rel
+            }
+            n_staging = 0
+            for sd in staging_dirs:
+                newest = max(
+                    mt
+                    for rel, mt in before.items()
+                    if rel.startswith(sd + "/") or rel == sd + ".heartbeat"
+                )
+                if newest < cutoff:
+                    n_staging += 1
+                    for rel in list(before):
+                        if rel.startswith(sd + "/") or rel == sd + ".heartbeat":
+                            kill.add(rel)
+            for rel, mt in before.items():
+                if (
+                    "/" not in rel
+                    and rel.startswith("_staging_")
+                    and rel.endswith(".heartbeat")
+                    and rel[: -len(".heartbeat")] not in staging_dirs
+                    and mt < cutoff
+                ):
+                    kill.add(rel)
+            # ---- run vacuum, compare ----
+            got = S.vacuum(spark, path, keep_last=keep_last, retain_seconds=RETAIN)
+            after = listing()
+            assert set(after) == set(before) - kill, (
+                sorted(set(before) - kill - set(after)),
+                sorted(set(after) - (set(before) - kill)),
+            )
+            assert got["dropped_manifests"] == len(versions) - len(kept)
+            assert got["deleted_files"] == n_deleted
+            assert got["retained_recent_files"] == n_retained
+            assert got["swept_staging_dirs"] == n_staging
+            # Every kept version must still read (no live file deleted).
+            for v in kept:
+                S.read_table(spark, path, version=v).count()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    try:
+        prop()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -4,6 +4,8 @@ parquet sinks, AvailableNow trigger)."""
 
 from __future__ import annotations
 
+import time
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -332,3 +334,112 @@ def test_stateful_integer_totals_overflow_is_loud_not_wrapped(spark, tmp_path):
             "overflow",
             [pd.DataFrame({"user": [1, 1], "ts": ts1.repeat(2), "value": [big, big]})],
         )
+
+
+def test_tumbling_watermark_state_machine_matches_model_property(spark, tmp_path):
+    """Property (r11, r10 verdict task 5): the append-mode watermarked
+    tumbling aggregate over an arbitrary multi-batch replay must equal a
+    pure-Python two-watermark state machine.  Spark's microbatch protocol
+    (probed empirically on 4.1, matching WatermarkPropagator's design)
+    carries TWO watermarks per batch: late rows are filtered with the
+    PREVIOUS batch's watermark (drop iff window_end <= W(N-2)), state is
+    evicted/emitted with the CURRENT one (emit iff window_end <= W(N-1),
+    both inclusive), where W(i) = max event time through batch i minus
+    the delay; trailing no-data batches run eviction until W(last).
+    This pins exactly the late-data drop boundaries and expiry ordering
+    the batch-equivalence gates sidestep (their watermark exceeds the
+    data's span, so no row is ever late there)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.streaming.windows import streaming_tumbling_counts
+
+    WIN_MIN, DELAY_MIN = 10, 10
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    row = st.tuples(st.integers(1, 2), st.integers(0, 120))
+    batches_strategy = st.lists(
+        st.lists(row, min_size=1, max_size=4), min_size=2, max_size=4
+    )
+
+    def model(batches):
+        """Expected append-mode output: {(window_start_min, key): n}."""
+        wm_hist = [0.0]  # W(i-1) entries; index i -> W up to batch i-1
+        running_max = None
+        wms = []
+        for b in batches:
+            m = max(minute for _, minute in b)
+            running_max = m if running_max is None else max(running_max, m)
+            wms.append(max(0.0, running_max - DELAY_MIN))
+        state: dict = {}
+        emitted: dict = {}
+        for n_idx, b in enumerate(batches):
+            f_wm = wms[n_idx - 2] if n_idx >= 2 else 0.0
+            e_wm = wms[n_idx - 1] if n_idx >= 1 else 0.0
+            for key, minute in b:
+                w_start = (minute // WIN_MIN) * WIN_MIN
+                if w_start + WIN_MIN <= f_wm:
+                    continue  # late: window closed by the previous watermark
+                if (w_start, key) in emitted:
+                    continue  # emitted windows never reopen in append mode
+                state[(w_start, key)] = state.get((w_start, key), 0) + 1
+            for (w_start, key), n in list(state.items()):
+                if w_start + WIN_MIN <= e_wm:
+                    emitted[(w_start, key)] = n
+                    del state[(w_start, key)]
+        final_wm = wms[-1]
+        for (w_start, key), n in list(state.items()):
+            if w_start + WIN_MIN <= final_wm:
+                emitted[(w_start, key)] = n
+                del state[(w_start, key)]
+        return emitted
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(batches_strategy)
+    def prop(batches):
+        counter[0] += 1
+        raw = str(tmp_path / f"wmprop_{counter[0]}")
+        for b in batches:
+            pdf = pd.DataFrame(
+                {
+                    "k": [k for k, _ in b],
+                    "ts": [base + pd.Timedelta(minutes=m) for _, m in b],
+                }
+            )
+            spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(raw)
+            time.sleep(1.05)  # distinct mtimes pin the batch replay order
+        schema = spark.read.parquet(raw).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(raw)
+        )
+        out = streaming_tumbling_counts(
+            stream,
+            "ts",
+            f"{WIN_MIN} minutes",
+            keys=["k"],
+            aggs=[F.count(F.lit(1)).alias("n")],
+            watermark=f"{DELAY_MIN} minutes",
+        )
+        name = f"wmprop_{counter[0]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck_{counter[0]}"))
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (
+                int((r.window_start - base).total_seconds() // 60),
+                r.k,
+            ): r.n
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert got == model(batches), (batches, got, model(batches))
+
+    prop()
