@@ -1430,6 +1430,92 @@ def main() -> None:
             shutil.rmtree(mv_dir, ignore_errors=True)
 
     stage("mv_incremental_vs_full", _mv_incremental)
+
+    # Round-11 (r10 verdict task 7): the two heaviest never-smoked gate
+    # shapes.  (a) the JSONL sink + PERMISSIVE quarantine round trip at a
+    # K x event log — the claim is the cost is SINK-WRITE-LINEAR with no
+    # parse hot spot, so write and read+aggregate are timed separately;
+    # (b) the two-pass range-partitioned prefix-sum RANK path (exact AUC)
+    # at K x scored rows — the plan gate proves no-single-reducer at
+    # sf0.01, this proves the wall-clock shape holds at 20x volume.
+    def _jsonl_quarantine():
+        import shutil
+        import tempfile
+
+        from aws_etl_fiap_spark.sources.formats import read_jsonl, write_jsonl
+
+        d = tempfile.mkdtemp(prefix="scale_jsonl_")
+        try:
+            path = os.path.join(d, "events_jsonl")
+            src = big_ev.select("event_id", "event_type", "value")
+            t0 = time.perf_counter()
+            write_jsonl(src.repartition(32), path)
+            write_sec = time.perf_counter() - t0
+            corrupt = spark.createDataFrame(
+                [('{"event_id": broken',)] * 500, "value string"
+            )
+            corrupt.coalesce(1).write.mode("append").text(path)
+            t0 = time.perf_counter()
+            out = (
+                read_jsonl(
+                    spark, path,
+                    "event_id bigint, event_type string, value double",
+                )
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+                .collect()
+            )
+            read_sec = time.perf_counter() - t0
+            n_bad = next(r.n for r in out if r.event_type is None)
+            assert n_bad == 500, f"quarantine miscount: {n_bad}"
+            print(json.dumps({
+                "stage": "jsonl_quarantine_detail",
+                "events": int(n_ev),
+                "write_sec": round(write_sec, 2),
+                "read_agg_sec": round(read_sec, 2),
+            }), flush=True)
+            return len(out)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    stage(f"jsonl_quarantine_{n_ev}ev", _jsonl_quarantine)
+
+    def _auc_rank_path():
+        from aws_etl_fiap_spark.operators.ml import exact_auc
+
+        # Deterministic score with heavy TIES (3dp grid): ties are what
+        # exercise the distinct-score collapse + average-rank algebra.
+        scored = corpus.select(
+            (F.pmod(F.xxhash64("text"), F.lit(1000)) / 1000.0).alias("score"),
+            (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+        )
+        return exact_auc(
+            scored, F.col("y"), F.col("score")
+        ).count()
+
+    stage(f"exact_auc_rank_{n}docs", _auc_rank_path)
+
+    def _calibration_bins():
+        scored = corpus.select(
+            (F.pmod(F.xxhash64("text"), F.lit(1000)) / 1000.0).alias("score"),
+            (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+        )
+        cnt = F.count(F.lit(1))
+        return (
+            scored.groupBy(
+                F.least(
+                    F.floor(F.col("score") * 1000.0).cast("int"), F.lit(999)
+                ).alias("bin")
+            )
+            .agg(
+                cnt.alias("n"),
+                (F.sum("score") / cnt).alias("mean_pred"),
+                (F.sum("y") / cnt).alias("frac_pos"),
+            )
+            .count()
+        )
+
+    stage(f"calibration_bins_{n}docs", _calibration_bins)
     spark.stop()
 
 
