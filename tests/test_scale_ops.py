@@ -633,3 +633,78 @@ def test_morton_code_matches_python_model_property(spark):
             assert got[(x, y)] == model(x & mask, y & mask, bits)
 
     prop()
+
+
+def test_zorder_file_layout_matches_equi_depth_model_property(spark, tmp_path):
+    """Property (r11): write_zordered's FILE LAYOUT — not just the morton
+    math — equals a pure-Python equi-depth model.  For arbitrary (x, y)
+    multisets and file counts, compute morton codes and exact rank-quantile
+    boundaries in Python (boundary i = smallest z whose cumulative count
+    reaches ceil(i*n/k); bucket = #(boundaries <= z)), and require the
+    written files' (min_z, max_z, row_count) multiset to equal the model's
+    non-empty buckets exactly.  This is the determinism contract the r10
+    flake showed sampled repartitionByRange could not give: the layout is
+    a FUNCTION of the data, never of the input partitioning."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.sources.writers import morton_code, write_zordered
+
+    def py_morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i) | ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    counter = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 63), st.integers(0, 63)),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(1, 6),
+        st.integers(1, 7),
+    )
+    def prop(pairs, n_files, n_input_parts):
+        counter[0] += 1
+        # ---- Python model ----
+        zs = sorted(py_morton(x, y) for x, y in pairs)
+        n = len(zs)
+        if n_files > 1:
+            thresholds = [
+                -(-i * n // n_files) for i in range(1, n_files)
+            ]  # ceil(i*n/k)
+            boundaries = sorted(zs[t - 1] for t in thresholds)
+        else:
+            boundaries = []
+        buckets: dict = {}
+        for z in zs:
+            b = sum(1 for bd in boundaries if z >= bd)
+            buckets.setdefault(b, []).append(z)
+        expected = sorted(
+            (min(v), max(v), len(v)) for v in buckets.values()
+        )
+        # ---- actual layout, under an adversarial input partitioning ----
+        df = spark.createDataFrame(pairs, "x long, y long").repartition(
+            n_input_parts
+        )
+        path = str(tmp_path / f"zprop_{counter[0]}")
+        write_zordered(df, path, "x", "y", n_files)
+        back = spark.read.parquet(path)
+        z = morton_code(F.col("x"), F.col("y"))
+        got = sorted(
+            (r.lo, r.hi, r.n)
+            for r in back.groupBy(F.input_file_name())
+            .agg(
+                F.min(z).alias("lo"),
+                F.max(z).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        assert got == expected, (pairs, n_files, got, expected)
+
+    prop()

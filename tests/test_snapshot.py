@@ -1461,3 +1461,168 @@ def test_vacuum_matches_file_liveness_model_property(spark):
         prop()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_hidden_partition_pruning_matches_overlap_model_property(spark):
+    """Property (r11): read_table_pruned's file-keep decision must equal a
+    pure-Python overlap model over the manifest's per-file partition
+    records — for arbitrary typed data (ints incl. negatives, ISO dates
+    across month boundaries, exact decimals, strings), all four
+    transforms, point and range predicates, and spec evolution (a second
+    append partitioned on a DIFFERENT column, whose files must always be
+    kept).  Two laws per example: (1) soundness+exactness of the ANSWER —
+    predicate-filtered rows through the pruned read equal the full-table
+    filter (a wrong prune silently drops live rows; this is the law the
+    r8/r9 lexicographic-int and float-rounded-decimal bugs broke); and
+    (2) exactness of the KEPT SET — the pruned-but-unfiltered frame holds
+    exactly the rows whose partition value the model keeps (pruning that
+    keeps everything would pass law 1 while doing nothing)."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ints = st.integers(-12, 12)
+    dates = st.dates(_dt.date(2023, 11, 15), _dt.date(2024, 2, 15))
+    decs = st.integers(-400, 400).map(lambda c: Decimal(c) / 100)
+    words = st.sampled_from(["ab", "b", "ba", "z", "9", "10", "-1"])
+    case = st.one_of(
+        st.tuples(st.just("int"), st.lists(ints, min_size=1, max_size=12),
+                  st.sampled_from(["identity", "bucket"]), ints, ints),
+        st.tuples(st.just("date"), st.lists(dates, min_size=1, max_size=12),
+                  st.sampled_from(["identity", "month", "day"]), dates, dates),
+        st.tuples(st.just("decimal"), st.lists(decs, min_size=1, max_size=12),
+                  st.just("identity"), decs, decs),
+        st.tuples(st.just("string"), st.lists(words, min_size=1, max_size=12),
+                  st.sampled_from(["identity", "bucket"]), words, words),
+    )
+
+    SPARK_TYPE = {"int": "int", "date": "date",
+                  "decimal": "decimal(10,2)", "string": "string"}
+
+    def pv_string(tag, transform, v):
+        if transform == "month":
+            return str(v)[:7]
+        if transform == "day":
+            return str(v)[:10]
+        if tag == "decimal":
+            s = f"{v:.2f}"
+            return s
+        return str(v)
+
+    def model_keep(tag, transform, pv, lo, hi):
+        if transform == "bucket":
+            return None  # handled via a Spark-computed literal bucket
+        if transform in ("month", "day"):
+            plo = str(lo)[:7] if transform == "month" else str(lo)[:10]
+            phi = str(hi)[:7] if transform == "month" else str(hi)[:10]
+            return plo <= pv <= phi
+        # identity, typed by column type
+        if tag == "int":
+            return int(lo) <= int(pv) <= int(hi)
+        if tag == "decimal":
+            return Decimal(str(lo)) <= Decimal(pv) <= Decimal(str(hi))
+        return str(lo) <= pv <= str(hi)  # string + date: lexicographic ISO
+
+    counter = [0]
+
+    @settings(max_examples=10, deadline=None)
+    @given(case, st.booleans(), st.booleans())
+    def prop(c, point_lookup, evolve_spec):
+        tag, vals, transform, p1, p2 = c
+        lo, hi = (p1, p2) if str(p1) <= str(p2) else (p2, p1)
+        if tag in ("int", "decimal"):
+            lo, hi = min(p1, p2), max(p1, p2)
+        if point_lookup:
+            hi = None
+        counter[0] += 1
+        tmp = tempfile.mkdtemp(prefix="pruneprop_")
+        path = tmp + "/t"
+        try:
+            arg = 4 if transform == "bucket" else None
+            df = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(vals)],
+                f"rid int, k {SPARK_TYPE[tag]}",
+            )
+            S.append_partitioned(spark, df, path, transform, "k", arg=arg)
+            if evolve_spec:
+                S.append_partitioned(
+                    spark,
+                    spark.createDataFrame(
+                        [(100 + i, v) for i, v in enumerate(vals[:3])],
+                        f"rid int, k {SPARK_TYPE[tag]}",
+                    ),
+                    path, "identity", "rid",
+                )
+            pruned = S.read_table_pruned(spark, path, "k", lo, hi)
+            got_all = sorted((r.rid, str(r.k)) for r in pruned.collect())
+            # ---- law 2: kept rows == model ----
+            eff_hi = lo if hi is None else hi
+            if transform == "bucket":
+                if hi is None:
+                    # The literal's bucket and each row's bucket come from
+                    # ONE Spark job each (xxhash64 has no Python twin here);
+                    # the DECISION under test — keep iff buckets equal,
+                    # range predicates keep everything — stays in Python.
+                    blit = (
+                        spark.range(1)
+                        .select(
+                            F.pmod(
+                                F.xxhash64(F.lit(lo).cast(SPARK_TYPE[tag])),
+                                F.lit(arg),
+                            ).cast("string").alias("b")
+                        )
+                        .first()["b"]
+                    )
+                    bvals = [
+                        r["b"]
+                        for r in spark.createDataFrame(
+                            [(v,) for v in vals], f"k {SPARK_TYPE[tag]}"
+                        )
+                        .select(
+                            F.pmod(F.xxhash64("k"), F.lit(arg))
+                            .cast("string")
+                            .alias("b")
+                        )
+                        .collect()
+                    ]
+                    expected_first = sorted(
+                        (i, str(v))
+                        for (i, v), b in zip(enumerate(vals), bvals)
+                        if b == blit
+                    )
+                else:
+                    expected_first = sorted(
+                        (i, str(v)) for i, v in enumerate(vals)
+                    )  # range over buckets keeps every file
+            else:
+                expected_first = sorted(
+                    (i, str(v))
+                    for i, v in enumerate(vals)
+                    if model_keep(
+                        tag, transform, pv_string(tag, transform, v), lo, eff_hi
+                    )
+                )
+            expected = expected_first + (
+                sorted((100 + i, str(v)) for i, v in enumerate(vals[:3]))
+                if evolve_spec
+                else []
+            )
+            assert got_all == sorted(expected), (c, lo, hi, got_all, expected)
+            # ---- law 1: the filtered ANSWER is prune-invariant ----
+            full = S.read_table(spark, path)
+            pred = (
+                (F.col("k") == F.lit(lo))
+                if hi is None
+                else F.col("k").between(F.lit(lo), F.lit(hi))
+            )
+            a = sorted((r.rid, str(r.k)) for r in pruned.filter(pred).collect())
+            b = sorted((r.rid, str(r.k)) for r in full.filter(pred).collect())
+            assert a == b, (c, lo, hi, a, b)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    prop()

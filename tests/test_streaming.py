@@ -443,3 +443,92 @@ def test_tumbling_watermark_state_machine_matches_model_property(spark, tmp_path
         assert got == model(batches), (batches, got, model(batches))
 
     prop()
+
+
+def test_dedup_within_watermark_state_machine_matches_model_property(spark, tmp_path):
+    """Property (r11): dropDuplicatesWithinWatermark over an arbitrary
+    multi-batch replay must equal a pure-Python state machine.  Protocol
+    pinned by 10 targeted probes of Spark 4.1 plus a hypothesis
+    counterexample that killed the first two drafts: the late filter uses
+    the PREVIOUS batch's watermark W(N-2) with an INCLUSIVE ts <= wm drop
+    and a wm>0 guard (epoch-watermark batches filter nothing); a row
+    surviving the filter is dropped iff its key is in state (expiry is
+    NOT consulted on read and duplicates never extend it); eviction runs
+    AFTER the batch's rows with the current watermark (expiry <= W(N-1),
+    expiry = first-occurrence ts + delay).  The consequence the docs only hint at: a duplicate
+    arriving after its key's state expired RE-EMITS — streaming dedup is
+    exactly-once only within the watermark horizon, and this model pins
+    where that horizon falls to the minute."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.streaming.windows import streaming_dedup
+
+    DELAY_MIN = 10
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    row = st.tuples(st.integers(1, 3), st.integers(0, 60))
+    batches_strategy = st.lists(
+        st.lists(row, min_size=1, max_size=4), min_size=2, max_size=4
+    )
+
+    def model(batches):
+        wms, mx = [], None
+        for b in batches:
+            m = max(t for _, t in b)
+            mx = m if mx is None else max(mx, m)
+            wms.append(max(0, mx - DELAY_MIN))
+        state, out = {}, []
+        for n_idx, b in enumerate(batches):
+            f_wm = wms[n_idx - 2] if n_idx >= 2 else 0
+            e_wm = wms[n_idx - 1] if n_idx >= 1 else 0
+            for k, t in b:
+                if (f_wm > 0 and t <= f_wm) or k in state:
+                    continue
+                out.append((k, t))
+                state[k] = t + DELAY_MIN
+            for k in [k for k, exp in state.items() if exp <= e_wm]:
+                del state[k]
+        return sorted(out)
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(batches_strategy)
+    def prop(batches):
+        counter[0] += 1
+        raw = str(tmp_path / f"ddprop_{counter[0]}")
+        for b in batches:
+            pdf = pd.DataFrame(
+                {
+                    "k": [k for k, _ in b],
+                    "ts": [base + pd.Timedelta(minutes=m) for _, m in b],
+                }
+            )
+            spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(raw)
+            time.sleep(1.05)
+        schema = spark.read.parquet(raw).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(raw)
+        )
+        out = streaming_dedup(
+            stream, "ts", ["k"], watermark=f"{DELAY_MIN} minutes"
+        )
+        name = f"ddprop_{counter[0]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ddck_{counter[0]}"))
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.k, int((r.ts - base).total_seconds() // 60))
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        assert got == model(batches), (batches, got, model(batches))
+
+    prop()
