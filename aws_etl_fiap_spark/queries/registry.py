@@ -626,6 +626,14 @@ FAILED_R10: tuple[str, ...] = ()
 #:   (r6 tier); stateful is r8-green and re-enters via changed= in R12
 #:   (the full r11 window cannot absorb it — same precedent as
 #:   CHANGED_R10_TO_R12, simulation-test-enforced below).
+#:   The same pair ALSO rides the late-r11 timeout-deadline CLAMP: the
+#:   r11 timeout-model probes found that a straggler key (newest
+#:   surviving event > one delay behind the stream head) produced an
+#:   event-time timeout at/behind the watermark, which Spark rejects
+#:   (INVALID_TIMEOUT_TIMESTAMP) — one slow source partition killed the
+#:   whole query.  The deadline now clamps one ms past the current
+#:   watermark; the gates' single/4-batch replays never time out at all,
+#:   output identical, both re-verified exact post-fix.
 #: - text_index_search rides the read_postings_for error-class narrowing
 #:   (PATH_NOT_FOUND now raises; ONLY UNABLE_TO_INFER_SCHEMA reads as the
 #:   typed empty index) and write_inverted_index's integral-doc_id

@@ -117,8 +117,17 @@ def stateful_running_totals(
         if last_ts is not None:
             # Evict once the watermark passes the newest event for this key
             # (setTimeoutTimestamp takes an absolute epoch-ms deadline).
+            # Clamp to strictly above the CURRENT watermark: a straggler
+            # key whose newest surviving event sits more than one delay
+            # behind the stream's head has last_ts + delay <= watermark,
+            # and Spark REJECTS a deadline at/behind the watermark
+            # (INVALID_TIMEOUT_TIMESTAMP) — un-clamped, one slow source
+            # partition kills the whole query (found by the r11 timeout-model
+            # probes).  The clamped state evicts at the next watermark
+            # advance, which is exactly the contract: its horizon passed.
             deadline = int(pd.Timestamp(last_ts).value // 1_000_000) + delay_ms
-            state.setTimeoutTimestamp(deadline)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(deadline, wm_ms + 1))
         yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [total]})
 
     return (

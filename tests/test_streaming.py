@@ -532,3 +532,106 @@ def test_dedup_within_watermark_state_machine_matches_model_property(spark, tmp_
         assert got == model(batches), (batches, got, model(batches))
 
     prop()
+
+
+def test_stateful_totals_timeout_state_machine_matches_model_property(spark, tmp_path):
+    """Property (r11): stateful_running_totals' custom EventTimeTimeout
+    eviction — OUR code, not a Spark built-in — must equal a pure-Python
+    state machine over arbitrary multi-batch replays.  Protocol pinned by
+    probing: late rows filter on the PREVIOUS batch watermark W(N-2)
+    (inclusive, zero-guarded, same machinery as the other stateful ops);
+    a key with no surviving rows in a batch times out iff its deadline is
+    STRICTLY below the current watermark W(N-1), removing state with NO
+    emission (the next event starts a fresh running total); a key with
+    data never times out and re-arms its deadline from THIS batch's max
+    surviving ts (the deadline can regress).  The probe campaign for this
+    model found a real crash first: a straggler key whose newest event
+    sits more than one delay behind the stream head produced a deadline
+    at/behind the watermark, which Spark rejects
+    (INVALID_TIMEOUT_TIMESTAMP) — one slow source partition killed the
+    whole query.  The operator now clamps the deadline one ms past the
+    current watermark; the model carries the same clamp."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    DELAY_MIN, MS = 10, 60_000
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    row = st.tuples(
+        st.integers(1, 2), st.integers(0, 120), st.integers(-3, 9)
+    )
+    batches_strategy = st.lists(
+        st.lists(row, min_size=1, max_size=4), min_size=2, max_size=4
+    )
+
+    def model(batches):
+        delay = DELAY_MIN * MS
+        wms, mx = [], None
+        for b in batches:
+            m = max(t for _, t, _ in b)
+            mx = m if mx is None else max(mx, m)
+            wms.append(max(0, mx * MS - delay))
+        state, out = {}, []
+        for n_idx, b in enumerate(batches):
+            f_wm = wms[n_idx - 2] if n_idx >= 2 else 0
+            e_wm = wms[n_idx - 1] if n_idx >= 1 else 0
+            surviving: dict = {}
+            for k, t, v in b:
+                if f_wm > 0 and t * MS <= f_wm:
+                    continue
+                surviving.setdefault(k, []).append((t, v))
+            for k in list(state):
+                if k not in surviving and state[k][2] < e_wm:
+                    del state[k]
+            for k, rows in surviving.items():
+                n, tot, _ = state.get(k, (0, 0, None))
+                n += len(rows)
+                tot += sum(v for _, v in rows)
+                last = max(t for t, _ in rows)
+                state[k] = (n, tot, max(last * MS + delay, e_wm + 1))
+                out.append((k, n, tot))
+        return sorted(out)
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(batches_strategy)
+    def prop(batches):
+        counter[0] += 1
+        raw = str(tmp_path / f"stprop_{counter[0]}")
+        for b in batches:
+            pdf = pd.DataFrame(
+                {
+                    "k": [k for k, _, _ in b],
+                    "ts": [base + pd.Timedelta(minutes=m) for _, m, _ in b],
+                    "v": [v for _, _, v in b],
+                }
+            )
+            spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(raw)
+            time.sleep(1.05)
+        schema = spark.read.parquet(raw).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(raw)
+        )
+        out = stateful_running_totals(
+            stream, "k", "v", "ts",
+            watermark=f"{DELAY_MIN} minutes", integer_total=True,
+        )
+        name = f"stprop_{counter[0]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"stck_{counter[0]}"))
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (r.k, r.n, r.total)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        assert got == model(batches), (batches, got, model(batches))
+
+    prop()
