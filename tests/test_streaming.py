@@ -635,3 +635,94 @@ def test_stateful_totals_timeout_state_machine_matches_model_property(spark, tmp
         assert got == model(batches), (batches, got, model(batches))
 
     prop()
+
+
+def test_session_window_complete_mode_matches_gap_merge_model_property(spark, tmp_path):
+    """Property (r11): complete-mode streaming session windows over an
+    arbitrary multi-batch replay must equal a pure-Python gap-merge over
+    ALL rows — probed on Spark 4.1: in complete mode the watermark drops
+    NOTHING (a row far behind the stream head still lands, and can still
+    WELD two existing sessions), so the final table is batch-order
+    independent.  Boundary ties are generated on purpose: an event at
+    exactly prev_end (= prev_ts + gap) MERGES into the session — the
+    off-by-one the r10 session-boundary property caught on the batch
+    side's oracle.  Session end = last event + gap; counts per merged
+    session verified exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.streaming.windows import streaming_session_counts
+
+    GAP_MIN = 5
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    row = st.tuples(st.integers(1, 2), st.integers(0, 40))
+    batches_strategy = st.lists(
+        st.lists(row, min_size=1, max_size=5), min_size=1, max_size=3
+    )
+
+    def model(batches):
+        by_user: dict = {}
+        for b in batches:
+            for u, t in b:
+                by_user.setdefault(u, []).append(t)
+        out = []
+        for u, ts in by_user.items():
+            ts.sort()
+            start, last, n = ts[0], ts[0], 1
+            for t in ts[1:]:
+                if t <= last + GAP_MIN:  # tie at exactly prev+gap MERGES
+                    last, n = t, n + 1
+                else:
+                    out.append((u, start, last + GAP_MIN, n))
+                    start, last, n = t, t, 1
+            out.append((u, start, last + GAP_MIN, n))
+        return sorted(out)
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(batches_strategy)
+    def prop(batches):
+        counter[0] += 1
+        raw = str(tmp_path / f"ssprop_{counter[0]}")
+        for b in batches:
+            pdf = pd.DataFrame(
+                {
+                    "u": [u for u, _ in b],
+                    "ts": [base + pd.Timedelta(minutes=m) for _, m in b],
+                }
+            )
+            spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(raw)
+            time.sleep(1.05)
+        schema = spark.read.parquet(raw).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(raw)
+        )
+        out = streaming_session_counts(
+            stream, "ts", f"{GAP_MIN} minutes",
+            keys=["u"], aggs=[F.count(F.lit(1)).alias("n")],
+        )
+        name = f"ssprop_{counter[0]}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ssck_{counter[0]}"))
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            (
+                r.u,
+                int((r.session_start - base).total_seconds() // 60),
+                int((r.session_end - base).total_seconds() // 60),
+                r.n,
+            )
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        assert got == model(batches), (batches, got, model(batches))
+
+    prop()
