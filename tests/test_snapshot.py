@@ -1503,14 +1503,19 @@ def test_hidden_partition_pruning_matches_overlap_model_property(spark):
     SPARK_TYPE = {"int": "int", "date": "date",
                   "decimal": "decimal(10,2)", "string": "string"}
 
+    def fmt(tag, v):
+        """Spark's collected rendering: decimal(10,2) normalizes to two
+        places (Decimal('2.5') collects as '2.50'); everything else is
+        its ISO/str form."""
+        return f"{v:.2f}" if tag == "decimal" else str(v)
+
     def pv_string(tag, transform, v):
         if transform == "month":
             return str(v)[:7]
         if transform == "day":
             return str(v)[:10]
         if tag == "decimal":
-            s = f"{v:.2f}"
-            return s
+            return f"{v:.2f}"
         return str(v)
 
     def model_keep(tag, transform, pv, lo, hi):
@@ -1590,24 +1595,24 @@ def test_hidden_partition_pruning_matches_overlap_model_property(spark):
                         .collect()
                     ]
                     expected_first = sorted(
-                        (i, str(v))
+                        (i, fmt(tag, v))
                         for (i, v), b in zip(enumerate(vals), bvals)
                         if b == blit
                     )
                 else:
                     expected_first = sorted(
-                        (i, str(v)) for i, v in enumerate(vals)
+                        (i, fmt(tag, v)) for i, v in enumerate(vals)
                     )  # range over buckets keeps every file
             else:
                 expected_first = sorted(
-                    (i, str(v))
+                    (i, fmt(tag, v))
                     for i, v in enumerate(vals)
                     if model_keep(
                         tag, transform, pv_string(tag, transform, v), lo, eff_hi
                     )
                 )
             expected = expected_first + (
-                sorted((100 + i, str(v)) for i, v in enumerate(vals[:3]))
+                sorted((100 + i, fmt(tag, v)) for i, v in enumerate(vals[:3]))
                 if evolve_spec
                 else []
             )
