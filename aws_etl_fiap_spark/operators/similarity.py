@@ -842,11 +842,23 @@ def power_iteration_pc1(
             .agg(F.sum("t").alias("y"))
         )
         m = y.agg(F.max(F.abs(F.col("y"))).alias("m"))
+        # Collapsed iteration (every surviving y_i is exactly 0, e.g. a
+        # gram whose only nonzero column is orthogonal to the surviving
+        # subspace): max|y| = 0, and the bare divide is an ANSI
+        # DIVIDE_BY_ZERO that kills the whole job (found by the r10 PC1
+        # model property drawing a degenerate gram in r11).  The zero
+        # vector is the honest fixed point — normalize to it explicitly
+        # and the trajectory stays total and engine-replicable.
         x = y.crossJoin(F.broadcast(m)).select(
             F.col("i").alias("j"),
-            round_half_up(
-                F.col("y").cast("double") / F.col("m").cast("double"), scale
-            ).alias("x"),
+            F.when(F.col("m") == 0, F.lit(0.0))
+            .otherwise(
+                round_half_up(
+                    F.col("y").cast("double") / F.col("m").cast("double"),
+                    scale,
+                )
+            )
+            .alias("x"),
         )
     return x.select("j", F.col("x").alias("pc1"))
 

@@ -647,10 +647,19 @@ FAILED_R10: tuple[str, ...] = ()
 #: writer (layout_zorder_orders verifies the morton-code math only), so
 #: nothing re-enters for it; layout determinism is pinned by
 #: tests/test_scale_ops.py's cross-input-layout equality test.
+#: - sim_power_iteration_pc1 rides the late-r11 collapsed-iteration
+#:   guard in operators/similarity.power_iteration_pc1: an iteration
+#:   whose surviving y vector is exactly zero (degenerate gram) divided
+#:   by max|y| = 0 — an ANSI DIVIDE_BY_ZERO that killed the whole job,
+#:   found when the r10 PC1 model property drew a degenerate gram in
+#:   r11.  The zero vector is now normalized to explicitly; the gate's
+#:   real-embedding gram never collapses, output identical, re-verified
+#:   exact.  It already holds an R12 slot via the natural r7-tier drain.
 CHANGED_R11: tuple[str, ...] = (
     "stream_multibatch_totals_equiv",
     "stream_stateful_totals_equiv",
     "text_index_search",
+    "sim_power_iteration_pc1",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = R11_WINDOW

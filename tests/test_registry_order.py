@@ -108,22 +108,20 @@ def test_window_is_exactly_full():
 def test_changed_queries_inside_driver_window():
     """Policy clause 1: changed implementation/oracle => graded slot.
     NEW_R10 + CHANGED_R10_SPILL lead this window; of the r11-changed
-    entries, all occupy graded slots except stream_stateful_totals_equiv,
-    whose documented re-entry leads R12 (the full r11 window cannot absorb
-    it — simulation-test-enforced below)."""
+    entries, all occupy graded slots except the two documented R12
+    deferrals (stream_stateful_totals_equiv — the full r11 window cannot
+    absorb it — and sim_power_iteration_pc1, which holds a natural R12
+    slot already; both pinned in R12_WINDOW, simulation-enforced)."""
+    r12_deferred = {"stream_stateful_totals_equiv", "sim_power_iteration_pc1"}
     w = _window()
     must = (
         *registry.NEW_R10,
         *registry.CHANGED_R10_SPILL,
-        *(
-            n
-            for n in registry.CHANGED_R11
-            if n != "stream_stateful_totals_equiv"
-        ),
+        *(n for n in registry.CHANGED_R11 if n not in r12_deferred),
     )
     missing = [n for n in must if n not in w]
     assert not missing, f"changed-code queries outside window: {missing}"
-    assert "stream_stateful_totals_equiv" in registry.R12_WINDOW
+    assert r12_deferred <= set(registry.R12_WINDOW)
 
 
 def test_failed_queries_inside_driver_window():
@@ -149,10 +147,14 @@ def test_deferrals_are_legitimate():
     deferred = set(registry.DEFERRED_R11)
     assert not deferred & _window(), "deferred query occupies a window slot"
     changed_deferred = deferred & set(registry.CHANGED_R11)
-    assert changed_deferred == {"stream_stateful_totals_equiv"}, (
-        "only the documented R12 lead may defer changed code:"
+    assert changed_deferred == {
+        "stream_stateful_totals_equiv",
+        "sim_power_iteration_pc1",
+    }, (
+        "changed code may defer only into a pinned R12 slot:"
         f" {changed_deferred}"
     )
+    assert changed_deferred <= set(registry.R12_WINDOW)
     assert not deferred & set(_failed_r10()), "driver failure deferred"
     # Eligible for r11 grading: everything not sitting on a fresh r10 row
     # (NEW_R10 and the CHANGED_R10_SPILL re-entries are already outside
@@ -266,7 +268,7 @@ def test_staleness_simulation_stays_under_ceiling():
             window = registry.compute_window(
                 last,
                 changed=registry.CHANGED_R10_TO_R12
-                + ("stream_stateful_totals_equiv",),
+                + ("stream_stateful_totals_equiv", "sim_power_iteration_pc1"),
             )
         else:
             window = registry.compute_window(last)

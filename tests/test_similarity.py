@@ -633,7 +633,11 @@ def test_power_iteration_pc1_matches_python_model_property(spark):
                 break
             m = max(abs(v) for v in y.values())
             if m == 0:
-                return  # all-zero trajectory: engine NULL semantics differ
+                # collapsed iteration: the operator normalizes to the
+                # zero vector explicitly (pre-fix this was an ANSI
+                # DIVIDE_BY_ZERO job kill — found by this property)
+                x = {i: 0.0 for i in y}
+                continue
             x = {
                 i: math.floor((float(v) / float(m)) * 1e6 + 0.5) / 1e6
                 for i, v in y.items()
