@@ -504,19 +504,43 @@ def write_zordered(
         zdf.drop("__z").write.mode(mode).parquet(path)
         return
     r = ordered_prefix_sum(g, ["__z"], "__cnt", out="__cum")
-    idx = spark.range(1, n_files).select(F.col("id").alias("i"))
-    thr = F.floor(
-        (F.col("i") * F.lit(n_total) + F.lit(n_files - 1))
-        / F.lit(float(n_files))
-    ).cast("long")
-    bounds = (
-        r.crossJoin(F.broadcast(idx.select("i", thr.alias("thr"))))
-        .filter(F.col("__cum") >= F.col("thr"))
-        .groupBy("i")
-        .agg(F.min("__z").alias("b"))
+    # boundary i (1..k-1) = the smallest z whose cumulative count reaches
+    # ceil(i*n/k).  A row with cumulative c covers exactly the thresholds
+    # i <= floor(c*k/n), so: stamp each distinct-z row with that index,
+    # reduce to ONE min-z per index (<= k groups), and take suffix-mins
+    # driver-side.  This is O(distinct z) with a k-sized aggregate — the
+    # first cut crossJoined every distinct z against all k-1 thresholds,
+    # a k-fold row blowup the 20x smoke exposed (3M rows x 63 thresholds).
+    # Exact integer arithmetic: cum >= ceil(i*n/k) <=> i <= (cum*k) div n
+    # for integer i — a double-divide floor could land one off at exact
+    # rank boundaries.
+    # (clamped to k-1: thresholds only run 1..k-1, and the final row has
+    # cum = n -> raw index k, which the suffix-min scan would never
+    # consume — caught by the layout model property on a 2-row frame).
+    imax = F.expr(
+        f"LEAST(CAST((__cum * {int(n_files)}L) DIV {int(n_total)}L AS INT),"
+        f" {int(n_files) - 1})"
+    )
+    grouped = (
+        r.select("__z", imax.alias("__g"))
+        .filter(F.col("__g") >= 1)
+        .groupBy("__g")
+        .agg(F.min("__z").alias("mz"))
         .collect()
     )
-    boundaries = sorted(int(row["b"]) for row in bounds)
+    min_z_by_g = {int(row["__g"]): int(row["mz"]) for row in grouped}
+    boundaries = []
+    suffix_min = None
+    for i in range(n_files - 1, 0, -1):
+        if i in min_z_by_g:
+            suffix_min = (
+                min_z_by_g[i]
+                if suffix_min is None
+                else min(suffix_min, min_z_by_g[i])
+            )
+        if suffix_min is not None:
+            boundaries.append(suffix_min)
+    boundaries.sort()
 
     # bucket = #(boundaries <= z) in [0, n_files-1]; route each bucket to
     # its own shuffle partition via a collision-free murmur3 label.

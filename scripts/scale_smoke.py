@@ -1516,6 +1516,60 @@ def main() -> None:
         )
 
     stage(f"calibration_bins_{n}docs", _calibration_bins)
+
+    # Round-11: the rebuilt write_zordered (exact equi-depth z-boundaries
+    # + collision-free murmur3 routing, replacing sampled
+    # repartitionByRange) pays a boundary pass for layout determinism —
+    # time the write at a K x fact table and verify the layout still
+    # SKIPS on both dimensions at scale (files touched by a selective
+    # per-dimension predicate, parquet footer pruning only).
+    def _zorder_write_and_skip():
+        import shutil
+        import tempfile
+
+        from aws_etl_fiap_spark.sources.writers import write_zordered
+
+        d = tempfile.mkdtemp(prefix="scale_zorder_")
+        try:
+            src = big_ord.withColumn(
+                "o_custkey", F.pmod(F.col("o_orderkey"), F.lit(65536))
+            ).select("o_orderkey", "o_custkey", "o_totalprice")
+            n_files = 64
+            path = d + "/z"
+            t0 = time.perf_counter()
+            write_zordered(
+                src.withColumn(
+                    "o_orderkey",
+                    F.col("o_orderkey").bitwiseAND(F.lit(65535)),
+                ),
+                path, "o_orderkey", "o_custkey", n_files,
+            )
+            write_sec = time.perf_counter() - t0
+
+            def files_touched(col, hi):
+                back = spark.read.parquet(path).filter(
+                    F.col(col).between(0, hi)
+                )
+                return (
+                    back.select(F.input_file_name()).distinct().count()
+                )
+
+            t1 = files_touched("o_orderkey", 65535 // 16)
+            t2 = files_touched("o_custkey", 65535 // 16)
+            print(json.dumps({
+                "stage": "zorder_write_detail",
+                "rows": int(n_ord),
+                "n_files": n_files,
+                "write_sec": round(write_sec, 2),
+                "files_touched_dim1_of_64": t1,
+                "files_touched_dim2_of_64": t2,
+            }), flush=True)
+            assert t1 <= n_files // 2 and t2 <= n_files // 2, (t1, t2)
+            return n_files
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    stage(f"zorder_write_{n_ord}rows", _zorder_write_and_skip)
     spark.stop()
 
 
