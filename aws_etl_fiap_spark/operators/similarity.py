@@ -456,6 +456,14 @@ def ivf_topk(
     cents = _spherical_kmeans(
         _train_matrix(sample, "__cv", "ivf_topk"), n_cells, iters
     )
+    # A corpus smaller than n_cells trains fewer centroids than requested
+    # (init = first n_cells sample rows); probe_gen pairs a repeat(n_probe)
+    # id column with a [:, :n_probe] slice of the centroid ranking, so an
+    # unclamped n_probe > len(cents) mismatches the two lengths and kills
+    # the job inside the Arrow batch (found by the r12 full-probe recall-
+    # floor property).  Clamp to the trained cell count — semantically
+    # identical: there are no further cells to probe.
+    n_probe = min(n_probe, int(cents.shape[0]))
     bc = spark.sparkContext.broadcast(cents)
 
     def assign_gen(batches):

@@ -34,12 +34,61 @@ documents table until the final id-join fetches the hits.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _TOKEN_SEP = "[^a-z0-9]+"
+
+#: Layout sidecar written at build time (underscore prefix => invisible to
+#: Spark's file listing, so the parquet scan never sees it).  The index
+#: DIRECTORY carries its own layout contract: a reader passing the wrong
+#: ``layout``/``n_buckets`` would otherwise prune the WRONG buckets and
+#: silently drop hits, and the empty-index fallback would fabricate a
+#: frame shape the build never wrote (r11 verdict residue).
+_META_FILE = "_index_meta.json"
+
+
+def _index_schema(layout: str) -> str:
+    return "doc_id long, term string" + (
+        ", bucket int" if layout == "bucket" else ""
+    )
+
+
+def _write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Persist the layout sidecar through the Hadoop FS API (same
+    filesystem reach as the parquet write itself — local, HDFS, S3A)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    target = hpath(path.rstrip("/") + "/" + _META_FILE)
+    fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(target, True)
+    try:
+        stream.write(json.dumps(meta, sort_keys=True).encode("utf-8"))
+    finally:
+        stream.close()
+
+
+def _read_index_meta(spark: SparkSession, path: str) -> dict | None:
+    """Sidecar contents, or ``None`` for a pre-sidecar / hand-built
+    postings directory (those keep the caller-trusting legacy behavior).
+    NOT read through ``spark.read.text``: Spark's file index treats
+    underscore-prefixed files as hidden even when addressed directly, so
+    the read would silently return zero rows (probed); ``IOUtils`` drains
+    the FSDataInputStream JVM-side (py4j cannot fill a byte[] in place)."""
+    jvm = spark._jvm
+    target = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _META_FILE)
+    fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(target):
+        return None
+    stream = fs.open(target)
+    try:
+        body = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(body.decode("utf-8"))
 
 
 def _terms(text_col: str):
@@ -104,6 +153,10 @@ def write_inverted_index(
             ).write.mode("overwrite").partitionBy("bucket").parquet(path)
         else:
             raise ValueError(f"unknown layout {layout!r} (term|bucket)")
+    meta: dict = {"layout": layout, "schema": _index_schema(layout)}
+    if layout == "bucket":
+        meta["n_buckets"] = int(n_buckets)
+    _write_index_meta(spark, path, meta)
 
 
 def read_postings_for(
@@ -125,9 +178,32 @@ def read_postings_for(
     failing.  ONLY the schema-inference error class gets that treatment: a
     nonexistent/misspelled path is also an AnalysisException
     (PATH_NOT_FOUND) but means a broken caller, not an empty index, and
-    must raise (ADVICE r10)."""
+    must raise (ADVICE r10).
+
+    The build-time layout sidecar (``_index_meta.json``) is AUTHORITATIVE
+    when present: a caller whose ``layout``/``n_buckets`` disagree with
+    what the build wrote would prune the wrong directories and silently
+    drop hits (bucket mismatch) or get a frame shape the build never
+    wrote (empty-index fallback on the wrong layout) — both raise
+    loudly.  A directory without a sidecar (hand-built postings, pre-
+    sidecar index) keeps the caller-trusting legacy behavior."""
     from pyspark.errors import AnalysisException
 
+    meta = _read_index_meta(spark, path)
+    if meta is not None:
+        if meta.get("layout") != layout:
+            raise ValueError(
+                f"index at {path!r} was built with layout"
+                f" {meta.get('layout')!r}, read requested {layout!r}"
+            )
+        if layout == "bucket" and int(meta.get("n_buckets", -1)) != int(
+            n_buckets
+        ):
+            raise ValueError(
+                f"index at {path!r} was built with n_buckets="
+                f"{meta.get('n_buckets')}, read requested {n_buckets} —"
+                " bucket pruning would silently miss postings"
+            )
     try:
         idx = spark.read.parquet(path)
     except AnalysisException as e:
@@ -137,8 +213,8 @@ def read_postings_for(
         cond = get_cond() if get_cond is not None else None
         if cond != "UNABLE_TO_INFER_SCHEMA":
             raise
-        schema = "doc_id long, term string" + (
-            ", bucket int" if layout == "bucket" else ""
+        schema = (
+            meta["schema"] if meta is not None else _index_schema(layout)
         )
         idx = spark.createDataFrame([], schema)
     tlist = [t.lower() for t in terms]

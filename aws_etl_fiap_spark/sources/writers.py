@@ -496,11 +496,22 @@ def write_zordered(
     zdf = df.withColumn("__z", morton_code(F.col(x_col), F.col(y_col), bits))
 
     # Exact equi-depth boundaries: boundary i = the smallest z whose
-    # cumulative row count reaches ceil(i * n_total / n_files).
-    g = zdf.groupBy("__z").agg(F.count(F.lit(1)).alias("__cnt"))
+    # cumulative row count reaches ceil(i * n_total / n_files).  Rows whose
+    # z is NULL (either key column NULL) are EXCLUDED from the boundary
+    # pass: NULL never satisfies ``z >= boundary``, so they route
+    # deterministically to bucket 0 regardless of boundaries — but a
+    # distinct-z group that is ONLY the NULL row would propagate a NULL
+    # ``min(__z)`` into the driver-side threshold map and abort the write
+    # with a TypeError (r11 advice: an all-NULL-key frame killed the job).
+    g = (
+        zdf.filter(F.col("__z").isNotNull())
+        .groupBy("__z")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
     totals = g.agg(F.sum("__cnt").alias("n")).first()
     n_total = int(totals["n"] or 0)
     if n_total == 0:
+        # No non-NULL z anywhere: nothing to order by; write as-is.
         zdf.drop("__z").write.mode(mode).parquet(path)
         return
     r = ordered_prefix_sum(g, ["__z"], "__cnt", out="__cum")

@@ -1531,8 +1531,14 @@ def main() -> None:
 
         d = tempfile.mkdtemp(prefix="scale_zorder_")
         try:
+            # dim 2 must be INDEPENDENT of dim 1 (r11 advice: pmod(key,
+            # 65536) equals key & 65535 for non-negative keys, so the old
+            # smoke z-ordered (v, v) and the two skip probes tested the
+            # same footer ranges) — hash the key so the interleave mixes
+            # two genuinely different orderings.
             src = big_ord.withColumn(
-                "o_custkey", F.pmod(F.col("o_orderkey"), F.lit(65536))
+                "o_custkey",
+                F.pmod(F.xxhash64("o_orderkey"), F.lit(65536)),
             ).select("o_orderkey", "o_custkey", "o_totalprice")
             n_files = 64
             path = d + "/z"

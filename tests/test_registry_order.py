@@ -97,45 +97,62 @@ def test_no_query_lost_or_duplicated():
     assert set(names) == set(registry.REGISTRY)
 
 
+def _failed_r11() -> tuple:
+    """FAILED_R11 is pinned empty in registry.py; prove it against the
+    CORRECTNESS_r11.json artifact instead of trusting the comment."""
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r11.json")
+    with open(path) as fh:
+        graded = json.load(fh)
+    return tuple(
+        sorted(n for n, row in graded.items() if not row.get("hash_match"))
+    )
+
+
+def test_failed_r11_matches_artifact():
+    assert _failed_r11() == registry.FAILED_R11 == ()
+
+
 def test_window_is_exactly_full():
     """DRIVER_PRIORITY should pin the whole 50-slot window: fewer wastes
-    graded slots on arbitrary registration order, more silently truncates."""
+    graded slots on arbitrary registration order, more silently truncates.
+    The active r12 window is the precomputed R12_WINDOW with the r12
+    changed-code re-entries prepended (displacing the 50th slot)."""
     assert len(registry.DRIVER_PRIORITY) == DRIVER_WINDOW
     assert len(set(registry.DRIVER_PRIORITY)) == DRIVER_WINDOW
-    assert registry.DRIVER_PRIORITY == registry.R11_WINDOW
+    assert registry.DRIVER_PRIORITY == (
+        registry.CHANGED_R12 + registry.R12_WINDOW
+    )[:DRIVER_WINDOW]
 
 
 def test_changed_queries_inside_driver_window():
     """Policy clause 1: changed implementation/oracle => graded slot.
-    NEW_R10 + CHANGED_R10_SPILL lead this window; of the r11-changed
-    entries, all occupy graded slots except the two documented R12
-    deferrals (stream_stateful_totals_equiv — the full r11 window cannot
-    absorb it — and sim_power_iteration_pc1, which holds a natural R12
-    slot already; both pinned in R12_WINDOW, simulation-enforced)."""
-    r12_deferred = {"stream_stateful_totals_equiv", "sim_power_iteration_pc1"}
+    The CHANGED_R10_TO_R12 deferred re-entries, the two r11-changed R12
+    deferrals (stream_stateful_totals_equiv, sim_power_iteration_pc1) and
+    the r12-changed entries ALL occupy graded slots this round — after
+    r12, no query's code is newer than its newest official driver grade."""
     w = _window()
     must = (
-        *registry.NEW_R10,
-        *registry.CHANGED_R10_SPILL,
-        *(n for n in registry.CHANGED_R11 if n not in r12_deferred),
+        *registry.CHANGED_R10_TO_R12,
+        "stream_stateful_totals_equiv",
+        "sim_power_iteration_pc1",
+        *registry.CHANGED_R12,
     )
     missing = [n for n in must if n not in w]
     assert not missing, f"changed-code queries outside window: {missing}"
-    assert r12_deferred <= set(registry.R12_WINDOW)
 
 
 def test_failed_queries_inside_driver_window():
     """Policy clause 2: last round's driver failures re-enter immediately."""
-    missing = [n for n in _failed_r10() if n not in _window()]
-    assert not missing, f"round-10 failures outside window: {missing}"
+    missing = [n for n in _failed_r11() if n not in _window()]
+    assert not missing, f"round-11 failures outside window: {missing}"
 
 
 def test_every_query_accounted_for():
     """Policy clause 4: window + last round's graded window + documented
     deferrals must cover the whole registry — nothing goes silently
-    ungraded (NEW_R10 holds graded slots in this window)."""
+    ungraded."""
     accounted = (
-        _window() | set(registry.R10_WINDOW) | set(registry.DEFERRED_R11)
+        _window() | set(registry.R11_WINDOW) | set(registry.DEFERRED_R12)
     )
     missing = sorted(set(registry.REGISTRY) - accounted)
     assert not missing, f"queries with no grading account: {missing}"
@@ -143,42 +160,52 @@ def test_every_query_accounted_for():
 
 def test_deferrals_are_legitimate():
     """Deferrals absorb exactly the window overflow, never last round's
-    failures, and changed code only via the one documented R12 lead."""
-    deferred = set(registry.DEFERRED_R11)
+    failures and never changed code — r12 is the round the re-grade debt
+    drains, so EVERY entry whose code changed since its newest grade
+    (CHANGED_R10_TO_R12, the two r11 R12-deferrals, CHANGED_R12) holds a
+    graded slot and none is deferred."""
+    deferred = set(registry.DEFERRED_R12)
     assert not deferred & _window(), "deferred query occupies a window slot"
-    changed_deferred = deferred & set(registry.CHANGED_R11)
-    assert changed_deferred == {
-        "stream_stateful_totals_equiv",
-        "sim_power_iteration_pc1",
-    }, (
-        "changed code may defer only into a pinned R12 slot:"
-        f" {changed_deferred}"
+    all_changed = (
+        set(registry.CHANGED_R10_TO_R12)
+        | set(registry.CHANGED_R11)
+        | set(registry.CHANGED_R12)
+        | set(registry.CHANGED_R12_TO_R13)
     )
-    assert changed_deferred <= set(registry.R12_WINDOW)
-    assert not deferred & set(_failed_r10()), "driver failure deferred"
-    # Eligible for r11 grading: everything not sitting on a fresh r10 row
-    # (NEW_R10 and the CHANGED_R10_SPILL re-entries are already outside
-    # R10_WINDOW, so the mandatory re-entries add nothing new).
-    eligible = set(registry.REGISTRY) - set(registry.R10_WINDOW)
-    overflow = len(eligible) - DRIVER_WINDOW
-    assert len(deferred) == overflow, (
-        f"{len(deferred)} deferrals for an overflow of {overflow}"
+    # changed code may defer ONLY via the documented r13 pin (the same
+    # staleness-ceiling arithmetic that deferred the upsert pair past r11):
+    # sim_topk_ivf is r8-green and already holds a natural r13 slot.
+    changed_deferred = deferred & all_changed
+    assert changed_deferred == set(registry.CHANGED_R12_TO_R13), (
+        f"changed-code query deferred without an r13 pin: {changed_deferred}"
     )
-    assert eligible - deferred == _window()
+    assert set(registry.CHANGED_R12_TO_R13) <= set(registry.R13_WINDOW)
+    assert not deferred & set(_failed_r11()), "driver failure deferred"
+    # Eligible for r12 grading: everything not sitting on a fresh r11 row.
+    # text_index_search is r11-green but re-enters as changed code, so it
+    # occupies a slot WITHOUT being eligible-stale — the deferral count is
+    # the eligible overflow after subtracting the eligible window share.
+    eligible = set(registry.REGISTRY) - set(registry.R11_WINDOW)
+    assert eligible - deferred == _window() & eligible
+    assert len(deferred) == len(eligible) - len(_window() & eligible)
 
 
 def test_deferred_partition_is_consistent():
-    """The three documented deferral tiers partition DEFERRED_R11."""
+    """The three documented deferral tiers partition DEFERRED_R12, and the
+    r7 tier is EMPTY (it drains completely into the r12 window)."""
     tiers = (
-        set(registry.DEFERRED_R11_R7)
-        | set(registry.DEFERRED_R11_R8)
-        | set(registry.DEFERRED_R11_R9)
+        set(registry.DEFERRED_R12_R8)
+        | set(registry.DEFERRED_R12_R9)
+        | set(registry.DEFERRED_R12_R10)
     )
-    assert tiers == set(registry.DEFERRED_R11)
-    assert len(registry.DEFERRED_R11) == (
-        len(registry.DEFERRED_R11_R7)
-        + len(registry.DEFERRED_R11_R8)
-        + len(registry.DEFERRED_R11_R9)
+    assert tiers == set(registry.DEFERRED_R12)
+    assert len(registry.DEFERRED_R12) == (
+        len(registry.DEFERRED_R12_R8)
+        + len(registry.DEFERRED_R12_R9)
+        + len(registry.DEFERRED_R12_R10)
+    )
+    assert set(registry.DEFERRED_R11_R7) <= _window(), (
+        "the r7-green tier must fully drain in r12"
     )
 
 
@@ -264,11 +291,14 @@ def test_staleness_simulation_stays_under_ceiling():
         elif rnd == 12:
             # the r12 builder must re-enter the r10-changed pairs whose
             # output-identical re-grades could not fit the full r11 window,
-            # plus the r11-changed stateful-totals gate (same precedent).
+            # the r11-changed stateful-totals gate (same precedent), and
+            # the entries whose code changed IN r12 (the textindex layout
+            # sidecar rode text_index_search).
             window = registry.compute_window(
                 last,
                 changed=registry.CHANGED_R10_TO_R12
-                + ("stream_stateful_totals_equiv", "sim_power_iteration_pc1"),
+                + ("stream_stateful_totals_equiv", "sim_power_iteration_pc1")
+                + registry.CHANGED_R12,
             )
         else:
             window = registry.compute_window(last)
@@ -278,8 +308,15 @@ def test_staleness_simulation_stays_under_ceiling():
             # rotation (their staleness hits the ceiling exactly there).
             missing = set(registry.CHANGED_R10_TO_R12) - window
             assert not missing, f"r12 misses changed re-entries: {missing}"
-            # The policy must agree with the PRECOMPUTED pinned r12 window.
-            assert window == set(registry.R12_WINDOW)
+            # The policy must agree with the ACTIVE window (the pinned
+            # R12_WINDOW with CHANGED_R12 prepended, 50th slot displaced).
+            assert window == set(registry.DRIVER_PRIORITY)
+        if rnd == 13:
+            # The policy must agree with the PRECOMPUTED pinned r13 window
+            # (pure stalest-first: the r8 tier drains, incl. the displaced
+            # agg_approx_profile at staleness exactly the ceiling).
+            assert window == set(registry.R13_WINDOW)
+            assert "agg_approx_profile" in window
         for n in window:
             prev = last[n]
             if prev:  # never-graded entries (0) have no staleness gap yet
@@ -309,13 +346,13 @@ def test_r10_window_covers_spill_and_stale():
 
 
 def test_r11_window_covers_new_spill_and_stale():
-    """The ACTIVE window's whole point: the never-graded AVI gates get
-    their first driver grade, the six output-identical r10 code changes
-    (CHANGED_R10_SPILL) get re-graded, and the entire r6-green tier
-    (the dedup_minhash family, tpch_q4/q6/q12/q14, the r6 stream/
-    roundtrip/pyds entries) drains — after r11, no query's newest grade
-    predates r7."""
-    w = set(registry.DRIVER_PRIORITY)
+    """Historical pin (the r11 round's active window): the never-graded
+    AVI gates got their first driver grade, the six output-identical r10
+    code changes (CHANGED_R10_SPILL) got re-graded, and the entire
+    r6-green tier (the dedup_minhash family, tpch_q4/q6/q12/q14, the r6
+    stream/roundtrip/pyds entries) drained — after r11, no query's newest
+    grade predates r7."""
+    w = set(registry.R11_WINDOW)
     assert set(registry.NEW_R10) <= w
     assert set(registry.CHANGED_R10_SPILL) <= w
     assert set(registry.DEFERRED_R10_R6) <= w, (
@@ -328,12 +365,12 @@ def test_r11_window_covers_new_spill_and_stale():
         "tpch_q14_promo_revenue",
     ):
         assert name in w
-    # AVI gates LEAD (never-graded entries get slots before everything).
-    assert registry.DRIVER_PRIORITY[:2] == registry.NEW_R10
+    # AVI gates LED (never-graded entries get slots before everything).
+    assert registry.R11_WINDOW[:2] == registry.NEW_R10
 
 
 def test_r12_window_precomputed():
-    """Next round's window is precomputed and pinned: the seven
+    """The r12 policy window as precomputed in r11: the seven
     CHANGED_R10_TO_R12 re-entries plus the r11-changed stateful-totals
     gate lead, then the r7-green tier drains stalest-first."""
     w = registry.R12_WINDOW
@@ -342,3 +379,42 @@ def test_r12_window_precomputed():
     assert not set(w) & set(registry.R11_WINDOW)
     lead = registry.CHANGED_R10_TO_R12 + ("stream_stateful_totals_equiv",)
     assert w[: len(lead)] == lead
+
+
+def test_r12_active_window_regrades_all_debt():
+    """The ACTIVE r12 window's whole point (r11 verdict task 1): every
+    query riding code newer than its newest official grade — the seven
+    CHANGED_R10_TO_R12 entries, stream_stateful_totals_equiv,
+    sim_power_iteration_pc1, and the r12-changed text_index_search — gets
+    an official driver grade this round, and the r7-green tier drains."""
+    w = set(registry.DRIVER_PRIORITY)
+    assert set(registry.CHANGED_R10_TO_R12) <= w
+    assert {"stream_stateful_totals_equiv", "sim_power_iteration_pc1"} <= w
+    assert set(registry.CHANGED_R12) <= w
+    assert set(registry.DEFERRED_R11_R7) <= w, (
+        "the r7-green tier must fully drain in r12"
+    )
+    # changed-code re-entries LEAD the window.
+    lead = registry.CHANGED_R12 + registry.CHANGED_R10_TO_R12 + (
+        "stream_stateful_totals_equiv",
+    )
+    assert registry.DRIVER_PRIORITY[: len(lead)] == lead
+
+
+def test_r13_window_precomputed():
+    """Next round's window is precomputed and pinned: pure stalest-first —
+    the entire remaining r8-green tier (including the displaced
+    agg_approx_profile) drains, then the alphabetically-first r9-green
+    entries fill."""
+    w = registry.R13_WINDOW
+    assert len(w) == DRIVER_WINDOW and len(set(w)) == DRIVER_WINDOW
+    assert set(w) <= set(registry.REGISTRY)
+    assert not set(w) & set(registry.DRIVER_PRIORITY)
+    assert "agg_approx_profile" in w
+    assert set(registry.DEFERRED_R12_R8) <= set(w), (
+        "the r8-green tier must fully drain in r13"
+    )
+    # the r12-changed ivf gate's pinned re-grade slot (see registry
+    # CHANGED_R12_TO_R13): deferring its re-entry is legitimate ONLY
+    # because this membership holds.
+    assert set(registry.CHANGED_R12_TO_R13) <= set(w)

@@ -708,3 +708,60 @@ def test_zorder_file_layout_matches_equi_depth_model_property(spark, tmp_path):
         assert got == expected, (pairs, n_files, got, expected)
 
     prop()
+
+
+def test_zorder_survives_all_null_keys(spark, tmp_path):
+    """Regression (r11 advice): a frame where EVERY row has a NULL key
+    column yields a NULL morton code for every row, so the boundary pass
+    sees zero non-NULL z groups — the old code propagated NULL min(__z)
+    into ``int(...)`` and aborted the whole write with a TypeError.  The
+    write must succeed and preserve every row."""
+    from aws_etl_fiap_spark.sources.writers import write_zordered
+
+    df = spark.createDataFrame(
+        [(None, i) for i in range(20)], "x long, y long"
+    )
+    path = str(tmp_path / "znull_all")
+    write_zordered(df, path, "x", "y", n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 20
+    assert back.filter(F.col("x").isNotNull()).count() == 0
+
+
+def test_zorder_null_keys_route_to_bucket_zero(spark, tmp_path):
+    """Partial-NULL frames: NULL-z rows are excluded from the equi-depth
+    boundary pass and route deterministically to bucket 0 (NULL never
+    satisfies ``z >= boundary``), while the non-NULL rows keep the exact
+    equi-depth layout computed over the non-NULL population alone."""
+    from aws_etl_fiap_spark.sources.writers import morton_code, write_zordered
+
+    rows = [(int(x), int(x) * 7 % 64) for x in range(40)] + [
+        (None, 5),
+        (3, None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(5)
+    path = str(tmp_path / "znull_partial")
+    write_zordered(df, path, "x", "y", n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == len(rows)
+    # all NULL-key rows land in ONE file (bucket 0) together with the
+    # lowest-z rows — their file also holds the global min z.
+    null_files = {
+        r.f
+        for r in back.filter(
+            F.col("x").isNull() | F.col("y").isNull()
+        )
+        .select(F.input_file_name().alias("f"))
+        .collect()
+    }
+    assert len(null_files) == 1
+    z = morton_code(F.col("x"), F.col("y"))
+    min_z_file = (
+        back.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .select(F.input_file_name().alias("f"), z.alias("z"))
+        .orderBy("z")
+        .first()
+        .f
+    )
+    assert null_files == {min_z_file}

@@ -701,3 +701,138 @@ def test_hard_negative_topk_matches_python_model_property(spark):
         assert got == want
 
     prop()
+
+
+def test_ivf_full_probe_equals_brute_force_property(spark):
+    """Property (r12, recall floor as a LAW not a threshold): with
+    n_probe == n_cells every query probes EVERY cell, so the IVF candidate
+    set is the whole corpus (minus self) and the result must equal
+    brute_force_topk EXACTLY — ids, ranks, and bit-identical cos_sim (both
+    paths score with the same hoisted-norm expression fold).  A fixed
+    recall>=0.8 gate can pass while full-probe exhaustiveness is broken;
+    this pins the floor itself: recall(n_probe=n_cells) == 1.0 for
+    arbitrary corpora, including duplicate and near-duplicate vectors."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    DIM = 4
+    coord = st.integers(-3, 3)
+    vec = st.lists(coord, min_size=DIM, max_size=DIM).filter(
+        lambda v: any(x != 0 for x in v)
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(vec, min_size=3, max_size=14),
+        st.integers(1, 4),
+        st.integers(2, 4),
+    )
+    def prop(vecs, k, n_cells):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        queries = df.limit(3)
+        want = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in brute_force_topk(queries, df, k=k).collect()
+        }
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in ivf_topk(
+                queries, df, k=k, n_cells=n_cells, n_probe=n_cells
+            ).collect()
+        }
+        assert got == want
+
+    prop()
+
+
+def test_ivf_recall_monotone_in_probe_property(spark):
+    """Property (r12): a query's probed cells are a PREFIX of its
+    centroid-similarity ordering, so candidate sets NEST as n_probe grows —
+    per-query recall against the exact top-k must be non-decreasing in
+    n_probe.  This is the shape of the recall/scan-fraction trade the
+    operator sells; a violation means probe selection and assignment
+    disagree about the cell geometry."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    DIM = 4
+    coord = st.integers(-3, 3)
+    vec = st.lists(coord, min_size=DIM, max_size=DIM).filter(
+        lambda v: any(x != 0 for x in v)
+    )
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(vec, min_size=6, max_size=14), st.integers(1, 3))
+    def prop(vecs, k):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        queries = df.limit(2)
+        exact = {}
+        for r in brute_force_topk(queries, df, k=k).collect():
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+        n_cells = 4
+        prev = {q: -1.0 for q in exact}
+        for n_probe in (1, 2, 4):
+            got = {}
+            for r in ivf_topk(
+                queries, df, k=k, n_cells=n_cells, n_probe=n_probe
+            ).collect():
+                got.setdefault(r.query_id, set()).add(r.neighbor_id)
+            for q in exact:
+                rec = len(exact[q] & got.get(q, set())) / len(exact[q])
+                assert rec >= prev[q] - 1e-12, (q, n_probe, rec, prev[q])
+                prev[q] = rec
+
+    prop()
+
+
+def test_pq_full_rerank_equals_brute_force_property(spark):
+    """Property (r12): with rerank >= |corpus| the ADC shortlist is the
+    ENTIRE corpus (minus self), and the exact-cosine rerank stage must
+    reproduce brute_force_topk exactly — ids, ranks, and cos_sim — no
+    matter how badly the quantizer mangled the ADC ordering.  This is the
+    PQ recall floor as an algebraic law: approximation may only choose the
+    shortlist, never the final scores (zero-norm corpus rows excepted:
+    PQ drops them at indexing, brute force scores them NULL-last, so the
+    generator keeps every vector non-zero)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.similarity import pq_topk
+
+    DIM = 4
+    coord = st.integers(-3, 3)
+    vec = st.lists(coord, min_size=DIM, max_size=DIM).filter(
+        lambda v: any(x != 0 for x in v)
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(vec, min_size=3, max_size=12),
+        st.integers(1, 3),
+        st.sampled_from([1, 2, 4]),
+    )
+    def prop(vecs, k, m):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        queries = df.limit(2)
+        want = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in brute_force_topk(queries, df, k=k).collect()
+        }
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in pq_topk(
+                queries, df, k=k, m=m, n_codes=4, rerank=len(vecs)
+            ).collect()
+        }
+        assert got == want
+
+    prop()

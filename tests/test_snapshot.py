@@ -1631,3 +1631,171 @@ def test_hidden_partition_pruning_matches_overlap_model_property(spark):
             shutil.rmtree(tmp, ignore_errors=True)
 
     prop()
+
+
+def test_time_travel_vacuum_interplay_property(spark, sf_smoke, tmp_path):
+    """Property (r12, verdict task 5): TIME TRAVEL x VACUUM RETENTION.
+    A seeded random op sequence (upsert / MoR delete / compact) builds
+    history; readers PIN several versions BEFORE vacuum runs.  After
+    ``vacuum(keep_last=k, retain=0)``:
+
+    * every KEPT version still time-travels to its exact model state;
+    * every DROPPED version's manifest is gone — read_table raises
+      FileNotFoundError, never a silent wrong answer;
+    * a frame pinned pre-vacuum at a dropped version behaves by FILE
+      LIVENESS: if every data+delete file it references is also referenced
+      by a kept manifest, the collect still returns the exact historical
+      state (manifest isolation outlives the manifest); if any referenced
+      file was reclaimed, the collect FAILS — it must never silently
+      return partial rows from the surviving subset.
+    """
+    import random
+    import time as _time
+
+    rng = random.Random(20260816)
+    src = _orders(spark, sf_smoke).filter(F.col("o_orderkey") <= 1500)
+    rows = {r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+            for r in src.collect()}
+    path = str(tmp_path / "snap")
+    S.create_table(
+        spark, src.repartitionByRange(3, "o_orderkey"), path, n_files=None
+    )
+    model = dict(rows)
+    states = {1: dict(model)}
+    all_keys = sorted(rows)
+
+    def df_of(kv):
+        return spark.createDataFrame(
+            [(k, v[0], v[1]) for k, v in kv],
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        )
+
+    for step in range(6):
+        op = rng.choice(["upsert", "mor_delete", "compact"])
+        if op == "upsert":
+            ks = rng.sample(all_keys, 25)
+            batch = [(k, (rows[k][0], float(step * 1000 + k % 97))) for k in ks]
+            S.upsert(spark, path, df_of(batch), ["o_orderkey"])
+            model.update(dict(batch))
+        elif op == "mor_delete":
+            ks = [k for k in rng.sample(all_keys, 20) if k in model]
+            dels = spark.createDataFrame(
+                [(k,) for k in ks] or [(-1,)], "o_orderkey bigint"
+            )
+            S.delete(spark, path, dels, ["o_orderkey"])
+            for k in ks:
+                model.pop(k, None)
+        else:
+            S.compact(spark, path, target_rows=rng.choice([300, 10_000_000]))
+        states[S.current_version(spark, path)] = dict(model)
+
+    versions = sorted(states)
+    manifests = {v: S._read_manifest(spark, path, v) for v in versions}
+    pinned = {v: S.read_table(spark, path, version=v) for v in versions}
+
+    keep_last = rng.choice([1, 2, 3])
+    kept = set(versions[-keep_last:])
+    live: set = set()
+    for v in kept:
+        live.update(manifests[v]["files"])
+        live.update(manifests[v].get("delete_files") or [])
+    _time.sleep(1.2)  # all file mtimes strictly older than the cutoff
+    stats = S.vacuum(spark, path, keep_last=keep_last, retain_seconds=0)
+    assert stats["dropped_manifests"] == len(versions) - len(kept)
+
+    def snap_of(df):
+        return {
+            r["o_orderkey"]: (r["o_orderstatus"], r["o_totalprice"])
+            for r in df.collect()
+        }
+
+    for v in versions:
+        if v in kept:
+            assert snap_of(S.read_table(spark, path, version=v)) == states[v]
+            assert snap_of(pinned[v]) == states[v]
+            continue
+        with pytest.raises(FileNotFoundError):
+            S.read_table(spark, path, version=v)
+        needed = set(manifests[v]["files"]) | set(
+            manifests[v].get("delete_files") or []
+        )
+        if needed <= live:
+            # every referenced file survived via a kept manifest: the
+            # pinned plan still reproduces the historical state exactly
+            assert snap_of(pinned[v]) == states[v], f"pinned v{v} diverged"
+        else:
+            # some file was reclaimed: the pinned read must FAIL, not
+            # silently return the surviving subset
+            with pytest.raises(Exception):
+                pinned[v].collect()
+
+
+def test_cdf_spans_partition_spec_evolution_property(spark, tmp_path):
+    """Property (r12, verdict task 5): CHANGE DATA FEED x HIDDEN-PARTITION
+    SPEC EVOLUTION.  Append-only history where EVERY commit lands under a
+    different partition spec (identity/bucket on the key, month/day on the
+    date — per-file records, the Iceberg evolution model).  For every
+    version pair a < b, table_changes(a, b) must classify exactly the keys
+    appended in (a, b] as inserted — no phantom updates/deletes from spec
+    boundaries — and the pruned read at ANY version must equal the model
+    filter even though its file set mixes four specs."""
+    import datetime
+    import random
+
+    rng = random.Random(20260817)
+    path = str(tmp_path / "snap_specs")
+    specs = [
+        ("identity", "k", None),
+        ("bucket", "k", 4),
+        ("month", "d", None),
+        ("day", "d", None),
+    ]
+    rng.shuffle(specs)
+    base_date = datetime.date(1995, 1, 1)
+    inserted_at = {}  # version -> set of keys
+    model = {}  # key -> (date, value)
+    next_key = 0
+    for rnd, (transform, col, arg) in enumerate(specs):
+        batch = []
+        for _ in range(rng.randint(8, 20)):
+            d = base_date + datetime.timedelta(days=rng.randint(0, 400))
+            batch.append((next_key, d, float(rnd * 100 + next_key % 13)))
+            next_key += 1
+        df = spark.createDataFrame(batch, "k bigint, d date, v double")
+        ver = S.append_partitioned(spark, df, path, transform, col, arg)
+        inserted_at[ver] = {k for k, _, _ in batch}
+        model.update({k: (d, v) for k, d, v in batch})
+
+    versions = sorted(inserted_at)
+    man = S._read_manifest(spark, path, versions[-1])
+    assert {p["transform"] for p in man["partitions"].values()} == {
+        "identity", "bucket", "month", "day"
+    }
+
+    for _ in range(4):
+        a, b = sorted(rng.sample(versions, 2))
+        cdf = S.table_changes(spark, path, a, b, ["k"])
+        got = {r["k"]: r["change_type"] for r in cdf.collect()}
+        want_keys = set().union(
+            *(inserted_at[v] for v in versions if a < v <= b)
+        )
+        assert got == {k: "inserted" for k in want_keys}, (a, b)
+
+    # pruned reads stay exact across the spec mix, at every version
+    for ver in versions:
+        visible = set().union(*(inserted_at[v] for v in versions if v <= ver))
+        lo = rng.randint(0, next_key // 2)
+        hi = lo + rng.randint(0, next_key)
+        pruned = S.read_table_pruned(spark, path, "k", lo, hi, version=ver)
+        got_keys = {
+            r["k"] for r in pruned.filter(F.col("k").between(lo, hi)).collect()
+        }
+        assert got_keys == {k for k in visible if lo <= k <= hi}, (ver, lo, hi)
+    # and a date-range pruned read against the month/day files
+    lo_d, hi_d = datetime.date(1995, 4, 1), datetime.date(1995, 9, 30)
+    pruned = S.read_table_pruned(spark, path, "d", str(lo_d), str(hi_d))
+    got_keys = {
+        r["k"]
+        for r in pruned.filter(F.col("d").between(str(lo_d), str(hi_d))).collect()
+    }
+    assert got_keys == {k for k, (d, _) in model.items() if lo_d <= d <= hi_d}

@@ -198,6 +198,82 @@ def test_empty_corpus_index_reads_as_typed_empty(spark, tmp_path):
     assert dict(back.dtypes)["doc_id"] == "bigint"
 
 
+def test_layout_mismatch_raises(spark, sf_smoke, tmp_path):
+    """r11 verdict residue: the index DIRECTORY carries its layout (build-
+    time sidecar).  A reader passing the wrong layout would prune wrong
+    directories / fabricate a frame shape the build never wrote — raise."""
+    import pytest
+
+    docs = load_table(spark, sf_smoke, "documents").limit(5)
+    term_idx = str(tmp_path / "term_idx")
+    write_inverted_index(docs, term_idx, layout="term")
+    with pytest.raises(ValueError, match="built with layout 'term'"):
+        read_postings_for(spark, term_idx, TERMS, layout="bucket", n_buckets=8)
+    bucket_idx = str(tmp_path / "bucket_idx")
+    write_inverted_index(docs, bucket_idx, layout="bucket", n_buckets=8)
+    with pytest.raises(ValueError, match="built with layout 'bucket'"):
+        read_postings_for(spark, bucket_idx, TERMS, layout="term")
+
+
+def test_bucket_count_mismatch_raises(spark, sf_smoke, tmp_path):
+    """A reader with the wrong n_buckets computes DIFFERENT bucket ids
+    for the query terms, so partition pruning silently reads the wrong
+    directories and drops hits — the sidecar makes that loud."""
+    import pytest
+
+    docs = load_table(spark, sf_smoke, "documents").limit(5)
+    idx = str(tmp_path / "idx8")
+    write_inverted_index(docs, idx, layout="bucket", n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets=8.*requested 16"):
+        read_postings_for(spark, idx, TERMS, layout="bucket", n_buckets=16)
+
+
+def test_empty_term_layout_index_never_grows_bucket_column(spark, tmp_path):
+    """The r11 residue exactly: an EMPTY term-layout index read with
+    layout='bucket' used to fabricate a (doc_id, term, bucket) frame the
+    build never wrote.  With the sidecar it raises; read with the RIGHT
+    layout, the empty frame has the term-layout schema (no bucket)."""
+    import pytest
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    idx = str(tmp_path / "empty_term_idx")
+    write_inverted_index(docs, idx, layout="term")
+    with pytest.raises(ValueError, match="built with layout 'term'"):
+        read_postings_for(spark, idx, ["spark"], layout="bucket")
+    back = read_postings_for(spark, idx, ["spark"], layout="term")
+    assert back.count() == 0
+    assert set(back.columns) == {"doc_id", "term"}
+
+
+def test_sidecar_invisible_to_postings_scan(spark, sf_smoke, tmp_path):
+    """The sidecar is underscore-prefixed, so Spark's file listing never
+    feeds it to the parquet reader — the postings scan result is byte-
+    identical to the in-memory build."""
+    docs = load_table(spark, sf_smoke, "documents").limit(20)
+    idx = str(tmp_path / "idx_sidecar")
+    write_inverted_index(docs, idx, layout="bucket", n_buckets=4)
+    whole = spark.read.parquet(idx).select("doc_id", "term")
+    direct = build_postings(docs)
+    assert whole.exceptAll(direct).count() == 0
+    assert direct.exceptAll(whole).count() == 0
+
+
+def test_presidecar_index_keeps_legacy_behavior(spark, sf_smoke, tmp_path):
+    """A postings directory WITHOUT a sidecar (hand-built, pre-r12 index)
+    keeps the caller-trusting read: no validation, caller args win."""
+    import os
+
+    docs = load_table(spark, sf_smoke, "documents").limit(10)
+    idx = str(tmp_path / "idx_legacy")
+    write_inverted_index(docs, idx, layout="bucket", n_buckets=4)
+    os.remove(os.path.join(idx, "_index_meta.json"))
+    hits = conjunctive_search(
+        read_postings_for(spark, idx, TERMS, layout="bucket", n_buckets=4),
+        TERMS,
+    )
+    assert hits.count() == len(_direct_hits(docs, TERMS))
+
+
 def test_string_doc_ids_refused_at_build(spark, tmp_path):
     """write_inverted_index enforces the doc_id-long contract loudly: a
     string-id corpus would otherwise materialize an index whose empty-read
