@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -64,6 +65,14 @@ def main() -> None:
     from aws_etl_fiap_spark.session import get_spark
     from aws_etl_fiap_spark.sources.readers import load_table
 
+    # The smoke holds FOUR blown-up frames as resident localCheckpoints
+    # (12M-row lineitem, 3M orders, 2M events, 100k docs) for its whole
+    # life — under the engine's per-slot default heap (16g at 32 slots),
+    # late stages pay GC thrash, not operator cost (r12: bpe_train read
+    # 95s in-session vs 8.6s standalone, multibatch stream 114s vs 44.8s).
+    # The smoke is a dedicated profiling process on a 128 GiB box: give it
+    # headroom unless the caller pinned a size.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name="aws_etl_fiap_spark-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -132,7 +141,6 @@ def main() -> None:
     # the driver grades: flagship (lineitem-only window/agg pipeline),
     # tpch_q5 (5-way broadcast star join), tpch_q18 (fact self-aggregation
     # semi-join) with the fact side K x the bench size.
-    import os
     import shutil
     import tempfile
 
@@ -1576,6 +1584,103 @@ def main() -> None:
             shutil.rmtree(d, ignore_errors=True)
 
     stage(f"zorder_write_{n_ord}rows", _zorder_write_and_skip)
+
+    # Round-12: the r11 registry sweep's top movers had no scale reading —
+    # give each a 20x stage so a slow sweep row can be attributed to a
+    # named bottleneck instead of guessed at (r11 verdict task 7).
+    from aws_etl_fiap_spark.operators.stats import spearman_rho
+
+    def _spearman():
+        toks = F.split(F.col("text"), " ")
+        m = corpus.select(
+            F.size(toks).cast("long").alias("x"),
+            F.size(F.array_distinct(toks)).cast("long").alias("y"),
+        )
+        return spearman_rho(m, "x", "y").count()
+
+    stage(f"spearman_rank_{n}docs", _spearman)
+
+    from aws_etl_fiap_spark.operators.bpe import bpe_train_merges
+
+    stage(
+        f"bpe_train_3merges_{n}docs",
+        lambda: bpe_train_merges(corpus).count(),
+    )
+
+    # The multibatch stateful-streaming gate at 20x: four-file AvailableNow
+    # replay with maxFilesPerTrigger=1, per-user running totals surviving
+    # batch boundaries — the sweep cost is dominated by the four
+    # micro-batch plans, so wall-clock should grow with STATE size, not
+    # batch count.
+    def _stream_multibatch():
+        import shutil
+        import tempfile
+
+        from aws_etl_fiap_spark.confs import scoped_conf
+        from aws_etl_fiap_spark.queries.streaming_q import _run_to_table
+        from aws_etl_fiap_spark.streaming.windows import (
+            stateful_running_totals,
+        )
+
+        d = tempfile.mkdtemp(prefix="scale_mb_stream_")
+        try:
+            path = d + "/events_split"
+            for i in range(4):
+                big_ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+                    "append"
+                ).parquet(path)
+            schema = spark.read.parquet(path).schema
+            with scoped_conf(spark, "spark.sql.session.timeZone", "UTC"):
+                stream = (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(path)
+                    .withColumn("ts", F.col("ts").cast("timestamp"))
+                    .withColumn(
+                        "v_cents",
+                        F.floor(
+                            F.col("value").cast("double") * F.lit(100.0)
+                            + F.lit(0.5)
+                        ).cast("long"),
+                    )
+                )
+                stream.schema
+            totals = stateful_running_totals(
+                stream, "user_id", "v_cents", "ts",
+                watermark="8760 hours", integer_total=True,
+            )
+            drained = _run_to_table(totals, spark, mode="update")
+            return drained.groupBy("user_id").agg(F.max("n")).count()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    stage(f"stream_multibatch_{n_ev}ev", _stream_multibatch)
+
+    # Round-12 stretch (r11 verdict task 8): SKEWED 20x salted join — the
+    # uniform-clone smokes never stress the salt.  Plant one hot key
+    # carrying ~10% of the fact side and join against the orders dim
+    # through the same salted recipe; flat wall-clock vs the uniform
+    # salted stage means the salt spreads the hot key's partitions.
+    def _salted_join_skewed():
+        hot = big_li.withColumn(
+            "l_orderkey",
+            F.when(
+                F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10))
+                == 0,
+                F.lit(7),
+            ).otherwise(F.col("l_orderkey")),
+        )
+        return (
+            salted_join(
+                hot, orders_side, "l_orderkey", "o_orderkey",
+                salt_source=["l_orderkey", "l_linenumber"], n_salts=8,
+            )
+            .groupBy("o_orderpriority")
+            .count()
+            .count()
+        )
+
+    stage(f"salted_join_skewed_{n_li2}fact", _salted_join_skewed)
     spark.stop()
 
 
