@@ -85,9 +85,26 @@ def test_query_matches_oracle(name, spark, sf_correctness, duck_correctness):
     assert not mismatches, f"{name}: value mismatches (row, col, spark, duck): {mismatches}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_class_is_empty():
+    """The whole registry is exact-oracled: the rows-only (oracle-less)
+    class must stay EMPTY.  This used to be a parametrized run-only check
+    over ROWS_ONLY, but an empty parameter set reports as a pytest SKIP —
+    a permanent unexplained skip in every suite run (r12: the suite's
+    'second skip' finally traced here).  Assert the emptiness instead; if
+    a rows-only entry ever reappears, this fails and the run-only check
+    below reactivates for it."""
+    assert ROWS_ONLY == [], (
+        f"oracle-less entries appeared: {ROWS_ONLY} — restore the "
+        "parametrized run-only check for them"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY or [None])
 def test_rows_only_queries_run(name, spark, sf_correctness):
-    """Entries without an oracle still must run and return a stable schema."""
+    """Entries without an oracle still must run and return a stable schema
+    (inert while ROWS_ONLY is empty — the None sentinel just passes)."""
+    if name is None:
+        return
     qd = REGISTRY[name]
     sdf = qd.spark(spark, sf_correctness)
     assert sdf.columns

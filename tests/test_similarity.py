@@ -836,3 +836,52 @@ def test_pq_full_rerank_equals_brute_force_property(spark):
         assert got == want
 
     prop()
+
+
+def test_ivfpq_full_probe_full_rerank_equals_brute_force_property(spark):
+    """Property (r12): the COMPOSED index obeys the same floor law as its
+    parts — with n_probe == n_cells (every cell probed) and rerank >=
+    |corpus| (the whole candidate set re-scored exactly), ivfpq_topk must
+    reproduce brute_force_topk exactly: the coarse quantizer and the
+    residual codebooks may only choose the shortlist, and at full
+    probe + full rerank there is no choice left to get wrong.  Also pins
+    the small-corpus edge the ivf_topk property exposed (corpus < n_cells
+    trains fewer centroids): the driver-side probe slice must adapt
+    instead of crashing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.operators.similarity import ivfpq_topk
+
+    DIM = 4
+    coord = st.integers(-3, 3)
+    vec = st.lists(coord, min_size=DIM, max_size=DIM).filter(
+        lambda v: any(x != 0 for x in v)
+    )
+
+    @settings(max_examples=3, deadline=None)
+    @given(
+        st.lists(vec, min_size=3, max_size=12),
+        st.integers(1, 3),
+        st.integers(2, 5),
+    )
+    def prop(vecs, k, n_cells):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        queries = df.limit(2)
+        want = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in brute_force_topk(queries, df, k=k).collect()
+        }
+        got = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in ivfpq_topk(
+                queries, df, k=k, n_cells=n_cells, n_probe=n_cells,
+                m=2, n_codes=4, rerank=len(vecs),
+            ).collect()
+        }
+        assert got == want
+
+    prop()
