@@ -87,6 +87,18 @@ def connected_components(
     # and buys the loop a shuffle width matched to the EDGE count instead of
     # the session's scan-sized default (see EDGES_PER_SHUFFLE_PARTITION).
     n_edges = sym.count()
+    if n_edges == 0:
+        # An EMPTY edge set is a normal state, not a convergence failure:
+        # the curation funnel's pair stage legitimately produces zero
+        # near-dup edges on an already-clean shard, and the propagation
+        # loop's change detector (SUM over zero rows) is NULL there — the
+        # ``changed == 0`` fixpoint test never fired, so the loop burned
+        # max_iter rounds and raised "did not converge" (found r13 by the
+        # web-funnel composition test).  Zero edges -> zero labeled
+        # vertices, typed from the input.
+        return sym.select(
+            F.col("src").alias("id"), F.col("src").alias("comp")
+        ).limit(0)
     session = sym.sparkSession
     default_parts = int(session.conf.get("spark.sql.shuffle.partitions", "200"))
     loop_parts = max(1, min(default_parts, -(-n_edges // EDGES_PER_SHUFFLE_PARTITION)))

@@ -51,24 +51,40 @@ _TOKEN_SEP = "[^a-z0-9]+"
 _META_FILE = "_index_meta.json"
 
 
-def _index_schema(layout: str) -> str:
-    return "doc_id long, term string" + (
+def _index_schema(layout: str, id_type: str = "long") -> str:
+    return f"doc_id {id_type}, term string" + (
         ", bucket int" if layout == "bucket" else ""
     )
 
 
 def _write_index_meta(spark: SparkSession, path: str, meta: dict) -> None:
     """Persist the layout sidecar through the Hadoop FS API (same
-    filesystem reach as the parquet write itself — local, HDFS, S3A)."""
+    filesystem reach as the parquet write itself — local, HDFS, S3A).
+
+    The write is ATOMIC at the sidecar level (ADVICE r12): the JSON body
+    lands under a temp name (underscore-prefixed, so still hidden from
+    Spark's file listing) and renames into place — a reader racing the
+    rebuild sees either the complete old sidecar, the complete new one, or
+    none (legacy mode), never a half-written JSON that would poison every
+    subsequent read.  Hadoop's local/HDFS rename is a metadata op; the
+    pre-delete of the destination is safe because the parquet overwrite
+    already replaced the directory contents."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     target = hpath(path.rstrip("/") + "/" + _META_FILE)
+    tmp = hpath(path.rstrip("/") + "/" + _META_FILE + ".inprogress")
     fs = target.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.create(target, True)
+    stream = fs.create(tmp, True)
     try:
         stream.write(json.dumps(meta, sort_keys=True).encode("utf-8"))
     finally:
         stream.close()
+    if fs.exists(target):
+        fs.delete(target, False)
+    if not fs.rename(tmp, target):
+        raise OSError(
+            f"could not rename index sidecar into place at {target}"
+        )
 
 
 def _read_index_meta(spark: SparkSession, path: str) -> dict | None:
@@ -88,7 +104,19 @@ def _read_index_meta(spark: SparkSession, path: str) -> dict | None:
         body = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
-    return json.loads(body.decode("utf-8"))
+    try:
+        return json.loads(body.decode("utf-8"))
+    except (ValueError, UnicodeDecodeError) as e:
+        # A corrupt sidecar names its path instead of dying with a raw
+        # JSONDecodeError every reader has to reverse-engineer (ADVICE
+        # r12); the atomic temp+rename write makes this unreachable for
+        # indexes built by write_inverted_index, so reaching it means a
+        # hand-damaged file worth a loud, actionable error.
+        raise ValueError(
+            f"corrupt index sidecar at {path.rstrip('/')}/{_META_FILE}:"
+            f" {e}; delete the file to fall back to caller-trusted reads"
+            " or rebuild the index"
+        ) from e
 
 
 def _terms(text_col: str):
@@ -127,18 +155,31 @@ def write_inverted_index(
     rebuild over a SHRUNKEN corpus only replaces buckets that still have
     postings, so the untouched buckets keep serving GHOST postings for
     deleted documents (and a rebuild from an empty corpus replaces nothing
-    at all).  Found by the r10 index-roundtrip model property."""
+    at all).  Found by the r10 index-roundtrip model property.
+
+    Doc-id typing: integral ids normalize to ``long``; ``string`` ids (the
+    most common real-world doc-id type — UUIDs, URLs, content hashes) are
+    carried through as-is (r12 verdict task 3 — they previously raised).
+    Either way the materialized id type is recorded in the layout sidecar,
+    so the empty-index read fallback types its frame from what the build
+    WROTE rather than assuming long.  Anything else (float ids, structs)
+    still raises with a remediation message: equality-joining on floats is
+    a correctness trap, not a contract this index should launder."""
     from aws_etl_fiap_spark.confs import scoped_conf
 
-    id_type = dict(docs.dtypes).get(id_col)
-    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+    src_type = dict(docs.dtypes).get(id_col)
+    if src_type in ("tinyint", "smallint", "int", "bigint"):
+        id_type = "long"
+    elif src_type == "string":
+        id_type = "string"
+    else:
         raise ValueError(
-            f"inverted index requires an integral {id_col!r} (got {id_type});"
-            " map string ids to a surrogate long upstream — the read path's"
-            " empty-index frame is typed 'doc_id long' by contract"
+            f"inverted index requires an integral or string {id_col!r}"
+            f" (got {src_type}); map exotic ids to a surrogate long or a"
+            " canonical string upstream"
         )
     postings = build_postings(docs, id_col, text_col).withColumn(
-        "doc_id", F.col("doc_id").cast("long")
+        "doc_id", F.col("doc_id").cast(id_type)
     )
     spark = docs.sparkSession
     with scoped_conf(
@@ -153,7 +194,11 @@ def write_inverted_index(
             ).write.mode("overwrite").partitionBy("bucket").parquet(path)
         else:
             raise ValueError(f"unknown layout {layout!r} (term|bucket)")
-    meta: dict = {"layout": layout, "schema": _index_schema(layout)}
+    meta: dict = {
+        "layout": layout,
+        "id_type": id_type,
+        "schema": _index_schema(layout, id_type),
+    }
     if layout == "bucket":
         meta["n_buckets"] = int(n_buckets)
     _write_index_meta(spark, path, meta)

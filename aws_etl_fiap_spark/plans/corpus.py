@@ -67,21 +67,75 @@ def curate_corpus(
     return {"quality": quality, "exact": exact, "survivors": survivors}
 
 
+def curate_web_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_quality: float = MIN_QUALITY,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> dict[str, DataFrame]:
+    """The funnel as run on RAW WEB CAPTURES (r12 verdict tasks 5-6): two
+    hygiene stages precede the quality filter —
+
+        markup -> main-content extraction (jusText-class; drops documents
+                  that are ALL boilerplate: n_kept == 0)
+               -> Unicode sanitation (mojibake repair, NFC, control scrub)
+               -> the plain-text funnel (quality -> exact -> fuzzy)
+
+    Both hygiene stages are per-row (zero shuffle), so they run inside the
+    scan stage BEFORE the first exchange — at 100 TB the boilerplate bytes
+    never reach a shuffle.  Returns all intermediate stages (lazy):
+    ``{"extracted", "sanitized", "quality", "exact", "survivors"}``."""
+    from aws_etl_fiap_spark.operators.webtext import (
+        extract_main_content,
+        unicode_sanitize,
+    )
+
+    extracted = (
+        extract_main_content(df, html_col, out="__main")
+        .filter(F.col("n_kept") > 0)
+        .select(F.col(id_col), F.col("__main").alias("text"))
+    )
+    sanitized = unicode_sanitize(extracted, "text", out="__clean").select(
+        F.col(id_col), F.col("__clean").alias("text")
+    )
+    stages = curate_corpus(
+        sanitized, id_col, "text", min_quality, jaccard_threshold
+    )
+    return {"extracted": extracted, "sanitized": sanitized, **stages}
+
+
+def _count_frame(frame: DataFrame, stage: str) -> DataFrame:
+    return frame.agg(
+        F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def curation_funnel_counts(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text") -> DataFrame:
     """Per-stage row accounting (stage, n_docs) — the curation run report.
     A long/skinny frame, not a collect: at scale this is the job's audit
     record, written next to the curated output."""
     stages = curate_corpus(df, id_col, text_col)
-
-    def count_frame(frame: DataFrame, stage: str) -> DataFrame:
-        return frame.agg(
-            F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n_docs")
-        )
-
     return (
-        count_frame(df, "raw")
-        .unionByName(count_frame(stages["quality"], "quality"))
-        .unionByName(count_frame(stages["exact"], "exact_dedup"))
-        .unionByName(count_frame(stages["survivors"], "fuzzy_dedup"))
+        _count_frame(df, "raw")
+        .unionByName(_count_frame(stages["quality"], "quality"))
+        .unionByName(_count_frame(stages["exact"], "exact_dedup"))
+        .unionByName(_count_frame(stages["survivors"], "fuzzy_dedup"))
+    )
+
+
+def web_curation_funnel_counts(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """Stage accounting for :func:`curate_web_corpus` — the web-capture
+    funnel report, two hygiene stages ahead of the plain-text funnel."""
+    stages = curate_web_corpus(df, id_col, html_col)
+    return (
+        _count_frame(df, "raw")
+        .unionByName(_count_frame(stages["extracted"], "extracted"))
+        .unionByName(_count_frame(stages["sanitized"], "sanitized"))
+        .unionByName(_count_frame(stages["quality"], "quality"))
+        .unionByName(_count_frame(stages["exact"], "exact_dedup"))
+        .unionByName(_count_frame(stages["survivors"], "fuzzy_dedup"))
     )

@@ -11,16 +11,34 @@ from pyspark.sql import functions as F
 from aws_etl_fiap_spark.plans.corpus import (
     JACCARD_THRESHOLD,
     MIN_QUALITY,
-    curation_funnel_counts,
+    web_curation_funnel_counts,
 )
 from aws_etl_fiap_spark.queries.registry import query
 from aws_etl_fiap_spark.sources.readers import load_table
 
 # Mirrors operators/text.quality_score (same IEEE ops as the text_quality
 # oracle) and the dedup_q shingle/pair/cluster CTEs, applied to the funnel's
-# shrinking inputs.
+# shrinking inputs.  As of r13 the funnel runs on synthesized WEB CAPTURES
+# (verdict tasks 5-6): every doc is wrapped in nav/footer boilerplate with
+# planted Unicode damage, and doc_id % 50 == 0 pages are boilerplate-ONLY
+# (dropped at the extraction stage).  The ``ext`` CTE hand-writes the
+# EXPECTED post-extraction post-sanitation text — an independent check of
+# the two hygiene stages' composition, not a twin of their internals
+# (those are twinned in text_extract_main_content / text_unicode_sanitize).
 _FUNNEL_ORACLE = f"""
-WITH q AS (
+WITH ext AS (
+    SELECT doc_id,
+           text || CASE
+               WHEN doc_id % 3 = 0
+                   THEN ' caf' || chr(233) || ' menu d' || chr(233) || 'cor'
+               WHEN doc_id % 3 = 1
+                   THEN ' caf' || chr(233) || ' resum' || chr(233)
+               ELSE ' xy end'
+           END AS text
+    FROM documents
+    WHERE doc_id % 50 <> 0
+),
+q AS (
     SELECT doc_id, text,
         least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
         + least(CAST(len(list_filter(string_split(text, ' '),
@@ -32,7 +50,7 @@ WITH q AS (
                 AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
                     / CAST(len(string_split(text, ' ')) AS DOUBLE) <= 12.0
                THEN 0.2 ELSE 0.0 END AS quality
-    FROM documents
+    FROM ext
 ),
 qual AS (SELECT doc_id, text FROM q WHERE quality >= {MIN_QUALITY}),
 ex AS (
@@ -82,6 +100,10 @@ dropped AS (SELECT id FROM comp WHERE canonical <> id),
 final AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id FROM dropped))
 SELECT 'raw' AS stage, CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
 UNION ALL
+SELECT 'extracted', CAST((SELECT COUNT(*) FROM ext) AS BIGINT)
+UNION ALL
+SELECT 'sanitized', CAST((SELECT COUNT(*) FROM ext) AS BIGINT)
+UNION ALL
 SELECT 'quality', CAST((SELECT COUNT(*) FROM qual) AS BIGINT)
 UNION ALL
 SELECT 'exact_dedup', CAST((SELECT COUNT(*) FROM ex) AS BIGINT)
@@ -93,10 +115,42 @@ SELECT 'fuzzy_dedup', CAST((SELECT COUNT(*) FROM final) AS BIGINT)
 @query("corpus_curation_funnel", oracle=_FUNNEL_ORACLE)
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data curation funnel accounting: (stage, n_docs) through
-    quality filter -> exact dedup -> fuzzy-cluster canonical keep.  The
-    expensive fuzzy stage runs LAST on the smallest input — stage order is
-    part of what the oracle pins down."""
-    return curation_funnel_counts(load_table(spark, sf_dir, "documents"))
+    main-content extraction -> Unicode sanitation -> quality filter ->
+    exact dedup -> fuzzy-cluster canonical keep (r13: the two web-hygiene
+    stages lead, per the r12 verdict).  Web damage is synthesized
+    deterministically: nav/footer boilerplate wraps every doc, doc_id % 3
+    plants mojibake / decomposed accents / control chars, and doc_id % 50
+    pages are boilerplate-only (the extraction stage must drop them).  The
+    expensive fuzzy stage still runs LAST on the smallest input — stage
+    order is part of what the oracle pins down."""
+    from aws_etl_fiap_spark.queries.text_q import (
+        _CONTROL_SUFFIX,
+        _DECOMPOSED_SUFFIX,
+        _FOOTER,
+        _MOJIBAKE_SUFFIX,
+        _NAV,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    damage = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_MOJIBAKE_SUFFIX))
+        .when(F.col("doc_id") % 3 == 1, F.lit(_DECOMPOSED_SUFFIX))
+        .otherwise(F.lit(_CONTROL_SUFFIX))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 50 == 0, F.lit(_NAV + _FOOTER))
+        .otherwise(
+            F.concat(
+                F.lit(_NAV + "<p>"),
+                F.col("text"),
+                damage,
+                F.lit("</p>" + _FOOTER),
+            )
+        )
+        .alias("html"),
+    )
+    return web_curation_funnel_counts(pages)
 
 
 @query(

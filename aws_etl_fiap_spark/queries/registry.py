@@ -757,9 +757,13 @@ CHANGED_R12_TO_R13: tuple[str, ...] = ("sim_topk_ivf",)
 #: policy agrees: compute_window(changed=CHANGED_R10_TO_R12 +
 #: stream_stateful_totals_equiv + sim_power_iteration_pc1 + CHANGED_R12)
 #: returns exactly this set.
-DRIVER_PRIORITY: tuple[str, ...] = (
+R12_ACTIVE: tuple[str, ...] = (
     tuple(n for n in CHANGED_R12 if n not in R12_WINDOW) + R12_WINDOW
 )[:50]
+
+# DRIVER_PRIORITY is assigned below, after R13_WINDOW (the active round-13
+# window) is defined — the r12 driver graded R12_ACTIVE 50/50 green
+# (CORRECTNESS_r12.json, test-enforced), so the rotation advances.
 
 #: Round-12 deferral tiers (policy clause 4 accounting): everything not
 #: in the active window and not green last round (R11_WINDOW), by age of
@@ -767,15 +771,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 #: window (after r12, no query's newest grade predates r8).  Every entry
 #: still runs its exact oracle in every local pytest (test_oracle_parity).
 DEFERRED_R12_R8: tuple[str, ...] = tuple(
-    n for n in DEFERRED_R11_R8 if n not in DRIVER_PRIORITY
+    n for n in DEFERRED_R11_R8 if n not in R12_ACTIVE
 )
 DEFERRED_R12_R9: tuple[str, ...] = tuple(
-    n for n in DEFERRED_R11_R9 if n not in DRIVER_PRIORITY
+    n for n in DEFERRED_R11_R9 if n not in R12_ACTIVE
 )
 DEFERRED_R12_R10: tuple[str, ...] = tuple(
     n
     for n in R10_WINDOW
-    if n not in DRIVER_PRIORITY and n not in R11_WINDOW
+    if n not in R12_ACTIVE and n not in R11_WINDOW
 )
 
 DEFERRED_R12: tuple[str, ...] = (
@@ -792,6 +796,138 @@ DEFERRED_R12: tuple[str, ...] = (
 #: any r13-changed queries and any r12 driver failures.
 R13_WINDOW: tuple[str, ...] = (
     tuple(sorted(DEFERRED_R12_R8)) + tuple(sorted(DEFERRED_R12_R9))
+)[:50]
+
+#: Driver failures from round 12: none — CORRECTNESS_r12.json is 50/50
+#: green (verified by tests/test_registry_order.py against the artifact).
+FAILED_R12: tuple[str, ...] = ()
+
+#: Entries whose implementation or oracle changed in ROUND 13 (output
+#: proven identical in the driver sim) — append as code changes land.
+#: Changed entries already holding an R13_WINDOW slot (e.g. the pinned
+#: sim_topk_ivf re-grade) need no prepend; entries NOT in the window
+#: preempt the tail fill slots, displacing them to the r14 stalest-first
+#: drain (the displaced r9-green entries land at staleness exactly 5, the
+#: ceiling — the agg_approx_profile precedent).
+#: - text_index_search rides the r13 textindex.py changes (ADVICE r12:
+#:   atomic sidecar write via temp+rename, typed corrupt-sidecar error;
+#:   VERDICT task 3: string doc-id support via portable-hash bucket
+#:   routing).  The gate's long-id build is byte-identical under the new
+#:   writer; output identical, re-verified exact.  r12-green, so it
+#:   re-enters ONLY via changed= here.
+#: - corpus_curation_funnel rides the r13 curation-stage extensions
+#:   (VERDICT tasks 5-6: HTML boilerplate extraction + Unicode/mojibake
+#:   normalization now run upstream of the Gopher rules inside the
+#:   funnel); its oracle changed in lockstep.  r10-green, displaced-slot
+#:   arithmetic identical to the textindex entry.
+#: - dedup_cluster_canonical rides the r13 connected_components
+#:   empty-edge-set guard (operators/graph.py: the change detector's SUM
+#:   over zero label rows is NULL, so a legitimately edge-free pair stage
+#:   — a clean shard — burned max_iter rounds and raised "did not
+#:   converge"; found by the web-funnel composition test).  The gate's
+#:   corpus always yields near-dup edges at every graded sf, so the guard
+#:   is a no-op there — output identical, re-verified exact.  r11-green;
+#:   its prepend displaces the third tail fill slot (ann_hard_negatives,
+#:   r9-green -> r14 at staleness exactly 5, the ceiling).
+#: - roundtrip_partitioned_agg rides compact_partitions' r13 fixes
+#:   (sources/writers.py: NULL-SAFE budget join — a plain equi-join
+#:   silently dropped every __HIVE_DEFAULT_PARTITION__ row from the
+#:   rewrite, deleting them from the table; plus the all-NULL partition
+#:   column VOID-type normalization; both found by the r13 upsert x
+#:   compact interplay property).  The gate's o_year partitions are never
+#:   NULL, so both fixes are no-ops there — output identical, re-verified
+#:   exact.  It ALREADY holds a natural R13_WINDOW slot (r8 tier), so the
+#:   prepend filter below leaves the window order untouched.
+CHANGED_R13: tuple[str, ...] = (
+    "text_index_search",
+    "corpus_curation_funnel",
+    "dedup_cluster_canonical",
+    "roundtrip_partitioned_agg",
+)
+
+#: Changed in r13 (output identical, re-verified exact) but NOT
+#: force-scheduled into the r13 window — every additional prepend past
+#: CHANGED_R13 would displace an r8-green fill entry to staleness 6, past
+#: the ceiling.  Same arithmetic that deferred sim_topk_ivf past r12
+#: (CHANGED_R12_TO_R13); all three are r12-green (the freshest riders of
+#: their respective r13 fixes), hold PINNED slots in R14_WINDOW below
+#: (the precompute test asserts membership), and their exact oracles keep
+#: running in every local pytest.
+#: - corpus_cluster_split rides the connected_components empty-edge guard
+#:   (see CHANGED_R13's dedup_cluster_canonical note).
+#: - upsert_partitioned_merge / stream_upsert_merge_equiv ride
+#:   upsert_partitioned's crash-recovery-first fix (sources/writers.py):
+#:   a crash between rename-aside and swap-in left a partition's
+#:   pre-merge rows ONLY in the backup dir, and the next run deleted the
+#:   backup before staging — re-running the same batch silently lost the
+#:   partition's unmatched survivor rows (found by the r13 upsert-crash
+#:   property, red before / green after).  Both gates run on fresh
+#:   directories with no crash artifacts, so recovery is a no-op there —
+#:   output identical, re-verified exact.
+CHANGED_R13_TO_R14: tuple[str, ...] = (
+    "corpus_cluster_split",
+    "upsert_partitioned_merge",
+    "stream_upsert_merge_equiv",
+)
+
+#: Queries REGISTERED in round 13 (the registry freeze admits gap-fills
+#: only; these two are VERDICT r12 tasks 5-6): the LLM-curation web-text
+#: hygiene stages.  NEW queries lead the NEXT round's window per the
+#: rotation contract (exact-oracled locally from day one).
+NEW_R13: tuple[str, ...] = (
+    "text_extract_main_content",
+    "text_unicode_sanitize",
+)
+
+#: ACTIVE ROUND-13 WINDOW: the precomputed R13_WINDOW plus the r13
+#: changed-code re-entries per the rotation contract (changed entries
+#: preempt; r12 had zero driver failures).  Prepending the three
+#: CHANGED_R13 entries displaces the three precomputed tail fill slots
+#: (ann_hard_negatives, corpus_dsir_weights, corpus_epoch_shuffle — all
+#: r9-green), which lead the r14 stalest-first fill instead and are graded
+#: there at staleness exactly 5, the ceiling (the staleness simulation
+#: test pins this).  The executable policy agrees:
+#: compute_window(changed=CHANGED_R13) over the post-r12 green map returns
+#: exactly this set.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    tuple(n for n in CHANGED_R13 if n not in R13_WINDOW) + R13_WINDOW
+)[:50]
+
+#: Round-13 deferral tiers (policy clause 4 accounting): everything not
+#: in the active window and not green last round (R12_ACTIVE), by age of
+#: newest green driver row.  The r8 tier drains COMPLETELY into the r13
+#: window (after r13, no query's newest grade predates r9).  Every entry
+#: still runs its exact oracle in every local pytest (test_oracle_parity).
+DEFERRED_R13_R9: tuple[str, ...] = tuple(
+    n for n in DEFERRED_R12_R9 if n not in DRIVER_PRIORITY
+)
+DEFERRED_R13_R10: tuple[str, ...] = tuple(
+    n for n in DEFERRED_R12_R10 if n not in DRIVER_PRIORITY
+)
+DEFERRED_R13_R11: tuple[str, ...] = tuple(
+    n
+    for n in R11_WINDOW
+    if n not in DRIVER_PRIORITY and n not in R12_ACTIVE
+)
+
+DEFERRED_R13: tuple[str, ...] = (
+    DEFERRED_R13_R9 + DEFERRED_R13_R10 + DEFERRED_R13_R11
+)
+
+#: PRECOMPUTED ROUND-14 WINDOW (keep the rotation mechanical one round
+#: ahead): the NEW_R13 gap-fills lead (never-graded), then the PINNED
+#: CHANGED_R13_TO_R14 re-grade (corpus_cluster_split — the deferred CC
+#: guard re-entry), then the pure stalest-first fill — the ENTIRE
+#: remaining r9-green tier drains (including the three displaced
+#: CHANGED_R13 casualties at staleness exactly 5), then the
+#: alphabetically-first r10-green entries fill.  The r14 builder's first
+#: act: ``DRIVER_PRIORITY = R14_WINDOW`` plus re-appending any
+#: r14-changed queries and any r13 driver failures.
+R14_WINDOW: tuple[str, ...] = (
+    NEW_R13
+    + CHANGED_R13_TO_R14
+    + tuple(sorted(DEFERRED_R13_R9))
+    + tuple(sorted(DEFERRED_R13_R10))
 )[:50]
 
 

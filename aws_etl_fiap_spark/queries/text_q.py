@@ -1153,3 +1153,129 @@ def text_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return wordpiece_segment_stats(docs, "doc_id", "text")
+
+
+# --- r13 web-text hygiene gates (r12 verdict tasks 5-6) --------------------
+
+# Markup synthesized deterministically from (doc_id, text) — the corpus is
+# clean text, exactly like text_redact_pii synthesizes its PII.  Four
+# boilerplate blocks frame two content blocks:
+#   nav (3 words, link-saturated)            -> dropped (words AND links)
+#   <p>text</p> (>=10 words, no links)       -> kept
+#   li teaser (13 words, stopword-rich, but
+#      anchor text dominates its characters) -> dropped by LINK DENSITY alone
+#   summary <p> (>=10 words, stopwords)      -> kept (joins after text)
+#   footer (9 words, linkful)                -> dropped
+_NAV = (
+    '<div class=nav><a href="/">Home</a> <a href="/about">About</a>'
+    ' <a href="/contact">Contact</a></div>'
+)
+_TEASER = (
+    '<li><a href="/more">read the full article on the data table of the'
+    " site</a> see</li>"
+)
+_FOOTER = (
+    '<div class=footer><a href="/privacy">Privacy</a>'
+    ' <a href="/terms">Terms</a> copyright 2024 example corp</div>'
+)
+_SUMMARY_PRE = "<p>in summary the document "
+_SUMMARY_POST = (
+    " covers the topic of data processing and the results are shown in"
+    " the table</p>"
+)
+
+
+def _extract_oracle() -> str:
+    from aws_etl_fiap_spark.operators.webtext import (
+        sql_main_content,
+        sql_n_blocks,
+        sql_n_kept,
+    )
+
+    html = (
+        f"'{_NAV}<p>' || text || '</p>{_TEASER}{_SUMMARY_PRE}'"
+        f" || CAST(doc_id AS VARCHAR) || '{_SUMMARY_POST}{_FOOTER}'"
+    )
+    return f"""
+WITH aug AS (SELECT doc_id, {html} AS html FROM documents)
+SELECT doc_id,
+       CAST({sql_n_blocks('html')} AS INT) AS n_blocks,
+       CAST({sql_n_kept('html')} AS INT) AS n_kept,
+       {sql_main_content('html')} AS main_content
+FROM aug
+"""
+
+
+@query("text_extract_main_content", oracle=_extract_oracle())
+def text_extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] jusText/trafilatura-class boilerplate removal
+    (operators/webtext.extract_main_content): block split at closing
+    block tags, per-block link-density / word-count / stopword-density
+    scoring, content-only rejoin — expression-only (higher-order array
+    functions inside the scan stage, zero shuffle, zero Python).  The
+    oracle runs the identical spec through DuckDB's list lambdas on the
+    same synthesized markup, so tag-stripping, block classification, and
+    join order are all value-verified."""
+    from aws_etl_fiap_spark.operators.webtext import extract_main_content
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_NAV + "<p>"),
+            F.col("text"),
+            F.lit("</p>" + _TEASER + _SUMMARY_PRE),
+            F.col("doc_id").cast("string"),
+            F.lit(_SUMMARY_POST + _FOOTER),
+        ).alias("html"),
+    )
+    out = extract_main_content(docs, "html")
+    return out.select("doc_id", "n_blocks", "n_kept", "main_content")
+
+
+# Planted Unicode damage, deterministic by doc_id (the corpus is clean
+# ASCII — verified: zero non-ASCII rows at every sf):
+#   %3==0 -> latin-1 mojibake of ' café menu décor' (repairs + composes)
+#   %3==1 -> NFC-DECOMPOSED ' café resumé' (e + U+0301; NFC composes)
+#   %3==2 -> C0 controls \x01 and \x07 (scrubbed, counted)
+_MOJIBAKE_SUFFIX = " caf\u00c3\u00a9 menu d\u00c3\u00a9cor"
+_DECOMPOSED_SUFFIX = " cafe\u0301 resume\u0301"
+_CONTROL_SUFFIX = " x\x01y\x07 end"
+
+
+@query(
+    "text_unicode_sanitize",
+    oracle="""
+SELECT doc_id,
+       text || CASE
+           WHEN doc_id % 3 = 0
+               THEN ' caf' || chr(233) || ' menu d' || chr(233) || 'cor'
+           WHEN doc_id % 3 = 1
+               THEN ' caf' || chr(233) || ' resum' || chr(233)
+           ELSE ' xy end'
+       END AS sanitized,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 0 END AS INT)
+           AS n_controls_removed,
+       doc_id % 3 IN (0, 1) AS repaired
+FROM documents
+""",
+)
+def text_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT north star] ftfy-class Unicode hygiene
+    (operators/webtext.unicode_sanitize): mojibake repair (UTF-8 bytes
+    mis-decoded as Latin-1), NFC normalization, control-char scrub, with
+    change accounting.  The oracle hand-writes the EXPECTED repaired
+    strings (composed chr(233) literals) — a true independent check of
+    the repair, not a twin of it."""
+    from aws_etl_fiap_spark.operators.webtext import unicode_sanitize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_MOJIBAKE_SUFFIX))
+            .when(F.col("doc_id") % 3 == 1, F.lit(_DECOMPOSED_SUFFIX))
+            .otherwise(F.lit(_CONTROL_SUFFIX)),
+        ).alias("text"),
+    )
+    out = unicode_sanitize(docs, "text")
+    return out.select("doc_id", "sanitized", "n_controls_removed", "repaired")

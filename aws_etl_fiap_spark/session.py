@@ -35,9 +35,13 @@ DEFAULT_LOCAL_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # at a 100k-doc corpus on a 128 GiB box).  Sized per-slot: ~512 MiB x slots,
 # floor 8 GiB.  Only effective for sessions THIS factory launches (a config
 # at JVM start); on a cluster, executor memory comes from the submit config.
-DEFAULT_DRIVER_MEM = os.environ.get(
-    "SPARK_GRAFT_DRIVER_MEM", f"{max(8, DEFAULT_LOCAL_CPUS // 2)}g"
-)
+# Resolved at CALL time, not import time (ADVICE r13): an env var set after
+# `import aws_etl_fiap_spark.session` — e.g. by a harness script that sets
+# its own default — must still take effect.
+def _default_driver_mem() -> str:
+    return os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", f"{max(8, DEFAULT_LOCAL_CPUS // 2)}g"
+    )
 
 
 def get_spark(
@@ -45,12 +49,16 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    driver_mem: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     Local-mode defaults come from ``SPARK_GRAFT_CPUS``; on a cluster, pass
     ``master=None`` with the environment's master and a larger
-    ``shuffle_partitions``.
+    ``shuffle_partitions``.  ``driver_mem`` pins the local-mode heap
+    explicitly (defaults to ``SPARK_GRAFT_DRIVER_MEM`` or the per-slot
+    formula); like every JVM-start config it only binds for the session
+    this call actually launches.
     """
     master = master or f"local[{DEFAULT_LOCAL_CPUS}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_LOCAL_CPUS
@@ -58,7 +66,7 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
+        .config("spark.driver.memory", driver_mem or _default_driver_mem())
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: coalesce small shuffle partitions, split skewed ones, and switch
         # sort-merge -> broadcast at runtime when a side turns out small.

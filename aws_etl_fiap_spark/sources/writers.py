@@ -118,6 +118,13 @@ def compact_partitions(
 
     pcols = list(partition_by)
     before = spark.read.parquet(path)
+    # A partition column whose every value is NULL (only
+    # __HIVE_DEFAULT_PARTITION__ directories exist) reads back as VOID,
+    # which the staging write rejects as a partition type — normalize to
+    # the string type any mixed table would have (r13 interplay property).
+    for c in pcols:
+        if dict(before.dtypes).get(c) == "void":
+            before = before.withColumn(c, F.col(c).cast("string"))
     files_before = before.select(F.input_file_name()).distinct().count()
 
     counts = before.groupBy(*pcols).agg(F.count(F.lit(1)).alias("_n"))
@@ -125,8 +132,27 @@ def compact_partitions(
         "_files",
         F.greatest(F.lit(1), F.ceil(F.col("_n") / F.lit(target_rows_per_file))).cast("int"),
     ).drop("_n")
-    tagged = before.join(F.broadcast(n_files), pcols).withColumn(
-        "_slot", (F.monotonically_increasing_id() % F.col("_files")).cast("int")
+    # NULL-SAFE budget join: upsert_partitioned supports the NULL partition
+    # (__HIVE_DEFAULT_PARTITION__) as a first-class class, and a plain
+    # equi-join here silently DROPPED its rows from the rewrite — the swap
+    # then deleted them from the table (found by the r13 upsert x compact
+    # interplay property; same NULL-match class as upsert's r10 survivor-
+    # scan fix).
+    budget = F.broadcast(
+        n_files.select(
+            *[F.col(c).alias(f"__b_{c}") for c in pcols], "_files"
+        )
+    )
+    null_safe = F.lit(True)
+    for c in pcols:
+        null_safe = null_safe & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    tagged = (
+        before.join(budget, null_safe)
+        .drop(*[f"__b_{c}" for c in pcols])
+        .withColumn(
+            "_slot",
+            (F.monotonically_increasing_id() % F.col("_files")).cast("int"),
+        )
     )
     # Materialize every stat that reads the OLD generation before the swap —
     # after it, their lazy plans would resolve deleted files.
@@ -217,8 +243,17 @@ def upsert_partitioned(
     Crash mid-swap leaves some partitions pre-merge and some post-merge;
     re-running the SAME batch is idempotent (replace-by-key of an identical
     batch maps both states to the same result), so the recovery is simply
-    to re-run.  The partition LIST (never row data) is collected on the
-    driver, bounded by ``max_affected_partitions`` with an explicit raise.
+    to re-run.  That idempotence claim has one hole the next run must
+    close FIRST: a crash between rename-aside and swap-in leaves a
+    partition in NEITHER state — its pre-merge rows exist ONLY in the
+    backup directory, and the old behavior of unconditionally deleting
+    the backup before staging silently lost that partition's unmatched
+    survivor rows (found by the r13 upsert-crash property, the same
+    class as compact_partitions' round-2 recovery fix).  Recovery now
+    runs first: any partition present in the backup but missing live is
+    restored before the stale backup/staging cleanup.  The partition
+    LIST (never row data) is collected on the driver, bounded by
+    ``max_affected_partitions`` with an explicit raise.
 
     NULL merge KEYS follow standard SQL MERGE semantics (NULL never
     matches NULL): a NULL-keyed update always inserts, a NULL-keyed
@@ -232,6 +267,33 @@ def upsert_partitioned(
     from pyspark.sql import functions as F
 
     pcols, kcols = list(partition_by), list(key_cols)
+    staging = path.rstrip("/") + "__upsert_staging"
+    backup = path.rstrip("/") + "__upsert_old"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    # Crash recovery FIRST (see docstring): a partition renamed aside by a
+    # crashed swap exists only under the backup dir (flat, '/' mangled to
+    # '%2F' — unambiguous, since Hive escaping renders a literal '%' as
+    # '%25').  Restore every such partition whose live directory is missing
+    # BEFORE the unconditional stale-backup delete below, which would
+    # otherwise be permanent loss of its unmatched survivor rows.
+    if fs.exists(hpath(backup)):
+        restored = 0
+        for status in fs.listStatus(hpath(backup)):
+            rel = status.getPath().getName().replace("%2F", "/")
+            live = hpath(path.rstrip("/") + "/" + rel)
+            if not fs.exists(live):
+                fs.mkdirs(live.getParent())
+                if not fs.rename(status.getPath(), live):
+                    raise IOError(
+                        f"recovery rename {status.getPath()} -> {live} "
+                        "failed; partition data is intact in the backup — "
+                        "intervene manually"
+                    )
+                restored += 1
+        if restored:
+            spark.catalog.refreshByPath(path)
     existing = spark.read.parquet(path)
     batch_keys = updates.select(*kcols).distinct()
     if deletes is not None:
@@ -277,11 +339,6 @@ def upsert_partitioned(
     survivors = existing.filter(pred).join(batch_keys, kcols, "left_anti")
     merged = survivors.unionByName(updates.select(*survivors.columns))
 
-    staging = path.rstrip("/") + "__upsert_staging"
-    backup = path.rstrip("/") + "__upsert_old"
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(hpath(staging), True)
     fs.delete(hpath(backup), True)
     merged.write.mode("overwrite").partitionBy(*pcols).parquet(staging)

@@ -71,9 +71,13 @@ def main() -> None:
     # late stages pay GC thrash, not operator cost (r12: bpe_train read
     # 95s in-session vs 8.6s standalone, multibatch stream 114s vs 44.8s).
     # The smoke is a dedicated profiling process on a 128 GiB box: give it
-    # headroom unless the caller pinned a size.
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    spark = get_spark(app_name="aws_etl_fiap_spark-scale-smoke")
+    # headroom unless the caller pinned a size.  Passed EXPLICITLY (ADVICE
+    # r12 medium: an os.environ.setdefault here ran after session.py had
+    # already read the env at import time, so the 48g default was inert).
+    spark = get_spark(
+        app_name="aws_etl_fiap_spark-scale-smoke",
+        driver_mem=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     base = load_table(spark, args.sf, "documents").select("doc_id", "text")

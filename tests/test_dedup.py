@@ -75,6 +75,20 @@ def test_connected_components_chain_and_islands(spark):
     }
 
 
+def test_connected_components_empty_edges_returns_empty(spark):
+    """r13 regression: zero edges is a NORMAL state (a clean shard's pair
+    stage), not a convergence failure — the empty SUM in the change
+    detector is NULL, which used to read as 'still changing' and burn
+    max_iter rounds before raising 'did not converge'."""
+    from aws_etl_fiap_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(edges, "src", "dst")
+    assert out.count() == 0
+    assert out.columns == ["id", "comp"]
+    assert dict(out.dtypes) == {"id": "bigint", "comp": "bigint"}
+
+
 def test_connected_components_raises_when_unconverged(spark):
     import pytest
 

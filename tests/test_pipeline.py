@@ -167,3 +167,18 @@ def test_cli_shim_runs_pipeline(tmp_path):
     assert rc == 0
     payload = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert payload["raw_rows"] > 0 and payload["refined_rows"] > 0
+
+
+def test_driver_mem_resolved_at_call_time(monkeypatch):
+    """ADVICE r12 medium: SPARK_GRAFT_DRIVER_MEM must be honored even when
+    set AFTER aws_etl_fiap_spark.session is imported (scale_smoke's 48g
+    default used to be inert because the old module-level constant froze
+    the env at import time)."""
+    from aws_etl_fiap_spark import session
+
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_MEM", "7g")
+    assert session._default_driver_mem() == "7g"
+    monkeypatch.delenv("SPARK_GRAFT_DRIVER_MEM")
+    assert session._default_driver_mem() == (
+        f"{max(8, session.DEFAULT_LOCAL_CPUS // 2)}g"
+    )

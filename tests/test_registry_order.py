@@ -89,6 +89,7 @@ def test_priority_names_all_registered():
     names = _names()
     assert set(registry.DRIVER_PRIORITY) <= set(names)
     assert set(registry.NEW_R10) <= set(names), "NEW_R10 names not registered"
+    assert set(registry.NEW_R13) <= set(names), "NEW_R13 names not registered"
 
 
 def test_no_query_lost_or_duplicated():
@@ -112,47 +113,64 @@ def test_failed_r11_matches_artifact():
     assert _failed_r11() == registry.FAILED_R11 == ()
 
 
+def _failed_r12() -> tuple:
+    """FAILED_R12 is pinned empty in registry.py; prove it against the
+    CORRECTNESS_r12.json artifact instead of trusting the comment."""
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r12.json")
+    with open(path) as fh:
+        graded = json.load(fh)
+    return tuple(
+        sorted(n for n, row in graded.items() if not row.get("hash_match"))
+    )
+
+
+def test_failed_r12_matches_artifact():
+    assert _failed_r12() == registry.FAILED_R12 == ()
+
+
 def test_window_is_exactly_full():
     """DRIVER_PRIORITY should pin the whole 50-slot window: fewer wastes
     graded slots on arbitrary registration order, more silently truncates.
-    The active r12 window is the precomputed R12_WINDOW with the r12
-    changed-code re-entries prepended (displacing the 50th slot)."""
+    The active r13 window is the precomputed R13_WINDOW with the r13
+    changed-code re-entries prepended (displacing the two tail fill
+    slots)."""
     assert len(registry.DRIVER_PRIORITY) == DRIVER_WINDOW
     assert len(set(registry.DRIVER_PRIORITY)) == DRIVER_WINDOW
+    prepended = tuple(
+        n for n in registry.CHANGED_R13 if n not in registry.R13_WINDOW
+    )
     assert registry.DRIVER_PRIORITY == (
-        registry.CHANGED_R12 + registry.R12_WINDOW
+        prepended + registry.R13_WINDOW
     )[:DRIVER_WINDOW]
 
 
 def test_changed_queries_inside_driver_window():
     """Policy clause 1: changed implementation/oracle => graded slot.
-    The CHANGED_R10_TO_R12 deferred re-entries, the two r11-changed R12
-    deferrals (stream_stateful_totals_equiv, sim_power_iteration_pc1) and
-    the r12-changed entries ALL occupy graded slots this round — after
-    r12, no query's code is newer than its newest official driver grade."""
+    The r13-changed entries (textindex atomic-sidecar/string-id work and
+    the curation-funnel composition) and the pinned r12-deferred
+    sim_topk_ivf re-grade ALL occupy graded slots this round — after r13,
+    no query's code is newer than its newest official driver grade."""
     w = _window()
-    must = (
-        *registry.CHANGED_R10_TO_R12,
-        "stream_stateful_totals_equiv",
-        "sim_power_iteration_pc1",
-        *registry.CHANGED_R12,
-    )
+    must = (*registry.CHANGED_R13, *registry.CHANGED_R12_TO_R13)
     missing = [n for n in must if n not in w]
     assert not missing, f"changed-code queries outside window: {missing}"
 
 
 def test_failed_queries_inside_driver_window():
     """Policy clause 2: last round's driver failures re-enter immediately."""
-    missing = [n for n in _failed_r11() if n not in _window()]
-    assert not missing, f"round-11 failures outside window: {missing}"
+    missing = [n for n in _failed_r12() if n not in _window()]
+    assert not missing, f"round-12 failures outside window: {missing}"
 
 
 def test_every_query_accounted_for():
     """Policy clause 4: window + last round's graded window + documented
-    deferrals must cover the whole registry — nothing goes silently
-    ungraded."""
+    deferrals + NEW entries leading the next window must cover the whole
+    registry — nothing goes silently ungraded."""
     accounted = (
-        _window() | set(registry.R11_WINDOW) | set(registry.DEFERRED_R12)
+        _window()
+        | set(registry.R12_ACTIVE)
+        | set(registry.DEFERRED_R13)
+        | set(registry.NEW_R13)
     )
     missing = sorted(set(registry.REGISTRY) - accounted)
     assert not missing, f"queries with no grading account: {missing}"
@@ -160,52 +178,56 @@ def test_every_query_accounted_for():
 
 def test_deferrals_are_legitimate():
     """Deferrals absorb exactly the window overflow, never last round's
-    failures and never changed code — r12 is the round the re-grade debt
-    drains, so EVERY entry whose code changed since its newest grade
-    (CHANGED_R10_TO_R12, the two r11 R12-deferrals, CHANGED_R12) holds a
-    graded slot and none is deferred."""
-    deferred = set(registry.DEFERRED_R12)
+    failures and never changed code — every entry whose code changed in
+    r13 (CHANGED_R13) holds a graded slot, and the pinned r12 deferral
+    (sim_topk_ivf) drains this round via its natural r8-tier slot."""
+    deferred = set(registry.DEFERRED_R13)
     assert not deferred & _window(), "deferred query occupies a window slot"
     all_changed = (
-        set(registry.CHANGED_R10_TO_R12)
-        | set(registry.CHANGED_R11)
-        | set(registry.CHANGED_R12)
+        set(registry.CHANGED_R12)
         | set(registry.CHANGED_R12_TO_R13)
+        | set(registry.CHANGED_R13)
+        | set(registry.CHANGED_R13_TO_R14)
     )
-    # changed code may defer ONLY via the documented r13 pin (the same
-    # staleness-ceiling arithmetic that deferred the upsert pair past r11):
-    # sim_topk_ivf is r8-green and already holds a natural r13 slot.
-    changed_deferred = deferred & all_changed
-    assert changed_deferred == set(registry.CHANGED_R12_TO_R13), (
-        f"changed-code query deferred without an r13 pin: {changed_deferred}"
+    assert not deferred & all_changed, (
+        f"changed-code query deferred: {deferred & all_changed}"
     )
-    assert set(registry.CHANGED_R12_TO_R13) <= set(registry.R13_WINDOW)
-    assert not deferred & set(_failed_r11()), "driver failure deferred"
-    # Eligible for r12 grading: everything not sitting on a fresh r11 row.
-    # text_index_search is r11-green but re-enters as changed code, so it
+    # the one changed-code entry NOT graded this round holds a documented
+    # PINNED r14 slot (it is r12-green, so it is not in the deferral tiers
+    # either — it sits on a fresh grade while its no-op guard waits).
+    assert set(registry.CHANGED_R13_TO_R14) <= set(registry.R12_ACTIVE)
+    assert set(registry.CHANGED_R13_TO_R14) <= set(registry.R14_WINDOW)
+    assert not deferred & set(_failed_r12()), "driver failure deferred"
+    # Eligible for r13 grading: everything not sitting on a fresh r12 row
+    # and not a never-graded NEW entry (those lead the r14 window).
+    # text_index_search is r12-green but re-enters as changed code, so it
     # occupies a slot WITHOUT being eligible-stale — the deferral count is
     # the eligible overflow after subtracting the eligible window share.
-    eligible = set(registry.REGISTRY) - set(registry.R11_WINDOW)
+    eligible = (
+        set(registry.REGISTRY)
+        - set(registry.R12_ACTIVE)
+        - set(registry.NEW_R13)
+    )
     assert eligible - deferred == _window() & eligible
     assert len(deferred) == len(eligible) - len(_window() & eligible)
 
 
 def test_deferred_partition_is_consistent():
-    """The three documented deferral tiers partition DEFERRED_R12, and the
-    r7 tier is EMPTY (it drains completely into the r12 window)."""
+    """The three documented deferral tiers partition DEFERRED_R13, and the
+    r8 tier is EMPTY (it drains completely into the r13 window)."""
     tiers = (
-        set(registry.DEFERRED_R12_R8)
-        | set(registry.DEFERRED_R12_R9)
-        | set(registry.DEFERRED_R12_R10)
+        set(registry.DEFERRED_R13_R9)
+        | set(registry.DEFERRED_R13_R10)
+        | set(registry.DEFERRED_R13_R11)
     )
-    assert tiers == set(registry.DEFERRED_R12)
-    assert len(registry.DEFERRED_R12) == (
-        len(registry.DEFERRED_R12_R8)
-        + len(registry.DEFERRED_R12_R9)
-        + len(registry.DEFERRED_R12_R10)
+    assert tiers == set(registry.DEFERRED_R13)
+    assert len(registry.DEFERRED_R13) == (
+        len(registry.DEFERRED_R13_R9)
+        + len(registry.DEFERRED_R13_R10)
+        + len(registry.DEFERRED_R13_R11)
     )
-    assert set(registry.DEFERRED_R11_R7) <= _window(), (
-        "the r7-green tier must fully drain in r12"
+    assert set(registry.DEFERRED_R12_R8) <= _window(), (
+        "the r8-green tier must fully drain in r13"
     )
 
 
@@ -300,6 +322,22 @@ def test_staleness_simulation_stays_under_ceiling():
                 + ("stream_stateful_totals_equiv", "sim_power_iteration_pc1")
                 + registry.CHANGED_R12,
             )
+        elif rnd == 13:
+            # the r13 builder re-enters the entries whose code changed in
+            # r13 (textindex sidecar/string-id work; curation-funnel
+            # composition); the pinned sim_topk_ivf re-grade holds its
+            # natural r8-tier slot.
+            window = registry.compute_window(last, changed=registry.CHANGED_R13)
+        elif rnd == 14:
+            # NEW_R13 gap-fills lead the r14 window (never graded), and
+            # the pinned CHANGED_R13_TO_R14 re-grade drains.
+            for n in registry.NEW_R13:
+                last.setdefault(n, 0)
+            window = registry.compute_window(
+                last,
+                new=registry.NEW_R13,
+                changed=registry.CHANGED_R13_TO_R14,
+            )
         else:
             window = registry.compute_window(last)
         if rnd == 12:
@@ -308,15 +346,23 @@ def test_staleness_simulation_stays_under_ceiling():
             # rotation (their staleness hits the ceiling exactly there).
             missing = set(registry.CHANGED_R10_TO_R12) - window
             assert not missing, f"r12 misses changed re-entries: {missing}"
-            # The policy must agree with the ACTIVE window (the pinned
+            # The policy must agree with the r12 ACTIVE window (the pinned
             # R12_WINDOW with CHANGED_R12 prepended, 50th slot displaced).
-            assert window == set(registry.DRIVER_PRIORITY)
+            assert window == set(registry.R12_ACTIVE)
         if rnd == 13:
-            # The policy must agree with the PRECOMPUTED pinned r13 window
-            # (pure stalest-first: the r8 tier drains, incl. the displaced
-            # agg_approx_profile at staleness exactly the ceiling).
-            assert window == set(registry.R13_WINDOW)
+            # The policy must agree with the ACTIVE r13 window (R13_WINDOW
+            # with CHANGED_R13 prepended, tail two fill slots displaced;
+            # the r8 tier drains, incl. the displaced agg_approx_profile
+            # and the pinned sim_topk_ivf re-grade, both at/below ceiling).
+            assert window == set(registry.DRIVER_PRIORITY)
             assert "agg_approx_profile" in window
+            assert set(registry.CHANGED_R12_TO_R13) <= window
+        if rnd == 14:
+            # The policy must agree with the PRECOMPUTED pinned r14 window
+            # (NEW_R13 leads; the displaced r9-green pair lands at
+            # staleness exactly the ceiling; the r9 tier drains).
+            assert window == set(registry.R14_WINDOW)
+            assert {"corpus_dsir_weights", "corpus_epoch_shuffle"} <= window
         for n in window:
             prev = last[n]
             if prev:  # never-graded entries (0) have no staleness gap yet
@@ -382,34 +428,34 @@ def test_r12_window_precomputed():
 
 
 def test_r12_active_window_regrades_all_debt():
-    """The ACTIVE r12 window's whole point (r11 verdict task 1): every
-    query riding code newer than its newest official grade — the seven
-    CHANGED_R10_TO_R12 entries, stream_stateful_totals_equiv,
-    sim_power_iteration_pc1, and the r12-changed text_index_search — gets
-    an official driver grade this round, and the r7-green tier drains."""
-    w = set(registry.DRIVER_PRIORITY)
+    """Historical pin (the r12 round's active window, r11 verdict task 1):
+    every query riding code newer than its newest official grade — the
+    seven CHANGED_R10_TO_R12 entries, stream_stateful_totals_equiv,
+    sim_power_iteration_pc1, and the r12-changed text_index_search — got
+    an official driver grade in r12, and the r7-green tier drained."""
+    w = set(registry.R12_ACTIVE)
     assert set(registry.CHANGED_R10_TO_R12) <= w
     assert {"stream_stateful_totals_equiv", "sim_power_iteration_pc1"} <= w
     assert set(registry.CHANGED_R12) <= w
     assert set(registry.DEFERRED_R11_R7) <= w, (
         "the r7-green tier must fully drain in r12"
     )
-    # changed-code re-entries LEAD the window.
+    # changed-code re-entries LED the window.
     lead = registry.CHANGED_R12 + registry.CHANGED_R10_TO_R12 + (
         "stream_stateful_totals_equiv",
     )
-    assert registry.DRIVER_PRIORITY[: len(lead)] == lead
+    assert registry.R12_ACTIVE[: len(lead)] == lead
 
 
 def test_r13_window_precomputed():
-    """Next round's window is precomputed and pinned: pure stalest-first —
-    the entire remaining r8-green tier (including the displaced
+    """Historical pin (the r12-precomputed r13 window): pure stalest-first
+    — the entire remaining r8-green tier (including the displaced
     agg_approx_profile) drains, then the alphabetically-first r9-green
     entries fill."""
     w = registry.R13_WINDOW
     assert len(w) == DRIVER_WINDOW and len(set(w)) == DRIVER_WINDOW
     assert set(w) <= set(registry.REGISTRY)
-    assert not set(w) & set(registry.DRIVER_PRIORITY)
+    assert not set(w) & set(registry.R12_ACTIVE)
     assert "agg_approx_profile" in w
     assert set(registry.DEFERRED_R12_R8) <= set(w), (
         "the r8-green tier must fully drain in r13"
@@ -418,3 +464,44 @@ def test_r13_window_precomputed():
     # CHANGED_R12_TO_R13): deferring its re-entry is legitimate ONLY
     # because this membership holds.
     assert set(registry.CHANGED_R12_TO_R13) <= set(w)
+
+
+def test_r13_active_window_regrades_all_debt():
+    """The ACTIVE r13 window (r12 verdict task 1): the r13-changed entries
+    re-enter, the pinned sim_topk_ivf re-grade drains (the one r12 'weak'
+    item), the whole r8-green tier drains, and after r13 no query's
+    newest grade predates r9."""
+    w = set(registry.DRIVER_PRIORITY)
+    assert set(registry.CHANGED_R13) <= w
+    assert set(registry.CHANGED_R12_TO_R13) <= w
+    assert set(registry.DEFERRED_R12_R8) <= w
+    # OUT-OF-WINDOW changed re-entries LEAD the window (in-window changed
+    # entries — roundtrip_partitioned_agg — keep their natural slot); the
+    # displaced tail trio leads the r14 fill instead.
+    prepended = tuple(
+        n for n in registry.CHANGED_R13 if n not in registry.R13_WINDOW
+    )
+    assert registry.DRIVER_PRIORITY[: len(prepended)] == prepended
+    displaced = set(registry.R13_WINDOW) - w
+    assert displaced == {
+        "ann_hard_negatives",
+        "corpus_dsir_weights",
+        "corpus_epoch_shuffle",
+    }
+    assert displaced <= set(registry.R14_WINDOW)
+
+
+def test_r14_window_precomputed():
+    """Next round's window is precomputed and pinned: NEW_R13 gap-fills
+    lead (never-graded), the pinned corpus_cluster_split re-grade drains,
+    the displaced r9-green trio and the rest of the r9 tier drain, then
+    the alphabetically-first r10-green entries fill."""
+    w = registry.R14_WINDOW
+    assert len(w) == DRIVER_WINDOW and len(set(w)) == DRIVER_WINDOW
+    assert set(w) <= set(registry.REGISTRY)
+    assert not set(w) & set(registry.DRIVER_PRIORITY)
+    lead = registry.NEW_R13 + registry.CHANGED_R13_TO_R14
+    assert w[: len(lead)] == lead
+    assert set(registry.DEFERRED_R13_R9) <= set(w), (
+        "the r9-green tier must fully drain in r14"
+    )

@@ -765,3 +765,121 @@ def test_zorder_null_keys_route_to_bucket_zero(spark, tmp_path):
         .f
     )
     assert null_files == {min_z_file}
+
+
+def test_upsert_recovers_crashed_partition_swap(spark, tmp_path):
+    """r13 crash property (red before the recovery-first fix): a crash
+    BETWEEN rename-aside and swap-in leaves a partition's pre-merge rows
+    only in the backup dir; the next run must restore them before its
+    stale-backup cleanup, or re-running the same batch silently loses the
+    partition's unmatched survivor rows."""
+    import os
+
+    from aws_etl_fiap_spark.sources.writers import upsert_partitioned
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k int, p string, v int"
+    ).write.partitionBy("p").parquet(path)
+    updates = spark.createDataFrame([(1, "a", 11)], "k int, p string, v int")
+
+    # Simulate the crash window mid-swap: p=a renamed aside into the
+    # backup dir, replacement staged but never landed.
+    os.makedirs(path + "__upsert_old", exist_ok=True)
+    os.rename(path + "/p=a", path + "__upsert_old/p=a")
+    spark.createDataFrame([(1, 11), (2, 20)], "k int, v int").write.mode(
+        "overwrite"
+    ).parquet(path + "__upsert_staging/p=a")
+    spark.catalog.refreshByPath(path)
+
+    upsert_partitioned(spark, path, updates, ["k"], ["p"])  # re-run same batch
+
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == sorted([(1, 11, "a"), (2, 20, "a"), (3, 30, "b")])
+    assert not os.path.exists(path + "__upsert_old")
+    assert not os.path.exists(path + "__upsert_staging")
+
+
+def test_upsert_compact_interplay_property(spark, tmp_path):
+    """Property (r13, verdict task 4b): ARBITRARY interleavings of upsert
+    commits and compact_partitions maintenance passes against the dict
+    model — the two stateful writers share a table and must compose: the
+    table equals the model exactly after EVERY operation, compaction never
+    changes values, and its file count respects the per-partition budget."""
+    import shutil
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aws_etl_fiap_spark.sources.writers import (
+        compact_partitions,
+        upsert_partitioned,
+    )
+
+    keys = st.integers(min_value=1, max_value=8)
+    part = st.sampled_from(["plain", "a b:c", None])
+    val = st.integers(min_value=-50, max_value=50)
+    upsert_op = st.tuples(
+        st.just("upsert"),
+        st.dictionaries(keys, st.tuples(part, val), min_size=1, max_size=5),
+        st.sets(keys, min_size=0, max_size=2),
+    )
+    compact_op = st.tuples(
+        st.just("compact"), st.just(None), st.just(None)
+    )
+    op = st.one_of(upsert_op, compact_op)
+
+    def df_of(d):
+        return spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in sorted(d.items())],
+            "k int, p string, v int",
+        )
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.dictionaries(keys, st.tuples(part, val), min_size=2, max_size=6),
+        st.lists(op, min_size=2, max_size=4),
+    )
+    def prop(init, ops):
+        tmp = tempfile.mkdtemp(prefix="upscompact_")
+        path = tmp + "/t"
+        try:
+            # litter the initial write so compaction has work to do
+            df_of(init).repartition(4).write.partitionBy("p").parquet(path)
+            model = dict(init)
+            for kind, updates, deletes in ops:
+                if kind == "compact":
+                    stats = compact_partitions(
+                        spark, path, ["p"], target_rows_per_file=1_000_000
+                    )
+                    assert stats["files_after"] <= stats["file_budget"]
+                else:
+                    deletes = {k for k in deletes if k not in updates}
+                    next_model = {
+                        k: v for k, v in model.items() if k not in deletes
+                    }
+                    next_model.update(updates)
+                    if not next_model:
+                        continue  # bare parquet cannot hold 0 rows
+                    model = next_model
+                    dels = (
+                        spark.createDataFrame(
+                            [(k,) for k in sorted(deletes)], "k int"
+                        )
+                        if deletes
+                        else None
+                    )
+                    upsert_partitioned(
+                        spark, path, df_of(updates), ["k"], ["p"],
+                        keys_partition_stable=False, deletes=dels,
+                    )
+                got = {
+                    (r.k, r.p, r.v)
+                    for r in spark.read.parquet(path).collect()
+                }
+                assert got == {(k, p, v) for k, (p, v) in model.items()}
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    prop()

@@ -274,12 +274,170 @@ def test_presidecar_index_keeps_legacy_behavior(spark, sf_smoke, tmp_path):
     assert hits.count() == len(_direct_hits(docs, TERMS))
 
 
-def test_string_doc_ids_refused_at_build(spark, tmp_path):
-    """write_inverted_index enforces the doc_id-long contract loudly: a
-    string-id corpus would otherwise materialize an index whose empty-read
-    fallback frame is type-mismatched (ADVICE r10)."""
+def test_string_doc_ids_roundtrip(spark, tmp_path):
+    """String doc-ids (UUIDs, URLs, content hashes — the common real-world
+    id type) build, prune, and search exactly like long ids (r12 verdict
+    task 3: this used to raise); the sidecar records the id type so the
+    empty-read fallback matches what the build wrote."""
+    docs = spark.createDataFrame(
+        [
+            ("doc/a", "spark vector customer"),
+            ("doc/b", "spark only here"),
+            ("doc/c", "vector customer spark wins"),
+        ],
+        "doc_id string, text string",
+    )
+    idx = str(tmp_path / "str_idx")
+    write_inverted_index(docs, idx, layout="bucket", n_buckets=4)
+    hits = conjunctive_search(
+        read_postings_for(spark, idx, TERMS, layout="bucket", n_buckets=4),
+        TERMS,
+    )
+    assert {r.doc_id for r in hits.collect()} == {"doc/a", "doc/c"}
+    # Empty string-id corpus: the fallback frame is typed from the sidecar
+    # (doc_id string), not the legacy long assumption.
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    eidx = str(tmp_path / "str_empty_idx")
+    write_inverted_index(empty, eidx, n_buckets=4)
+    back = read_postings_for(spark, eidx, ["spark"], n_buckets=4)
+    assert back.count() == 0
+    assert dict(back.dtypes)["doc_id"] == "string"
+
+
+def test_float_doc_ids_refused_at_build(spark, tmp_path):
+    """Non-integral, non-string ids still raise with remediation: an
+    equality join on float ids is a correctness trap the index must not
+    launder."""
     import pytest
 
-    docs = spark.createDataFrame([("d1", "hello spark")], "doc_id string, text string")
-    with pytest.raises(ValueError, match="integral"):
+    docs = spark.createDataFrame(
+        [(1.5, "hello spark")], "doc_id double, text string"
+    )
+    with pytest.raises(ValueError, match="integral or string"):
         write_inverted_index(docs, str(tmp_path / "bad_idx"))
+
+
+def test_sidecar_write_is_atomic_and_corruption_is_typed(
+    spark, sf_smoke, tmp_path
+):
+    """ADVICE r12: the sidecar lands via temp+rename (no .inprogress file
+    survives a successful build; rebuilds never expose a half-written
+    JSON), and a hand-corrupted sidecar raises a ValueError naming the
+    path instead of a raw JSONDecodeError."""
+    import os
+
+    import pytest
+
+    docs = load_table(spark, sf_smoke, "documents").limit(10)
+    idx = str(tmp_path / "idx_atomic")
+    write_inverted_index(docs, idx, layout="bucket", n_buckets=4)
+    write_inverted_index(docs, idx, layout="bucket", n_buckets=4)  # rebuild
+    assert os.path.exists(os.path.join(idx, "_index_meta.json"))
+    assert not os.path.exists(
+        os.path.join(idx, "_index_meta.json.inprogress")
+    )
+    with open(os.path.join(idx, "_index_meta.json"), "w") as fh:
+        fh.write('{"layout": "buck')  # truncated mid-write
+    # drop Hadoop's checksum twin so the read reaches JSON parsing (a CRC
+    # mismatch would already fail loudly on its own)
+    crc = os.path.join(idx, "._index_meta.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    with pytest.raises(ValueError, match="corrupt index sidecar.*idx_atomic"):
+        read_postings_for(spark, idx, TERMS, layout="bucket", n_buckets=4)
+
+
+def test_index_lifecycle_rebuild_and_sidecar_upgrade_property(spark, tmp_path):
+    """Property (r13, verdict task 4a): the index LIFECYCLE on one
+    directory — build, rebuild with different layout/params (STATIC
+    overwrite must replace the sidecar with the data, never leave a stale
+    one), corpus shrink (ghost postings must not survive), sidecar
+    deletion (pre-sidecar legacy dir keeps caller-trusting reads), and
+    the upgrade path (a rebuild over a legacy dir restores validation).
+    After every step, a search through the CURRENT build params equals
+    the Python set model of the CURRENT corpus, and a mismatched-params
+    read raises iff a sidecar is present."""
+    import os
+    import re
+
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    VOCAB = ["ab", "cd", "e1", "fg", "zz"]
+    doc = st.lists(st.sampled_from(VOCAB), min_size=0, max_size=4)
+    corpus = st.lists(doc, min_size=0, max_size=5)
+    layout_cfg = st.sampled_from(
+        [("bucket", 4), ("bucket", 8), ("term", 0)]
+    )
+    step = st.one_of(
+        st.tuples(st.just("rebuild"), corpus, layout_cfg),
+        st.tuples(st.just("strip_sidecar"), st.none(), st.none()),
+    )
+
+    def tokens(text):
+        return {t for t in re.split(r"[^a-z0-9]+", text.lower()) if t}
+
+    def model_hits(texts, terms):
+        return {
+            i for i, t in enumerate(texts) if set(terms) <= tokens(t)
+        }
+
+    def search(idx, terms, layout, n_buckets):
+        postings = read_postings_for(
+            spark, idx, sorted(terms), layout=layout, n_buckets=n_buckets
+        )
+        return {r.doc_id for r in conjunctive_search(postings, terms).collect()}
+
+    @settings(max_examples=4, deadline=None)
+    @given(corpus, layout_cfg, st.lists(step, min_size=1, max_size=3))
+    def prop(init_docs, init_cfg, steps):
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="idxlife_")
+        idx = tmp + "/idx"
+        try:
+            texts = [" ".join(d) for d in init_docs]
+            layout, n_buckets = init_cfg
+
+            def build(ts, lo, nb):
+                df = spark.createDataFrame(
+                    list(enumerate(ts)) or [(0, "")],
+                    "doc_id long, text string",
+                ) if ts else spark.createDataFrame([], "doc_id long, text string")
+                write_inverted_index(
+                    df, idx, layout=lo, n_buckets=max(nb, 1)
+                )
+
+            build(texts, layout, n_buckets)
+            has_sidecar = True
+            terms = {"ab", "zz"}
+            for kind, new_corpus, new_cfg in steps:
+                if kind == "strip_sidecar":
+                    meta = os.path.join(idx, "_index_meta.json")
+                    if os.path.exists(meta):
+                        os.remove(meta)
+                    has_sidecar = False
+                else:
+                    texts = [" ".join(d) for d in new_corpus]
+                    layout, n_buckets = new_cfg
+                    build(texts, layout, n_buckets)
+                    has_sidecar = True  # upgrade path: rebuild restores it
+                # CURRENT params always serve the CURRENT corpus exactly
+                # (ghost postings from a pre-shrink build would surface
+                # as phantom doc_ids here).
+                got = search(idx, terms, layout, max(n_buckets, 1))
+                assert got == model_hits(texts, terms)
+                # a mismatched read raises iff the sidecar is present
+                wrong_layout = "term" if layout == "bucket" else "bucket"
+                if has_sidecar:
+                    with pytest.raises(ValueError, match="built with"):
+                        search(idx, terms, wrong_layout, 8)
+                    if layout == "bucket" and max(n_buckets, 1) != 16:
+                        with pytest.raises(ValueError, match="n_buckets"):
+                            search(idx, terms, "bucket", 16)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    prop()
