@@ -45,6 +45,12 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--uncapped-tier", action="store_true")
     ap.add_argument(
+        "--no-boilerplate",
+        action="store_true",
+        help="uniform clone corpus (no shared-shingle domain) — the control "
+        "run for the skewed-dedup comparison (r12 verdict task 7)",
+    )
+    ap.add_argument(
         "--stages",
         default=None,
         help="comma-separated substrings: run only stages whose name matches "
@@ -89,10 +95,18 @@ def main() -> None:
         .select(
             (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
             # Half the corpus carries the boilerplate: its 3-gram shingles
-            # have df ~ K * n_base / 2 — far past MAX_SHINGLE_DF.
-            F.when(F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(boiler)))
-            .otherwise(F.col("text"))
-            .alias("text"),
+            # have df ~ K * n_base / 2 — far past MAX_SHINGLE_DF.  The
+            # --no-boilerplate control run times the same ladder on the
+            # uniform clone corpus (task 7: the df cap + banding must keep
+            # the skewed run's wall-clock ~flat vs this control).
+            (
+                F.col("text")
+                if args.no_boilerplate
+                else F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat(F.col("text"), F.lit(boiler)),
+                ).otherwise(F.col("text"))
+            ).alias("text"),
         )
         # Materialize once: every stage below reads the same corpus, and the
         # point is to time the operators, not the synthetic generator.
@@ -101,8 +115,11 @@ def main() -> None:
     )
     n = corpus.count()
 
+    def want(name):
+        return not stage_filter or any(s in name for s in stage_filter)
+
     def stage(name, fn):
-        if stage_filter and not any(s in name for s in stage_filter):
+        if not want(name):
             return
         t0 = time.perf_counter()
         rows = fn()
@@ -137,6 +154,79 @@ def main() -> None:
             ).count(),
         )
 
+    # Candidate-volume audit (r13): the pair tiers' real cost driver is
+    # sum over postings of C(df, 2) — the number of join rows the
+    # self-join emits UNDER the df cap.  One cheap aggregate per tier
+    # makes the "is the cap actually holding the volume?" question
+    # answerable from the smoke JSON alone: on this vocab-limited
+    # synthetic corpus the mid-df band (20 < df <= cap) dominates, which
+    # is why winnow/containment wall-clock tracks candidate volume, not
+    # output volume (r13 finding: 139M grouped candidate pairs feed the
+    # 1.19M-pair winnow output).
+    def _posting_volume(name, fps_df, key, cap):
+        def _run():
+            dfc = fps_df.groupBy(key).agg(F.count(F.lit(1)).alias("df"))
+            row = (
+                dfc.select(
+                    F.sum(
+                        F.when(
+                            F.col("df") <= cap,
+                            F.col("df") * (F.col("df") - 1) / 2,
+                        ).otherwise(F.lit(0))
+                    ).alias("capped_pair_volume"),
+                    F.sum(F.col("df") * (F.col("df") - 1) / 2).alias(
+                        "uncapped_pair_volume"
+                    ),
+                    F.count(F.lit(1)).alias("distinct_keys"),
+                    F.sum(
+                        F.when((F.col("df") > 20) & (F.col("df") <= cap), 1)
+                        .otherwise(0)
+                    ).alias("mid_df_keys"),
+                ).collect()[0]
+            )
+            print(
+                json.dumps(
+                    {
+                        "stage": name,
+                        "capped_pair_volume": int(row["capped_pair_volume"]),
+                        "uncapped_pair_volume": int(row["uncapped_pair_volume"]),
+                        "distinct_keys": int(row["distinct_keys"]),
+                        "mid_df_keys": int(row["mid_df_keys"]),
+                    }
+                ),
+                flush=True,
+            )
+            return 1
+
+        return _run
+
+    if want("posting_volume"):
+        from aws_etl_fiap_spark.operators.dedup import (
+            MAX_SHINGLE_DF,
+            MAX_WINNOW_DF,
+            shingle_rows,
+            winnow_fingerprints,
+        )
+
+        stage(
+            "posting_volume_winnow",
+            _posting_volume(
+                "posting_volume_winnow",
+                winnow_fingerprints(corpus, "doc_id", "text"),
+                "fp",
+                MAX_WINNOW_DF,
+            ),
+        )
+        stage(
+            "posting_volume_shingle3",
+            _posting_volume(
+                "posting_volume_shingle3",
+                shingle_rows(corpus, "doc_id", "text", 3),
+                "shingle",
+                MAX_SHINGLE_DF,
+            ),
+        )
+
     # Relational headline at K x (round-3 verdict #6): build a SHADOW sf dir
     # where the FACT table (lineitem) is cloned K times and every other
     # table is a symlink to the original parquet — the realistic 100 TB
@@ -151,40 +241,49 @@ def main() -> None:
     from aws_etl_fiap_spark.queries import REGISTRY
     from aws_etl_fiap_spark.sources.readers import TABLES
 
-    shadow = tempfile.mkdtemp(prefix="scale_rel_")
-    try:
-        for t in TABLES:
-            if t != "lineitem":
-                os.symlink(
-                    os.path.join(args.sf, f"{t}.parquet"),
-                    os.path.join(shadow, f"{t}.parquet"),
+    _rel_queries = (
+        "flagship_refined_summary",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q18_large_orders",
+    )
+    _want_rel = want("shadow_lineitem_clone") or any(
+        want(f"{q}_{args.k}x") for q in _rel_queries
+    )
+    if _want_rel:
+        shadow = tempfile.mkdtemp(prefix="scale_rel_")
+        try:
+            for t in TABLES:
+                if t != "lineitem":
+                    os.symlink(
+                        os.path.join(args.sf, f"{t}.parquet"),
+                        os.path.join(shadow, f"{t}.parquet"),
+                    )
+            li = load_table(spark, args.sf, "lineitem")
+            t0 = time.perf_counter()
+            (
+                li.crossJoin(copies)
+                .drop("copy")
+                .repartition(32)
+                .write.mode("overwrite")
+                .parquet(os.path.join(shadow, "lineitem.parquet"))
+            )
+            n_li = spark.read.parquet(
+                os.path.join(shadow, "lineitem.parquet")
+            ).count()
+            print(
+                json.dumps(
+                    {"stage": "shadow_lineitem_clone", "rows": int(n_li),
+                     "sec": round(time.perf_counter() - t0, 2)}
+                ),
+                flush=True,
+            )
+            for qname in _rel_queries:
+                qfn = REGISTRY[qname].spark
+                stage(
+                    f"{qname}_{args.k}x", lambda q=qfn: q(spark, shadow).count()
                 )
-        li = load_table(spark, args.sf, "lineitem")
-        t0 = time.perf_counter()
-        (
-            li.crossJoin(copies)
-            .drop("copy")
-            .repartition(32)
-            .write.mode("overwrite")
-            .parquet(os.path.join(shadow, "lineitem.parquet"))
-        )
-        n_li = spark.read.parquet(os.path.join(shadow, "lineitem.parquet")).count()
-        print(
-            json.dumps(
-                {"stage": "shadow_lineitem_clone", "rows": int(n_li),
-                 "sec": round(time.perf_counter() - t0, 2)}
-            ),
-            flush=True,
-        )
-        for qname in (
-            "flagship_refined_summary",
-            "tpch_q5_local_supplier_volume",
-            "tpch_q18_large_orders",
-        ):
-            qfn = REGISTRY[qname].spark
-            stage(f"{qname}_{args.k}x", lambda q=qfn: q(spark, shadow).count())
-    finally:
-        shutil.rmtree(shadow, ignore_errors=True)
+        finally:
+            shutil.rmtree(shadow, ignore_errors=True)
 
     # Round-6 additions: the two incremental-pipeline operators.
     #
@@ -217,51 +316,56 @@ def main() -> None:
     # upsert_1yr_batch sec against the full seed write above it.
     from aws_etl_fiap_spark.sources.writers import upsert_partitioned
 
-    upsert_dir = tempfile.mkdtemp(prefix="scale_upsert_")
-    try:
-        orders = load_table(spark, args.sf, "orders").select(
-            "o_orderkey", "o_totalprice", "o_orderdate"
-        )
-        big_orders = (
-            orders.crossJoin(copies)
-            .select(
-                (F.col("o_orderkey") + F.col("copy") * 100_000_000).alias("o_orderkey"),
-                "o_totalprice",
-                "o_orderdate",
+    if want("upsert_seed_full_write") or want("upsert_1yr_batch"):
+        upsert_dir = tempfile.mkdtemp(prefix="scale_upsert_")
+        try:
+            orders = load_table(spark, args.sf, "orders").select(
+                "o_orderkey", "o_totalprice", "o_orderdate"
             )
-            .withColumn("o_year", F.year("o_orderdate").cast("int"))
-        )
-        seed_path = os.path.join(upsert_dir, "orders_by_year")
-        t0 = time.perf_counter()
-        big_orders.repartition(32).write.partitionBy("o_year").parquet(seed_path)
-        n_seed = spark.read.parquet(seed_path).count()
-        print(
-            json.dumps(
-                {"stage": "upsert_seed_full_write", "rows": int(n_seed),
-                 "sec": round(time.perf_counter() - t0, 2)}
-            ),
-            flush=True,
-        )
-        one_year = int(
-            big_orders.agg(F.min("o_year")).first()[0]
-        )
-        batch = (
-            big_orders.filter(
-                (F.col("o_year") == one_year) & (F.col("o_orderkey") % 50 == 0)
+            big_orders = (
+                orders.crossJoin(copies)
+                .select(
+                    (F.col("o_orderkey") + F.col("copy") * 100_000_000).alias(
+                        "o_orderkey"
+                    ),
+                    "o_totalprice",
+                    "o_orderdate",
+                )
+                .withColumn("o_year", F.year("o_orderdate").cast("int"))
             )
-            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
-        )
+            seed_path = os.path.join(upsert_dir, "orders_by_year")
+            t0 = time.perf_counter()
+            big_orders.repartition(32).write.partitionBy("o_year").parquet(
+                seed_path
+            )
+            n_seed = spark.read.parquet(seed_path).count()
+            print(
+                json.dumps(
+                    {"stage": "upsert_seed_full_write", "rows": int(n_seed),
+                     "sec": round(time.perf_counter() - t0, 2)}
+                ),
+                flush=True,
+            )
+            one_year = int(
+                big_orders.agg(F.min("o_year")).first()[0]
+            )
+            batch = (
+                big_orders.filter(
+                    (F.col("o_year") == one_year) & (F.col("o_orderkey") % 50 == 0)
+                )
+                .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+            )
 
-        def _run_upsert():
-            stats = upsert_partitioned(
-                spark, seed_path, batch, ["o_orderkey"], ["o_year"]
-            )
-            assert stats["affected_partitions"] == 1, stats
-            return spark.read.parquet(seed_path).count()
+            def _run_upsert():
+                stats = upsert_partitioned(
+                    spark, seed_path, batch, ["o_orderkey"], ["o_year"]
+                )
+                assert stats["affected_partitions"] == 1, stats
+                return spark.read.parquet(seed_path).count()
 
-        stage("upsert_1yr_batch", _run_upsert)
-    finally:
-        shutil.rmtree(upsert_dir, ignore_errors=True)
+            stage("upsert_1yr_batch", _run_upsert)
+        finally:
+            shutil.rmtree(upsert_dir, ignore_errors=True)
 
     # Snapshot-format CoW merge at K x (r7, sources/snapshot.py): seed a K x
     # orders table range-clustered on the key into 64 immutable files, then
@@ -271,48 +375,51 @@ def main() -> None:
     # compare snap_cow_merge sec against snap_seed_full_write.
     from aws_etl_fiap_spark.sources import snapshot as snap_fmt
 
-    snap_dir = tempfile.mkdtemp(prefix="scale_snap_")
-    try:
-        orders = load_table(spark, args.sf, "orders").select(
-            "o_orderkey", "o_totalprice"
-        )
-        big_orders = orders.crossJoin(copies).select(
-            (F.col("o_orderkey") + F.col("copy") * 100_000_000).alias("o_orderkey"),
-            "o_totalprice",
-        )
-        snap_path = os.path.join(snap_dir, "orders_snap")
-        t0 = time.perf_counter()
-        snap_fmt.create_table(
-            spark,
-            big_orders.repartitionByRange(64, "o_orderkey"),
-            snap_path,
-            n_files=None,
-            stats_cols=["o_orderkey"],
-        )
-        n_seed = snap_fmt.read_table(spark, snap_path).count()
-        print(
-            json.dumps(
-                {"stage": "snap_seed_full_write", "rows": int(n_seed),
-                 "sec": round(time.perf_counter() - t0, 2)}
-            ),
-            flush=True,
-        )
-        narrow = big_orders.filter(F.col("o_orderkey") < 1000).withColumn(
-            "o_totalprice", F.lit(0.0)
-        )
+    if want("snap_seed_full_write") or want("snap_cow_merge_narrow"):
+        snap_dir = tempfile.mkdtemp(prefix="scale_snap_")
+        try:
+            orders = load_table(spark, args.sf, "orders").select(
+                "o_orderkey", "o_totalprice"
+            )
+            big_orders = orders.crossJoin(copies).select(
+                (F.col("o_orderkey") + F.col("copy") * 100_000_000).alias(
+                    "o_orderkey"
+                ),
+                "o_totalprice",
+            )
+            snap_path = os.path.join(snap_dir, "orders_snap")
+            t0 = time.perf_counter()
+            snap_fmt.create_table(
+                spark,
+                big_orders.repartitionByRange(64, "o_orderkey"),
+                snap_path,
+                n_files=None,
+                stats_cols=["o_orderkey"],
+            )
+            n_seed = snap_fmt.read_table(spark, snap_path).count()
+            print(
+                json.dumps(
+                    {"stage": "snap_seed_full_write", "rows": int(n_seed),
+                     "sec": round(time.perf_counter() - t0, 2)}
+                ),
+                flush=True,
+            )
+            narrow = big_orders.filter(F.col("o_orderkey") < 1000).withColumn(
+                "o_totalprice", F.lit(0.0)
+            )
 
-        def _run_snap_merge():
-            stats = snap_fmt.upsert(spark, snap_path, narrow, ["o_orderkey"])
-            assert stats["rewritten_files"] <= 4, stats
-            assert stats["carried_files"] >= 60, stats
-            # manifest-stats pruning: the affected-file scan must have
-            # SKIPPED nearly every file, not scanned-and-discarded them
-            assert stats["pruned_files"] >= 60, stats
-            return snap_fmt.read_table(spark, snap_path).count()
+            def _run_snap_merge():
+                stats = snap_fmt.upsert(spark, snap_path, narrow, ["o_orderkey"])
+                assert stats["rewritten_files"] <= 4, stats
+                assert stats["carried_files"] >= 60, stats
+                # manifest-stats pruning: the affected-file scan must have
+                # SKIPPED nearly every file, not scanned-and-discarded them
+                assert stats["pruned_files"] >= 60, stats
+                return snap_fmt.read_table(spark, snap_path).count()
 
-        stage("snap_cow_merge_narrow", _run_snap_merge)
-    finally:
-        shutil.rmtree(snap_dir, ignore_errors=True)
+            stage("snap_cow_merge_narrow", _run_snap_merge)
+        finally:
+            shutil.rmtree(snap_dir, ignore_errors=True)
 
     # ANN at K x: clone the embedding corpus the same way (clones share
     # vectors, so every bucket a query probes carries K x candidates — the
