@@ -211,3 +211,95 @@ def test_extraction_plan_is_scan_stage_only(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# --- r13 property extensions: idempotence / fixpoint laws ------------------
+
+
+def test_extract_is_idempotent_property(spark):
+    """extract(extract(x)) == extract(x) as a LAW, not a sample: the
+    extracted output is tag-free (link density 0) and is the union of
+    kept blocks, so it re-passes the keep rule whenever it is non-empty —
+    each kept block passed via word count (counts only aggregate upward
+    under union) or via stopword density (the union's fraction is a
+    weighted average of passing fractions, so it stays >= the threshold)
+    — and the empty output splits into zero non-empty blocks.  Exercised
+    over every classification-fixture combination, including the
+    all-boilerplate empty case."""
+    combos = [
+        CONTENT,
+        PROSE_SHORT,
+        NAV,  # -> empty extraction
+        NAV + CONTENT,
+        LINKY + PROSE_SHORT,
+        CONTENT + PROSE_SHORT + NAV + LINKY + SHORT_PLAIN,
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(combos)], "doc_id long, html string"
+    )
+    once = extract_main_content(df, "html").select(
+        "doc_id", F.col("main_content").alias("html")
+    )
+    twice = extract_main_content(once, "html")
+    rows = {
+        r.doc_id: r
+        for r in twice.join(
+            extract_main_content(df, "html").select(
+                "doc_id", F.col("main_content").alias("first_pass")
+            ),
+            "doc_id",
+        ).collect()
+    }
+    assert len(rows) == len(combos)
+    for r in rows.values():
+        assert r.main_content == r.first_pass, r
+        # the re-extraction sees one tag-free block (or none when empty)
+        assert r.n_kept == (1 if r.first_pass else 0), r
+
+
+def test_sanitize_is_idempotent_on_single_layer_property(spark):
+    """sanitize(sanitize(x)) == sanitize(x) on the operator's declared
+    input class (clean text, NFD sequences, control damage, and SINGLE
+    mojibake layers): the second pass must be a complete no-op —
+    repaired=false and n_controls_removed=0 — because repair output
+    contains no remaining markers-with-valid-roundtrip, NFC is
+    idempotent, and the scrub removed every control."""
+    cases = [
+        "plain ascii text",
+        "visit the cafÃ© soon",  # single mojibake layer
+        "résumé text",  # NFD -> NFC
+        "ctrl\x01 damage\x07 here",
+        "Ã alone is not utf8",  # tripwire without valid roundtrip
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    once = unicode_sanitize(df).select(
+        "doc_id", F.col("sanitized").alias("text")
+    )
+    rows = unicode_sanitize(once).collect()
+    for r in rows:
+        assert not r.repaired, r
+        assert r.n_controls_removed == 0, r
+        assert r.sanitized == r.text, r
+
+
+def test_sanitize_peels_one_mojibake_layer_per_pass(spark):
+    """DOUBLE-encoded mojibake is repaired one layer per pass (the ftfy
+    explain-one-step contract, pinned so a future 'loop to fixpoint'
+    change is a deliberate semantics change, not an accident): pass 1
+    yields the singly-encoded artifact with repaired=true, pass 2
+    finishes the job, pass 3 is a no-op."""
+    single = "cafÃ©"
+    double = single.encode("utf-8").decode("latin-1")
+    df = spark.createDataFrame([(0, double)], "doc_id long, text string")
+    p1 = unicode_sanitize(df).collect()[0]
+    assert p1.repaired and p1.sanitized == single
+    p2 = unicode_sanitize(
+        spark.createDataFrame([(0, p1.sanitized)], "doc_id long, text string")
+    ).collect()[0]
+    assert p2.repaired and p2.sanitized == "café"
+    p3 = unicode_sanitize(
+        spark.createDataFrame([(0, p2.sanitized)], "doc_id long, text string")
+    ).collect()[0]
+    assert not p3.repaired and p3.sanitized == "café"
