@@ -170,3 +170,96 @@ def test_incremental_refresh_random_commits_property(spark, tmp_path):
             shutil.rmtree(tmp, ignore_errors=True)
 
     prop()
+
+
+# --- r13 interplay properties: refresh x compact / vacuum ------------------
+
+
+def test_mv_refresh_across_compact_is_exact_noop(spark, tmp_path):
+    """compact() rewrites small files into consolidated ones WITHOUT
+    touching rows — so a refresh spanning the compact version sees every
+    moved row on both sides of the delta and must cancel EXACTLY back to
+    the same state (the docstring symmetry changed_sides promises, pinned
+    here for the maintenance op the random-commits property never
+    issues)."""
+    path = str(tmp_path / "t_compact")
+    df = spark.createDataFrame(
+        [(k, "g" + str(k % 3), k * 10) for k in range(1, 31)],
+        "k int, g string, v int",
+    )
+    sums = {"sv": ("v", 0)}
+    S.create_table(spark, df, path, n_files=6)
+    state = full_agg_state(S.read_table(spark, path), ["g"], sums)
+    before = _rows(state)
+    stats = S.compact(spark, path, target_rows=1_000_000)
+    assert stats["new_version"] > 1, stats  # the maintenance commit exists
+    refreshed = incremental_agg_refresh(
+        spark, path, state, 1, S.current_version(spark, path), ["g"], sums
+    )
+    assert _rows(refreshed) == before
+    assert _rows(refreshed) == _rows(
+        full_agg_state(S.read_table(spark, path), ["g"], sums)
+    )
+
+
+def test_mv_refresh_chain_spanning_compact_and_upserts(spark, tmp_path):
+    """A refresh window that spans [upsert, compact, upsert] must fold the
+    real changes and cancel the layout-only rewrite in ONE delta — the
+    steady-state shape of a merge-heavy table under periodic OPTIMIZE."""
+    path = str(tmp_path / "t_mix")
+    sums = {"sv": ("v", 0)}
+    S.create_table(
+        spark,
+        spark.createDataFrame(
+            [(k, "g" + str(k % 2), k) for k in range(1, 21)],
+            "k int, g string, v int",
+        ),
+        path,
+        n_files=5,
+    )
+    state = full_agg_state(S.read_table(spark, path), ["g"], sums)
+    S.upsert(
+        spark, path,
+        spark.createDataFrame([(1, "g1", 100), (50, "g0", 7)],
+                              "k int, g string, v int"),
+        ["k"],
+    )
+    S.compact(spark, path, target_rows=1_000_000)
+    S.upsert(
+        spark, path,
+        spark.createDataFrame([(2, "g0", -5)], "k int, g string, v int"),
+        ["k"],
+    )
+    refreshed = incremental_agg_refresh(
+        spark, path, state, 1, S.current_version(spark, path), ["g"], sums
+    )
+    assert _rows(refreshed) == _rows(
+        full_agg_state(S.read_table(spark, path), ["g"], sums)
+    )
+
+
+def test_mv_refresh_from_vacuumed_version_fails_loudly(spark, tmp_path):
+    """Refreshing from a version vacuum() has dropped must raise the typed
+    missing-manifest error — NEVER silently compute a delta from a partial
+    history (the state would be wrong with no diagnostic).  Pinned so the
+    manifest-read path keeps failing closed."""
+    path = str(tmp_path / "t_vac")
+    sums = {"sv": ("v", 0)}
+    S.create_table(
+        spark,
+        spark.createDataFrame([(1, "a", 1), (2, "b", 2)],
+                              "k int, g string, v int"),
+        path,
+        n_files=1,
+    )
+    state = full_agg_state(S.read_table(spark, path), ["g"], sums)
+    S.upsert(
+        spark, path,
+        spark.createDataFrame([(3, "a", 3)], "k int, g string, v int"),
+        ["k"],
+    )
+    S.vacuum(spark, path, keep_last=1, retain_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        incremental_agg_refresh(
+            spark, path, state, 1, S.current_version(spark, path), ["g"], sums
+        ).collect()
