@@ -1799,3 +1799,122 @@ def test_cdf_spans_partition_spec_evolution_property(spark, tmp_path):
         for r in pruned.filter(F.col("d").between(str(lo_d), str(hi_d))).collect()
     }
     assert got_keys == {k for k, (d, _) in model.items() if lo_d <= d <= hi_d}
+
+
+def test_compact_x_hidden_partitioning_interplay(spark, sf_smoke, tmp_path):
+    """r13 interplay property: compact() consolidates ACROSS partitions, so
+    its rewritten files legitimately have no single partition value — the
+    doubt-policy ("files with no record are ALWAYS kept") must make every
+    pruned read stay EXACT, trading pruning for correctness on exactly the
+    rewritten files and nothing else:
+
+    - values and row counts survive the rewrite bit-for-bit;
+    - pruned reads on the post-compact version equal the row-level filter
+      (rewritten files scanned-and-filtered, never skipped wrongly);
+    - the PRE-compact version still prunes fully under time travel;
+    - a fresh append re-establishes metadata pruning for the new month
+      (one maintenance pass must not disable the mechanism forward)."""
+    path = str(tmp_path / "snap_cx")
+    months = ["1995-03-15", "1996-07-04", "1997-11-20"]
+    frames = [
+        _orders(spark, sf_smoke)
+        .withColumn("o_orderdate", F.to_date(F.lit(m)))
+        .limit(30)
+        for m in months
+    ]
+    for fr in frames:
+        S.append_partitioned(spark, fr, path, "month", "o_orderdate")
+    v_pre = S.current_version(spark, path)
+    pre_rows = sorted(
+        (r["o_orderkey"], r["o_orderdate"].isoformat())
+        for r in S.read_table(spark, path).collect()
+    )
+    pre_pruned_files = len(
+        S.read_table_pruned(
+            spark, path, "o_orderdate", "1996-01-01", "1996-12-31"
+        ).inputFiles()
+    )
+    total_files = len(S._read_manifest(spark, path, v_pre)["files"])
+    assert pre_pruned_files < total_files  # pruning is live before compact
+
+    stats = S.compact(spark, path, target_rows=10_000_000)  # rewrite all
+    assert stats["compacted_files"] == total_files, stats
+
+    # values survive the cross-partition rewrite exactly
+    post_rows = sorted(
+        (r["o_orderkey"], r["o_orderdate"].isoformat())
+        for r in S.read_table(spark, path).collect()
+    )
+    assert post_rows == pre_rows
+
+    # pruned read on the compacted version: exact result, doubt-kept files
+    pruned = S.read_table_pruned(
+        spark, path, "o_orderdate", "1996-01-01", "1996-12-31"
+    )
+    got = sorted(
+        (r["o_orderkey"], r["o_orderdate"].isoformat())
+        for r in pruned.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") <= F.lit("1996-12-31"))
+        ).collect()
+    )
+    want = [t for t in pre_rows if t[1].startswith("1996")]
+    assert got == want
+
+    # time travel to the pre-compact version keeps FULL metadata pruning
+    tt_files = len(
+        S.read_table_pruned(
+            spark, path, "o_orderdate", "1996-01-01", "1996-12-31",
+            version=v_pre,
+        ).inputFiles()
+    )
+    assert tt_files == pre_pruned_files
+
+    # a post-compact append re-establishes pruning for the new month
+    S.append_partitioned(
+        spark,
+        _orders(spark, sf_smoke)
+        .withColumn("o_orderdate", F.to_date(F.lit("1998-01-05")))
+        .limit(30),
+        path,
+        "month",
+        "o_orderdate",
+    )
+    m_now = S._read_manifest(spark, path, S.current_version(spark, path))
+    new_recs = [
+        n for n, rec in (m_now.get("partitions") or {}).items()
+        if rec.get("value", "").startswith("1998")
+    ]
+    assert new_recs, "fresh append lost its partition records after compact"
+    # a 1995 query must NOT scan the 1998 file (its record proves disjoint)
+    pruned95 = S.read_table_pruned(
+        spark, path, "o_orderdate", "1995-01-01", "1995-12-31"
+    )
+    assert not set(new_recs) & {
+        f.rsplit("/", 1)[-1] for f in pruned95.inputFiles()
+    }
+
+
+def test_table_changes_across_compact_is_empty(spark, sf_smoke, tmp_path):
+    """r13 interplay: a compact() commit moves every row to a new file
+    without changing values — CDF across it must classify NOTHING (the
+    moved rows meet on key and null-safe-compare equal), and a window
+    spanning [real upsert, compact] must surface exactly the upsert's
+    keys, never the layout rewrite."""
+    src = _orders(spark, sf_smoke)
+    path = str(tmp_path / "snap_cdf_cx")
+    S.create_table(
+        spark, src.repartitionByRange(6, "o_orderkey"), path,
+        n_files=None, stats_cols=["o_orderkey"],
+    )
+    batch = src.limit(4).withColumn("o_totalprice", F.lit(999.0))
+    S.upsert(spark, path, batch, ["o_orderkey"])        # v2: real change
+    S.compact(spark, path, target_rows=10_000_000)      # v3: layout only
+
+    over_compact = S.table_changes(spark, path, 2, 3, ["o_orderkey"])
+    assert over_compact.count() == 0
+
+    spanning = S.table_changes(spark, path, 1, 3, ["o_orderkey"])
+    got = {r["o_orderkey"]: r["change_type"] for r in spanning.collect()}
+    assert set(got) == {r["o_orderkey"] for r in batch.collect()}
+    assert set(got.values()) <= {"updated"}
