@@ -45,6 +45,23 @@ BLOCK_SPLIT_RE = "</(?:p|div|li|h[1-6])>"
 _ANCHOR_RE = "<a[^>]*>([^<]*)</a>"
 _TAG_RE = "<[^>]*>"
 
+#: EXPLICIT whitespace class shared by both twins, replacing engine ``\s``
+#: and engine ``trim`` semantics at the edges (r13 fuzz finding): Java
+#: ``\s`` includes \x0b, RE2's does not; DuckDB ``trim`` strips the whole
+#: Unicode Zs category (NBSP & friends) while Spark's strips only 0x20 —
+#: so a document containing U+00A0 (ubiquitous in real web text) diverged
+#: between the engines.  The class is the UNION of both engines' sets
+#: (ASCII whitespace + Zs), written as escapes/literals both regex
+#: dialects read identically; squeezing it to ' ' BEFORE trim leaves only
+#: 0x20 at the edges, where the two trims agree.  Zl/Zp (U+2028/29) are
+#: deliberately excluded: neither engine's \s nor trim touches them, so
+#: both twins preserve them identically.
+_ZS_CHARS = "".join(
+    chr(c)
+    for c in (0x00A0, 0x1680, *range(0x2000, 0x200B), 0x202F, 0x205F, 0x3000)
+)
+_WS_RUN = "[\\t\\n\\x0b\\f\\r " + _ZS_CHARS + "]+"
+
 #: Keep a block iff link_density <= MAX_LINK_DENSITY and (n_words >=
 #: MIN_BLOCK_WORDS or stopword_frac >= MIN_STOPWORD_FRAC).
 MAX_LINK_DENSITY = 0.30
@@ -57,7 +74,7 @@ _STOPWORDS = LID_STOPWORDS["en"]
 def _block_text(block: Column) -> Column:
     """Tag-stripped, whitespace-squeezed, trimmed block text."""
     return F.trim(
-        F.regexp_replace(F.regexp_replace(block, _TAG_RE, " "), r"\s+", " ")
+        F.regexp_replace(F.regexp_replace(block, _TAG_RE, " "), _WS_RUN, " ")
     )
 
 
@@ -116,10 +133,14 @@ def extract_main_content(
 
 
 def _sql_block_text(b: str) -> str:
+    # _WS_RUN rides into the SQL literal verbatim: DuckDB's standard
+    # string literals pass backslashes through untouched, so RE2 sees the
+    # same \t/\n/\x0b escapes Java does, and the Zs members are literal
+    # codepoints both dialects match identically.
     return (
         "trim(regexp_replace(regexp_replace("
         + b
-        + ", '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+        + f", '<[^>]*>', ' ', 'g'), '{_WS_RUN}', ' ', 'g'))"
     )
 
 

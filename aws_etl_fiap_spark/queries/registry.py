@@ -819,7 +819,13 @@ FAILED_R12: tuple[str, ...] = ()
 #:   (VERDICT tasks 5-6: HTML boilerplate extraction + Unicode/mojibake
 #:   normalization now run upstream of the Gopher rules inside the
 #:   funnel); its oracle changed in lockstep.  r10-green, displaced-slot
-#:   arithmetic identical to the textindex entry.
+#:   arithmetic identical to the textindex entry.  Late-r13 it ALSO rides
+#:   webtext's explicit-whitespace-class fix (an adversarial-markup fuzz
+#:   found the twins diverging on U+00A0: DuckDB trim strips Zs, Spark's
+#:   does not; both sides now squeeze one shared class, spec+oracle in
+#:   lockstep via the sql_* builders) — re-simmed exact, as were
+#:   text_extract_main_content / text_unicode_sanitize (NEW_R13, first
+#:   graded r14 on this code).
 #: - dedup_cluster_canonical rides the r13 connected_components
 #:   empty-edge-set guard (operators/graph.py: the change detector's SUM
 #:   over zero label rows is NULL, so a legitimately edge-free pair stage

@@ -303,3 +303,32 @@ def test_sanitize_peels_one_mojibake_layer_per_pass(spark):
         spark.createDataFrame([(0, p2.sanitized)], "doc_id long, text string")
     ).collect()[0]
     assert not p3.repaired and p3.sanitized == "café"
+
+
+def test_extract_twins_agree_on_unicode_whitespace(spark):
+    """r13 fuzz regression: Java \\s includes \\x0b where RE2's does not,
+    and DuckDB's trim strips the Unicode Zs category (NBSP & friends)
+    where Spark's strips only 0x20 — a bare U+00A0 document diverged
+    between the twins (Spark counted a non-empty block, DuckDB did not).
+    The shared explicit _WS_RUN class replaces both engines' \\s/trim
+    semantics; this pins the repaired cases byte-exactly."""
+    import duckdb
+
+    cases = [
+        "\u00a0",                      # the original falsifying example
+        "\u00a0<p>word\u00a0list</p>\u2009",
+        "a\x0bb",                      # VT: Java-\s-only member
+        "\u3000\u200a lead and trail \u202f",
+        "\u200b",                      # ZWSP: NOT whitespace in either
+        CONTENT + "\u00a0" + PROSE_SHORT,
+    ]
+    con = duckdb.connect()
+    for html in cases:
+        df = spark.createDataFrame([(0, html)], "doc_id long, html string")
+        got = extract_main_content(df, "html").collect()[0]
+        want = con.execute(
+            f"SELECT {sql_main_content('$html')}, {sql_n_blocks('$html')},"
+            f" {sql_n_kept('$html')}",
+            {"html": html},
+        ).fetchone()
+        assert (got.main_content, got.n_blocks, got.n_kept) == want, html
