@@ -28,6 +28,66 @@ BLOCKED_DOMAINS: tuple[str, ...] = (
     "src3media.io",
 )
 
+def sql_canonicalize_ctes(src: str = "urls") -> str:
+    """The c1..doms DuckDB canonicalization mirror over a CTE named ``src``
+    holding (doc_id, url) — ONE source of truth shared by the registered
+    oracle below and the adversarial twin fuzz in tests/test_web.py.
+
+    The ``coalesce(..., '')`` on the sorted-query rebuild is load-bearing
+    (r13 fuzz finding): DuckDB's array_to_string over an EMPTY list —
+    every param filtered as utm_*, or no query string at all — returns
+    NULL where Spark's array_join returns '', which NULL-poisoned the
+    whole canonical URL through the '?' concat.  The registered fixture
+    always carries a non-utm param so the gate never reached it; arbitrary
+    crawl URLs do.  Same engine gap sql_main_content already guards."""
+    return f"""c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM {src}),
+c2 AS (
+    SELECT doc_id, nf,
+        lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+            AS hostport,
+        regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
+    FROM c1
+),
+c3 AS (
+    SELECT doc_id, scheme,
+        CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+             ELSE hostport END AS host,
+        regexp_extract(rest, '^([^?]*)', 1) AS rawpath,
+        regexp_extract(rest, '\\?(.*)$', 1) AS qstr
+    FROM c2
+),
+c4 AS (
+    SELECT doc_id, scheme, host,
+        CASE WHEN regexp_matches(rawpath, './$')
+             THEN regexp_replace(rawpath, '/+$', '')
+             ELSE rawpath END AS trimmed,
+        coalesce(array_to_string(
+            list_sort(list_filter(string_split(qstr, '&'),
+                                  p -> p <> '' AND NOT regexp_matches(p, '^utm_'))),
+            '&'), '') AS cq
+    FROM c3
+),
+curls AS (
+    SELECT doc_id, host,
+        scheme || '://' || host
+        || CASE WHEN trimmed = '' THEN '/' ELSE trimmed END
+        || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+    FROM c4
+),
+doms AS (
+    SELECT doc_id, host, canonical_url,
+        CASE WHEN regexp_matches(host, '\\.(co\\.uk|com\\.br|co\\.jp)$')
+                  AND len(string_split(host, '.')) >= 3
+             THEN concat_ws('.', string_split(host, '.')[-3],
+                            string_split(host, '.')[-2], string_split(host, '.')[-1])
+             ELSE concat_ws('.', string_split(host, '.')[-2],
+                            string_split(host, '.')[-1]) END AS registered_domain
+    FROM curls
+)"""
+
+
 _ORACLE = f"""
 WITH raw AS (
     SELECT doc_id, source,
@@ -62,52 +122,7 @@ urls AS (
         || CASE WHEN doc_id % 17 = 0 THEN '#section-2' ELSE '' END AS url
     FROM raw
 ),
-c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM urls),
-c2 AS (
-    SELECT doc_id, nf,
-        lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
-            AS hostport,
-        regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS rest
-    FROM c1
-),
-c3 AS (
-    SELECT doc_id, scheme,
-        CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
-             WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
-             ELSE hostport END AS host,
-        regexp_extract(rest, '^([^?]*)', 1) AS rawpath,
-        regexp_extract(rest, '\\?(.*)$', 1) AS qstr
-    FROM c2
-),
-c4 AS (
-    SELECT doc_id, scheme, host,
-        CASE WHEN regexp_matches(rawpath, './$')
-             THEN regexp_replace(rawpath, '/+$', '')
-             ELSE rawpath END AS trimmed,
-        array_to_string(
-            list_sort(list_filter(string_split(qstr, '&'),
-                                  p -> p <> '' AND NOT regexp_matches(p, '^utm_'))),
-            '&') AS cq
-    FROM c3
-),
-curls AS (
-    SELECT doc_id, host,
-        scheme || '://' || host
-        || CASE WHEN trimmed = '' THEN '/' ELSE trimmed END
-        || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
-    FROM c4
-),
-doms AS (
-    SELECT doc_id, host, canonical_url,
-        CASE WHEN regexp_matches(host, '\\.(co\\.uk|com\\.br|co\\.jp)$')
-                  AND len(string_split(host, '.')) >= 3
-             THEN concat_ws('.', string_split(host, '.')[-3],
-                            string_split(host, '.')[-2], string_split(host, '.')[-1])
-             ELSE concat_ws('.', string_split(host, '.')[-2],
-                            string_split(host, '.')[-1]) END AS registered_domain
-    FROM curls
-)
+{sql_canonicalize_ctes()}
 SELECT registered_domain,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT host) AS n_hosts,

@@ -131,3 +131,77 @@ def test_canonicalize_url_property(spark):
         assert got[1] == clean, f"not idempotent: {clean!r} -> {got[1]!r}"
 
     prop()
+
+
+def _duck_canon(url):
+    import duckdb
+
+    from aws_etl_fiap_spark.queries.web_q import sql_canonicalize_ctes
+
+    sql = (
+        "WITH urls AS (SELECT 0 AS doc_id, $url AS url),\n"
+        + sql_canonicalize_ctes()
+        + "\nSELECT canonical_url, host, registered_domain FROM doms"
+    )
+    return duckdb.connect().execute(sql, {"url": url}).fetchone()
+
+
+def _spark_canon(spark, url):
+    from aws_etl_fiap_spark.operators.web import (
+        canonicalize_url,
+        host_of,
+        registered_domain,
+    )
+
+    row = (
+        spark.createDataFrame([(url,)], "url string")
+        .select(canonicalize_url(F.col("url")).alias("c"))
+        .withColumn("h", host_of(F.col("c")))
+        .withColumn("d", registered_domain(F.col("h")))
+        .collect()[0]
+    )
+    return (row.c, row.h, row.d)
+
+
+def test_canonicalize_twins_on_degenerate_urls(spark):
+    """r13 fuzz regression: the oracle's sorted-query rebuild used a bare
+    array_to_string, which is NULL over an empty list in DuckDB (all
+    params utm_*, or no query string) where Spark's array_join is '' —
+    NULL-poisoning the whole canonical URL through the '?' concat.  The
+    registered fixture always carries a non-utm param so the gate never
+    reached it; these degenerate crawl-reality shapes did.  Fixed with
+    the same coalesce guard sql_main_content documents."""
+    cases = [
+        "http://",                       # empty host, no query
+        "https://example.com?utm_a=1",   # query filters to nothing
+        "http://example.com?",           # bare '?'
+        "http://example.com#only-frag",
+        "ftp://X.CO.UK:443/a//",
+        "http://localhost/x?b=2&a=1",    # single-label host
+    ]
+    for url in cases:
+        assert _spark_canon(spark, url) == _duck_canon(url), url
+
+
+def test_canonicalize_twins_fuzz_property(spark):
+    """Adversarial URL compositions (ports, userinfo, repeated separators,
+    unicode, %-escapes, uppercase two-level TLDs): Spark canonicalize ->
+    host -> eTLD+1 must equal the shared DuckDB mirror byte-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.sampled_from([
+        "http://", "https://", "HTTPS://", "example", "EXAMPLE", ".com",
+        ".CO.UK", ".co.uk", ".io", ":80", ":443", ":8080", "/", "/path",
+        "//", "?", "&", "=", "utm_x=1", "ref=a", "a=b", "#frag", "#",
+        "user:pass@", "café", "%20", "+", ".", "www.", "sub.",
+        "?q=z&q=a",
+    ])
+    urls = st.lists(frag, min_size=1, max_size=10).map("".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(urls)
+    def prop(url):
+        assert _spark_canon(spark, url) == _duck_canon(url), url
+
+    prop()
