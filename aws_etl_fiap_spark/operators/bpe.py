@@ -36,19 +36,30 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _pair_counts(seqs: DataFrame) -> DataFrame:
     """Adjacent symbol-pair counts over (word, freq, seq) weighted by word
-    frequency.  seq is the space-padded symbol string; pairs come from a
-    posexplode + LEAD window partitioned by word — O(symbols) rows, one
-    shuffle keyed by pair."""
+    frequency.  seq is the space-padded symbol string; adjacent pairs are
+    zipped INSIDE the row with an array expression and explode straight
+    into the map-side-combined pair aggregate — one shuffle keyed by pair.
+    (The first cut ran posexplode + a LEAD window partitioned by word,
+    which shuffled every exploded symbol by word just to look one element
+    ahead inside an array it already had whole — a full extra exchange per
+    merge round, r13 plan audit.)  Emitted pair multiset is identical: the
+    i-th adjacent pair of each word's symbol sequence, weighted by freq."""
     toks = F.filter(F.split(F.col("seq"), " "), lambda x: x != F.lit(""))
-    exploded = seqs.select(
-        "word", "freq", F.posexplode(toks).alias("pos", "tok")
-    )
-    w = Window.partitionBy("word").orderBy("pos")
-    pairs = exploded.withColumn("nxt", F.lead("tok").over(w)).filter(
-        F.col("nxt").isNotNull()
-    )
+    # when() guard: F.sequence(0, -1) DESCENDS for single-symbol words
+    # (the repo's recurring auto-descent trap) — emit no pairs instead.
+    pairs_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(2)),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("left_sym"),
+                F.element_at(toks, i + 2).alias("right_sym"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<left_sym:string,right_sym:string>>"))
+    pairs = seqs.select("freq", F.explode(pairs_arr).alias("p"))
     return pairs.groupBy(
-        F.col("tok").alias("left_sym"), F.col("nxt").alias("right_sym")
+        F.col("p.left_sym").alias("left_sym"), F.col("p.right_sym").alias("right_sym")
     ).agg(F.sum("freq").alias("cnt"))
 
 

@@ -61,7 +61,8 @@ def _release_checkpoint_blocks(df: DataFrame) -> None:
 
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25,
+    oriented_unique: bool = False,
 ) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with its
     component's minimum vertex id.
@@ -70,9 +71,19 @@ def connected_components(
     ``DataFrame[id, comp]`` covering every vertex that appears in an edge.
     Raises if the propagation hasn't converged after ``max_iter`` rounds
     (unconverged labels would silently over-split clusters).
+
+    ``oriented_unique=True`` declares that ``edges`` carries each
+    undirected pair EXACTLY ONCE with ``src < dst`` (the shape every pair
+    generator in operators/dedup.py and linkage.py emits: a groupBy over
+    ``id_a < id_b``).  Then the two-direction union is duplicate-free by
+    construction and the symmetrize step skips its ``distinct()`` — one
+    full shuffle + hash-dedup of the edge list, the widest frame in the
+    query, removed outright (guide-§2.4 class: a distinct on data that is
+    already unique).  Duplicate edges would only inflate join fan-out, not
+    change the min-label fixpoint, so a violated promise degrades
+    performance, never correctness.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # EAGER localCheckpoint, not persist(): the pair-generation plan feeding
     # ``edges`` (shingle explode + inverted-index join for dedup clustering)
     # is the expensive part, and a lazy persist leaves that full plan tree
@@ -81,13 +92,24 @@ def connected_components(
     # (round-3 verdict measured a 1.06s within-run spread on a 2.78s min).
     # Checkpointing eagerly pays the materialization once, and every round's
     # plan then starts from a flat cached-RDD scan of (src, dst) longs.
-    sym = sym.distinct().localCheckpoint(eager=True)
-
-    # The checkpoint is already materialized, so this count is metadata-cheap
-    # and buys the loop a shuffle width matched to the EDGE count instead of
-    # the session's scan-sized default (see EDGES_PER_SHUFFLE_PARTITION).
-    n_edges = sym.count()
-    if n_edges == 0:
+    #
+    # The checkpoint pins the ORIENTED edge list, BEFORE symmetrizing: the
+    # two-direction union references its child twice, so checkpointing the
+    # union instead would run pair generation twice inside one
+    # materialization job (r13 plan audit).  For oriented-unique input the
+    # union over the cache is duplicate-free by construction and stays
+    # LAZY — each loop round re-reads the cached longs twice, which is
+    # noise next to the join it feeds; the old unconditional ``distinct()``
+    # paid a full shuffle + hash-dedup of the widest frame in the query to
+    # dedup data that was already unique (guide-§2.4 class).
+    e = e.localCheckpoint(eager=True)
+    n_pairs = e.count()  # metadata-cheap on the materialized cache
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if not oriented_unique:
+        sym = sym.distinct().localCheckpoint(eager=True)
+        _release_checkpoint_blocks(e)
+    n_edges = 2 * n_pairs
+    if n_pairs == 0:
         # An EMPTY edge set is a normal state, not a convergence failure:
         # the curation funnel's pair stage legitimately produces zero
         # near-dup edges on an already-clean shard, and the propagation
@@ -102,11 +124,18 @@ def connected_components(
     session = sym.sparkSession
     default_parts = int(session.conf.get("spark.sql.shuffle.partitions", "200"))
     loop_parts = max(1, min(default_parts, -(-n_edges // EDGES_PER_SHUFFLE_PARTITION)))
+    # Deliberate join strategy from the MEASURED pair count (guide §3.1):
+    # the label frame carries exactly one row per vertex (<= 2 * n_pairs),
+    # so below the threshold each hop broadcasts the labels and the edge
+    # cache is map-scanned, never shuffled — the same gate pagerank applies
+    # (see BROADCAST_VERTEX_ROWS).  Above it, hops fall back to the shuffle
+    # join unchanged.
+    bcast_labels = 2 * n_pairs <= BROADCAST_VERTEX_ROWS
     with scoped_conf(session, "spark.sql.shuffle.partitions", str(loop_parts)):
-        return _propagate(sym, max_iter)
+        return _propagate(sym, max_iter, bcast_labels)
 
 
-def _propagate(sym: DataFrame, max_iter: int) -> DataFrame:
+def _propagate(sym: DataFrame, max_iter: int, bcast_labels: bool = False) -> DataFrame:
     """Min-label propagation rounds over the materialized symmetric edges."""
     lbl = (
         sym.select(F.col("src").alias("id"))
@@ -120,7 +149,9 @@ def _propagate(sym: DataFrame, max_iter: int) -> DataFrame:
         # input label rides along as ``own`` so change-detection falls out of
         # the SAME aggregate — round 1 paid a second join + count action per
         # round just to measure change, which doubled round latency.
-        offers = sym.join(frame, sym.dst == frame.id).select(
+        offers = sym.join(
+            F.broadcast(frame) if bcast_labels else frame, sym.dst == frame.id
+        ).select(
             F.col("src").alias("id"),
             F.col("comp"),
             F.lit(None).cast("long").alias("own"),
@@ -172,12 +203,23 @@ def _propagate(sym: DataFrame, max_iter: int) -> DataFrame:
     )
 
 
+#: Rank/label frames at or under this many rows broadcast in iterative
+#: loops (~24 B/row -> ~100 MB built relation, comfortably inside the guide
+#: §3.1 "few hundred MB is fine" envelope).  Above it the loop falls back
+#: to the shuffle join that spills gracefully at any |V|.  The decision is
+#: made from a MEASURED count (the frames are checkpointed first), not an
+#: estimate, so it is scale-adaptive rather than tuned to either local mode
+#: or a cluster.
+BROADCAST_VERTEX_ROWS = 4_000_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     iters: int = 3,
     damping: float = 0.85,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list:
     ``pr_{k+1}(v) = (1-d)/N + d * sum_{u->v} pr_k(u) / outdeg(u)`` from a
@@ -200,37 +242,75 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.localCheckpoint(eager=True)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = e.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
-    n = nodes.count()
     session = e.sparkSession
     n_edges = e.count()
     default_parts = int(session.conf.get("spark.sql.shuffle.partitions", "200"))
     loop_parts = max(1, min(default_parts, -(-n_edges // EDGES_PER_SHUFFLE_PARTITION)))
-    base = (1.0 - damping) / n
     with scoped_conf(session, "spark.sql.shuffle.partitions", str(loop_parts)):
+        # Degrees materialize ONCE (eager checkpoint inside the scoped loop
+        # width): deg is consumed by the initial rank frame and by every
+        # round's outdeg re-attach join — lazily it would re-shuffle the
+        # full edge list per consumer (r13 profile: 4 recomputations inside
+        # 34 jobs on the bench graph).  Because every node has outdeg >= 1
+        # (the documented input contract), deg's key set IS the vertex set,
+        # so the old separate nodes-distinct pass + nodes-joins-deg seed
+        # frame collapse into a projection of deg — same rows, same values,
+        # two fewer full passes over the edges.
+        deg = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("outdeg"))
+            .localCheckpoint(eager=True)
+        )
+        n = deg.count()
+        base = (1.0 - damping) / n
+        if broadcast_ranks is None:
+            # Deliberate join strategy (guide §3.1) from the MEASURED vertex
+            # count: below the threshold every round becomes a map-side
+            # broadcast join — the edge list (the heavy side; checkpointed,
+            # flat-scanned) is never shuffled at all, and the only exchange
+            # per round is the map-side-combined contribution sum.  A
+            # LogicalRDD carries no stats, so without the hint the planner
+            # sort-merge-joins and re-shuffles the edges EVERY round (r13
+            # plan audit: 6 SMJs, edges exchanged 3x).
+            broadcast_ranks = n <= BROADCAST_VERTEX_ROWS
         # outdeg rides along with the rank frame so the per-round join
         # touches only (edges x ranks), not a third frame.
-        ranks = nodes.join(deg, nodes.id == deg.src).select(
-            "id", F.lit(1.0 / n).alias("pr"), "outdeg"
+        ranks = deg.select(
+            F.col("src").alias("id"), F.lit(1.0 / n).alias("pr"), "outdeg"
         )
         for _ in range(iters):
-            contribs = e.join(ranks, e.src == ranks.id).select(
+            r_in = F.broadcast(ranks) if broadcast_ranks else ranks
+            contribs = e.join(r_in, e.src == ranks.id).select(
                 F.col("dst"), (F.col("pr") / F.col("outdeg")).alias("c")
             )
             incoming = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
-            prev = ranks
-            ranks = (
+            next_ranks = (
                 incoming.select(
                     F.col("dst").alias("id"),
                     (F.lit(base) + F.lit(damping) * F.col("s")).alias("pr"),
                 )
-                .join(deg, F.col("id") == deg.src)
+                .join(F.broadcast(deg) if broadcast_ranks else deg,
+                      F.col("id") == deg.src)
                 .select("id", "pr", "outdeg")
-                .localCheckpoint(eager=True)
             )
-            _release_checkpoint_blocks(prev)
-    return ranks.select("id", "pr")
+            if not broadcast_ranks:
+                # Large-|V| fallback: per-round checkpoint keeps every
+                # round's shuffle plan flat and identical (codegen reuse)
+                # exactly as before; with broadcasts the lazy chain is
+                # already flat-scan -> bcast-join -> one exchange per round.
+                next_ranks = next_ranks.localCheckpoint(eager=True)
+            ranks = next_ranks
+        # NO per-round checkpoint: each round's output feeds exactly one
+        # consumer (the next round), so the lazy chain executes every round
+        # once in ONE job tree — for a small FIXED iteration count the plan
+        # stays shallow (depth ~3 joins) and the old per-round eager
+        # materialization (3 extra jobs + 3 cached rank generations + a
+        # full AQE replan per round) bought nothing.  Callers unrolling
+        # many more rounds should re-introduce a checkpoint every ~8 rounds
+        # to bound plan growth.  e/deg checkpoint blocks are released by
+        # the ContextCleaner once the returned frame is GC'd (the same
+        # lifecycle every other checkpointing operator here relies on).
+        return ranks.select("id", "pr")
 
 
 def label_propagation_communities(

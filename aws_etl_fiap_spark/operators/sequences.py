@@ -94,7 +94,21 @@ def basket_pairs(
     sized = items.withColumn(
         "bk_size", F.count(F.lit(1)).over(Window.partitionBy("bk"))
     ).filter(F.col("bk_size") <= max_basket)
-    sets = sized.groupBy("bk").agg(F.sort_array(F.collect_set("it")).alias("items"))
+    # ONE materialization feeds pairs, singles, and the basket total: the
+    # r13 plan audit showed the distinct -> window -> size-filter pipeline
+    # (the only full-input shuffles in the query) executing FOUR times —
+    # once per consumer — because nothing pinned it.  The per-basket sets
+    # frame is the smallest common ancestor (one row per basket, items
+    # already distinct per basket), so every downstream quantity derives
+    # from it exactly: singles = per-item row count over the exploded sets
+    # (identical to counting ``sized`` rows), n_baskets = COUNT(*) of sets
+    # (identical to countDistinct(bk) over ``sized``).  localCheckpoint,
+    # not persist: blocks release at GC (the repo-wide discipline).
+    sets = (
+        sized.groupBy("bk")
+        .agg(F.sort_array(F.collect_set("it")).alias("items"))
+        .localCheckpoint(eager=False)
+    )
     combos = F.expr(
         "flatten(transform(items, (x, i) -> "
         "transform(slice(items, i + 2, size(items)), y -> struct(x AS item_a, y AS item_b))))"
@@ -106,10 +120,14 @@ def basket_pairs(
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_pair_count)
     )
-    singles = sized.groupBy(F.col("it")).agg(F.count(F.lit(1)).alias("n_item"))
+    singles = (
+        sets.select(F.explode("items").alias("it"))
+        .groupBy(F.col("it"))
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     # Lazy scalar total as a 1-row broadcast (same pattern as the TPC-H
     # global-threshold joins): no eager action at query-construction time.
-    totals = sized.agg(F.countDistinct("bk").alias("n_baskets"))
+    totals = sets.agg(F.count(F.lit(1)).alias("n_baskets"))
     joined = (
         pair_counts.join(
             F.broadcast(singles.withColumnRenamed("it", "item_a").withColumnRenamed("n_item", "n_a")),

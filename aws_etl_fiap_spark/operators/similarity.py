@@ -1394,7 +1394,15 @@ def semdedup_keep(
     src = df.select(
         F.col(id_col).cast("long").alias(id_col), as_double(vec_col).alias("__v")
     )
-    b = _np_buckets(src, id_col, "__v", planes, keep_vec=True, pin_add_order=pin)
+    # localCheckpoint: the bucketed frame feeds BOTH self-join sides, and
+    # the two sides' exchanges are not plan-identical (different output
+    # projections), so nothing reuses them — without the pin the Arrow
+    # SRP-hashing pass over every vector ran twice (r13 profile: 6 Python
+    # nodes in the plan for 3 logical passes).  Blocks release at GC, the
+    # repo-wide checkpoint discipline.
+    b = _np_buckets(
+        src, id_col, "__v", planes, keep_vec=True, pin_add_order=pin
+    ).localCheckpoint(eager=False)
     a_side = b.select(
         F.col(id_col).alias("__ida"), "table_id", "bucket", F.col("__v").alias("__va")
     )

@@ -76,6 +76,7 @@ def cms_estimate(
     depth: int = 4,
     width: int = 1024,
     hash_family: str = "portable",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Point-estimate each key's frequency from a built sketch.
 
@@ -84,20 +85,30 @@ def cms_estimate(
     coordinates and takes the min matched count.  A probe coordinate with
     no sketch row means count 0 (empty bucket), hence the coalesce-to-0
     BEFORE the min.
+
+    ``passthrough`` columns from ``keys`` (functionally dependent on the
+    key, e.g. a pre-computed exact count) ride through the probe expansion
+    and come back as extra group keys — they never change which rows group
+    together, but they spare the caller a whole key-keyed re-join of the
+    estimate against its side data (one exchange + join removed from the
+    heavy-hitters query's plan).
     """
-    probes = keys.select(F.col(key)).select(
+    extra = list(passthrough or [])
+    probes = keys.select(F.col(key), *[F.col(c) for c in extra]).select(
         key,
+        *extra,
         F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed"),
     )
     probes = probes.select(
         key,
+        *extra,
         "seed",
         _bucket(F.col("seed"), F.col(key), width, hash_family).alias("bucket"),
     )
     return (
         probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
-        .select(key, F.coalesce("n", F.lit(0)).alias("n"))
-        .groupBy(key)
+        .select(key, *extra, F.coalesce("n", F.lit(0)).alias("n"))
+        .groupBy(key, *extra)
         .agg(F.min("n").alias("est_count"))
     )
 

@@ -535,7 +535,9 @@ def corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", JACCARD_THRESHOLD, n=3)
-    comp = connected_components(pairs, "id_a", "id_b").withColumnsRenamed(
+    comp = connected_components(
+        pairs, "id_a", "id_b", oriented_unique=True
+    ).withColumnsRenamed(
         {"id": "doc_id"}
     )
     assigned = docs.select("doc_id").join(comp, "doc_id", "left")

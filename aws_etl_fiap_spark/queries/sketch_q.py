@@ -58,11 +58,18 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CM construction."""
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     sketch = cms_build(orders, "o_custkey", depth=_CMS_DEPTH, width=_CMS_WIDTH)
-    keys = orders.distinct()
-    est = cms_estimate(keys, sketch, "o_custkey", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    # The exact per-key count IS the distinct key set (plus one column), so
+    # it serves as the probe frame and rides through the estimate as a
+    # passthrough group key — the old distinct() + post-estimate equi-join
+    # re-shuffled the key set twice for values this one aggregate already
+    # had (r13 plan audit: 2 exchanges + 1 join removed; output identical).
     true = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_count"))
+    est = cms_estimate(
+        true, sketch, "o_custkey", depth=_CMS_DEPTH, width=_CMS_WIDTH,
+        passthrough=["true_count"],
+    )
     return (
-        est.join(true, "o_custkey")
+        est.select("o_custkey", "est_count", "true_count")
         .orderBy(F.col("est_count").desc(), F.col("o_custkey"))
         .limit(20)
     )
