@@ -21,17 +21,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_etl_fiap_spark.sources.readers import spread_input
+
 
 def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over lowercased alnum runs — the BPE training corpus
-    compressed from O(corpus tokens) to O(vocabulary)."""
+    compressed from O(corpus tokens) to O(vocabulary).  The corpus scan is
+    spread to session parallelism first (guide §2.5): a one-row-group
+    fixture otherwise tokenizes the whole corpus on one core."""
     words = F.explode(
         F.filter(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
             lambda x: x != F.lit(""),
         )
     ).alias("word")
-    return docs.select(words).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    src = spread_input(docs.select(F.col(text_col)))
+    return src.select(words).groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
 
 
 def _pair_counts(seqs: DataFrame) -> DataFrame:

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_etl_fiap_spark.sources.readers import spread_input
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep the row with the smallest ``id_col`` per duplicate group —
@@ -127,7 +129,9 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
                 grams.extend(seen)
             yield pd.DataFrame({"doc": docs, "shingle": grams})
 
-    src = df.select(_long_id(df, id_col).alias("doc"), F.col(text_col).alias("text"))
+    src = spread_input(
+        df.select(_long_id(df, id_col).alias("doc"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(gen, "doc long, shingle string")
 
 
@@ -475,8 +479,8 @@ def simhash_signatures(
     per-row sequential fold in :func:`simhash`, but runs as a codegen hash
     aggregate with map-side combine (one doc-keyed shuffle) instead of
     ``bits`` interpreted passes over every token array."""
-    toks = df.select(
-        F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("__t")
+    toks = spread_input(df.select(F.col(id_col).alias("doc"), F.col(text_col))).select(
+        "doc", F.explode(F.split(F.col(text_col), " ")).alias("__t")
     ).select("doc", _hash64(hash_family, F.col("__t")).alias("__h"))
     votes = toks.groupBy("doc").agg(
         *[
@@ -703,7 +707,9 @@ def winnow_fingerprints(
                 fps.extend(sel)
             yield pd.DataFrame({"doc": docs, "fp": fps})
 
-    src = df.select(_long_id(df, id_col).alias("doc"), F.col(text_col).alias("text"))
+    src = spread_input(
+        df.select(_long_id(df, id_col).alias("doc"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(gen, "doc long, fp long")
 
 
@@ -844,8 +850,8 @@ def positional_shingle_rows(
                     grams.append(" ".join(toks[i : i + n]))
             yield pd.DataFrame({"doc": docs, "pos": poss, "shingle": grams})
 
-    src = df.select(
-        _long_id(df, id_col).alias("doc"), F.col(text_col).alias("text")
+    src = spread_input(
+        df.select(_long_id(df, id_col).alias("doc"), F.col(text_col).alias("text"))
     )
     return src.mapInPandas(gen, "doc long, pos long, shingle string")
 

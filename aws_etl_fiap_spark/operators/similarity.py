@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.functions.parity import round_half_up
+from aws_etl_fiap_spark.sources.readers import spread_input
 
 #: Embedding dimensionality of the driver's `embeddings` table (TESTDATA.md).
 EMBED_DIM = 64
@@ -634,8 +635,8 @@ def _np_buckets(
                 frames.append(f)
             yield pd.concat(frames, ignore_index=True)
 
-    return df.select(
-        F.col(id_name).cast("long").alias(id_name), F.col(vec_name)
+    return spread_input(
+        df.select(F.col(id_name).cast("long").alias(id_name), F.col(vec_name))
     ).mapInPandas(gen, out_schema)
 
 

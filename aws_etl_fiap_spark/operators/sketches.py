@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aws_etl_fiap_spark.operators.dedup import portable_hash60
+from aws_etl_fiap_spark.sources.readers import spread_input
 
 
 def _bucket(seed: Column, key: Column, width: int, hash_family: str) -> Column:
@@ -59,7 +60,10 @@ def cms_build(
         # build a nonsense two-seed sketch instead of failing
         raise ValueError(f"depth must be >= 1, got {depth}")
     seeds = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("seed")
-    updates = df.select(F.col(key).alias("__k")).select(seeds, "__k")
+    # Spread to session parallelism before the depth-x explode + md5
+    # cascade (guide §2.5): a one-row-group scan otherwise hashes every
+    # update serially on one core; a no-op on real multi-split tables.
+    updates = spread_input(df.select(F.col(key).alias("__k"))).select(seeds, "__k")
     return (
         updates.select(
             "seed", _bucket(F.col("seed"), F.col("__k"), width, hash_family).alias("bucket")

@@ -32,6 +32,44 @@ TABLES = (
     "embeddings",
 )
 
+#: Resolved parquet schemas, keyed by (path, mtime) — the in-process stand-in
+#: for the catalog the reference keeps in Glue (schemas are DECLARED there;
+#: only this bare-path reader has to infer).  ``spark.read.parquet`` runs
+#: footer inference on EVERY call, ~70-90 ms of driver-side work per table
+#: per query (r13 profile: with ~100 registered queries reading 1-6 tables
+#: each, schema inference alone was seconds of pure latency).  Caching the
+#: SCHEMA (metadata, never data or results) and passing it explicitly skips
+#: the footer pass; the mtime key drops the entry if the file changes.
+_SCHEMA_CACHE: dict = {}
+
+
+def _cached_schema(path: str):
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return None, None
+    return key, _SCHEMA_CACHE.get(key)
+
+
+def spread_input(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Raise a narrow input's partition count to the session's parallelism
+    before an expensive per-row stage — the guide-§2.5 'input skew' remedy
+    (one huge unsplittable file: repartition immediately after the read).
+
+    A single-row-group parquet file scans as ONE partition no matter the
+    split size, so every downstream Arrow pass / hash cascade / shingle
+    explode would run serially on one core regardless of cluster width;
+    the exchange this inserts moves only the narrow projected input once.
+    On a real table with >= parallelism splits the condition is false and
+    this is a NO-OP — the decision adapts to the actual scan layout, never
+    to a local-vs-cluster constant.  Round-robin repartition is
+    deterministic under task retries (sortBeforeRepartition stays on), and
+    every caller feeds row-local or order-insensitive consumers."""
+    want = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table from a scale-factor directory (lazy parquet scan).
@@ -70,6 +108,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # driver's UTC container, silently wrong under any other tz
         # (round-6 tz sweep caught six queries).  Naive end-to-end removes
         # the tz coupling instead of scoping it.
+        #
+        # Cache fast path: once this process has resolved the file ONCE and
+        # seen the Spark-4.1-native shape (TIMESTAMP(NANOS) -> NTZ, where
+        # both scoped confs are no-ops), later reads pass the resolved
+        # schema explicitly — same reader behavior, no footer inference,
+        # no conf round-trips.  The legacy bigint branch (older Sparks)
+        # keeps the full scoped dance every call.
+        key, cached = _cached_schema(path)
+        if cached is not None and cached["ts"].dataType.simpleString() == "timestamp_ntz":
+            return spark.read.schema(cached).parquet(path)
         with scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"), scoped_conf(
             spark, "spark.sql.session.timeZone", "UTC"
         ):
@@ -84,9 +132,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 )
             else:  # Spark 4.1+ resolves TIMESTAMP(NANOS) natively as NTZ
                 out = raw
+                if key is not None:
+                    _SCHEMA_CACHE[key] = raw.schema
             out.schema  # force lazy analysis while the confs are in effect
         return out
-    return spark.read.parquet(path)
+    key, cached = _cached_schema(path)
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path)
+    df = spark.read.parquet(path)
+    if key is not None:
+        _SCHEMA_CACHE[key] = df.schema
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
