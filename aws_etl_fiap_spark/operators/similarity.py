@@ -586,6 +586,7 @@ def _np_buckets(
     planes,
     keep_vec: bool,
     pin_add_order: bool = False,
+    spread: bool = True,
 ) -> DataFrame:
     """(id, vec) -> one row per (id, table_id, bucket) via numpy projection.
 
@@ -635,9 +636,13 @@ def _np_buckets(
                 frames.append(f)
             yield pd.concat(frames, ignore_index=True)
 
-    return spread_input(
-        df.select(F.col(id_name).cast("long").alias(id_name), F.col(vec_name))
-    ).mapInPandas(gen, out_schema)
+    src = df.select(F.col(id_name).cast("long").alias(id_name), F.col(vec_name))
+    if spread:
+        # guide §2.5: a one-split scan would hash the whole corpus on one
+        # core; callers bucketing a KNOWN-tiny frame (a query block) pass
+        # spread=False so 50 rows don't fan into near-empty tasks.
+        src = spread_input(src)
+    return src.mapInPandas(gen, out_schema)
 
 
 def lsh_bucket_topk(
@@ -675,12 +680,23 @@ def lsh_bucket_topk(
     q_src = queries.select(F.col(query_id).alias("query_id"), as_double(vec_col).alias("__qv"))
     c_src = corpus.select(F.col(corpus_id).alias("neighbor_id"), as_double(vec_col).alias("__cv"))
     pin = plane_family == "portable"
-    q = _np_buckets(q_src, "query_id", "__qv", planes, keep_vec=False, pin_add_order=pin)
+    q = _np_buckets(
+        q_src, "query_id", "__qv", planes, keep_vec=False, pin_add_order=pin,
+        spread=False,  # query block: tiny by contract, broadcast below
+    )
     # keep_vec=False on the corpus side too: vectors must not ride the
     # n_tables-replicated (table_id, bucket) shuffle, and the cross-table
     # dedup below must shuffle 16-byte id pairs, not 512-byte arrays (the
     # semdedup_keep rule).  Vectors re-join ONCE after the dedup.
-    c = _np_buckets(c_src, "neighbor_id", "__cv", planes, keep_vec=False, pin_add_order=pin)
+    # spread=False here too: unlike semdedup (whose candidate scoring pass
+    # inherits the bucketing partitions and is the dominant cost), this
+    # path only builds (id, table, bucket) rows that immediately join a
+    # BROADCAST query block — interleaved A/B at sf0.1 measured the spread
+    # exchange as a net loss (1.45s vs 1.14s min-of-5).
+    c = _np_buckets(
+        c_src, "neighbor_id", "__cv", planes, keep_vec=False, pin_add_order=pin,
+        spread=False,
+    )
     cand_ids = (
         c.join(F.broadcast(q), ["table_id", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -13,8 +13,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from aws_etl_fiap_spark.sources.readers import spread_input
-
 # Tiny per-language stopword lists for the n-gram/stopword LID heuristic.
 # Order matters: it is the deterministic tie-break priority.
 LID_STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -285,9 +283,7 @@ def bm25_scores(
     callers round for cross-engine hashing).
     """
     toks = F.split(F.col(text_col), " ")
-    base = spread_input(
-        df.select(F.col(id_col).alias("__id"), F.size(toks).alias("dl"), toks.alias("__t"))
-    )
+    base = df.select(F.col(id_col).alias("__id"), F.size(toks).alias("dl"), toks.alias("__t"))
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -346,7 +342,7 @@ def tfidf_top_terms(
     from aws_etl_fiap_spark.functions.parity import round_half_up
 
     toks = F.split(F.col(text_col), " ")
-    base = spread_input(df.select(F.col(id_col).alias("__id"), toks.alias("__t")))
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
     n_docs = base.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
         base.select("__id", F.explode("__t").alias("term"))
@@ -416,7 +412,7 @@ def bigram_pmi(
     c_ab, pmi — unrounded; callers round for cross-engine hashing).
     """
     toks = _lm_tokens(text_col)
-    base = spread_input(df.select(toks.alias("__t")))
+    base = df.select(toks.alias("__t"))
     uni = (
         base.select(F.explode("__t").alias("w"))
         .groupBy("w")
@@ -546,7 +542,7 @@ def bigram_lm_nll(
     unrounded; callers round for cross-engine hashing).
     """
     toks = _lm_tokens(text_col)
-    base = spread_input(df.select(F.col(id_col), toks.alias("__t")))
+    base = df.select(F.col(id_col), toks.alias("__t"))
     uni = (
         base.select(F.explode("__t").alias("w"))
         .groupBy("w")

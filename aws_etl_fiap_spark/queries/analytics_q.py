@@ -455,12 +455,13 @@ def join_skew_salted_bigbig(spark: SparkSession, sf_dir: str) -> DataFrame:
             salt_source=["l_orderkey", "l_linenumber"],
             n_salts=8,
         )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        if "BroadcastHashJoin" in plan:
-            raise RuntimeError(
-                "salted join planned a broadcast — the skew path is not "
-                "being exercised:\n" + plan
-            )
+        # The no-broadcast gate (the salted join must exercise the real
+        # shuffle path) lives in tests/test_quality.py::
+        # test_skew_salted_bigbig_plans_no_broadcast — asserting it here via
+        # executedPlan() forced a full physical planning pass on EVERY call
+        # (~0.2-0.3 s of pure driver latency per bench run, r13 profile);
+        # the scoped -1 threshold governs both the static planner and AQE's
+        # runtime rewrite, so the property is configuration-enforced.
         out = joined.groupBy("o_orderpriority").agg(
             F.count(F.lit(1)).alias("n_items"),
             dec_sum("l_extendedprice", 2).alias("sum_extprice"),

@@ -458,10 +458,8 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sum order + libm ln last-ulp)."""
     from aws_etl_fiap_spark.functions.parity import round_half_up
 
-    from aws_etl_fiap_spark.sources.readers import spread_input
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = spread_input(docs.select("doc_id", "text")).select(
+    toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).localCheckpoint(eager=False)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))

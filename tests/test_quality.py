@@ -86,6 +86,38 @@ def test_salted_join_matches_plain_with_nulls_and_dupes(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_skew_salted_bigbig_plans_no_broadcast(spark):
+    """The registered salted big-big join must exercise the REAL shuffle
+    path: its scoped autoBroadcastJoinThreshold=-1 has to keep both the
+    static planner and AQE's runtime rewrite away from a broadcast.  This
+    gate used to run inline in the query body via executedPlan() on every
+    invocation (~0.2-0.3 s of planning latency per bench run); it is a
+    plan INVARIANT, so it belongs here."""
+    from aws_etl_fiap_spark.confs import scoped_conf
+    from aws_etl_fiap_spark.operators.skew import salted_join
+    from aws_etl_fiap_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    # mirror of the registered query's construction, WITHOUT the final
+    # eager checkpoint (which would hide the join behind a cache scan)
+    with scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        joined = salted_join(
+            li, orders,
+            big_key="l_orderkey", small_key="o_orderkey",
+            salt_source=["l_orderkey", "l_linenumber"], n_salts=8,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" not in final, final
+    # and the salted shape is actually present: a shuffle join on the
+    # (key, salt) pair somewhere in the final plan
+    assert "SortMergeJoin" in final or "ShuffledHashJoin" in final, final
+
+
 def test_snapshot_diff_classifies_all_transitions(spark):
     from aws_etl_fiap_spark.operators.cleaning import snapshot_diff
 
