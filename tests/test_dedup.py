@@ -100,6 +100,55 @@ def test_connected_components_raises_when_unconverged(spark):
         connected_components(edges, "src", "dst", max_iter=1)
 
 
+def test_connected_components_oriented_unique_and_label_paths_agree(spark):
+    """r13 optimization invariants: (a) the ``oriented_unique=True`` fast
+    path (skips the symmetrize distinct) must label identically to the
+    general path on oriented-unique input; (b) the broadcast-labels hop
+    and the shuffle-join hop (the >BROADCAST_VERTEX_ROWS fallback — the
+    100 TB path no registered query exercises at test scale) must agree."""
+    import aws_etl_fiap_spark.operators.graph as G
+
+    # oriented unique (src < dst), chain + islands, incl. a diameter-3 chain
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (5, 21)],
+        "src long, dst long",
+    )
+    want = {(r.id, r.comp) for r in G.connected_components(edges, "src", "dst").collect()}
+    fast = {
+        (r.id, r.comp)
+        for r in G.connected_components(edges, "src", "dst", oriented_unique=True).collect()
+    }
+    assert fast == want
+    old = G.BROADCAST_VERTEX_ROWS
+    try:
+        G.BROADCAST_VERTEX_ROWS = 0  # force every hop onto the shuffle join
+        shuffled = {
+            (r.id, r.comp)
+            for r in G.connected_components(
+                edges, "src", "dst", oriented_unique=True
+            ).collect()
+        }
+    finally:
+        G.BROADCAST_VERTEX_ROWS = old
+    assert shuffled == want
+
+
+def test_pagerank_broadcast_and_shuffle_paths_agree(spark):
+    """The r13 size-gated broadcast in the pagerank loop must be invisible
+    in the values: forcing the large-|V| shuffle fallback (per-round
+    eager checkpoints, no hints) yields the same ranks to 9 dp — the same
+    tolerance the registered query's oracle is graded at."""
+    from aws_etl_fiap_spark.operators.graph import pagerank
+
+    e = [(1, 2), (2, 1), (2, 3), (3, 1), (3, 2), (1, 3), (4, 1), (1, 4)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    bcast = {r["id"]: r["pr"] for r in pagerank(df, iters=3, broadcast_ranks=True).collect()}
+    shuf = {r["id"]: r["pr"] for r in pagerank(df, iters=3, broadcast_ranks=False).collect()}
+    assert set(bcast) == set(shuf) == {1, 2, 3, 4}
+    for k in bcast:
+        assert abs(bcast[k] - shuf[k]) < 1e-9, (k, bcast[k], shuf[k])
+
+
 def test_portable_family_recall_matches_xxhash(spark, sf_correctness):
     """The portable (md5+mix) hash family powers the driver-oracled queries;
     it must blocklist the same planted near-dups the xxhash64 family does

@@ -103,6 +103,32 @@ def test_cms_never_undercounts_and_state_is_bounded(spark, sf_smoke):
     assert (j["est_count"] > j["true_count"]).any()
 
 
+def test_cms_estimate_passthrough_matches_join(spark, sf_smoke):
+    """r13 optimization invariant: probing from the exact-counts frame with
+    true_count as a passthrough group key must equal the old shape
+    (distinct keys -> estimate -> equi-join back) value-for-value — the
+    passthrough is functionally dependent on the key, so it can never
+    change which probe rows group together."""
+    orders = load_table(spark, sf_smoke, "orders").select("o_custkey")
+    depth, width = 3, 128
+    sketch = cms_build(orders, "o_custkey", depth=depth, width=width)
+    true = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_count"))
+    via_pass = {
+        (r["o_custkey"], r["est_count"], r["true_count"])
+        for r in cms_estimate(
+            true, sketch, "o_custkey", depth=depth, width=width,
+            passthrough=["true_count"],
+        ).collect()
+    }
+    via_join = {
+        (r["o_custkey"], r["est_count"], r["true_count"])
+        for r in cms_estimate(
+            orders.distinct(), sketch, "o_custkey", depth=depth, width=width
+        ).join(true, "o_custkey").collect()
+    }
+    assert via_pass == via_join
+
+
 def test_cms_merge_is_bucket_sum(spark, sf_smoke):
     """Sketch(A union B) == bucketwise sum of Sketch(A) + Sketch(B): the
     mergeability contract that lets per-partition sketches combine."""
