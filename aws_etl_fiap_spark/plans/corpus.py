@@ -48,16 +48,26 @@ def curate_corpus(
     ``{"quality", "exact", "survivors"}`` — callers pick the stage they
     need, and nothing is computed twice (survivors build on exact, exact on
     quality)."""
+    # Stage boundaries are PINNED (lazy localCheckpoint): every stage frame
+    # is consumed by at least two downstreams — the next stage plus the
+    # funnel's per-stage accounting union, and ``exact`` additionally feeds
+    # both the pair generator and the survivors anti-join.  Unpinned, the
+    # r13 full-registry sweep measured the web funnel re-running its
+    # regex-heavy hygiene pipeline once per consumer (~6 full passes,
+    # 19.7 s at sf0.1); pinned, each stage computes once — the in-process
+    # twin of the write-between-stages discipline a production funnel uses.
+    # Blocks release at GC (repo-wide checkpoint lifecycle).
     quality = (
         quality_score(df, text_col)
         .filter(F.col("quality") >= min_quality)
         .select(df.columns)
+        .localCheckpoint(eager=False)
     )
     exact = exact_dedup(
         quality.withColumn("content_hash", content_hash(text_col)),
         ["content_hash"],
         id_col,
-    ).select(df.columns)
+    ).select(df.columns).localCheckpoint(eager=False)
     pairs = ngram_jaccard_pairs(exact, id_col, text_col, jaccard_threshold)
     comp = connected_components(pairs, "id_a", "id_b", oriented_unique=True)
     dropped = comp.filter(F.col("id") != F.col("comp")).select(
@@ -91,13 +101,26 @@ def curate_web_corpus(
         unicode_sanitize,
     )
 
+    # Same stage pinning as curate_corpus (see the comment there): the
+    # extraction and sanitation expressions are the most expensive per-row
+    # work in the whole funnel and feed both the next stage and the
+    # accounting union.  The input additionally spreads to session
+    # parallelism first (guide §2.5): block scoring + regex extraction
+    # measured ~2 ms/row, so a one-split capture file would run the whole
+    # corpus through one core (10 s single-core at sf0.1; a no-op on real
+    # multi-split crawls).
+    from aws_etl_fiap_spark.sources.readers import spread_input
+
     extracted = (
-        extract_main_content(df, html_col, out="__main")
+        extract_main_content(spread_input(df), html_col, out="__main")
         .filter(F.col("n_kept") > 0)
         .select(F.col(id_col), F.col("__main").alias("text"))
+        .localCheckpoint(eager=False)
     )
-    sanitized = unicode_sanitize(extracted, "text", out="__clean").select(
-        F.col(id_col), F.col("__clean").alias("text")
+    sanitized = (
+        unicode_sanitize(extracted, "text", out="__clean")
+        .select(F.col(id_col), F.col("__clean").alias("text"))
+        .localCheckpoint(eager=False)
     )
     stages = curate_corpus(
         sanitized, id_col, "text", min_quality, jaccard_threshold
