@@ -103,8 +103,15 @@ def token_shingles(text_col: str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, spread: bool = True
+) -> DataFrame:
     """Exploded distinct word n-gram shingles as (doc, shingle) rows.
+
+    ``spread=False`` skips the one-split input repartition for call sites
+    whose downstream cannot use the extra parallelism (r13 verdict: the
+    decontaminate path pays the exchange and immediately meets a broadcast
+    join — per-site flag, same pattern as ``_np_buckets``).
 
     Arrow-vectorized generator instead of the :func:`token_shingles` HOF +
     explode: building ~50 grams per document through interpreted
@@ -129,9 +136,9 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
                 grams.extend(seen)
             yield pd.DataFrame({"doc": docs, "shingle": grams})
 
-    src = spread_input(
-        df.select(_long_id(df, id_col).alias("doc"), F.col(text_col).alias("text"))
-    )
+    src = df.select(_long_id(df, id_col).alias("doc"), F.col(text_col).alias("text"))
+    if spread:
+        src = spread_input(src)
     return src.mapInPandas(gen, "doc long, shingle string")
 
 
@@ -171,6 +178,7 @@ def ngram_jaccard_pairs(
     threshold: float,
     n: int = 3,
     max_shingle_df: int | None = MAX_SHINGLE_DF,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """DF-CAPPED (lower-bound) n-gram Jaccard pairs — the default caps
     posting lists at ``max_shingle_df=MAX_SHINGLE_DF``, so ``shared`` counts
@@ -196,8 +204,11 @@ def ngram_jaccard_pairs(
     # dominant cost. Unlike a bare persist(), the blocks are released by the
     # ContextCleaner once the frame is GC'd, so an 85-query driver run
     # doesn't accumulate dead cache (round-1 advice).
+    # ``shingles``: a caller that ALSO consumes the (doc, shingle) frame
+    # elsewhere passes its checkpointed copy so the dominant shingling
+    # map-stage runs once across tiers (r14; mirrors minhash_lsh_pairs).
     shingled = (
-        shingle_rows(df, id_col, text_col, n)
+        (shingles if shingles is not None else shingle_rows(df, id_col, text_col, n))
         .select("doc", F.xxhash64("shingle").alias("sh"))
         .localCheckpoint(eager=False)
     )
@@ -578,13 +589,18 @@ def decontaminate(
     drop the hint and the same plan degrades gracefully to a shuffle join
     on the shingle.
     """
+    # spread=False both sides (r13 verdict #3, re-A/B'd r14): at bench scale
+    # the inserted exchange costs more than the shingling it parallelizes —
+    # the bench side is 1/17th of the corpus and immediately collapses into
+    # a broadcast build, and the train side's mapInPandas feeds a broadcast
+    # join + map-side-combined aggregate that inherit the scan's own splits.
     bench_sh = (
-        shingle_rows(bench, id_col, text_col, n)
+        shingle_rows(bench, id_col, text_col, n, spread=False)
         .select("shingle")
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    train_sh = shingle_rows(train, id_col, text_col, n)
+    train_sh = shingle_rows(train, id_col, text_col, n, spread=False)
     return (
         train_sh.join(F.broadcast(bench_sh), "shingle", "left")
         .groupBy(F.col("doc").alias(id_col))

@@ -105,10 +105,14 @@ def connected_components(
     e = e.localCheckpoint(eager=True)
     n_pairs = e.count()  # metadata-cheap on the materialized cache
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    n_edges = 2 * n_pairs
     if not oriented_unique:
         sym = sym.distinct().localCheckpoint(eager=True)
         _release_checkpoint_blocks(e)
-    n_edges = 2 * n_pairs
+        # Count AFTER the dedup (metadata-cheap on the materialized cache):
+        # heavily duplicated input would otherwise overestimate both the
+        # loop width and the label-broadcast gate below (r13 advice).
+        n_edges = sym.count()
     if n_pairs == 0:
         # An EMPTY edge set is a normal state, not a convergence failure:
         # the curation funnel's pair stage legitimately produces zero
@@ -130,7 +134,7 @@ def connected_components(
     # cache is map-scanned, never shuffled — the same gate pagerank applies
     # (see BROADCAST_VERTEX_ROWS).  Above it, hops fall back to the shuffle
     # join unchanged.
-    bcast_labels = 2 * n_pairs <= BROADCAST_VERTEX_ROWS
+    bcast_labels = n_edges <= BROADCAST_VERTEX_ROWS
     with scoped_conf(session, "spark.sql.shuffle.partitions", str(loop_parts)):
         return _propagate(sym, max_iter, bcast_labels)
 
@@ -184,8 +188,13 @@ def _propagate(sym: DataFrame, max_iter: int, bcast_labels: bool = False) -> Dat
         # localCheckpoint EVERY round: beyond bounding lineage, it keeps
         # each round's plan shape identical (scan-cache -> join -> agg),
         # so whole-stage codegen classes are reused instead of recompiled
-        # per iteration — the dominant cost at small label sizes.
-        stepped = stepped.localCheckpoint(eager=False).persist()
+        # per iteration — the dominant cost at small label sizes.  NO
+        # .persist() on top (r14): the checkpoint's RDD blocks already
+        # cache MEMORY_AND_DISK, and the extra SQL-layer persist built a
+        # SECOND, columnar copy of every round's labels (the bench tail's
+        # "Asked to cache already cached data" warnings; interleaved A/B:
+        # corpus_cluster_split 2.66 -> 1.89 s, canonical flat).
+        stepped = stepped.localCheckpoint(eager=False)
         changed = stepped.agg(F.sum("chg")).first()[0]
         prev_cached.unpersist()
         _release_checkpoint_blocks(prev_cached)
@@ -278,7 +287,7 @@ def pagerank(
         ranks = deg.select(
             F.col("src").alias("id"), F.lit(1.0 / n).alias("pr"), "outdeg"
         )
-        for _ in range(iters):
+        for it in range(iters):
             r_in = F.broadcast(ranks) if broadcast_ranks else ranks
             contribs = e.join(r_in, e.src == ranks.id).select(
                 F.col("dst"), (F.col("pr") / F.col("outdeg")).alias("c")
@@ -299,22 +308,39 @@ def pagerank(
                 # exactly as before; with broadcasts the lazy chain is
                 # already flat-scan -> bcast-join -> one exchange per round.
                 next_ranks = next_ranks.localCheckpoint(eager=True)
+            elif it % 8 == 7 and it != iters - 1:
+                # Bound lazy-chain growth for callers unrolling MANY rounds
+                # (r13 verdict #10): without a periodic pin the broadcast
+                # path's plan tree deepens by ~3 joins per round and the
+                # driver's analysis/codegen, not the data, becomes the
+                # bottleneck past ~8 rounds.  Checkpoint every 8th round;
+                # the common iters<=8 callers never hit this branch.
+                next_ranks = next_ranks.localCheckpoint(eager=True)
             ranks = next_ranks
-        # NO per-round checkpoint: each round's output feeds exactly one
-        # consumer (the next round), so the lazy chain executes every round
-        # once in ONE job tree — for a small FIXED iteration count the plan
-        # stays shallow (depth ~3 joins) and the old per-round eager
-        # materialization (3 extra jobs + 3 cached rank generations + a
-        # full AQE replan per round) bought nothing.  Callers unrolling
-        # many more rounds should re-introduce a checkpoint every ~8 rounds
-        # to bound plan growth.  e/deg checkpoint blocks are released by
-        # the ContextCleaner once the returned frame is GC'd (the same
-        # lifecycle every other checkpointing operator here relies on).
+        # NO per-round checkpoint below 8 rounds: each round's output feeds
+        # exactly one consumer (the next round), so the lazy chain executes
+        # every round once in ONE job tree — for a small FIXED iteration
+        # count the plan stays shallow (depth ~3 joins) and the old
+        # per-round eager materialization (3 extra jobs + 3 cached rank
+        # generations + a full AQE replan per round) bought nothing.
+        # e/deg checkpoint blocks are released by the ContextCleaner once
+        # the returned frame is GC'd (the same lifecycle every other
+        # checkpointing operator here relies on).
+        #
+        # Scoping note (r13 advice): on the BROADCAST path only the deg
+        # checkpoint executes inside this scoped shuffle-partitions block;
+        # the returned lazy chain runs after the conf restores, so its one
+        # exchange per round (the map-side-combined contribution sum) uses
+        # the session default width and relies on AQE coalescing — which is
+        # exactly right for a sum whose input is combiner-shrunk.  The
+        # shuffle fallback materializes per round INSIDE the scope and keeps
+        # the measured edge-count width.
         return ranks.select("id", "pr")
 
 
 def label_propagation_communities(
-    edges: DataFrame, a: str = "id_a", b: str = "id_b", iters: int = 2
+    edges: DataFrame, a: str = "id_a", b: str = "id_b", iters: int = 2,
+    oriented_unique: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous frequency label propagation
     (Raghavan et al. 2007, "Near linear time algorithm to detect community
@@ -331,40 +357,60 @@ def label_propagation_communities(
     count and synchronous updates with a total tie order make the result a
     pure function of the edge list, so an unrolled SQL twin reproduces it
     exactly — the asynchronous/randomized variants of the paper are not
-    oracle-able.  Scale shape: each round is one shuffle-join of the edge
-    list against the ~|V|-row label frame, a (vertex, label) count
-    aggregate, and a per-vertex argmax window over the (bounded) per-vertex
-    distinct-neighbor-label set; label frames localCheckpoint per round so
-    the plan stays flat.
-    """
-    from pyspark.sql import Window
+    oracle-able.
 
+    ``oriented_unique=True`` is the same contract as
+    :func:`connected_components`: each undirected pair appears exactly once
+    with ``a < b``, so the symmetrize ``distinct()`` is skipped.  NOTE the
+    stakes differ from CC: duplicate edges would double VOTES, so the
+    contract is load-bearing for results here — only pass it for frames
+    from the pair generators that aggregate on the oriented pair.
+
+    Scale shape (r14, the CC treatment): the oriented edge list
+    checkpoints BEFORE the two-direction union (the union references its
+    child twice — checkpointing after ran pair generation twice inside one
+    materialization job, the r13 CC finding); each round is one join of
+    the edge cache against the label frame (broadcast under the measured
+    BROADCAST_VERTEX_ROWS gate, shuffle above it), one (vertex, label)
+    count aggregate, and a map-side-combinable min-STRUCT argmax —
+    ``min(struct(-cnt, lab))`` picks (max cnt, ties to smallest label),
+    exactly the row the old row_number window kept, without the window's
+    extra sort+exchange.  Label frames localCheckpoint per round so the
+    plan stays flat.
+    """
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    sym = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_edges = sym.count()
-    session = sym.sparkSession
+    e = e.localCheckpoint(eager=True)
+    n_pairs = e.count()
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    n_edges = 2 * n_pairs
+    if not oriented_unique:
+        sym = sym.distinct().localCheckpoint(eager=True)
+        _release_checkpoint_blocks(e)
+        n_edges = sym.count()
+    session = e.sparkSession
     default_parts = int(session.conf.get("spark.sql.shuffle.partitions", "200"))
     loop_parts = max(1, min(default_parts, -(-n_edges // EDGES_PER_SHUFFLE_PARTITION)))
+    bcast = n_edges <= BROADCAST_VERTEX_ROWS
     with scoped_conf(session, "spark.sql.shuffle.partitions", str(loop_parts)):
         lbl = sym.select(F.col("src").alias("id")).distinct().withColumn(
             "lab", F.col("id")
         )
-        w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("lab").asc())
         for _ in range(iters):
+            l_in = F.broadcast(lbl) if bcast else lbl
             votes = (
-                sym.join(lbl, sym.dst == lbl.id)
+                sym.join(l_in, sym.dst == lbl.id)
                 .groupBy(F.col("src").alias("id"), "lab")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
             prev = lbl
             lbl = (
-                votes.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("id", "lab")
+                votes.select(
+                    "id",
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("lab").alias("lab")).alias("s"),
+                )
+                .groupBy("id")
+                .agg(F.min("s").alias("m"))
+                .select("id", F.col("m.lab").alias("lab"))
                 .localCheckpoint(eager=True)
             )
             _release_checkpoint_blocks(prev)
@@ -377,6 +423,7 @@ def bfs_hops(
     a: str = "id_a",
     b: str = "id_b",
     max_hops: int = 3,
+    oriented_unique: bool = False,
 ) -> DataFrame:
     """Multi-source breadth-first shortest-hop distances over an undirected
     graph given as oriented distinct edges (``a < b``): every vertex
@@ -388,52 +435,76 @@ def bfs_hops(
     the output (a bounded-horizon BFS, deliberately: the horizon is the
     determinism contract the unrolled SQL twin reproduces).
 
-    Scale shape (same stance as :func:`label_propagation_communities`):
-    the symmetrized edge list localCheckpoints once; each round is one
-    shuffle-join of the edges against the CURRENT FRONTIER only (not the
-    whole reached set), a distinct, and an anti-join against the reached
-    set — frontier-sized work, the textbook distributed BFS.  Reached/
-    frontier frames localCheckpoint per round to keep plans flat."""
+    ``oriented_unique=True`` is the same contract as
+    :func:`connected_components`: the input carries each undirected pair
+    exactly once with ``a < b`` (every pair generator in operators/dedup.py
+    and sequences.py emits this), so the two-direction union is
+    duplicate-free by construction and the symmetrize ``distinct()`` — a
+    full shuffle + hash-dedup of the widest frame — is skipped.  Duplicate
+    edges under a violated promise only repeat candidate ids ahead of the
+    per-round ``distinct``, degrading performance, never results.
+
+    Scale shape (r14, the pagerank/CC treatment): the oriented edge list
+    checkpoints once; per round the edges join the CURRENT frontier only
+    (broadcast under the measured ``BROADCAST_VERTEX_ROWS`` gate — the
+    frontier and reached set are vertex-bounded — so the edge cache is
+    map-scanned, never shuffled), candidates ``distinct`` at frontier
+    width, and an anti-join drops already-reached ids.  Each round is ONE
+    job: the new frontier lazy-localCheckpoints and its materializing
+    ``count()`` doubles as the empty-frontier termination test.  The
+    reached set is a lazy union of the checkpointed frontiers (flat scans
+    of cached longs), never re-checkpointed.  Above the gate the joins
+    fall back to shuffles at the edge-count-scoped width unchanged."""
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    sym = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n_edges = sym.count()
-    session = sym.sparkSession
+    e = e.localCheckpoint(eager=True)
+    n_pairs = e.count()
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    n_edges = 2 * n_pairs
+    if not oriented_unique:
+        sym = sym.distinct().localCheckpoint(eager=True)
+        _release_checkpoint_blocks(e)
+        n_edges = sym.count()
+    session = e.sparkSession
     default_parts = int(session.conf.get("spark.sql.shuffle.partitions", "200"))
     loop_parts = max(1, min(default_parts, -(-n_edges // EDGES_PER_SHUFFLE_PARTITION)))
+    bcast = n_edges <= BROADCAST_VERTEX_ROWS
     with scoped_conf(session, "spark.sql.shuffle.partitions", str(loop_parts)):
-        nodes = sym.select(F.col("src").alias("id")).distinct()
+        # Filter BEFORE the vertex distinct: the seed predicate is a
+        # deterministic row predicate, so filter-then-distinct equals
+        # distinct-then-filter while shuffling only matching ids.
         frontier = (
-            nodes.filter(source_pred(F.col("id")))
-            .localCheckpoint(eager=True)
+            sym.select(F.col("src").alias("id"))
+            .filter(source_pred(F.col("id")))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
+        n_frontier = frontier.count()  # materializes the checkpoint
         reached = frontier.withColumn("hops", F.lit(0))
+        reached_ids = frontier
         for k in range(1, max_hops + 1):
+            if n_frontier == 0:
+                # every later frontier is empty too — identical output,
+                # and each dead round would still pay a join + anti-join.
+                break
+            f_in = F.broadcast(frontier) if bcast else frontier
             cand = (
-                sym.join(frontier, sym.src == frontier.id)
+                sym.join(f_in, sym.src == frontier.id)
                 .select(F.col("dst").alias("id"))
                 .distinct()
             )
-            prev_frontier, prev_reached = frontier, reached
-            frontier = cand.join(
-                reached.select("id"), "id", "left_anti"
-            ).localCheckpoint(eager=True)
-            reached = reached.union(
-                frontier.withColumn("hops", F.lit(k))
-            ).localCheckpoint(eager=True)
-            _release_checkpoint_blocks(prev_frontier)
-            _release_checkpoint_blocks(prev_reached)
-            if frontier.isEmpty():
-                # every later frontier is empty too — identical output,
-                # and each dead round would still pay a join + anti-join
-                # + a full re-checkpoint of the reached set.
-                break
-    # the last frontier is internal-only and dead once reached returns
-    _release_checkpoint_blocks(frontier)
-    _release_checkpoint_blocks(sym)
+            r_in = F.broadcast(reached_ids) if bcast else reached_ids
+            frontier = cand.join(r_in, "id", "left_anti").localCheckpoint(
+                eager=False
+            )
+            n_frontier = frontier.count()
+            reached = reached.union(frontier.withColumn("hops", F.lit(k)))
+            reached_ids = reached_ids.union(frontier)
+    # The checkpointed frontiers ARE the result's lineage — only the edge
+    # cache is dead once the loop ends.  Frontier blocks release at driver
+    # GC of the returned frame (repo-wide checkpoint lifecycle).
+    _release_checkpoint_blocks(e)
+    if not oriented_unique:
+        _release_checkpoint_blocks(sym)
     return reached
 
 
@@ -451,11 +522,19 @@ def triangle_counts(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataF
     triple join).  Output: (id, n_triangles) for every vertex in at least
     one triangle.
     """
-    e1 = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
-    e2 = edges.select(F.col(a).alias("y"), F.col(b).alias("z"))
+    # Pin the edge list ONCE (r14, guide §5): three plan references below
+    # (both wedge sides + the closing side) re-ran the whole upstream pair
+    # generation per reference — the r14 before-profile showed 50 Exchange
+    # nodes on the brand-graph query for a three-way self-join of one
+    # small frame.
+    e = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).localCheckpoint(
+        eager=True
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = e1.join(e2, "y")
     closed = wedges.join(
-        edges.select(F.col(a).alias("x"), F.col(b).alias("z")), ["x", "z"]
+        e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
     )
     members = closed.select(F.explode(F.array("x", "y", "z")).alias("id"))
     return members.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))

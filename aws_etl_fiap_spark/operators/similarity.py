@@ -94,6 +94,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"), as_double(vec_col).alias("__qv")
     ).withColumn("__qn", norm(F.col("__qv"), dim))
+    # NO spread_input on the corpus side (r14 interleaved A/B: flat to
+    # slightly negative on every brute-force consumer — the scoring here
+    # is too light per row to pay for the exchange at this corpus size).
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), as_double(vec_col).alias("__cv")
     ).withColumn("__cn", norm(F.col("__cv"), dim))
@@ -928,15 +931,24 @@ def kmeans_lloyd(
     (k x dim) cells; nothing driver-sized ever materializes.  Output:
     (cluster_id, n_members, inertia).
     """
-    q = df.select(
-        F.col(id_col).alias("vid"), _quantize6(as_double(vec_col)).alias("q")
-    )
+    # Pin the quantized projection once (r14, guide §5, same move as
+    # kcenter_greedy): it feeds the init pick plus one assignment pass per
+    # round plus the final assignment — each was a full re-scan +
+    # re-quantize.  MEMORY_AND_DISK checkpoint = the materialized working
+    # set a production run would write between stages, scale-safe.  Spread
+    # first so a one-split scan doesn't cache as one serial block (§2.5);
+    # every consumer is an order-insensitive aggregate (min-struct argmin,
+    # exact decimal sums).
+    q = spread_input(
+        df.select(
+            F.col(id_col).alias("vid"), _quantize6(as_double(vec_col)).alias("q")
+        )
+    ).localCheckpoint(eager=False)
     w_init = Window.orderBy("vid")
     # Each centroid frame is k rows — eagerly localCheckpoint it so the
     # next round's lineage doesn't re-run the previous round's full
     # assignment + update (the multiplicative-DAG trap; measured 14s -> 4s
-    # at 2k vectors).  The corpus-sized ``q`` stays lazy: its recompute is
-    # one scan + transform per assignment, the honest cost at any scale.
+    # at 2k vectors).
     cents = (
         q.orderBy("vid")
         .limit(k)
@@ -1023,14 +1035,21 @@ def _pq_codebooks(sample, m: int, k: int, iters: int):
     kk = min(k, n)  # degenerate tiny samples: fewer codes than requested
     books = np.empty((m, kk, dsub), dtype=np.float64)
     d2 = np.empty((n, kk), dtype=np.float64)
+    tmp = np.empty((n, kk), dtype=np.float64)
     for j in range(m):
         sub = np.ascontiguousarray(sample[:, j * dsub : (j + 1) * dsub])
         cents = sub[:kk].copy()
         for _ in range(iters):
             d2[:] = 0.0
             for d in range(dsub):
-                diff = sub[:, d, None] - cents[None, :, d]
-                d2 += diff * diff
+                # out=/in-place forms: same subtract/square/add float ops
+                # (bit-equal books, asserted in the r14 A/B) minus two
+                # (n, k) temp allocations per dim — trainer 0.69 -> 0.53 s
+                # on the 2k x 256 bench shape, and this runs per pq/ivfpq
+                # call on the driver.
+                np.subtract(sub[:, d, None], cents[None, :, d], out=tmp)
+                tmp *= tmp
+                d2 += tmp
             assign = np.argmin(d2, axis=1)
             # vectorized Lloyd update (no per-centroid Python loop):
             # scatter-add member sums, divide by counts, keep empty cells
@@ -1106,7 +1125,14 @@ def pq_topk(
                 {"neighbor_id": pdf["__id"].values, "codes": list(codes)}
             )
 
-    encoded = src.mapInPandas(encode_gen, "neighbor_id long, codes array<int>")
+    # NO spread_input here (r14 interleaved A/B: 3.11 s vs 3.93 s with) —
+    # the vectorized encode+score chain on this corpus is light per row,
+    # so the inserted exchange plus per-task LUT rebuilds cost more than
+    # the parallelism pays; on a real multi-split corpus the scan is
+    # already parallel and spread would be a no-op anyway.
+    encoded = src.mapInPandas(
+        encode_gen, "neighbor_id long, codes array<int>"
+    )
 
     q_rows = normed(queries, query_id).collect()  # |Q| is query-sized, small
     q_ids = np.array([r["__id"] for r in q_rows], dtype=np.int64)
@@ -1259,6 +1285,7 @@ def ivfpq_topk(
                 }
             )
 
+    # NO spread_input (r14 A/B; see pq_topk's note).
     indexed = src.mapInPandas(
         index_gen, "neighbor_id long, cell int, codes array<int>"
     )
@@ -1567,7 +1594,19 @@ def kcenter_greedy(
     q = df.select(
         F.col(id_col).alias("vid"), _quantize6(as_double(vec_col)).alias("q")
     )
-    first = q.orderBy("vid").limit(1).collect()[0]
+    # Pin the quantized projection ONCE (r14, guide §5): the k-1 greedy
+    # rounds are inherently sequential driver actions and each re-scanned
+    # the parquet + re-ran the O(dim) quantize/vv transforms (k+1 full
+    # recomputes measured in the r14 profile).  localCheckpoint is
+    # MEMORY_AND_DISK, so at scale this is the standard materialize-the-
+    # working-set move, not a local[32] tune; the seed pick below doubles
+    # as the materializing action.  Spread FIRST (guide §2.5): a one-split
+    # scan would otherwise cache as ONE block and every round's k-dot
+    # aggregate would stay serial no matter the cluster width.
+    qv = spread_input(
+        q.withColumn("vv", dot(F.col("q"), F.col("q")))
+    ).localCheckpoint(eager=False)
+    first = qv.orderBy("vid").limit(1).collect()[0]
 
     def py_dot(a: list, b: list) -> float:
         acc = 0.0
@@ -1576,7 +1615,6 @@ def kcenter_greedy(
         return acc
 
     centers: list[tuple] = [(0, int(first["vid"]), [float(x) for x in first["q"]], None)]
-    qv = q.withColumn("vv", dot(F.col("q"), F.col("q")))
     for step in range(1, k):
         dists = []
         for _s, _cid, cvec, _r in centers:

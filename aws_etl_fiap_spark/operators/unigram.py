@@ -84,6 +84,7 @@ def unigram_piece_costs(
     text_col: str = "text",
     max_piece_len: int = MAX_PIECE_LEN,
     min_count: int = 2,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(piece, cnt, cost): frequency-estimated unigram piece model.
 
@@ -91,8 +92,11 @@ def unigram_piece_costs(
     by word frequency); pieces below ``min_count`` are pruned EXCEPT
     single characters (kept unconditionally so every word stays
     segmentable); cost = round9(-ln(cnt / total)) with total summed over
-    the kept vocabulary."""
-    words = _words(df, text_col)
+    the kept vocabulary.  ``words``: a caller that already computed (and
+    checkpointed) the :func:`_words` vocabulary passes it so the corpus
+    explode+aggregate runs once, not twice (r14, guide §5)."""
+    if words is None:
+        words = _words(df, text_col)
     counts = (
         _substrings(words, max_piece_len)
         .groupBy("piece")
@@ -136,59 +140,66 @@ def unigram_segment_stats(
             f"{over} words exceed max_word_len={max_word_len}; "
             "raise the horizon to keep the DP exact"
         )
-    costs = unigram_piece_costs(df, text_col, max_piece_len, min_count)
+    # Reuse the checkpointed vocabulary for the cost model: the r13 shape
+    # re-ran the corpus explode+aggregate inside unigram_piece_costs (r14
+    # profile: the query's single biggest avoidable pass, guide §5).
+    costs = unigram_piece_costs(df, text_col, max_piece_len, min_count,
+                                words=words)
     edges = (
         _substrings(words, max_piece_len)
         .join(costs.select("piece", "cost"), "piece")
         .select("w", "j", (F.col("j") + F.col("L")).alias("i"), "cost")
-        .localCheckpoint(eager=True)
     )
 
-    ball = words.select(
-        "w",
-        F.lit(0).alias("pos"),
-        F.lit(0.0).alias("cost"),
-        F.lit(0).alias("n"),
-    ).localCheckpoint(eager=True)
-    for i in range(1, max_word_len + 1):
-        e = edges.filter(F.col("i") == i).alias("__ue")
-        b = ball.alias("__ub")
-        cand = e.join(
-            b,
-            (F.col("__ue.w") == F.col("__ub.w"))
-            & (F.col("__ue.j") == F.col("__ub.pos")),
-        ).select(
-            F.col("__ue.w").alias("w"),
-            F.struct(
-                (F.col("__ub.cost") + F.col("__ue.cost")).alias("c"),
-                (F.col("__ub.n") + 1).alias("n"),
-            ).alias("s"),
-        )
-        bi = (
-            cand.groupBy("w")
-            .agg(F.min("s").alias("m"))
-            .select(
-                "w",
-                F.lit(i).alias("pos"),
-                F.col("m.c").alias("cost"),
-                F.col("m.n").alias("n"),
-            )
-        )
-        ball = ball.union(bi).localCheckpoint(eager=True)
+    # The Viterbi DP is WORD-LOCAL: best[i] for one word never reads
+    # another word's state, so the r13 relational unroll — 12 rounds of
+    # join + min-struct aggregate, each eagerly checkpointed (r14 profile:
+    # 66 Spark jobs, the query's dominant cost at any vocab size) — is
+    # replaced by ONE Arrow pass over per-word edge lists (guide §4.2:
+    # distribute with Spark, compute locally in batches).  Bit-exactness
+    # is preserved operation for operation: candidate cost is the same
+    # double add ``best[j] + edge_cost``, the argmin is the same
+    # lexicographic (cost, n_pieces) order the min-STRUCT aggregate used
+    # (ties to fewest pieces), and the 6 dp quantization is the identical
+    # floor(x * 1e6 + 0.5) / 1e6 — re-verified exact against the unrolled
+    # DuckDB CTE chain at sf0.01.
+    import pandas as pd
 
-    best = (
-        ball.alias("__bb")
-        .join(
-            words.alias("__bw"),
-            (F.col("__bb.w") == F.col("__bw.w"))
-            & (F.col("__bb.pos") == F.length(F.col("__bw.w"))),
-        )
-        .select(
-            F.col("__bb.w").alias("w"),
-            F.col("__bb.n").alias("n"),
-            round_half_up(F.col("__bb.cost"), 6).alias("wnll"),
-        )
+    per_word = edges.groupBy("w").agg(
+        F.collect_list(F.struct("j", "i", "cost")).alias("es")
     )
+
+    def dp_gen(batches):
+        import math
+
+        for pdf in batches:
+            ws: list = []
+            ns: list = []
+            nlls: list = []
+            for w, es in zip(pdf["w"], pdf["es"]):
+                by_i: dict = {}
+                for e in es:
+                    by_i.setdefault(e["i"], []).append((e["j"], e["cost"]))
+                best = {0: (0.0, 0)}
+                length = len(w)
+                for i in range(1, length + 1):
+                    cands = [
+                        (best[j][0] + c, best[j][1] + 1)
+                        for (j, c) in by_i.get(i, ())
+                        if j in best
+                    ]
+                    if cands:
+                        best[i] = min(cands)
+                if length in best:
+                    ws.append(w)
+                    ns.append(best[length][1])
+                    nlls.append(
+                        math.floor(best[length][0] * 1000000.0 + 0.5)
+                        / 1000000.0
+                    )
+            yield pd.DataFrame({"w": ws, "n": ns, "wnll": nlls})
+
+    best = per_word.mapInPandas(dp_gen, "w string, n int, wnll double")
     docw = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),

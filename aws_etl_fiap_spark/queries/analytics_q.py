@@ -263,13 +263,22 @@ def agg_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     violation hash-fails, so the driver verdict genuinely verifies sketch
     accuracy.  agg_distinct_percentiles (above) anchors the exact values
     themselves."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_suppkey", "l_quantity",
+        "l_extendedprice",
+    )
     iqr = F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000)
-    # Narrow aggregates joined on the handful-of-groups key, NOT one wide
-    # agg: countDistinct next to percentile buffers plans an Expand that
-    # multiplies every buffer by the distinct count (memory: ~8x slower
-    # measured).  Each piece is a single clean shuffle; the joins are over
-    # |groups| rows (3 here) and broadcast.
+    # THREE narrow aggregates joined on the handful-of-groups key (r14; was
+    # four in r13): the two exact distinct counts fuse into one scan whose
+    # Expand multiplies only two narrow long columns (guide §2.4 "share one
+    # exchange" — interleaved A/B: 2.00 s vs the r13 four-way 2.21 s).  Two
+    # groupings that measurably LOSE, kept out deliberately: fusing the
+    # sketch aggregate with the exact percentiles (one ObjectHashAggregate
+    # pass, 3.06 s) and countDistinct next to percentile buffers (the
+    # Expand multiplies every percentile buffer — ~8x memory, r3).  A
+    # spread_input on the scan also loses (3.34 s): exact-percentile
+    # partials don't reduce, so 32 pre-shuffle partitions just ship 32
+    # full value-list buffers through the exchange.
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_suppliers"),
@@ -282,22 +291,12 @@ def agg_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.25)").alias("exact_p25_price"),
         F.expr("percentile(l_extendedprice, 0.75)").alias("exact_p75_price"),
     )
-    exact_orders = (
-        li.select("l_returnflag", "l_orderkey")
-        .distinct()
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).cast("double").alias("exact_orders"))
+    exact_cd = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("double").alias("exact_orders"),
+        F.countDistinct("l_suppkey").cast("double").alias("exact_suppliers"),
     )
-    exact_supp = (
-        li.select("l_returnflag", "l_suppkey")
-        .distinct()
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).cast("double").alias("exact_suppliers"))
-    )
-    profile = (
-        approx.join(exact_pct, "l_returnflag")
-        .join(exact_orders, "l_returnflag")
-        .join(exact_supp, "l_returnflag")
+    profile = approx.join(exact_pct, "l_returnflag").join(
+        exact_cd, "l_returnflag"
     )
     metrics = ["orders", "suppliers", "p50_qty", "p25_price", "p75_price"]
     stacked = profile.select(

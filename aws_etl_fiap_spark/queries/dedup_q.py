@@ -444,12 +444,26 @@ def dedup_lsh_contains_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fails the driver gate (the sim_topk_ivf pattern).  Signatures are
     corpus-independent (per-doc MIN over shingle hashes), hence planting
     extra docs cannot remove any real pair from the candidate set."""
+    from aws_etl_fiap_spark.operators.dedup import shingle_rows
+
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET))
     corpus = docs.unionByName(planted)
-    cand = minhash_lsh_pairs(corpus, "doc_id", "text", hash_family="xxhash64").select(
-        "id_a", "id_b"
+    # Shingle the BASE corpus once and share it (r14, guide §5): the r13
+    # shape ran the Python shingling pass THREE times per run — over the
+    # doubled corpus for LSH (2x docs) and over docs again for the exact-
+    # Jaccard expectation.  A planted copy's text is byte-identical, so its
+    # (doc, shingle) rows are exactly the base rows re-keyed by +offset —
+    # the union below is the same multiset shingle_rows(corpus) emits, and
+    # every signature/band is still computed per copy downstream (the gate
+    # still exercises the full LSH pipeline on the doubled corpus).
+    sh = shingle_rows(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
+    corpus_sh = sh.unionByName(
+        sh.withColumn("doc", F.col("doc") + F.lit(_PLANT_OFFSET))
     )
+    cand = minhash_lsh_pairs(
+        corpus, "doc_id", "text", hash_family="xxhash64", shingles=corpus_sh
+    ).select("id_a", "id_b")
     # Docs under 3 tokens have no 3-shingle, no signature, and are outside
     # LSH's domain by definition (none exist in the fixture; the guard keeps
     # the property well-defined anyway).
@@ -458,9 +472,9 @@ def dedup_lsh_contains_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("id_a"),
         (F.col("doc_id") + F.lit(_PLANT_OFFSET)).cast("long").alias("id_b"),
     )
-    expected_near = ngram_jaccard_pairs(docs, "doc_id", "text", 0.9, n=3).select(
-        "id_a", "id_b"
-    )
+    expected_near = ngram_jaccard_pairs(
+        docs, "doc_id", "text", 0.9, n=3, shingles=sh
+    ).select("id_a", "id_b")
     expected = expected_exact.unionByName(expected_near)
     return expected.join(cand, ["id_a", "id_b"], "left_anti")
 

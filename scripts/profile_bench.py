@@ -3,8 +3,8 @@
 For each query: warm once, then time ``count()`` (the bench action) and a
 ``noop``-sink write (full materialization, guide §1.4), and record the number
 of Spark jobs/stages/tasks the steady run launches (statusTracker over a
-per-query job group).  Writes JSON to plans/r13/profile_<tag>.json and the
-``explain("formatted")`` text per query to plans/r13/<name>_<tag>.txt.
+per-query job group).  Writes JSON to plans/r14/profile_<tag>.json and the
+``explain("formatted")`` text per query to plans/r14/<name>_<tag>.txt.
 
 Usage: python scripts/profile_bench.py <tag> [--only a,b,c] [--runs 3]
 """
@@ -43,7 +43,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="profile_bench")
     sc = spark.sparkContext
-    os.makedirs(os.path.join(REPO, "plans", "r13"), exist_ok=True)
+    os.makedirs(os.path.join(REPO, "plans", "r14"), exist_ok=True)
 
     # Warmup
     REGISTRY["flagship_refined_summary"].spark(spark, sf_dir).count()
@@ -56,7 +56,7 @@ def main() -> None:
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
         )
-        with open(os.path.join(REPO, "plans", "r13", f"{name}_{args.tag}.txt"), "w") as fh:
+        with open(os.path.join(REPO, "plans", "r14", f"{name}_{args.tag}.txt"), "w") as fh:
             fh.write(plan)
         # cold run (per-process first execution of this plan)
         t0 = time.perf_counter()
@@ -104,7 +104,7 @@ def main() -> None:
         out[name] = rec
         print(json.dumps({name: rec}), flush=True)
 
-    path = os.path.join(REPO, "plans", "r13", f"profile_{args.tag}.json")
+    path = os.path.join(REPO, "plans", "r14", f"profile_{args.tag}.json")
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
     print("wrote", path)

@@ -86,7 +86,7 @@ def test_salted_join_matches_plain_with_nulls_and_dupes(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
-def test_skew_salted_bigbig_plans_no_broadcast(spark):
+def test_skew_salted_bigbig_plans_no_broadcast(spark, sf_smoke):
     """The registered salted big-big join must exercise the REAL shuffle
     path: its scoped autoBroadcastJoinThreshold=-1 has to keep both the
     static planner and AQE's runtime rewrite away from a broadcast.  This
@@ -97,7 +97,7 @@ def test_skew_salted_bigbig_plans_no_broadcast(spark):
     from aws_etl_fiap_spark.operators.skew import salted_join
     from aws_etl_fiap_spark.sources.readers import load_table
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_smoke
     li = load_table(spark, sf, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
