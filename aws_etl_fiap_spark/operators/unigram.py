@@ -263,6 +263,8 @@ def wordpiece_segment_stats(
         .filter((F.col("cnt") >= min_count) | (F.length("piece") == 1))
         .select("piece")
     )
+    # No checkpoint (r14): the per-word collect below is now the edge
+    # list's ONLY consumer, so pinning it would just add a job.
     edges = (
         subs.filter(F.col("j") == 0)
         .join(kept_pref, "piece")
@@ -272,35 +274,53 @@ def wordpiece_segment_stats(
             .join(kept_cont, "piece")
             .select("w", "j", "L")
         )
-        .localCheckpoint(eager=True)
     )
-    state = words.select(
-        "w", F.length("w").alias("len"), F.lit(0).alias("pos"), F.lit(0).alias("n")
-    ).localCheckpoint(eager=True)
-    fin = state.filter(F.col("pos") == F.col("len"))
-    for _ in range(max_word_len):
-        live = state.filter(F.col("pos") < F.col("len")).alias("__ws")
-        if live.isEmpty():
-            break
-        e = edges.alias("__we")
-        step = (
-            live.join(
-                e,
-                (F.col("__ws.w") == F.col("__we.w"))
-                & (F.col("__we.j") == F.col("__ws.pos")),
-            )
-            .groupBy(F.col("__ws.w").alias("w"), "len", "pos", "n")
-            .agg(F.max("L").alias("maxl"))
-            .select(
-                "w",
-                "len",
-                (F.col("pos") + F.col("maxl")).cast("int").alias("pos"),
-                (F.col("n") + 1).alias("n"),
-            )
-        )
-        state = step.localCheckpoint(eager=True)
-        fin = fin.union(state.filter(F.col("pos") == F.col("len")))
-    best = fin.select("w", F.col("n").alias("n_pieces"))
+    # The greedy cursor walk is WORD-LOCAL (same insight as the unigram
+    # Viterbi above, r14): one Arrow pass over per-word (j, L) edge lists
+    # replaces the max_word_len unrolled join+max rounds, each of which
+    # was an eager checkpoint plus an isEmpty probe (2 Spark jobs per
+    # round).  Pure integers end to end — ``max(L)`` at the cursor is the
+    # identical value whichever engine computes it — re-verified exact
+    # against the unrolled SQL twin.
+    import pandas as pd
+
+    per_word = edges.groupBy("w").agg(
+        F.collect_list(F.struct("j", "L")).alias("es")
+    )
+
+    def greedy_gen(batches):
+        for pdf in batches:
+            ws: list = []
+            ns: list = []
+            for w, es in zip(pdf["w"], pdf["es"]):
+                by_j: dict = {}
+                for e in es:
+                    j = e["j"]
+                    L = e["L"]
+                    if L > by_j.get(j, 0):
+                        by_j[j] = L
+                length = len(w)
+                pos = 0
+                n = 0
+                while pos < length:
+                    maxl = by_j.get(pos, 0)
+                    if maxl <= 0:
+                        # no vocabulary piece at the cursor: the word never
+                        # finishes — same outcome as the relational unroll,
+                        # where the (word, pos) row simply never reaches
+                        # pos == len and drops out of ``fin``.  Single
+                        # chars are always kept, so this is unreachable on
+                        # real input; guarded to avoid an infinite loop.
+                        n = -1
+                        break
+                    pos += maxl
+                    n += 1
+                if n >= 0 and pos == length:
+                    ws.append(w)
+                    ns.append(n)
+            yield pd.DataFrame({"w": ws, "n_pieces": ns})
+
+    best = per_word.mapInPandas(greedy_gen, "w string, n_pieces int")
     docw = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),

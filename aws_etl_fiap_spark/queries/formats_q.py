@@ -126,6 +126,11 @@ def roundtrip_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = load_table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
+        # Encode width stays 8 (r14 A/B): widening to session parallelism
+        # halves the WRITE (1.09 -> 0.57 s at 32 tasks) but the 4x file
+        # count makes the PERMISSIVE read-back slower by more — in-session
+        # interleaved minimums 5.39 s (8) vs 6.14 s (32).  File-sizing
+        # discipline (guide §6) agrees: more, smaller files hurt readers.
         write_jsonl(src.repartition(8), path)
         corrupt = spark.createDataFrame(
             [('{"event_id": broken',)] * _N_CORRUPT, "value string"

@@ -217,3 +217,81 @@ def test_pagerank_and_triangles_match_models_property(spark):
         assert got_tri == tri
 
     prop()
+
+
+def test_bfs_and_lpa_oriented_unique_paths_agree(spark):
+    """r14 optimization invariants: for an edge frame that already carries
+    each undirected pair exactly once with id_a < id_b (the pair-generator
+    contract), ``oriented_unique=True`` — which skips the symmetrize
+    distinct() — must produce the same result as the default path, for
+    both bfs_hops and label_propagation_communities."""
+    from aws_etl_fiap_spark.operators.graph import bfs_hops
+
+    clique1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    clique2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = clique1 + clique2 + [(4, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    slow = {
+        (r["id"], r["hops"])
+        for r in bfs_hops(df, lambda c: c.isin(1, 10), max_hops=2).collect()
+    }
+    fast = {
+        (r["id"], r["hops"])
+        for r in bfs_hops(
+            df, lambda c: c.isin(1, 10), max_hops=2, oriented_unique=True
+        ).collect()
+    }
+    assert slow == fast and slow
+
+    lpa_slow = {
+        (r["id"], r["lab"])
+        for r in label_propagation_communities(df, iters=2).collect()
+    }
+    lpa_fast = {
+        (r["id"], r["lab"])
+        for r in label_propagation_communities(
+            df, iters=2, oriented_unique=True
+        ).collect()
+    }
+    assert lpa_slow == lpa_fast and lpa_slow
+
+
+def test_bfs_shuffle_fallback_matches_broadcast_path(spark):
+    """Force the large-graph shuffle path (gate = 0) and require identical
+    results — the r14 fallback-equivalence smoke in unit form."""
+    import aws_etl_fiap_spark.operators.graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    want = {
+        (r["id"], r["hops"])
+        for r in G.bfs_hops(edges, lambda c: c == 1, max_hops=3).collect()
+    }
+    old = G.BROADCAST_VERTEX_ROWS
+    try:
+        G.BROADCAST_VERTEX_ROWS = 0
+        got = {
+            (r["id"], r["hops"])
+            for r in G.bfs_hops(edges, lambda c: c == 1, max_hops=3).collect()
+        }
+    finally:
+        G.BROADCAST_VERTEX_ROWS = old
+    assert got == want == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+
+def test_pagerank_many_iters_bounded_plan(spark):
+    """r14: the broadcast path checkpoints every 8 lazy rounds so callers
+    unrolling many iterations keep a bounded plan; iters=20 must complete
+    and sum to ~1 like any stochastic-ish rank vector on a symmetric graph."""
+    from aws_etl_fiap_spark.operators.graph import pagerank
+
+    e = [(a, b) for a in range(1, 6) for b in range(1, 6) if a != b]
+    df = spark.createDataFrame(e, "src long, dst long")
+    ranks = {r["id"]: r["pr"] for r in pagerank(df, iters=20).collect()}
+    assert len(ranks) == 5
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # symmetric complete graph: uniform fixpoint
+    for v in ranks.values():
+        assert abs(v - 0.2) < 1e-12
